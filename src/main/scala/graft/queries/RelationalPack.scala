@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.queries.Rx.r4
+
+/** Relational core: scans, multi-joins, hash aggregation, top-k
+  * (SURVEY §2.1 S1, §2.3 J-series, §2.4 G-aggs, §2.6 O2).
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast explicitly — no shuffle of the fact table on a dim join;
+  *  - top-k is `orderBy(...).limit(k)` which Spark plans as
+  *    TakeOrderedAndProject (per-partition heaps + driver merge, no
+  *    global sort);
+  *  - aggregates are plain `groupBy.agg` → partial (map-side) + final
+  *    hash aggregation, one shuffle on the group key.
+  */
+object RelationalPack extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // G-agg over the fact table: the reference's per-group multi-aggregate
+    // shape (market_analysis.py:250-273 re-keyed to lineitem).
+    Q("q1_pricing",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" <= to_timestamp(lit("2001-09-02")))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            r4(sum($"l_quantity")).as("sum_qty"),
+            r4(avg($"l_extendedprice")).as("avg_price"),
+            r4(avg($"l_discount")).as("avg_disc"),
+            r4(avg($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")))
+              .as("avg_charge"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+             |  round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+             |  round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+             |  round(avg(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS avg_charge,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Join + agg + top-k: customer ⋈ orders ⋈ lineitem, revenue per order.
+    // customer is the small side → broadcast; lineitem never shuffles on
+    // the dim key.
+    Q("q3_topk",
+      (s, dir) => {
+        import s.implicits._
+        val cut = to_timestamp(lit("1998-03-15"))
+        val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val ord = Tables.orders(s, dir).filter($"o_orderdate" < cut)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val li = Tables.lineitem(s, dir).filter($"l_shipdate" > cut)
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey")
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+               min($"o_orderdate").as("o_orderdate"))
+          .orderBy(desc("revenue"), $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+             |  min(o_orderdate) AS o_orderdate
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15'
+             |  AND l_shipdate > TIMESTAMP '1998-03-15'
+             |GROUP BY l_orderkey
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // Multi-hop star join over all four dims + region filter (TPC-H Q5
+    // shape): every dim broadcast, fact scans stay pruned to 4 columns.
+    Q("q5_starjoin",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        val ord = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= to_timestamp(lit("1996-01-01")) &&
+                  $"o_orderdate" < to_timestamp(lit("1997-01-01")))
+          .select($"o_orderkey", $"o_custkey")
+        val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+        val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+        val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+        val reg = Tables.region(s, dir).select($"r_regionkey")
+        // orders/customer are fact-sized at 100 TB → shuffle joins (AQE may
+        // still broadcast them at small SF); supplier/nation/region are
+        // genuinely small → explicit broadcast.
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+                                 $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+               count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    // Semi + anti joins (SURVEY §2.3 "absent in the reference" —
+    // engine-completeness ops): customers with ≥1 urgent order vs none.
+    Q("j_semi_anti",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        val urgent = Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        val withUrgent = cust.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with_urgent"))
+        val noUrgent = cust.join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without_urgent"))
+        withUrgent.join(noUrgent, Seq("c_mktsegment"), "full_outer")
+          .na.fill(0, Seq("n_with_urgent", "n_without_urgent"))
+      },
+      Some("""WITH w AS (
+             |  SELECT c_mktsegment, count(*) AS n_with_urgent FROM customer
+             |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                AND o_orderpriority = '1-URGENT')
+             |  GROUP BY c_mktsegment),
+             |wo AS (
+             |  SELECT c_mktsegment, count(*) AS n_without_urgent FROM customer
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |  GROUP BY c_mktsegment)
+             |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+             |  coalesce(n_with_urgent, 0) AS n_with_urgent,
+             |  coalesce(n_without_urgent, 0) AS n_without_urgent
+             |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin)))
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.features.WindowOps._
+import graft.queries.Rx.{r4, r6}
+import graft.regimes.Transitions
+
+/** Time-series window operators over the `events` panel
+  * (SURVEY §2.5 W1-W8, W12-W14, W17; §2.4 G5, G7).
+  *
+  * `events` stands in for the reference's (symbol, timestamp) OHLCV panel
+  * (FIXTURES.md §2): partition key = `user_id`, order = event time,
+  * value column = `value`.
+  *
+  * Scale design: every query is one shuffle on the partition key followed
+  * by per-partition sorts — the canonical window spec is shared so
+  * Catalyst collapses all frames into a single Window physical node.
+  * Event time surfaces as `unix_micros` bigints (ns-precision parquet is
+  * truncated to µs on read; the oracle uses `epoch_us` to match), and
+  * orderings tie-break on `event_id` for cross-engine determinism.
+  */
+object TimeSeriesPack extends QueryPack {
+
+  /** Shared projection: events + µs event time. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+
+  private val OracleEv =
+    "SELECT event_id, epoch_us(ts) AS t, user_id, event_type, value FROM events"
+
+  private val OracleWin =
+    "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)"
+
+  def queries: Seq[Q] = Seq(
+
+    // W1/W3: pct_change(1) + diff(1) per user (utils.py:20, lstm_forecasting.py:60).
+    Q("w1_returns",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .withColumn("ret", r6($"value" / nullif(lag($"value", 1).over(w), lit(0.0)) - 1.0))
+          .withColumn("dv", r6(diff($"value", w)))
+          .select($"user_id", $"event_id", $"t", $"ret", $"dv")
+      },
+      Some(s"""WITH e AS ($OracleEv)
+              |SELECT user_id, event_id, t,
+              |  round(value / nullif(lag(value, 1) OVER w, 0) - 1 + 1e-9, 6) AS ret,
+              |  round(value - lag(value, 1) OVER w + 1e-9, 6) AS dv
+              |FROM e $OracleWin""".stripMargin)),
+
+    // W2: k-row momentum, k ∈ {24, 168} (utils.py:22, market_analysis.py:266-267).
+    Q("w2_momentum",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .withColumn("mom24", r6(pctChange(nullif($"value", lit(0.0)), 24, w)))
+          .withColumn("mom168", r6(pctChange(nullif($"value", lit(0.0)), 168, w)))
+          .select($"user_id", $"event_id", $"t", $"mom24", $"mom168")
+      },
+      Some(s"""WITH e AS ($OracleEv)
+              |SELECT user_id, event_id, t,
+              |  round(nullif(value, 0) / lag(nullif(value, 0), 24) OVER w - 1 + 1e-9, 6) AS mom24,
+              |  round(nullif(value, 0) / lag(nullif(value, 0), 168) OVER w - 1 + 1e-9, 6) AS mom168
+              |FROM e $OracleWin""".stripMargin)),
+
+    // W4/W5: trailing rolling mean/std, min_periods=1 and pandas-strict
+    // min_periods=k variants (short_term.py:40-41).
+    Q("w4_rolling",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .withColumn("ma24", r4(rollMean($"value", 24, w)))
+          .withColumn("sd24", r4(rollStd($"value", 24, w)))
+          .withColumn("ma24_strict", r4(rollMeanStrict($"value", 24, w)))
+          .select($"user_id", $"event_id", $"t", $"ma24", $"sd24", $"ma24_strict")
+      },
+      Some(s"""WITH e AS ($OracleEv)
+              |SELECT user_id, event_id, t,
+              |  round(avg(value) OVER w24 + 1e-9, 4) AS ma24,
+              |  round(stddev_samp(value) OVER w24 + 1e-9, 4) AS sd24,
+              |  round(CASE WHEN row_number() OVER w >= 24
+              |        THEN avg(value) OVER w24 END + 1e-9, 4) AS ma24_strict
+              |FROM e
+              |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+              |  w24 AS (PARTITION BY user_id ORDER BY t, event_id
+              |          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // W7/W8: value ratio to trailing mean + trend strength (short_term.py:42-45).
+    Q("w7_ratio_trend",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val ret = col("value") / nullif(lag(col("value"), 1).over(w), lit(0.0)) - 1.0
+        ev(s, dir)
+          .withColumn("vratio24", r4(ratioToRollMean($"value", 24, w)))
+          .withColumn("ret", ret)
+          .withColumn("trend24", r4(trendStrength($"ret", 24, w)))
+          .select($"user_id", $"event_id", $"t", $"vratio24", $"trend24")
+      },
+      Some(s"""WITH e AS ($OracleEv),
+              |r AS (
+              |  SELECT user_id, event_id, t, value,
+              |    value / nullif(lag(value, 1) OVER w, 0) - 1 AS ret
+              |  FROM e $OracleWin)
+              |SELECT user_id, event_id, t,
+              |  round(value / nullif(avg(value) OVER w24, 0) + 1e-9, 4) AS vratio24,
+              |  round(abs(avg(sign(ret)) OVER w24) + 1e-9, 4) AS trend24
+              |FROM r
+              |WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+              |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // W17: forward/backward fill through engineered nulls
+    // (lstm_forecasting.py:108 ffill().bfill()).
+    Q("w17_fill",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .withColumn("v_sparse", when($"event_type" === "view", $"value"))
+          .withColumn("v_filled",
+            r6(coalesce(ffill($"v_sparse", w), bfill($"v_sparse", w))))
+          .select($"user_id", $"event_id", $"t", $"v_filled")
+      },
+      Some(s"""WITH e AS ($OracleEv),
+              |sp AS (
+              |  SELECT user_id, event_id, t,
+              |    CASE WHEN event_type = 'view' THEN value END AS v_sparse
+              |  FROM e)
+              |SELECT user_id, event_id, t,
+              |  round(coalesce(
+              |    last_value(v_sparse IGNORE NULLS) OVER
+              |      (PARTITION BY user_id ORDER BY t, event_id
+              |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |    first_value(v_sparse IGNORE NULLS) OVER
+              |      (PARTITION BY user_id ORDER BY t, event_id
+              |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) + 1e-9, 6) AS v_filled
+              |FROM sp""".stripMargin)),
+
+    // W12: gaps-and-islands sessionization — the signature operator
+    // (short_term.py:82-111). One row per event_type change per user.
+    Q("w12_islands",
+      (s, dir) => {
+        Transitions.transitions(
+          ev(s, dir), Seq("user_id"), "t", "event_id", "event_type",
+          (start, end) => r6((end - start) / lit(3600e6)))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |g AS (
+             |  SELECT user_id, island, event_type AS from_label,
+             |    min(t) AS start_ord
+             |  FROM i GROUP BY user_id, island, event_type),
+             |x AS (
+             |  SELECT user_id, from_label, start_ord,
+             |    lead(from_label) OVER w2 AS to_label,
+             |    lead(start_ord) OVER w2 AS end_time
+             |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY island))
+             |SELECT user_id, from_label, to_label,
+             |  start_ord AS start_time, end_time,
+             |  round((end_time - start_time) / 3600e6 + 1e-9, 6) AS duration
+             |FROM x WHERE to_label IS NOT NULL""".stripMargin)),
+
+    // G5: transition probability matrix P(to|from) over the islands output
+    // (short_term.py:114-120).
+    Q("g5_transition_probs",
+      (s, dir) => {
+        val trans = Transitions.transitions(
+          ev(s, dir), Seq("user_id"), "t", "event_id", "event_type",
+          (start, end) => (end - start).cast("double"))
+        Transitions.transitionProbabilities(trans, "from_label", "to_label")
+          .withColumn("prob", r6(col("prob")))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |g AS (
+             |  SELECT user_id, island, event_type AS from_label, min(t) AS start_ord
+             |  FROM i GROUP BY user_id, island, event_type),
+             |x AS (
+             |  SELECT user_id, from_label,
+             |    lead(from_label) OVER (PARTITION BY user_id ORDER BY island) AS to_label
+             |  FROM g),
+             |tr AS (SELECT from_label, to_label FROM x WHERE to_label IS NOT NULL),
+             |c AS (SELECT from_label, to_label, count(*) AS n FROM tr GROUP BY 1, 2)
+             |SELECT from_label, to_label, n,
+             |  sum(n) OVER (PARTITION BY from_label) AS n_from,
+             |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_label) + 1e-9, 6) AS prob
+             |FROM c""".stripMargin)),
+
+    // G7: exact whole-column percentiles per group — the coarse-regime
+    // thresholds (utils.py:23-24; np.percentile linear interpolation).
+    Q("g7_percentile",
+      (s, dir) => {
+        import s.implicits._
+        ev(s, dir).groupBy($"event_type")
+          .agg(r6(percentile($"value", lit(0.8))).as("p80"),
+               r6(percentile($"value", lit(0.9))).as("p90"),
+               r6(percentile($"value", lit(0.5))).as("p50"))
+      },
+      Some("""SELECT event_type,
+             |  round(quantile_cont(value, 0.8) + 1e-9, 6) AS p80,
+             |  round(quantile_cont(value, 0.9) + 1e-9, 6) AS p90,
+             |  round(quantile_cont(value, 0.5) + 1e-9, 6) AS p50
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // W14: daily tumbling-window resample + per-day proportions
+    // (lstm_analysis.py:27-28 groupby(Grouper(freq='D'), regime) unstacked).
+    Q("w14_daily",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+        val wDay = Window.partitionBy($"day")
+        daily.withColumn("share", r6($"n" / sum($"n").over(wDay)))
+          .withColumn("day", unix_micros($"day"))
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(date_trunc('day', ts)) AS day, event_type,
+             |    count(*) AS n, round(sum(value) + 1e-9, 4) AS sum_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT day, event_type, n, sum_value,
+             |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) + 1e-9, 6) AS share
+             |FROM d""".stripMargin)))
+}
