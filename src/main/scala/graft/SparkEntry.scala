@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
-    TimeSeriesPack)
+    TimeSeriesPack,
+    IndicatorPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

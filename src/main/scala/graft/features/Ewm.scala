@@ -1,0 +1,63 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DoubleType
+
+/** W9: exponentially-weighted moving mean, pandas
+  * `ewm(span=s, adjust=False).mean()` — the recursion
+  * `y_t = α·x_t + (1−α)·y_{t−1}`, α = 2/(span+1), `y_0 = x_0`
+  * (reference `src/models/lstm_forecasting.py:151-164`, MACD).
+  *
+  * Not expressible as a Spark window frame (SURVEY §7.3): a window
+  * aggregate sees frame rows, not the previous OUTPUT. Chosen plan (c)
+  * from SURVEY W9: `mapPartitions` over key-sorted partitions carrying
+  * running state — fully distributed (one shuffle on the partition key,
+  * state is O(#specs) doubles per group), linear scan per partition, no
+  * driver involvement. At 100 TB this behaves exactly like the Window
+  * exchange every other W-operator already pays.
+  *
+  * Leading nulls stay null; state starts at the first non-null value.
+  * (The reference only feeds it dense close prices.)
+  */
+object Ewm {
+
+  /** Append one EWM output column per (inputCol, span, outputCol) spec. */
+  def ewmMean(df: DataFrame, partCols: Seq[String], ordCols: Seq[String],
+              specs: Seq[(String, Double, String)]): DataFrame = {
+    val outSchema = specs.foldLeft(df.schema)((sc, s) => sc.add(s._3, DoubleType))
+    val schema = df.schema
+    val partIdx = partCols.map(schema.fieldIndex).toArray
+    val valIdx = specs.map(s => schema.fieldIndex(s._1)).toArray
+    val alphas = specs.map(s => 2.0 / (s._2 + 1.0)).toArray
+
+    val sorted = df
+      .repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ ordCols).map(col): _*)
+
+    sorted.mapPartitions { it =>
+      var curKey: IndexedSeq[Any] = null
+      val state = new Array[Double](valIdx.length)
+      val hasState = new Array[Boolean](valIdx.length)
+      it.map { r =>
+        val key = partIdx.toIndexedSeq.map(r.get)
+        if (key != curKey) {
+          curKey = key
+          java.util.Arrays.fill(hasState, false)
+        }
+        val outs = new Array[Any](valIdx.length)
+        var i = 0
+        while (i < valIdx.length) {
+          if (!r.isNullAt(valIdx(i))) {
+            val v = r.getDouble(valIdx(i))
+            state(i) = if (hasState(i)) alphas(i) * v + (1.0 - alphas(i)) * state(i) else v
+            hasState(i) = true
+            outs(i) = state(i)
+          } else outs(i) = null
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ outs)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

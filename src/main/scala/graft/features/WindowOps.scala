@@ -31,17 +31,19 @@ object WindowOps {
   def rollMean(c: Column, k: Int, w: WindowSpec): Column =
     avg(c).over(w.rowsBetween(-(k - 1), 0))
 
-  /** W4 strict: pandas `rolling(k).mean()` (min_periods=k → null for the
-    * first k-1 rows of each partition). */
+  /** W4 strict: pandas `rolling(k).mean()` (min_periods=k): null unless the
+    * frame holds k non-null observations — positional row_number is NOT
+    * equivalent when the input itself has leading nulls (e.g. a rolling
+    * std of returns whose first row is null). */
   def rollMeanStrict(c: Column, k: Int, w: WindowSpec): Column =
-    when(row_number().over(w) >= k, rollMean(c, k, w))
+    when(count(c).over(w.rowsBetween(-(k - 1), 0)) >= k, rollMean(c, k, w))
 
   /** W5: trailing k-row sample stddev (ddof=1 — matches pandas default). */
   def rollStd(c: Column, k: Int, w: WindowSpec): Column =
     stddev_samp(c).over(w.rowsBetween(-(k - 1), 0))
 
   def rollStdStrict(c: Column, k: Int, w: WindowSpec): Column =
-    when(row_number().over(w) >= k, rollStd(c, k, w))
+    when(count(c).over(w.rowsBetween(-(k - 1), 0)) >= k, rollStd(c, k, w))
 
   /** Trailing k-row sum. */
   def rollSum(c: Column, k: Int, w: WindowSpec): Column =

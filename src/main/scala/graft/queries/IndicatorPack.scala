@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.features.{Ewm, Indicators}
+import graft.features.WindowOps._
+import graft.queries.Rx.{r4, r6}
+import graft.regimes.Regimes
+
+/** Indicator + regime tier (SURVEY §2.5 W9-W11, §2.2 P5, §2.4 G2/G13, §2.3 J4).
+  *
+  * The events panel plays the OHLCV role: `value` = close, and the
+  * numeric `props.k` JSON field = volume (also exercising the JSON
+  * scalar family of §2.8).
+  *
+  * The EWM oracle uses DuckDB `list_reduce` over a running window list —
+  * O(n²) in the oracle but bit-identical to the engine's linear
+  * `mapPartitions` recursion because both evaluate α·x + (1−α)·y in the
+  * same operation order.
+  */
+object IndicatorPack extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+
+  private val OracleEv =
+    "SELECT event_id, epoch_us(ts) AS t, user_id, event_type, value, props FROM events"
+
+  def queries: Seq[Q] = Seq(
+
+    // W9: pandas ewm(span, adjust=False).mean() + the MACD(12,26,9)
+    // composition (lstm_forecasting.py:151-164).
+    Q("w9_ewm_macd",
+      (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir).select($"user_id", $"event_id", $"t", $"value")
+        Indicators.withMacd(base, Seq("user_id"), Seq("t", "event_id"), "value")
+          .select($"user_id", $"event_id", $"t",
+            r6($"macd").as("macd"), r6($"macd_signal").as("macd_signal"),
+            r6($"macd_hist").as("macd_hist"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, t,
+             |    list(value) OVER w AS xs
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |m AS (
+             |  SELECT user_id, event_id, t,
+             |    list_reduce(xs, (acc, x) -> 2.0/13.0 * x + (1.0 - 2.0/13.0) * acc)
+             |      - list_reduce(xs, (acc, x) -> 2.0/27.0 * x + (1.0 - 2.0/27.0) * acc)
+             |      AS macd
+             |  FROM l),
+             |ml AS (
+             |  SELECT user_id, event_id, t, macd,
+             |    list(macd) OVER w AS ms
+             |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |sg AS (
+             |  SELECT user_id, event_id, t, macd,
+             |    list_reduce(ms, (acc, x) -> 2.0/10.0 * x + (1.0 - 2.0/10.0) * acc) AS macd_signal
+             |  FROM ml)
+             |SELECT user_id, event_id, t,
+             |  round(macd + 1e-9, 6) AS macd,
+             |  round(macd_signal + 1e-9, 6) AS macd_signal,
+             |  round(macd - macd_signal + 1e-9, 6) AS macd_hist
+             |FROM sg""".stripMargin)),
+
+    // W10: RSI(14) (lstm_forecasting.py:130-148).
+    Q("w10_rsi",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .withColumn("rsi", r6(Indicators.rsi($"value", 14, w)))
+          .select($"user_id", $"event_id", $"t", $"rsi")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |d AS (
+             |  SELECT user_id, event_id, t,
+             |    value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS delta
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id, event_id, t,
+             |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+             |    CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+             |  FROM d),
+             |a AS (
+             |  SELECT user_id, event_id, t,
+             |    avg(gain) OVER w14 AS avg_gain, avg(loss) OVER w14 AS avg_loss
+             |  FROM g WINDOW w14 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, t,
+             |  round(coalesce(100.0 - 100.0 / (1.0 + avg_gain / nullif(avg_loss, 0.0)), 50.0)
+             |        + 1e-9, 6) AS rsi
+             |FROM a""".stripMargin)),
+
+    // W11: Bollinger %B + width with the reference's ÷0 fallbacks
+    // (lstm_forecasting.py:166-184).
+    Q("w11_bollinger",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .withColumn("bb_position", r6(Indicators.bollingerPosition($"value", 20, 2.0, w)))
+          .withColumn("bb_width", r6(Indicators.bollingerWidth($"value", 20, w)))
+          .select($"user_id", $"event_id", $"t", $"bb_position", $"bb_width")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |b AS (
+             |  SELECT user_id, event_id, t, value,
+             |    CASE WHEN count(value) OVER w20 >= 20 THEN avg(value) OVER w20 END AS ma,
+             |    CASE WHEN count(value) OVER w20 >= 20 THEN stddev_samp(value) OVER w20 END AS sd
+             |  FROM e WINDOW w20 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, t,
+             |  round(coalesce((value - (ma - 2.0 * sd)) / nullif(4.0 * sd, 0.0),
+             |                 CASE WHEN sd IS NOT NULL THEN 0.5 END) + 1e-9, 6) AS bb_position,
+             |  round(coalesce(sd / nullif(ma, 0.0),
+             |                 CASE WHEN sd IS NOT NULL THEN 0.0 END) + 1e-9, 6) AS bb_width
+             |FROM b""".stripMargin)),
+
+    // P5 + G2: the 5-class short-term regime classifier + distribution
+    // (short_term.py:50-80, market_analysis.py:32-48). Close = value,
+    // volume = props.k (JSON scalar extraction, §2.8).
+    Q("p5_regime_dist",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val base = ev(s, dir)
+          .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
+        Regimes.shortTermFeatures(base, "value", "volume", w)
+          .withColumn("regime", Regimes.shortTermRegime())
+          .groupBy($"regime").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+             |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
+             |  FROM events),
+             |f1 AS (
+             |  SELECT *, value / lag(value, 1) OVER w - 1 AS hourly_returns,
+             |    value / lag(value, 24) OVER w - 1 AS daily_returns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |f2 AS (
+             |  SELECT *,
+             |    CASE WHEN count(hourly_returns) OVER w24 >= 24
+             |         THEN stddev_samp(hourly_returns) OVER w24 * sqrt(24.0) END AS volatility,
+             |    sign(daily_returns) AS trend_direction
+             |  FROM f1 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+             |f3 AS (
+             |  SELECT *,
+             |    CASE WHEN count(trend_direction) OVER w24 >= 24
+             |         THEN abs(avg(trend_direction) OVER w24) END AS trend_strength
+             |  FROM f2 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+             |r AS (
+             |  SELECT CASE
+             |    WHEN (daily_returns > 0.01 AND trend_strength > 0.6)
+             |         AND NOT coalesce(volatility > 0.02, false) THEN 'stable_bull'
+             |    WHEN (daily_returns > 0.01 AND trend_strength > 0.6)
+             |         AND coalesce(volatility > 0.02, false) THEN 'volatile_bull'
+             |    WHEN (daily_returns < -0.01 AND trend_strength > 0.6)
+             |         AND NOT coalesce(volatility > 0.02, false) THEN 'stable_bear'
+             |    WHEN (daily_returns < -0.01 AND trend_strength > 0.6)
+             |         AND coalesce(volatility > 0.02, false) THEN 'volatile_bear'
+             |    ELSE 'consolidation' END AS regime
+             |  FROM f3)
+             |SELECT regime, count(*) AS n FROM r GROUP BY regime""".stripMargin)),
+
+    // G13: detector confidence metrics per key (short_term.py:73-78).
+    Q("g13_confidence",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val base = ev(s, dir)
+          .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
+        val feats = Regimes.shortTermFeatures(base, "value", "volume", w)
+        Regimes.confidence(feats, Seq("user_id"))
+          .select($"user_id", r4($"trend_confidence").as("trend_confidence"),
+            r4($"volatility_stability").as("volatility_stability"),
+            r4($"volume_support").as("volume_support"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+             |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
+             |  FROM events),
+             |f1 AS (
+             |  SELECT *, value / lag(value, 1) OVER w - 1 AS hourly_returns,
+             |    value / lag(value, 24) OVER w - 1 AS daily_returns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |f2 AS (
+             |  SELECT *,
+             |    CASE WHEN count(hourly_returns) OVER w24 >= 24
+             |         THEN stddev_samp(hourly_returns) OVER w24 * sqrt(24.0) END AS volatility,
+             |    CASE WHEN count(volume) OVER w24 >= 24
+             |         THEN avg(volume) OVER w24 END AS volume_ma,
+             |    sign(daily_returns) AS trend_direction
+             |  FROM f1 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+             |f3 AS (
+             |  SELECT *, volume / volume_ma AS volume_ratio,
+             |    CASE WHEN count(trend_direction) OVER w24 >= 24
+             |         THEN abs(avg(trend_direction) OVER w24) END AS trend_strength
+             |  FROM f2 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+             |SELECT user_id,
+             |  round(avg(trend_strength) + 1e-9, 4) AS trend_confidence,
+             |  round(1.0 - stddev_samp(volatility) / avg(volatility) + 1e-9, 4)
+             |    AS volatility_stability,
+             |  round(avg(CASE WHEN volume_ratio > 1 THEN 1.0 ELSE 0.0 END) + 1e-9, 4)
+             |    AS volume_support
+             |FROM f3 GROUP BY user_id""".stripMargin)),
+
+    // J4 + coarse regime (utils.py:4-33): per-key percentile thresholds
+    // broadcast-joined back onto the panel, 3-class codes, distribution
+    // per key.
+    Q("j4_coarse_regime",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        Regimes.coarseRegime(ev(s, dir), Seq("user_id"), "value", w)
+          .groupBy($"user_id", $"regime_code").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |f1 AS (
+             |  SELECT *, value / lag(value, 1) OVER w - 1 AS ret,
+             |    value / lag(value, 24) OVER w - 1 AS mom
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |f2 AS (
+             |  SELECT *,
+             |    CASE WHEN count(ret) OVER w24 >= 24
+             |         THEN stddev_samp(ret) OVER w24 END AS vol
+             |  FROM f1 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+             |thr AS (
+             |  SELECT user_id, quantile_cont(vol, 0.8) AS vol_thr,
+             |    quantile_cont(abs(mom), 0.9) AS mom_thr
+             |  FROM f2 GROUP BY user_id),
+             |r AS (
+             |  SELECT f2.user_id,
+             |    CASE
+             |      WHEN (mom < -mom_thr) OR (mom < 0 AND vol >= vol_thr) THEN 1
+             |      WHEN (mom > mom_thr) OR (mom > 0 AND vol >= vol_thr) THEN 0
+             |      ELSE 2 END AS regime_code
+             |  FROM f2 JOIN thr ON f2.user_id = thr.user_id)
+             |SELECT user_id, regime_code, count(*) AS n
+             |FROM r GROUP BY user_id, regime_code""".stripMargin)))
+}

@@ -84,7 +84,7 @@ object TimeSeriesPack extends QueryPack {
               |SELECT user_id, event_id, t,
               |  round(avg(value) OVER w24 + 1e-9, 4) AS ma24,
               |  round(stddev_samp(value) OVER w24 + 1e-9, 4) AS sd24,
-              |  round(CASE WHEN row_number() OVER w >= 24
+              |  round(CASE WHEN count(value) OVER w24 >= 24
               |        THEN avg(value) OVER w24 END + 1e-9, 4) AS ma24_strict
               |FROM e
               |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
