@@ -17,7 +17,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
     TimeSeriesPack,
-    IndicatorPack)
+    IndicatorPack,
+    PanelPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)
