@@ -18,7 +18,9 @@ object SparkEntry {
     RelationalPack,
     TimeSeriesPack,
     IndicatorPack,
-    PanelPack)
+    PanelPack,
+    TextPack,
+    DedupSimPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

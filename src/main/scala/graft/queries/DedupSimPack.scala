@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.queries.Rx.{r4, r6}
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Near-dedup + similarity search (BASELINE.json scale extensions).
+  * Every operator here is the scale-path variant: LSH banding, blocked
+  * pair generation, bucketed ANN — no unbounded all-pairs joins.
+  */
+object DedupSimPack extends QueryPack {
+
+  private val ShingleN = 3
+  private val NumPerm = 16
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  /** Shared oracle prefix: per-doc distinct shingle list + per-(id,seed)
+    * minhash signature, mirrored from Dedup.minhashSignatures. */
+  private val OracleSig =
+    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |shl AS (SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3
+      |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+      |                         for i in range(1, len(ts) - 1)])
+      |      ELSE [] END AS shs
+      |  FROM d),
+      |sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM shl),
+      |hs AS (SELECT id, seed, sh,
+      |    CAST(('0x' || substr(md5(seed || '|' || sh), 1, 15)) AS BIGINT) AS h
+      |  FROM sh, (SELECT CAST(unnest(range(0, 16)) AS VARCHAR) AS seed)),
+      |sig AS (SELECT id, CAST(seed AS INT) AS seed, min(h) AS minhash
+      |  FROM hs GROUP BY 1, 2)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+
+    // MinHash+LSH near-dedup: signatures → band buckets → candidate
+    // pairs → exact Jaccard verification (only candidates verified).
+    Q("d2_minhash_lsh",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", NumPerm, ShingleN)
+        val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
+        Dedup.verifyJaccard(cands, docs, "doc_id", "text", ShingleN)
+          .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+            r6(col("jaccard")).as("jaccard"))
+      },
+      Some(s"""WITH $OracleSig,
+              |band AS (
+              |  SELECT id, CAST(seed // 4 AS INT) AS band,
+              |    md5(array_to_string(list_sort(list(seed || ':' || minhash)), ','))
+              |      AS band_key
+              |  FROM sig GROUP BY id, CAST(seed // 4 AS INT)),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
+
+    // SimHash 32-bit signatures (near-dup via signature equality /
+    // low Hamming distance).
+    Q("d3_simhash",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |          FROM documents),
+             |tok AS (SELECT doc_id AS id, unnest(ts) AS tok FROM d),
+             |tw AS (SELECT id, tok, count(*) AS w FROM tok GROUP BY 1, 2),
+             |th AS (SELECT id, w,
+             |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4294967296 AS h
+             |  FROM tw),
+             |bits AS (
+             |  SELECT id, b, sum(w * (((h >> b) & 1) * 2 - 1)) AS s
+             |  FROM th, (SELECT unnest(range(0, 32)) AS b)
+             |  GROUP BY 1, 2)
+             |SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+             |                    ELSE 0 END) AS simhash
+             |FROM bits GROUP BY id""".stripMargin)),
+
+    // Blocked n-gram Jaccard: pairs generated only inside (lang, source)
+    // blocks — bounded block sizes make the pair count linear-ish.
+    Q("d4_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"source",
+          TextOps.shingles(TextOps.tokens($"text"), ShingleN).as("shs"))
+        val a = docs.select($"lang", $"source", $"doc_id".as("id_a"), $"shs".as("sha"))
+        val b = docs.select($"lang", $"source", $"doc_id".as("id_b"), $"shs".as("shb"))
+        a.join(b, Seq("lang", "source")).filter($"id_a" < $"id_b")
+          .withColumn("n_inter", size(array_intersect($"sha", $"shb")))
+          .withColumn("n_union", size($"sha") + size($"shb") - $"n_inter")
+          .select($"lang", $"source", $"id_a", $"id_b",
+            r6($"n_inter".cast("double") / $"n_union").as("jaccard"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |s AS (SELECT doc_id, lang, source,
+             |    CASE WHEN len(ts) >= 3
+             |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+             |                          for i in range(1, len(ts) - 1)])
+             |      ELSE [] END AS shs
+             |  FROM d)
+             |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+             |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+             |        + 1e-9, 6) AS jaccard
+             |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+             |  AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // Embedding near-dup: top-20 most-cosine-similar pairs, blocked by
+    // label (the IVF-partition shape: pairs only within a cell).
+    Q("d5_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+        val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"))
+        val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"))
+        a.join(b, Seq("label")).filter($"id_a" < $"id_b")
+          .withColumn("cos", r6(Similarity.cosine($"va", $"vb")))
+          .select($"label", $"id_a", $"id_b", $"cos")
+          .orderBy(desc("cos"), $"id_a", $"id_b")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |p AS (
+             |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+             |        (acc, x) -> acc + x)
+             |      / sqrt(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])),
+             |        (acc, x) -> acc + x))
+             |      / sqrt(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])),
+             |        (acc, x) -> acc + x)) + 1e-9, 6) AS cos
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT label, id_a, id_b, cos FROM p
+             |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
+    // Brute-force cosine top-k (exact ANN baseline): queries broadcast,
+    // corpus scanned once, per-query heap top-k.
+    Q("s1_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val queries = e.filter($"vec_id" < 10)
+        Similarity.cosineTopK(e, queries, "vec_id", "v", 5)
+          .select($"query_id", $"corpus_id", r6($"cos").as("cos"), $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT q.query_id, e.vec_id AS corpus_id,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i])),
+             |        (acc, x) -> acc + x)
+             |      / sqrt(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])),
+             |        (acc, x) -> acc + x))
+             |      / sqrt(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(e.v) + 1), i -> e.v[i] * e.v[i])),
+             |        (acc, x) -> acc + x)) AS cos
+             |  FROM q, e WHERE q.query_id <> e.vec_id),
+             |rk AS (
+             |  SELECT query_id, corpus_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
+             |FROM rk WHERE rank <= 5""".stripMargin)),
+
+    // LSH-bucketed ANN: sign-hyperplane bucket on the first 4 dims —
+    // candidates shrink to the query's bucket (the scale path).
+    Q("s2_ann_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val queries = e.filter($"vec_id" < 10)
+        Similarity.annTopK(e, queries, "vec_id", "v", 5, 4)
+          .select($"query_id", $"bucket", $"corpus_id", r6($"cos").as("cos"), $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |bk AS (
+             |  SELECT vec_id, v,
+             |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) +
+             |    (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             |  FROM e),
+             |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk
+             |      WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT q.query_id, b.bucket, b.vec_id AS corpus_id,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * b.v[i])),
+             |        (acc, x) -> acc + x)
+             |      / sqrt(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])),
+             |        (acc, x) -> acc + x))
+             |      / sqrt(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])),
+             |        (acc, x) -> acc + x)) AS cos
+             |  FROM q JOIN bk b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
+             |rk AS (
+             |  SELECT query_id, bucket, corpus_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, bucket, corpus_id, round(cos + 1e-9, 6) AS cos, rank
+             |FROM rk WHERE rank <= 5""".stripMargin)))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.queries.Rx.{r4, r6}
+import graft.text.TextOps
+import graft.dedup.Dedup
+
+/** Text analysis + exact dedup over `documents` (BASELINE.json scale
+  * extensions: language-ID, quality scoring, token counting,
+  * fingerprinting, hash-groupBy dedup). */
+object TextPack extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // Quality scoring: length/punctuation/digit/word-shape ratios.
+    Q("t1_quality",
+      (s, dir) => {
+        import s.implicits._
+        val feats = TextOps.qualityFeatures($"text")
+        val base = Tables.documents(s, dir)
+        feats.foldLeft(base)((d, f) => d.withColumn(f._1, f._2))
+          .select($"doc_id", $"n_tokens",
+            r6($"avg_word_len").as("avg_word_len"),
+            r6($"punct_ratio").as("punct_ratio"),
+            r6($"digit_ratio").as("digit_ratio"),
+            r6($"upper_ratio").as("upper_ratio"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents)
+             |SELECT doc_id, len(ts) AS n_tokens,
+             |  round(CAST(list_reduce(list_prepend(0, [length(x) for x in ts]),
+             |        (acc, x) -> acc + x) AS DOUBLE) / len(ts) + 1e-9, 6) AS avg_word_len,
+             |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             |        / greatest(length(text), 1) + 1e-9, 6) AS punct_ratio,
+             |  round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             |        / greatest(length(text), 1) + 1e-9, 6) AS digit_ratio,
+             |  round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+             |        / greatest(length(text), 1) + 1e-9, 6) AS upper_ratio
+             |FROM d""".stripMargin)),
+
+    // Language-ID heuristic: stopword-hit share per language, argmax.
+    Q("t2_langid",
+      (s, dir) => {
+        import s.implicits._
+        val sw = TextOps.stopwords.toSeq
+          .flatMap { case (l, ws) => ws.map(wd => (l, wd)) }
+          .toDF("cand_lang", "word")
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select($"doc_id",
+          explode(TextOps.tokens(lower($"text"))).as("word"))
+        val nTok = docs.select($"doc_id",
+          size(TextOps.tokens($"text")).as("n_tokens"))
+        val scores = toks.join(broadcast(sw), "word")
+          .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("hits"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"hits".desc, $"cand_lang")
+        val best = scores.withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1).drop("rk")
+        docs.select($"doc_id", $"lang").join(best, Seq("doc_id"), "left")
+          .join(nTok, "doc_id")
+          .select($"doc_id", $"lang",
+            coalesce($"cand_lang", lit("und")).as("pred_lang"),
+            r6(coalesce($"hits", lit(0L)).cast("double") / $"n_tokens").as("score"))
+      },
+      Some("""WITH sw(cand_lang, word) AS (VALUES
+             |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+             |  ('en','in'),('en','is'),('en','that'),
+             |  ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+             |  ('es','en'),('es','un'),('es','los'),
+             |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','in'),
+             |  ('de','von'),('de','zu'),('de','mit'),
+             |  ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+             |  ('fr','en'),('fr','un'),('fr','du'),
+             |  ('zh','de'),('zh','le'),('zh','he'),('zh','shi'),('zh','zai'),
+             |  ('zh','wo'),('zh','you'),('zh','ta')),
+             |d AS (SELECT doc_id, lang,
+             |        string_split_regex(trim(lower(text)), '\s+') AS ts,
+             |        len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |      FROM documents),
+             |tk AS (SELECT doc_id, unnest(ts) AS word FROM d),
+             |sc AS (SELECT doc_id, cand_lang, count(*) AS hits
+             |       FROM tk JOIN sw USING (word) GROUP BY 1, 2),
+             |best AS (SELECT doc_id, cand_lang, hits FROM sc
+             |         QUALIFY row_number() OVER (PARTITION BY doc_id
+             |           ORDER BY hits DESC, cand_lang) = 1)
+             |SELECT d.doc_id, d.lang,
+             |  coalesce(best.cand_lang, 'und') AS pred_lang,
+             |  round(CAST(coalesce(best.hits, 0) AS DOUBLE) / d.n_tokens + 1e-9, 6)
+             |    AS score
+             |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin)),
+
+    // Token counting: whitespace + BPE-ish regex counts.
+    Q("t3_tokens",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select($"doc_id",
+          size(TextOps.tokens($"text")).as("ws_tokens"),
+          TextOps.bpeishCount($"text").as("bpeish_tokens"),
+          length($"text").as("n_chars_measured"), $"n_chars")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |       AS INT) AS bpeish_tokens,
+             |  length(text) AS n_chars_measured, n_chars
+             |FROM documents""".stripMargin)),
+
+    // Document fingerprinting: canonical-form md5 + same-fingerprint
+    // group size (rolling-hash-free, portable canonicalization).
+    Q("t4_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.fingerprint($"text").as("fingerprint"))
+          .withColumn("n_same", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"fingerprint")))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(
+             |      string_split_regex(trim(regexp_replace(lower(text),
+             |        '[^a-z0-9\s]', '', 'g')), '\s+'))), ' ')) AS fingerprint
+             |  FROM documents)
+             |SELECT doc_id, fingerprint,
+             |  count(*) OVER (PARTITION BY fingerprint) AS n_same
+             |FROM f""".stripMargin)),
+
+    // Exact dedup: one hash-groupBy (the 100 TB shape: single shuffle on
+    // the 128-bit content key).
+    Q("d1_exact_dedup",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_dups,
+             |  min(doc_id) AS canonical_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)))
+}

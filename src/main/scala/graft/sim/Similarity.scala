@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (BASELINE.json scale extensions):
+  * brute-force cosine top-k as the exact baseline, and a
+  * sign-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * 100 TB design: the query side is always the small side — broadcast
+  * it; the corpus scans once. Top-k is a per-query window `row_number`
+  * over partial results (per-partition heaps after AQE), never a global
+  * sort. The LSH variant shrinks the candidate set to one bucket per
+  * query (probes can be added by unioning neighbor buckets).
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns, computed as an
+    * explicit left-to-right fold so results are bit-reproducible across
+    * engines (`zip_with` product + `aggregate` sum). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact brute-force top-k: for each query row, the k most-cosine-similar
+    * corpus rows (self excluded). Queries are broadcast. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Sign-hyperplane LSH bucket id from the first `nBits` dimensions:
+    * bit i set iff vec[i] >= 0. (Axis-aligned hyperplanes — deterministic
+    * and engine-portable; random rotations would need a seed table.) */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN top-k: candidates restricted to the query's sign bucket. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nBits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), nBits).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), nBits).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__bucket").as("bucket"), col("corpus_id"),
+        col("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (BASELINE.json scale
+  * extensions; SURVEY §7 step 7): tokenization, shingles, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is codegen'd `functions._` column algebra — no UDFs — so
+  * the operators inline into whole-stage codegen and scale linearly with
+  * the scan. Hashing uses md5 prefixes (a stable, engine-portable 60-bit
+  * value) rather than JVM hashCode, so results are reproducible across
+  * engines and releases.
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text (empty-token-free). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles (n consecutive tokens joined by a
+    * single space). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Stable 60-bit hash of a string: first 15 hex chars of md5 as a
+    * non-negative long (portable: DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, or single
+    * non-alphanumeric marks (approximates subword tokenizer counts). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Quality-scoring feature columns (length / punctuation / stopword /
+    * digit ratios — the standard pretraining-corpus filters). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars_m" -> nChar,
+      "avg_word_len" -> aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / nTok,
+      "punct_ratio" -> regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+        greatest(nChar, lit(1)),
+      "digit_ratio" -> regexp_count(text, lit("[0-9]")).cast("double") /
+        greatest(nChar, lit(1)),
+      "upper_ratio" -> regexp_count(text, lit("[A-Z]")).cast("double") /
+        greatest(nChar, lit(1)))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram language-ID
+    * heuristic (deterministic, self-contained). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "in", "von", "zu", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "wo", "you", "ta"))
+
+  /** Document fingerprint (dedup canonicalization): md5 of the sorted
+    * distinct lowercase alphanumeric-only token set. */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9\\s]", "")
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(norm)))))
+  }
+}

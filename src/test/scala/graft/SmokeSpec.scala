@@ -31,9 +31,15 @@ class SmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  /** Legitimately-empty-at-tiny-SF queries: near-dup candidate pairs only
+    * exist when the corpus actually contains near-duplicates (sf0.1 does;
+    * sf0.001/sf0.01 don't). */
+  private val mayBeEmpty = Set("d2_minhash_lsh")
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs and returns rows on sf0.001") {
-      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+      val n = fn(spark, sf).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }
 }
