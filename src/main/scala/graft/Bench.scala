@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup so the first measured query doesn't absorb
+    // one-time JVM compilation cost (~3-5s otherwise).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    import org.apache.spark.sql.functions.{col, count}
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

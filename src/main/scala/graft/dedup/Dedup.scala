@@ -25,29 +25,54 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
 
-  /** Per-doc MinHash signature rows: (id, seed, minhash) for seeds
-    * 0..numPerm-1 over word-`n`-gram shingles. Linear in total shingles. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numPerm: Int, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
-    val seeds = (0 until numPerm).map(i => lit(i))
-    sh.select(col("id"), explode(array(seeds: _*)).as("seed"), col("sh"))
-      .select(col("id"), col("seed"),
-        TextOps.hash60(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("h"))
-      .groupBy(col("id"), col("seed")).agg(min(col("h")).as("minhash"))
+  /** MinHash permutation constants (engine-portable, overflow-safe:
+    * every intermediate stays under 2^61). */
+  def permA(i: Int): Long = (i.toLong * 2654435761L + 1L) % 2147483647L
+  def permB(i: Int): Long = (i.toLong * 40503L + 7L) % 2147483647L
+
+  /** Exploded distinct-shingle rows (id, sh) — the shared input of
+    * signature building and Jaccard verification. Callers composing both
+    * should `.persist()` this frame: Catalyst does not CSE identical
+    * subplans across self-joins, so an uncached frame would be
+    * re-evaluated once per join branch. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame =
+    // Two-step projection on purpose: `shingles` references the token
+    // array 3×/element; materializing tokens as an attribute first stops
+    // Catalyst from inlining (= re-evaluating) the split per reference.
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TextOps.shingles(col("__toks"), shingleN)).as("sh"))
+
+  /** Per-doc MinHash signature: (id, sig array<long>[numPerm], n_sh) over
+    * shingle rows.
+    *
+    * One md5 per shingle, then numPerm ARITHMETIC permutations
+    * `(a_i·h30 + b_i) mod 2^31-1` evaluated as numPerm parallel `min`
+    * aggregates over the single shingle pass — no per-seed explode, so
+    * the shuffled volume is one row per doc, not numPerm × shingles.
+    * The shingle-set size rides along in the same pass. */
+  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+    val hashed = sh.withColumn("h30", pmod(TextOps.hash60(col("sh")), lit(1073741824L)))
+    val minAggs = (0 until numPerm).map(i =>
+      min((col("h30") * permA(i) + permB(i)) % 2147483647L).as(s"__s$i"))
+    val aggs = minAggs :+ count(lit(1)).as("n_sh")
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numPerm).map(i => col(s"__s$i")): _*).as("sig"),
+        col("n_sh"))
   }
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numPerm), bucket-join on (band, band-signature), keep each pair
-    * once. Only colliding buckets generate pairs. */
+  /** LSH candidate pairs: band the signature array (bands × rowsPerBand =
+    * numPerm), bucket-join on (band, band-key md5), keep each pair once.
+    * Only colliding buckets generate pairs. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("id"), col("band"))
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        concat(col("seed").cast("string"), lit(":"), col("minhash").cast("string")))))
-      ).as("band_key"))
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*))
+    }
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -55,12 +80,10 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs over distinct shingle
-    * sets — joins only the candidate docs' shingles, not all pairs. */
-  def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    * sets — joins only the candidate docs' shingles, not all pairs.
+    * `sh` = shingleRows output (persist it); `sizes` = (id, n_sh). */
+  def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                    sizes: DataFrame): DataFrame = {
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))

@@ -19,10 +19,14 @@ object DedupSimPack extends QueryPack {
   private val Bands = 4
   private val RowsPerBand = 4
 
-  /** Shared oracle prefix: per-doc distinct shingle list + per-(id,seed)
-    * minhash signature, mirrored from Dedup.minhashSignatures. */
-  private val OracleSig =
-    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+  /** Shared oracle prefix: per-doc distinct shingle list + per-doc
+    * minhash signature columns, mirrored from Dedup.minhashSignatures
+    * (one min-aggregate per permutation, constants interpolated). */
+  private val OracleSig = {
+    val minExprs = (0 until NumPerm).map(i =>
+      s"min((h30 * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % 2147483647) AS s$i")
+      .mkString(",\n      |    ")
+    s"""d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
       |shl AS (SELECT doc_id,
       |    CASE WHEN len(ts) >= 3
       |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
@@ -30,11 +34,23 @@ object DedupSimPack extends QueryPack {
       |      ELSE [] END AS shs
       |  FROM d),
       |sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM shl),
-      |hs AS (SELECT id, seed, sh,
-      |    CAST(('0x' || substr(md5(seed || '|' || sh), 1, 15)) AS BIGINT) AS h
-      |  FROM sh, (SELECT CAST(unnest(range(0, 16)) AS VARCHAR) AS seed)),
-      |sig AS (SELECT id, CAST(seed AS INT) AS seed, min(h) AS minhash
-      |  FROM hs GROUP BY 1, 2)""".stripMargin
+      |sh30 AS (SELECT id, sh,
+      |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 1073741824 AS h30
+      |  FROM sh),
+      |sig AS (SELECT id,
+      |    $minExprs
+      |  FROM sh30 GROUP BY id)""".stripMargin
+  }
+
+  /** Oracle band CTE: one UNION ALL arm per band, band_key = md5 of the
+    * comma-joined 4 signature values of that band. */
+  private val OracleBand = {
+    val arms = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}")
+      s"SELECT id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_key FROM sig"
+    }
+    arms.mkString("band AS (\n  ", "\n  UNION ALL ", ")")
+  }
 
   def queries: Seq[Q] = Seq(
 
@@ -43,18 +59,15 @@ object DedupSimPack extends QueryPack {
     Q("d2_minhash_lsh",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", NumPerm, ShingleN)
+        val sh = Dedup.shingleRows(docs, "doc_id", "text", ShingleN).persist()
+        val sigs = Dedup.minhashSignatures(sh, NumPerm).persist()
         val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
-        Dedup.verifyJaccard(cands, docs, "doc_id", "text", ShingleN)
+        Dedup.verifyJaccard(cands, sh, sigs.select(col("id"), col("n_sh")))
           .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
             r6(col("jaccard")).as("jaccard"))
       },
       Some(s"""WITH $OracleSig,
-              |band AS (
-              |  SELECT id, CAST(seed // 4 AS INT) AS band,
-              |    md5(array_to_string(list_sort(list(seed || ':' || minhash)), ','))
-              |      AS band_key
-              |  FROM sig GROUP BY id, CAST(seed // 4 AS INT)),
+              |$OracleBand,
               |cand AS (
               |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
               |  FROM band a JOIN band b
@@ -100,8 +113,10 @@ object DedupSimPack extends QueryPack {
     Q("d4_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"source",
-          TextOps.shingles(TextOps.tokens($"text"), ShingleN).as("shs"))
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source", TextOps.tokens($"text").as("__toks"))
+          .select($"doc_id", $"lang", $"source",
+            TextOps.shingles($"__toks", ShingleN).as("shs"))
         val a = docs.select($"lang", $"source", $"doc_id".as("id_a"), $"shs".as("sha"))
         val b = docs.select($"lang", $"source", $"doc_id".as("id_b"), $"shs".as("shb"))
         a.join(b, Seq("lang", "source")).filter($"id_a" < $"id_b")
@@ -130,30 +145,33 @@ object DedupSimPack extends QueryPack {
     Q("d5_embedding_neardup",
       (s, dir) => {
         import s.implicits._
-        val e = Tables.embeddings(s, dir)
-          .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
-        val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("va"))
-        val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("vb"))
+        val e = Similarity.withNormalized(
+          Tables.embeddings(s, dir)
+            .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v")),
+          "v", "nv")
+        val a = e.select($"label", $"vec_id".as("id_a"), $"nv".as("va"))
+        val b = e.select($"label", $"vec_id".as("id_b"), $"nv".as("vb"))
         a.join(b, Seq("label")).filter($"id_a" < $"id_b")
-          .withColumn("cos", r6(Similarity.cosine($"va", $"vb")))
+          .withColumn("cos", r6(Similarity.dot($"va", $"vb")))
           .select($"label", $"id_a", $"id_b", $"cos")
           .orderBy(desc("cos"), $"id_a", $"id_b")
           .limit(20)
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
              |          FROM embeddings),
+             |nm AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |nv AS (SELECT vec_id, label,
+             |    list_transform(v, x -> x / nrm) AS nv FROM nm),
              |p AS (
              |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
              |    round(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
-             |        (acc, x) -> acc + x)
-             |      / sqrt(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])),
-             |        (acc, x) -> acc + x))
-             |      / sqrt(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])),
-             |        (acc, x) -> acc + x)) + 1e-9, 6) AS cos
-             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |        list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
+             |  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT label, id_a, id_b, cos FROM p
              |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
@@ -170,19 +188,19 @@ object DedupSimPack extends QueryPack {
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |          FROM embeddings),
-             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |nm AS (SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nm),
+             |q AS (SELECT vec_id AS query_id, nv AS qv FROM nv WHERE vec_id < 10),
              |sc AS (
-             |  SELECT q.query_id, e.vec_id AS corpus_id,
+             |  SELECT q.query_id, nv.vec_id AS corpus_id,
              |    list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i])),
-             |        (acc, x) -> acc + x)
-             |      / sqrt(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])),
-             |        (acc, x) -> acc + x))
-             |      / sqrt(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(e.v) + 1), i -> e.v[i] * e.v[i])),
-             |        (acc, x) -> acc + x)) AS cos
-             |  FROM q, e WHERE q.query_id <> e.vec_id),
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * nv.nv[i])),
+             |        (acc, x) -> acc + x) AS cos
+             |  FROM q, nv WHERE q.query_id <> nv.vec_id),
              |rk AS (
              |  SELECT query_id, corpus_id, cos,
              |    row_number() OVER (PARTITION BY query_id
@@ -204,26 +222,25 @@ object DedupSimPack extends QueryPack {
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |          FROM embeddings),
+             |nm AS (SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
              |bk AS (
-             |  SELECT vec_id, v,
+             |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv,
              |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) +
              |    (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
              |    (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) +
              |    (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-             |  FROM e),
-             |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk
+             |  FROM nm),
+             |q AS (SELECT vec_id AS query_id, nv AS qv, bucket FROM bk
              |      WHERE vec_id < 10),
              |sc AS (
              |  SELECT q.query_id, b.bucket, b.vec_id AS corpus_id,
              |    list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * b.v[i])),
-             |        (acc, x) -> acc + x)
-             |      / sqrt(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])),
-             |        (acc, x) -> acc + x))
-             |      / sqrt(list_reduce(list_prepend(0.0,
-             |        list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])),
-             |        (acc, x) -> acc + x)) AS cos
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) AS cos
              |  FROM q JOIN bk b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
              |rk AS (
              |  SELECT query_id, bucket, corpus_id, cos,

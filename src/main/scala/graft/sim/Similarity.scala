@@ -16,23 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns, computed as an
-    * explicit left-to-right fold so results are bit-reproducible across
-    * engines (`zip_with` product + `aggregate` sum). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
+  /** Left-to-right fold dot product — bit-reproducible across engines
+    * (`zip_with` product + `aggregate` sum). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
+
+  /** Cosine similarity of two raw double-array columns. Prefer
+    * pre-normalizing with [[withNormalized]] when one side is reused
+    * across many pairs — the norms are then computed once per vector
+    * instead of once per pair. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+
+  /** Append `outCol` = vec / ‖vec‖ (norm computed once per row). */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(outCol, transform(col(vecCol), e => e / col("__nrm")))
+      .drop("__nrm")
 
   /** Exact brute-force top-k: for each query row, the k most-cosine-similar
-    * corpus rows (self excluded). Queries are broadcast. */
+    * corpus rows (self excluded). Queries are broadcast; both sides are
+    * pre-normalized so each pair costs one fused dot product. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = withNormalized(corpus, vecCol, "__cv")
+      .select(col(idCol).as("corpus_id"), col("__cv"))
+    val q = withNormalized(queries, vecCol, "__qv")
+      .select(col(idCol).as("query_id"), col("__qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -51,13 +63,15 @@ object Similarity {
   /** ANN top-k: candidates restricted to the query's sign bucket. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nBits: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
-      signBucket(col(vecCol), nBits).as("__bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signBucket(col(vecCol), nBits).as("__bucket"))
+    val c = withNormalized(corpus, vecCol, "__cv")
+      .select(col(idCol).as("corpus_id"), col("__cv"),
+        signBucket(col(vecCol), nBits).as("__bucket"))
+    val q = withNormalized(queries, vecCol, "__qv")
+      .select(col(idCol).as("query_id"), col("__qv"),
+        signBucket(col(vecCol), nBits).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
