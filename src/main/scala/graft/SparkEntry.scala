@@ -20,7 +20,8 @@ object SparkEntry {
     IndicatorPack,
     PanelPack,
     TextPack,
-    DedupSimPack)
+    DedupSimPack,
+    MlPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

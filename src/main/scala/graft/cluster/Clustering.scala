@@ -1,0 +1,183 @@
+package graft.cluster
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Clustering tier (SURVEY §2.10 M1-M8).
+  *
+  * The reference clusters a ~100-row per-symbol feature matrix
+  * (`market_analysis.py:295-394`). Spark ML KMeans/PCA/silhouette are
+  * distributed; DBSCAN and Louvain have no Spark ML implementation and
+  * the reference-scale inputs are tiny aggregates of the big data, so
+  * they run driver-side over the collected feature matrix / edge list
+  * (the aggregation that produces them is the distributed part). The
+  * documented scale path for DBSCAN is an ε-radius self-join + iterative
+  * connected components; for Louvain, per-level aggregation joins.
+  */
+object Clustering {
+
+  /** M1/G12: standardize columns to mean 0 / population std 1 (sklearn
+    * StandardScaler ddof=0 — `market_analysis.py:287-293`), computed with
+    * one global agg + broadcast, not a per-row window. */
+  def standardize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      avg(col(c)).as(s"__mu_$c"), stddev_pop(col(c)).as(s"__sd_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")))
+      .drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
+  }
+
+  /** M2: KMeans(k, seed) over feature columns → input + `cluster` column;
+    * also returns training cost (inertia) and centers via the model. */
+  def kmeansAssign(df: DataFrame, featureCols: Seq[String], k: Int,
+                   seed: Long): (DataFrame, Double, Array[Array[Double]]) = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster").fit(assembled)
+    val out = model.transform(assembled).drop("features")
+    (out, model.summary.trainingCost, model.clusterCenters.map(_.toArray))
+  }
+
+  /** M3: silhouette (squared-Euclidean variant — Spark ML's evaluator;
+    * sklearn's plain-Euclidean differs by a documented ±ε, SURVEY M3). */
+  def silhouette(df: DataFrame, featureCols: Seq[String],
+                 clusterCol: String): Double = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    new ClusteringEvaluator().setFeaturesCol("features")
+      .setPredictionCol(clusterCol).setMetricName("silhouette").evaluate(assembled)
+  }
+
+  /** M7: PCA(k) → per-component explained variance. */
+  def pcaVariance(df: DataFrame, featureCols: Seq[String], k: Int): Array[Double] = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    new PCA().setK(k).setInputCol("features").setOutputCol("pca")
+      .fit(assembled).explainedVariance.toArray
+  }
+
+  /** M5: knee of the sorted k-NN distance curve (max distance to the
+    * chord from first to last point — `market_analysis.py:851-875`'s
+    * KneeLocator essence); falls back to the 90th percentile when the
+    * curve is degenerate. */
+  def kneeEps(sortedDists: Array[Double]): Double = {
+    val n = sortedDists.length
+    if (n < 3) return if (n == 0) 0.0 else sortedDists.last
+    val (x1, y1) = (0.0, sortedDists.head)
+    val (x2, y2) = ((n - 1).toDouble, sortedDists.last)
+    val len = math.hypot(x2 - x1, y2 - y1)
+    if (len == 0) return sortedDists.last
+    var best = -1.0; var bestI = 0
+    var i = 0
+    while (i < n) {
+      val d = math.abs((y2 - y1) * i - (x2 - x1) * sortedDists(i) + x2 * y1 - y2 * x1) / len
+      if (d > best) { best = d; bestI = i }
+      i += 1
+    }
+    val eps = sortedDists(bestI)
+    if (eps > 0) eps
+    else sortedDists(math.min(n - 1, (0.9 * n).toInt))
+  }
+
+  /** M4: DBSCAN over a collected point set (driver-side; reference scale
+    * is ≤100 points — the distributed part is the aggregation that
+    * produced them). Returns cluster id per point, -1 = noise. */
+  def dbscan(points: Array[Array[Double]], eps: Double, minPts: Int): Array[Int] = {
+    val n = points.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val eps2 = eps * eps
+    val neighbors = Array.tabulate(n)(i =>
+      (0 until n).filter(j => j != i && dist2(points(i), points(j)) <= eps2).toArray)
+    val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    var cluster = -1
+    for (i <- 0 until n if labels(i) == -2) {
+      if (neighbors(i).length + 1 < minPts) labels(i) = -1
+      else {
+        cluster += 1
+        labels(i) = cluster
+        val queue = scala.collection.mutable.Queue(neighbors(i): _*)
+        while (queue.nonEmpty) {
+          val j = queue.dequeue()
+          if (labels(j) == -1) labels(j) = cluster
+          else if (labels(j) == -2) {
+            labels(j) = cluster
+            if (neighbors(j).length + 1 >= minPts) queue.enqueueAll(neighbors(j))
+          }
+        }
+      }
+    }
+    labels
+  }
+
+  /** M6: single-level Louvain community detection over a weighted
+    * undirected edge list (driver-side; ≤100 nodes at reference scale).
+    * Deterministic: nodes sweep in sorted order until no move improves
+    * modularity. Returns (community per node, modularity). */
+  def louvain(nodes: Seq[Long], edges: Seq[(Long, Long, Double)],
+              maxSweeps: Int = 20): (Map[Long, Int], Double) = {
+    val idx = nodes.sorted.zipWithIndex.toMap
+    val n = idx.size
+    val adj = Array.fill(n)(scala.collection.mutable.Map.empty[Int, Double])
+    var m2 = 0.0 // 2m
+    edges.foreach { case (a, b, w) =>
+      val (i, j) = (idx(a), idx(b))
+      if (i != j) {
+        adj(i)(j) = adj(i).getOrElse(j, 0.0) + w
+        adj(j)(i) = adj(j).getOrElse(i, 0.0) + w
+        m2 += 2 * w
+      }
+    }
+    val deg = Array.tabulate(n)(i => adj(i).values.sum)
+    val comm = Array.tabulate(n)(identity)
+    val commDeg = deg.clone()
+    if (m2 == 0) return (idx.map { case (node, i) => node -> comm(i) }, 0.0)
+
+    var moved = true; var sweep = 0
+    while (moved && sweep < maxSweeps) {
+      moved = false; sweep += 1
+      for (i <- 0 until n) {
+        val ci = comm(i)
+        commDeg(ci) -= deg(i)
+        val links = scala.collection.mutable.Map.empty[Int, Double]
+        adj(i).foreach { case (j, w) => links(comm(j)) = links.getOrElse(comm(j), 0.0) + w }
+        var bestC = ci
+        var bestGain = links.getOrElse(ci, 0.0) - commDeg(ci) * deg(i) / m2
+        links.keys.toSeq.sorted.foreach { c =>
+          val gain = links(c) - commDeg(c) * deg(i) / m2
+          if (gain > bestGain + 1e-12) { bestGain = gain; bestC = c }
+        }
+        if (bestC != ci) { moved = true }
+        comm(i) = bestC
+        commDeg(bestC) += deg(i)
+      }
+    }
+    // modularity Q = Σ_c (in_c/2m − (deg_c/2m)^2)
+    val commIn = scala.collection.mutable.Map.empty[Int, Double]
+    for (i <- 0 until n; (j, w) <- adj(i) if comm(i) == comm(j))
+      commIn(comm(i)) = commIn.getOrElse(comm(i), 0.0) + w
+    val commDegTot = scala.collection.mutable.Map.empty[Int, Double]
+    for (i <- 0 until n)
+      commDegTot(comm(i)) = commDegTot.getOrElse(comm(i), 0.0) + deg(i)
+    // iterator, not .keys.map: mapping over the key Set would collapse
+    // communities whose Q-contributions are numerically equal.
+    val q = commDegTot.keysIterator.map { c =>
+      commIn.getOrElse(c, 0.0) / m2 - math.pow(commDegTot(c) / m2, 2)
+    }.sum
+    // renumber communities densely in sorted order for determinism
+    val renum = comm.distinct.sorted.zipWithIndex.toMap
+    (idx.map { case (node, i) => node -> renum(comm(i)) }, q)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.analytics.Analytics
+import graft.cluster.Clustering
+import graft.queries.Rx.{r4, r6}
+
+/** Clustering / ML tier (SURVEY §2.10 M1-M8, §2.3 J6).
+  *
+  * The distributed work is the feature/edge aggregation (one groupBy over
+  * the fact table → ~150 rows); KMeans/PCA/silhouette run in Spark ML,
+  * DBSCAN/Louvain/knee run driver-side over the collected aggregate
+  * exactly like the reference (SURVEY M4-M6 verdicts). Non-SQL-
+  * expressible results are declared without oracle SQL → the driver
+  * records rows-only checks.
+  */
+object MlPack extends QueryPack {
+
+  /** Per-user 2-feature frame (mean, sample-std of value), standardized
+    * to population z-scores — the clustering input. */
+  private def userFeatures(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    Clustering.standardize(f, Seq("mu", "sd"))
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // J6/M8: exact k-NN (k=2) by Euclidean distance in standardized
+    // feature space — cross join + per-point window top-k.
+    Q("j6_knn",
+      (s, dir) => {
+        import s.implicits._
+        val f = userFeatures(s, dir)
+        val a = f.select($"user_id".as("uid"), $"mu".as("mua"), $"sd".as("sda"))
+        val b = f.select($"user_id".as("nid"), $"mu".as("mub"), $"sd".as("sdb"))
+        val pairs = a.join(b, $"uid" =!= $"nid")
+          .withColumn("dist", sqrt(pow($"mua" - $"mub", 2) + pow($"sda" - $"sdb", 2)))
+        val w = Window.partitionBy($"uid").orderBy($"dist", $"nid")
+        pairs.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+          .select($"uid".as("user_id"), $"nid".as("neighbor_id"),
+            r4($"dist").as("dist"), $"rank")
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+             |  FROM events GROUP BY user_id),
+             |st AS (
+             |  SELECT user_id,
+             |    (mu - avg(mu) OVER ()) / stddev_pop(mu) OVER () AS mu,
+             |    (sd - avg(sd) OVER ()) / stddev_pop(sd) OVER () AS sd
+             |  FROM f),
+             |p AS (
+             |  SELECT a.user_id AS user_id, b.user_id AS neighbor_id,
+             |    sqrt(pow(a.mu - b.mu, 2) + pow(a.sd - b.sd, 2)) AS dist
+             |  FROM st a JOIN st b ON a.user_id <> b.user_id),
+             |rk AS (
+             |  SELECT user_id, neighbor_id, dist,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY dist, neighbor_id) AS rank
+             |  FROM p)
+             |SELECT user_id, neighbor_id, round(dist + 1e-9, 4) AS dist, rank
+             |FROM rk WHERE rank <= 2""".stripMargin)),
+
+    // M2: KMeans(k=5, seed=42) cluster size distribution (cluster ids
+    // are init-dependent; sizes are the stable output).
+    Q("m2_kmeans",
+      (s, dir) => {
+        import s.implicits._
+        val (assigned, cost, _) =
+          Clustering.kmeansAssign(userFeatures(s, dir), Seq("mu", "sd"), 5, 42L)
+        assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
+          .select($"n").orderBy(desc("n"))
+          .withColumn("size_rank", row_number().over(
+            Window.orderBy(desc("n"))))
+          .withColumn("inertia", r4(lit(cost)))
+      },
+      None),
+
+    // M3: silhouette score of the M2 clustering (+ inertia).
+    Q("m3_silhouette",
+      (s, dir) => {
+        import s.implicits._
+        val feats = userFeatures(s, dir)
+        val (assigned, cost, _) =
+          Clustering.kmeansAssign(feats, Seq("mu", "sd"), 5, 42L)
+        val sil = Clustering.silhouette(assigned, Seq("mu", "sd"), "cluster")
+        Seq((5, sil, cost)).toDF("k", "silhouette", "inertia")
+          .select($"k", r4($"silhouette").as("silhouette"), r4($"inertia").as("inertia"))
+      },
+      None),
+
+    // M7: PCA explained-variance spectrum of the feature frame.
+    Q("m7_pca",
+      (s, dir) => {
+        import s.implicits._
+        val varr = Clustering.pcaVariance(userFeatures(s, dir), Seq("mu", "sd"), 2)
+        varr.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("component", "explained_variance")
+          .select($"component", r4($"explained_variance").as("explained_variance"))
+      },
+      None),
+
+    // M4+M5: DBSCAN with auto-tuned ε (knee of sorted 2-NN distances)
+    // and minPts = max(log n, 3) (market_analysis.py:847-876 semantics).
+    Q("m4_dbscan",
+      (s, dir) => {
+        import s.implicits._
+        val rows = userFeatures(s, dir)
+          .select($"user_id", $"mu", $"sd").orderBy($"user_id").collect()
+        val pts = rows.map(r => Array(r.getDouble(1), r.getDouble(2)))
+        val n = pts.length
+        val d2 = pts.map { p =>
+          pts.map(q => math.hypot(p(0) - q(0), p(1) - q(1)))
+            .sorted.drop(1).take(2).last
+        }.sorted
+        val eps = Clustering.kneeEps(d2)
+        val minPts = math.max(math.log(n).toInt, 3)
+        val labels = Clustering.dbscan(pts, eps, minPts)
+        val nClusters = labels.filter(_ >= 0).distinct.length
+        val nNoise = labels.count(_ == -1)
+        Seq((r4d(eps), minPts, nClusters, nNoise, n))
+          .toDF("eps", "min_pts", "n_clusters", "n_noise", "n_points")
+      },
+      None),
+
+    // M6: Louvain communities over the |corr|>0.3 user graph
+    // (market_analysis.py:309-337): edges from pairwise correlation of
+    // daily value sums (the distributed part), communities + modularity
+    // driver-side.
+    Q("m6_louvain",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .filter(abs($"corr") > 0.3)
+          .select($"key_a".cast("long"), $"key_b".cast("long"), abs($"corr"))
+          .collect()
+        val edges = corr.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val (comm, q) = Clustering.louvain(nodes, edges)
+        val sizes = comm.groupBy(_._2).view.mapValues(_.size).toMap
+        Seq((nodes.size, edges.size, sizes.size, r4d(q),
+          if (sizes.isEmpty) 0 else sizes.values.max))
+          .toDF("n_nodes", "n_edges", "n_communities", "modularity", "max_community")
+      },
+      None))
+
+  private def r4d(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4
+}
