@@ -21,7 +21,8 @@ object SparkEntry {
     PanelPack,
     TextPack,
     DedupSimPack,
-    MlPack)
+    MlPack,
+    StreamMultimodalPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (BASELINE.json scale extensions).
+  *
+  * Images / audio / video ride through the engine as opaque `binary`
+  * payload columns plus a typed metadata struct; decode / feature
+  * extraction runs as a BATCHED per-partition transform (the Scala
+  * analogue of `mapInPandas`: one iterator pass per partition, vectorized
+  * batch shape, no per-row UDF dispatch).
+  *
+  * The actual media decoding is STUBBED (`decodeStub`) — the container
+  * has no image/audio libraries — but the Spark-side plumbing (schema,
+  * partitioning, batch signature, deterministic feature contract) is
+  * real and tested. Swapping in a real decoder means replacing ONLY the
+  * byte→feature function.
+  */
+object Multimodal {
+
+  /** Metadata struct type carried next to every payload. */
+  val metaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("source", StringType)))
+
+  /** Wrap a text column as a binary payload + metadata — the test-data
+    * stand-in for real media blobs. */
+  def asPayload(df: DataFrame, idCol: String, textCol: String,
+                sourceCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(lit("utf8-text").as("format"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        col(sourceCol).as("source")).as("meta"))
+
+  /** === STUB ===
+    * Deterministic fake "decode": real deployments replace this with an
+    * image/audio decoder (e.g. JPEG dimensions, mel spectrogram, frame
+    * sampling). Signature contract: bytes in → fixed-width feature
+    * vector out. Kept pure + deterministic so the plumbing is testable. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    if (payload == null) return Array(0.0, 0.0, 0.0, 0.0)
+    var sum = 0L; var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    Array(
+      payload.length.toDouble,                       // "resolution"
+      (payload.length / 64).toDouble,                // "frame count"
+      sum.toDouble / math.max(payload.length, 1),    // mean byte ("brightness")
+      (sum % 251).toDouble)                          // checksum-ish feature
+  }
+
+  /** Batched feature extraction: one partition = one batch, iterator in /
+    * iterator out (the mapInPandas shape). Appends `features
+    * array<double>`. */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val schema = df.schema.add("features", ArrayType(DoubleType))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(payloadIdx)) null
+                    else r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ decodeStub(bytes).toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+}

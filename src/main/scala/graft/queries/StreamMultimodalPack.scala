@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.multimodal.Multimodal
+import graft.queries.Rx.r6
+import graft.streaming.StreamOps
+
+/** Streaming + multimodal tier (SURVEY §2.9; BASELINE.json multimodal
+  * extension). Both streaming queries execute REAL Structured Streaming
+  * plans (memory sink, drained synchronously) so the driver verifies the
+  * streaming path itself, not a batch re-implementation. */
+object StreamMultimodalPack extends QueryPack {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def queries: Seq[Q] = Seq(
+
+    // Streaming W14: tumbling daily windows + watermark over a parquet
+    // file stream, drained to a memory sink.
+    Q("st1_stream_daily",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st1_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = StreamOps.dailyCounts(stream)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(unix_micros($"day").as("day"), $"event_type", $"n",
+            Rx.r4($"sum_value").as("sum_value"))
+      },
+      Some("""SELECT epoch_us(date_trunc('day', ts)) AS day, event_type,
+             |  count(*) AS n, round(sum(value) + 1e-9, 4) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Streaming W12: stateful gaps-and-islands transitions via
+    // flatMapGroupsWithState — must emit exactly the batch islands
+    // result (open final island never emitted).
+    Q("st2_stream_transitions",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st2_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", $"ts".as("t_ns"), $"event_id", $"event_type")
+          .withColumn("t", expr("t_ns div 1000")).drop("t_ns")
+          .as[StreamOps.KeyedEvent]
+        val q = StreamOps.transitionsStream(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |g AS (
+             |  SELECT user_id, island, event_type AS from_label, min(t) AS start_ord
+             |  FROM i GROUP BY user_id, island, event_type),
+             |x AS (
+             |  SELECT user_id, from_label, start_ord,
+             |    lead(from_label) OVER w2 AS to_label,
+             |    lead(start_ord) OVER w2 AS end_time
+             |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY island))
+             |SELECT user_id, from_label, to_label,
+             |  start_ord AS start_time, end_time
+             |FROM x WHERE to_label IS NOT NULL""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + metadata struct + batched
+    // per-partition feature extraction (decode stubbed deterministically).
+    Q("m1_multimodal",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Multimodal.asPayload(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        Multimodal.extractFeatures(payloads)
+          .select($"id".as("doc_id"),
+            $"meta.n_bytes".as("n_bytes"), $"meta.source".as("source"),
+            element_at($"features", 1).as("f_len"),
+            element_at($"features", 2).as("f_frames"),
+            r6(element_at($"features", 3)).as("f_mean_byte"),
+            element_at($"features", 4).as("f_checksum"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, octet_length(encode(text)) AS nb,
+             |    list_reduce(list_prepend(0,
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> ord(substr(text, i, 1)))),
+             |      (acc, x) -> acc + x) AS bsum
+             |  FROM documents)
+             |SELECT doc_id, nb AS n_bytes, source,
+             |  CAST(nb AS DOUBLE) AS f_len,
+             |  CAST(nb // 64 AS DOUBLE) AS f_frames,
+             |  round(CAST(bsum AS DOUBLE) / greatest(nb, 1) + 1e-9, 6) AS f_mean_byte,
+             |  CAST(bsum % 251 AS DOUBLE) AS f_checksum
+             |FROM d""".stripMargin)))
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.9 — green-field: the
+  * reference is batch-only, these are the engine's streaming story).
+  *
+  *  - tumbling event-time windows with watermark = streaming W14;
+  *  - stateful gaps-and-islands regime transitions via
+  *    `flatMapGroupsWithState` = streaming W12 (the reference's running
+  *    island state is exactly a GroupState).
+  *
+  * Scale: state is O(1) per key (current label + island start), and the
+  * window agg is the standard partial-agg + state-store pattern.
+  */
+object StreamOps {
+
+  case class KeyedEvent(user_id: Long, t: Long, event_id: Long, event_type: String)
+  case class IslandState(label: String, startT: Long)
+  case class StreamTransition(user_id: Long, from_label: String, to_label: String,
+                              start_time: Long, end_time: Long)
+
+  /** Streaming daily (tumbling) counts per label with a watermark —
+    * works identically on a batch frame for testing. */
+  def dailyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful island transitions: one output row per label change per
+    * key, carrying O(1) state across micro-batches.
+    *
+    * Note: rows inside a micro-batch are sorted here by (t, event_id);
+    * cross-batch ordering relies on the source delivering batches in
+    * event-time order (true for replayed logs / single-batch tests; a
+    * production deployment would buffer out-of-order rows behind the
+    * watermark first). */
+  def transitionsStream(events: Dataset[KeyedEvent]): Dataset[StreamTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[KeyedEvent], state: GroupState[IslandState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StreamTransition]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            cur match {
+              case None =>
+                cur = Some(IslandState(r.event_type, r.t))
+              case Some(is) if is.label != r.event_type =>
+                out += StreamTransition(uid, is.label, r.event_type, is.startT, r.t)
+                cur = Some(IslandState(r.event_type, r.t))
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}
