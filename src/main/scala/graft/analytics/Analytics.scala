@@ -39,6 +39,17 @@ object Analytics {
   def zscore(c: Column, w: WindowSpec): Column =
     (c - avg(c).over(w)) / stddev_pop(c).over(w)
 
+  /** G11: mean imputation (`features.fillna(features.mean())`,
+    * market_analysis.py:285) — one agg + broadcast fill, no window. */
+  def imputeMean(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(avg(col(cols.head)).as(s"__m_${cols.head}"),
+      cols.tail.map(c => avg(col(c)).as(s"__m_$c")): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__m_$c"))))
+      .drop(cols.map(c => s"__m_$c"): _*)
+  }
+
   /** J5: all unordered key pairs with a pairwise Pearson correlation of
     * `valCol` over rows aligned on `alignCol` (inner alignment = pandas
     * pairwise-complete). Input: long frame (alignCol, keyCol, valCol).

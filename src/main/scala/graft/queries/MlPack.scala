@@ -126,6 +126,48 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // M9 substitution (SURVEY M9 verdict): the full sequence
+    // classification pipeline — per-key z-scored features → sliding
+    // 30-step sequences (W15) → ordered 70/15/15 split (W16) → MLP head
+    // (Spark ML MultilayerPerceptronClassifier, seed 42) → per-class
+    // P/R/F1 + accuracy (G14). The torch LSTM is the pluggable
+    // non-engine component; the queries around it are the capability.
+    Q("m9_classifier",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+        import org.apache.spark.ml.functions.array_to_vector
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val labelMap = Seq("click", "error", "purchase", "signup", "view")
+        val base = Tables.events(s, dir)
+          .filter($"user_id" < 20) // reference trains on 3 symbols; bound the head
+          .withColumn("t", unix_micros($"ts"))
+          .withColumn("z", graft.analytics.Analytics.zscore(
+            $"value", Window.partitionBy($"user_id")))
+        val seqs = base
+          .withColumn("seq", lag(graft.sequence.Sequences
+            .slidingSequence($"z", 30, w), 1).over(w))
+          .withColumn("label",
+            labelMap.zipWithIndex.foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
+              when($"event_type" === l, i.toDouble).otherwise(acc)
+            })
+          .filter($"seq".isNotNull)
+          .withColumn("bucket", graft.sequence.Sequences.orderedSplit(w))
+          .select($"user_id", $"event_id", array_to_vector($"seq").as("features"),
+            $"label", $"bucket")
+        val mlp = new MultilayerPerceptronClassifier()
+          .setLayers(Array(30, 16, labelMap.size)).setSeed(42L).setMaxIter(30)
+          .setFeaturesCol("features").setLabelCol("label")
+        val model = mlp.fit(seqs.filter($"bucket" === "train"))
+        val preds = model.transform(seqs.filter($"bucket" === "test"))
+          .select($"label".cast("int").as("y"), $"prediction".cast("int").as("p"))
+        graft.analytics.Metrics.perClassF1(preds, "y", "p")
+          .select($"label", $"tp", $"fp", $"fn", r4($"accuracy").as("accuracy"),
+            r4($"f1").as("f1"))
+          .orderBy($"label")
+      },
+      None),
+
     // M6: Louvain communities over the |corr|>0.3 user graph
     // (market_analysis.py:309-337): edges from pairwise correlation of
     // daily value sums (the distributed part), communities + modularity

@@ -121,6 +121,40 @@ object RelationalPack extends QueryPack {
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // Rollup (grouping-sets family — engine completeness; absent in the
+    // reference per SURVEY §2.4 note).
+    Q("q8_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("cnt"), r4(sum($"l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  round(sum(l_quantity) + 1e-9, 4) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // G8: global descriptive stats (market_analysis.py:620-624 shape).
+    Q("g8_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir).agg(
+          count(lit(1)).as("n"),
+          r4(avg($"value")).as("avg_value"),
+          r4(stddev_samp($"value")).as("std_value"),
+          r4(min($"value")).as("min_value"),
+          r4(max($"value")).as("max_value"),
+          countDistinct($"user_id").as("n_users"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  round(avg(value) + 1e-9, 4) AS avg_value,
+             |  round(stddev_samp(value) + 1e-9, 4) AS std_value,
+             |  round(min(value) + 1e-9, 4) AS min_value,
+             |  round(max(value) + 1e-9, 4) AS max_value,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events""".stripMargin)),
+
     // Semi + anti joins (SURVEY §2.3 "absent in the reference" —
     // engine-completeness ops): customers with ≥1 urgent order vs none.
     Q("j_semi_anti",

@@ -224,6 +224,36 @@ object TimeSeriesPack extends QueryPack {
              |  round(quantile_cont(value, 0.5) + 1e-9, 6) AS p50
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // As-of (backward) join: each purchase matched to the most recent
+    // prior-or-equal view of the same user — union+window rewrite (one
+    // shuffle + sort; no range cross-join). Oracle: DuckDB ASOF JOIN.
+    Q("aj_asof",
+      (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t", $"value")
+        val views = e.filter($"event_type" === "view")
+          .select($"user_id", $"t", $"value")
+        graft.joins.AsOfJoin.backward(purchases, views,
+            Seq("user_id"), "t", "t", Seq("value"))
+          .select($"user_id", $"event_id", $"t",
+            $"asof_ord".as("view_t"),
+            r6($"asof_value").as("view_value"),
+            ($"t" - $"asof_ord").as("gap_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t, value
+             |          FROM events),
+             |p AS (SELECT user_id, event_id, t, value FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, t, value FROM e WHERE event_type = 'view')
+             |SELECT p.user_id, p.event_id, p.t,
+             |  v.t AS view_t,
+             |  round(v.value + 1e-9, 6) AS view_value,
+             |  p.t - v.t AS gap_us
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.t >= v.t""".stripMargin)),
+
     // W14: daily tumbling-window resample + per-day proportions
     // (lstm_analysis.py:27-28 groupby(Grouper(freq='D'), regime) unstacked).
     Q("w14_daily",

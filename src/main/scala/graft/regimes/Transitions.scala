@@ -58,6 +58,16 @@ object Transitions {
         durationExpr(col("start_ord"), col("end_time")).as("duration"))): _*)
   }
 
+  /** W13: transition flags (`short_term.py:107-111`):
+    * volatility-increase = target regime contains "volatile";
+    * trend-change = bull↔bear cross in either direction. */
+  def withFlags(trans: DataFrame): DataFrame =
+    trans
+      .withColumn("is_volatility_increase", col("to_label").contains("volatile"))
+      .withColumn("is_trend_change",
+        (col("from_label").contains("bull") && col("to_label").contains("bear")) ||
+        (col("from_label").contains("bear") && col("to_label").contains("bull")))
+
   /** G5: empirical transition matrix P(to | from) =
     * count(from,to) / count(from) (`short_term.py:114-120`).
     * Window-sum over the tiny (from,to) aggregate — no extra shuffle of
