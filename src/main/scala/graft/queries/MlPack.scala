@@ -126,6 +126,31 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // M4 scale path: fully-distributed grid DBSCAN (same ε/minPts
+    // derivation as m4_dbscan) — no driver collection of points.
+    Q("m4b_dbscan_distributed",
+      (s, dir) => {
+        import s.implicits._
+        val feats = userFeatures(s, dir).persist()
+        val rows = feats.select($"mu", $"sd").collect()
+        val pts = rows.map(r => Array(r.getDouble(0), r.getDouble(1)))
+        val d2 = pts.map { p =>
+          pts.map(q => math.hypot(p(0) - q(0), p(1) - q(1)))
+            .sorted.drop(1).take(2).last
+        }.sorted
+        val eps = Clustering.kneeEps(d2)
+        val minPts = math.max(math.log(pts.length).toInt, 3)
+        val labeled = graft.cluster.DistributedDbscan.run(
+          feats.select($"user_id", $"mu", $"sd"), "user_id", "mu", "sd",
+          eps, minPts)
+        labeled
+          .withColumn("kind", when($"cluster" === -1L, "noise").otherwise("clustered"))
+          .groupBy($"kind")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(when($"cluster" =!= -1L, $"cluster")).as("n_clusters"))
+      },
+      None),
+
     // M9 substitution (SURVEY M9 verdict): the full sequence
     // classification pipeline — per-key z-scored features → sliding
     // 30-step sequences (W15) → ordered 70/15/15 split (W16) → MLP head

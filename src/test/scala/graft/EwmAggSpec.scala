@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.features.{Ewm, EwmAgg}
+
+/** Cross-verification of the two EWM implementations (SURVEY W9):
+  * the Catalyst TypedImperativeAggregate window function must agree
+  * bit-for-bit with the mapPartitions operator, and both with the
+  * closed-form recursion. */
+class EwmAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("EwmAgg window function equals mapPartitions Ewm on a multi-key frame") {
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 50)
+      yield (k, i.toLong, math.sin(i * 0.7) * 10 + i * 0.3)
+    val df = rows.toDF("k", "t", "x")
+    val w = Window.partitionBy($"k").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaAggRows = df.withColumn("e", EwmAgg.ewm($"x", 12.0).over(w))
+      .orderBy($"k", $"t").select($"e").as[Double].collect()
+    val viaMp = Ewm.ewmMean(df, Seq("k"), Seq("t"), Seq(("x", 12.0, "e")))
+      .orderBy($"k", $"t").select($"e").as[Double].collect()
+    assert(viaAggRows.length == viaMp.length)
+    viaAggRows.zip(viaMp).foreach { case (a, b) =>
+      assert(a == b, s"bitwise equality expected: $a vs $b")
+    }
+  }
+
+  test("EwmAgg handles leading nulls (null out, state starts at first value)") {
+    val df = Seq(("a", 1L, None: Option[Double]), ("a", 2L, Some(10.0)),
+      ("a", 3L, Some(12.0))).toDF("k", "t", "x")
+    val w = Window.partitionBy($"k").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.withColumn("e", EwmAgg.ewm($"x", 12.0).over(w))
+      .orderBy($"t").select($"e").as[Option[Double]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1).contains(10.0))
+    val alpha = 2.0 / 13.0
+    assert(math.abs(out(2).get - (alpha * 12 + (1 - alpha) * 10)) < 1e-15)
+  }
+}
