@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.queries.Rx.r4
+import graft.queries.Rx.{r4, r6}
 
 /** Relational core: scans, multi-joins, hash aggregation, top-k
   * (SURVEY §2.1 S1, §2.3 J-series, §2.4 G-aggs, §2.6 O2).
@@ -120,6 +120,58 @@ object RelationalPack extends QueryPack {
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name""".stripMargin)),
+
+    // Scalar-subquery shape (TPC-H Q17): lineitems below 20% of their
+    // part's average quantity — expressed as agg + broadcast join (the
+    // scalable decorrelation Catalyst would produce).
+    Q("q17_scalar_subq",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        val avgQty = li.groupBy($"l_partkey")
+          .agg(avg($"l_quantity").as("avg_qty"))
+        li.join(broadcast(avgQty), Seq("l_partkey"))
+          .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+          .agg(r4(sum($"l_extendedprice") / 7.0).as("avg_yearly"),
+               count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 4) AS avg_yearly,
+             |  count(*) AS cnt
+             |FROM lineitem l1
+             |WHERE l_quantity < 0.2 * (
+             |  SELECT avg(l_quantity) FROM lineitem l2
+             |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)),
+
+    // Ranking-function family (engine completeness — SURVEY §2.5 notes
+    // the reference uses none): rank/dense_rank/percent_rank/ntile over
+    // a deterministic total order.
+    Q("o5_rank_funcs",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, dir)
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("prank", r6(percent_rank().over(w)))
+          .withColumn("quartile", ntile(4).over(w))
+          .filter($"rnk" <= 3)
+          .select($"o_orderpriority", $"o_orderkey", r4($"o_totalprice").as("price"),
+            $"rnk", $"drnk", $"prank", $"quartile")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+             |    round(percent_rank() OVER w + 1e-9, 6) AS prank,
+             |    ntile(4) OVER w AS quartile
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice DESC, o_orderkey))
+             |SELECT o_orderpriority, o_orderkey,
+             |  round(o_totalprice + 1e-9, 4) AS price, rnk, drnk, prank, quartile
+             |FROM r WHERE rnk <= 3""".stripMargin)),
 
     // Rollup (grouping-sets family — engine completeness; absent in the
     // reference per SURVEY §2.4 note).
