@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.queries.Rx.{r4, r6}
@@ -208,6 +209,34 @@ object DedupSimPack extends QueryPack {
              |  FROM sc)
              |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
              |FROM rk WHERE rank <= 5""".stripMargin)),
+
+    // IVF ANN: coarse quantizer = KMeans centroids (seed 42); each query
+    // probes only its nearest centroid's cell — the classic
+    // inverted-file index shape (centroids not SQL-reproducible →
+    // rows-only check; recall is spot-checked in tests against s1).
+    Q("s3_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+          .withColumn("features", array_to_vector($"v"))
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(8).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
+        val model = km.fit(e)
+        val binned = model.transform(e).drop("features")
+        val queries = binned.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
+        val scored = binned.join(broadcast(queries), Seq("cell"))
+          .filter($"query_id" =!= $"vec_id")
+          .withColumn("cos", graft.sim.Similarity.cosine($"qv", $"v"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"cos".desc, $"vec_id")
+        scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+          .select($"query_id", $"cell", $"vec_id".as("corpus_id"),
+            r6($"cos").as("cos"), $"rank")
+      },
+      None),
 
     // LSH-bucketed ANN: sign-hyperplane bucket on the first 4 dims —
     // candidates shrink to the query's bucket (the scale path).
