@@ -53,7 +53,11 @@ object Analytics {
   /** J5: all unordered key pairs with a pairwise Pearson correlation of
     * `valCol` over rows aligned on `alignCol` (inner alignment = pandas
     * pairwise-complete). Input: long frame (alignCol, keyCol, valCol).
-    * A θ-self-join on key order keeps each pair once. */
+    * A θ-self-join on key order keeps each pair once.
+    *
+    * Row-level variant: joined volume is |align| × |keys|² — right for
+    * few keys (the reference's ~5-100 symbols). For high key counts use
+    * [[pairwiseCorrDense]]. */
   def pairwiseCorr(long: DataFrame, alignCol: String, keyCol: String,
                    valCol: String): DataFrame = {
     val a = long.select(col(alignCol).as("__al"), col(keyCol).as("key_a"),
@@ -64,5 +68,37 @@ object Analytics {
       .filter(col("key_a") < col("key_b"))
       .groupBy(col("key_a"), col("key_b"))
       .agg(corr(col("__va"), col("__vb")).as("corr"), count(lit(1)).as("n"))
+  }
+
+  /** [[pairwiseCorr]] at high key cardinality: first collapse each key's
+    * series to ONE map row (align → value), then pair-join the collapsed
+    * rows — |keys|²/2 pair rows carrying dense arithmetic instead of
+    * |align|·|keys|² shuffled rows. Pairwise-complete semantics kept by
+    * intersecting the align-key sets per pair. */
+  def pairwiseCorrDense(long: DataFrame, alignCol: String, keyCol: String,
+                        valCol: String): DataFrame = {
+    val packed = long.groupBy(col(keyCol).as("k"))
+      .agg(map_from_entries(collect_list(struct(col(alignCol), col(valCol))))
+        .as("m"))
+    val a = packed.select(col("k").as("key_a"), col("m").as("__ma"))
+    val b = packed.select(col("k").as("key_b"), col("m").as("__mb"))
+    val paired = a.join(b).filter(col("key_a") < col("key_b"))
+      .withColumn("__common", filter(map_keys(col("__ma")),
+        x => map_contains_key(col("__mb"), x)))
+      .withColumn("__xs", transform(col("__common"), x => element_at(col("__ma"), x)))
+      .withColumn("__ys", transform(col("__common"), x => element_at(col("__mb"), x)))
+    def s(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    paired
+      .withColumn("n", size(col("__common")))
+      .withColumn("__sx", s(col("__xs")))
+      .withColumn("__sy", s(col("__ys")))
+      .withColumn("__sxx", s(transform(col("__xs"), x => x * x)))
+      .withColumn("__syy", s(transform(col("__ys"), y => y * y)))
+      .withColumn("__sxy", s(zip_with(col("__xs"), col("__ys"), (x, y) => x * y)))
+      .withColumn("corr",
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) /
+          sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")))
+      .select(col("key_a"), col("key_b"), col("corr"), col("n"))
   }
 }

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object DistributedDbscan {
 
+  /** Core-edge count up to which components resolve via driver
+    * union-find over the contracted graph (cf. the Louvain hybrid). */
+  val collectEdgeThreshold: Long = 5000000L
+
   /** @return (id, cluster) with cluster = -1 for noise; cluster ids are
     *         the min member id of each component (deterministic). */
   def run(points: DataFrame, idCol: String, xCol: String, yCol: String,
@@ -67,22 +71,59 @@ object DistributedDbscan {
       .join(coreIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
       .join(coreIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
       .persist()
-    var labels = coreIds.withColumn("label", $"id")
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val candidate = coreEdges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"), Seq("b"))
-        .groupBy($"a".as("id")).agg(min($"lb").as("nl"))
-      val updated = labels.join(candidate, Seq("id"), "left")
-        .withColumn("newLabel", least($"label", coalesce($"nl", $"label")))
-        .select($"id", $"newLabel".as("label"))
-        .localCheckpoint()
-      val changes = updated.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter($"label" =!= $"old").count()
-      labels = updated
-      converged = changes == 0
-      iter += 1
+    // The ε-pair generation and degree counting above are the
+    // data-proportional distributed work; the core-core edge list is a
+    // CONTRACTED graph (≪ input rows). When it fits on the driver —
+    // the overwhelmingly common case, same situation as the Louvain
+    // graph — union-find resolves components in one pass with zero
+    // extra Spark rounds. The iterative min-label + pointer-jumping
+    // fallback stays for edge lists beyond the threshold.
+    var labels: DataFrame = null
+    if (coreEdges.count() <= collectEdgeThreshold) {
+      val edges = coreEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val resolved = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => (id, find(id)))
+      labels = spark.createDataFrame(resolved.toSeq).toDF("id", "label")
+      // isolated cores (no core neighbor) label themselves
+      labels = coreIds.join(labels, Seq("id"), "left")
+        .withColumn("label", coalesce($"label", $"id"))
+    } else {
+      labels = coreIds.withColumn("label", $"id")
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val candidate = coreEdges
+          .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"),
+            Seq("b"))
+          .groupBy($"a".as("id")).agg(min($"lb").as("nl"))
+        val propagated = labels.join(candidate, Seq("id"), "left")
+          .withColumn("label", least($"label", coalesce($"nl", $"label")))
+          .select($"id", $"label")
+        // pointer-jumping: label ← label's label halves path lengths
+        val compressed = propagated.as("p")
+          .join(propagated.select($"id".as("label"), $"label".as("gl")).as("g"),
+            Seq("label"), "left")
+          .select($"id", least($"label", coalesce($"gl", $"label")).as("label"))
+          .localCheckpoint()
+        val changes = compressed
+          .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter($"label" =!= $"old").count()
+        labels = compressed
+        converged = changes == 0
+        iter += 1
+      }
     }
 
     // 5. border attachment + noise

