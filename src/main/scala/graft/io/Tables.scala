@@ -107,6 +107,15 @@ object Tables {
     else df
   }
 
+  /** events with `ts` left as the RAW nanosecond long — use when a
+    * time-range predicate must push into the parquet scan (a filter on
+    * the converted µs column is arithmetic over `ts` and will not be
+    * pushed; a filter on the raw attribute will). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(schemas("events")).parquet(s"$dir/events.parquet")
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

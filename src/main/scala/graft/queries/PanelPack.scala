@@ -287,8 +287,10 @@ object PanelPack extends QueryPack {
     Q("p2_filtered_agg",
       (s, dir) => {
         import s.implicits._
-        ev(s, dir)
-          .filter($"t" >= 1704844800000000L && $"t" < 1705708800000000L) // 2024-01-10..20
+        // filter on the RAW ns column so the range predicate pushes into
+        // the parquet scan (row-group pruning); 2024-01-10..20 UTC
+        Tables.eventsRaw(s, dir)
+          .filter($"ts" >= 1704844800000000000L && $"ts" < 1705708800000000000L)
           .filter(!$"event_type".isin("error"))
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
