@@ -29,6 +29,22 @@ class EwmAggSpec extends AnyFunSuite {
     }
   }
 
+  test("ewm is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 30)
+      yield (k, i.toLong, math.cos(i * 0.5) * 5 + i * 0.1)
+    rows.toDF("k", "t", "x").createOrReplaceTempView("ewm_in")
+    val viaSql = spark.sql(
+      """SELECT k, t, ewm(x, 12) OVER (PARTITION BY k ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |FROM ewm_in ORDER BY k, t""".stripMargin)
+      .select($"e").as[Double].collect()
+    val viaMp = Ewm.ewmMean(rows.toDF("k", "t", "x"), Seq("k"), Seq("t"),
+        Seq(("x", 12.0, "e")))
+      .orderBy($"k", $"t").select($"e").as[Double].collect()
+    viaSql.zip(viaMp).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("EwmAgg handles leading nulls (null out, state starts at first value)") {
     val df = Seq(("a", 1L, None: Option[Double]), ("a", 2L, Some(10.0)),
       ("a", 3L, Some(12.0))).toDF("k", "t", "x")
