@@ -115,6 +115,28 @@ object TimeSeriesPack extends QueryPack {
               |WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
               |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Time-RANGE frame (engine completeness): trailing 24 h by actual
+    // event time, not row count — the correct frame for irregular
+    // series (the reference's hourly grid lets it use row frames;
+    // events are irregular, so both variants matter).
+    Q("w4b_time_range",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t")
+          .rangeBetween(-86400000000L, 0) // 24 h in µs
+        ev(s, dir)
+          .withColumn("ma_24h", r4(avg($"value").over(w)))
+          .withColumn("n_24h", count(lit(1)).over(w))
+          .select($"user_id", $"event_id", $"t", $"ma_24h", $"n_24h")
+      },
+      Some(s"""WITH e AS ($OracleEv)
+              |SELECT user_id, event_id, t,
+              |  round(avg(value) OVER w24 + 1e-9, 4) AS ma_24h,
+              |  count(*) OVER w24 AS n_24h
+              |FROM e
+              |WINDOW w24 AS (PARTITION BY user_id ORDER BY t
+              |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // W17: forward/backward fill through engineered nulls
     // (lstm_forecasting.py:108 ffill().bfill()).
     Q("w17_fill",
