@@ -303,6 +303,21 @@ object PanelPack extends QueryPack {
              |  AND event_type NOT IN ('error')
              |GROUP BY event_type""".stripMargin)),
 
+    // Approximate aggregates (100 TB completeness — the reference has
+    // none, SURVEY §2.4 note): HLL++ distinct + quantile sketch. Sketch
+    // internals differ across engines → rows-only check; the accuracy
+    // contract vs exact values is asserted in ApproxSpec.
+    Q("g15_approx",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir).groupBy($"event_type").agg(
+          countDistinct($"user_id").as("exact_users"),
+          approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          Rx.r4(percentile($"value", lit(0.5))).as("exact_p50"),
+          Rx.r4(percentile_approx($"value", lit(0.5), lit(10000))).as("approx_p50"))
+      },
+      None),
+
     // §2.7 set ops: INTERSECT / EXCEPT over per-type user sets.
     Q("set_ops",
       (s, dir) => {
