@@ -56,6 +56,44 @@ object Clustering {
       .setPredictionCol(clusterCol).setMetricName("silhouette").evaluate(assembled)
   }
 
+  /** M3 exact: plain-Euclidean silhouette over a collected point set —
+    * sklearn's definition (`clustering.py:42`; Spark ML's evaluator uses
+    * the squared-Euclidean variant, SURVEY M3 notes the ±ε). O(n²)
+    * driver math — right for the ≤10k aggregated rows it's applied to. */
+  def silhouetteExact(points: Array[Array[Double]], labels: Array[Int]): Double = {
+    val n = points.length
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val byCluster = labels.zipWithIndex.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    if (byCluster.size < 2) return 0.0
+    val scores = (0 until n).map { i =>
+      val own = byCluster(labels(i))
+      if (own.length <= 1) 0.0
+      else {
+        val a = own.filter(_ != i).map(j => dist(points(i), points(j))).sum / (own.length - 1)
+        val b = byCluster.filter(_._1 != labels(i)).values
+          .map(m => m.map(j => dist(points(i), points(j))).sum / m.length).min
+        (b - a) / math.max(a, b)
+      }
+    }
+    scores.sum / n
+  }
+
+  /** M2 parity: sklearn `n_init=10` — run KMeans over n seeds, keep the
+    * lowest-inertia model (`clustering.py:31-56`). */
+  def kmeansBestOfN(df: DataFrame, featureCols: Seq[String], k: Int,
+                    baseSeed: Long, nInit: Int): (DataFrame, Double, Long) = {
+    val runs = (0 until nInit).map { i =>
+      val (assigned, cost, _) = kmeansAssign(df, featureCols, k, baseSeed + i)
+      (assigned, cost, baseSeed + i)
+    }
+    runs.minBy(_._2)
+  }
+
   /** M7: PCA(k) → per-component explained variance. */
   def pcaVariance(df: DataFrame, featureCols: Seq[String], k: Int): Array[Double] = {
     val assembled = new VectorAssembler()

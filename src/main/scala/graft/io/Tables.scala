@@ -107,6 +107,18 @@ object Tables {
     else df
   }
 
+  /** S1: the reference's per-symbol file layout (`{SYM}_data.parquet`,
+    * one file per asset) read as ONE scan, with the symbol recovered
+    * from the file name (`data_merger.py:25` derives it from the stem) —
+    * no per-file Python loop, no union of N reads. */
+  def readPerSymbolDir(spark: SparkSession, dir: String,
+                       schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    spark.read.schema(schema).parquet(dir)
+      .withColumn("symbol",
+        regexp_extract(input_file_name(), "([^/]+)_data\\.parquet", 1))
+  }
+
   /** events with `ts` left as the RAW nanosecond long — use when a
     * time-range predicate must push into the parquet scan (a filter on
     * the converted µs column is arithmetic over `ts` and will not be

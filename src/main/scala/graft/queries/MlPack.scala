@@ -79,7 +79,9 @@ object MlPack extends QueryPack {
       },
       None),
 
-    // M3: silhouette score of the M2 clustering (+ inertia).
+    // M3: silhouette of the M2 clustering — both variants: Spark ML's
+    // squared-Euclidean evaluator AND the sklearn plain-Euclidean exact
+    // value (driver over the collected aggregate; SURVEY M3 ±ε note).
     Q("m3_silhouette",
       (s, dir) => {
         import s.implicits._
@@ -87,8 +89,14 @@ object MlPack extends QueryPack {
         val (assigned, cost, _) =
           Clustering.kmeansAssign(feats, Seq("mu", "sd"), 5, 42L)
         val sil = Clustering.silhouette(assigned, Seq("mu", "sd"), "cluster")
-        Seq((5, sil, cost)).toDF("k", "silhouette", "inertia")
-          .select($"k", r4($"silhouette").as("silhouette"), r4($"inertia").as("inertia"))
+        val rows = assigned.select($"mu", $"sd", $"cluster").collect()
+        val exact = Clustering.silhouetteExact(
+          rows.map(r => Array(r.getDouble(0), r.getDouble(1))),
+          rows.map(_.getInt(2)))
+        Seq((5, sil, exact, cost)).toDF("k", "silhouette_sq", "silhouette_exact", "inertia")
+          .select($"k", r4($"silhouette_sq").as("silhouette_sq"),
+            r4($"silhouette_exact").as("silhouette_exact"),
+            r4($"inertia").as("inertia"))
       },
       None),
 
