@@ -31,17 +31,16 @@ object SparkEntry {
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
-    * Full regime-transition pipeline: scan → window sessionization
-    * (gaps-and-islands) → transition-count aggregate (SURVEY EP2 stages
-    * 1-6 re-keyed to the events panel). */
+    * The full EP2 pipeline (SURVEY §3): events mapped onto the OHLCV
+    * panel contract → windowed features → 5-class regime → islands →
+    * transition probabilities, via the PeriodAnalysis API. */
   def entry(spark: SparkSession): DataFrame = {
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("t", unix_micros(col("ts")))
-    val trans = Transitions.transitions(
-      ev, Seq("user_id"), "t", "event_id", "event_type",
-      (start, end) => (end - start) / lit(3600e6))
-    Transitions.transitionProbabilities(trans, "from_label", "to_label")
-      .orderBy(desc("n"))
+    val panel = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("symbol"), col("ts"),
+        col("value").as("close"),
+        get_json_object(col("props"), "$.k").cast("double").as("volume"))
+    val r = graft.analytics.PeriodAnalysis.run(panel, "2024-01-01", "2024-03-01")
+    r.regimeDistribution.orderBy(desc("n"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -168,33 +168,13 @@ object MlPack extends QueryPack {
     Q("m9_classifier",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-        import org.apache.spark.ml.functions.array_to_vector
-        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
-        val labelMap = Seq("click", "error", "purchase", "signup", "view")
         val base = Tables.events(s, dir)
           .filter($"user_id" < 20) // reference trains on 3 symbols; bound the head
           .withColumn("t", unix_micros($"ts"))
-          .withColumn("z", graft.analytics.Analytics.zscore(
-            $"value", Window.partitionBy($"user_id")))
-        val seqs = base
-          .withColumn("seq", lag(graft.sequence.Sequences
-            .slidingSequence($"z", 30, w), 1).over(w))
-          .withColumn("label",
-            labelMap.zipWithIndex.foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
-              when($"event_type" === l, i.toDouble).otherwise(acc)
-            })
-          .filter($"seq".isNotNull)
-          .withColumn("bucket", graft.sequence.Sequences.orderedSplit(w))
-          .select($"user_id", $"event_id", array_to_vector($"seq").as("features"),
-            $"label", $"bucket")
-        val mlp = new MultilayerPerceptronClassifier()
-          .setLayers(Array(30, 16, labelMap.size)).setSeed(42L).setMaxIter(30)
-          .setFeaturesCol("features").setLabelCol("label")
-        val model = mlp.fit(seqs.filter($"bucket" === "train"))
-        val preds = model.transform(seqs.filter($"bucket" === "test"))
-          .select($"label".cast("int").as("y"), $"prediction".cast("int").as("p"))
-        graft.analytics.Metrics.perClassF1(preds, "y", "p")
+        val result = graft.sequence.ClassifierPipeline.run(
+          base, "user_id", "t", "event_id", "value", "event_type",
+          labels = Seq("click", "error", "purchase", "signup", "view"))
+        result.metrics
           .select($"label", $"tp", $"fp", $"fn", r4($"accuracy").as("accuracy"),
             r4($"f1").as("f1"))
           .orderBy($"label")

@@ -1,0 +1,58 @@
+package graft.sequence
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analytics.{Analytics, Metrics}
+
+/** EP3 — the reference's classification pipeline
+  * (`src/models/lstm_forecasting.py:194-323`) as one API:
+  * per-key z-scored feature → sliding sequences (W15) → ordered
+  * 70/15/15 split (W16) → pluggable classifier head → per-class
+  * P/R/F1 + accuracy (G14).
+  *
+  * The torch LSTM is replaced by Spark ML's MLP per the SURVEY M9
+  * verdict — the queries around the head are the engine capability; the
+  * head itself is a swappable component with the same (features, label)
+  * contract.
+  */
+object ClassifierPipeline {
+
+  final case class Result(metrics: DataFrame, nTrain: Long, nTest: Long)
+
+  /** @param panel     (key, ord, tiebreak, value, label) columns
+    * @param seqLen    sequence length (reference: 30)
+    * @param labels    label vocabulary (stable index order) */
+  def run(panel: DataFrame, keyCol: String, ordCol: String, tiebreakCol: String,
+          valueCol: String, labelCol: String, labels: Seq[String],
+          seqLen: Int = 30, seed: Long = 42L, maxIter: Int = 30,
+          hidden: Int = 16): Result = {
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol), col(tiebreakCol))
+    val seqs = panel
+      .withColumn("__z", Analytics.zscore(col(valueCol),
+        Window.partitionBy(col(keyCol))))
+      .withColumn("__seq", lag(Sequences.slidingSequence(col("__z"), seqLen, w), 1).over(w))
+      .withColumn("__label",
+        labels.zipWithIndex.foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
+          when(col(labelCol) === l, i.toDouble).otherwise(acc)
+        })
+      .filter(col("__seq").isNotNull)
+      .withColumn("__bucket", Sequences.orderedSplit(w))
+      .select(array_to_vector(col("__seq")).as("features"),
+        col("__label").as("label"), col("__bucket"))
+
+    val train = seqs.filter(col("__bucket") === "train").persist()
+    val test = seqs.filter(col("__bucket") === "test").persist()
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers(Array(seqLen, hidden, labels.size)).setSeed(seed)
+      .setMaxIter(maxIter).setFeaturesCol("features").setLabelCol("label")
+    val model = mlp.fit(train)
+    val preds = model.transform(test)
+      .select(col("label").cast("int").as("y"),
+        col("prediction").cast("int").as("p"))
+    Result(Metrics.perClassF1(preds, "y", "p"), train.count(), test.count())
+  }
+}
