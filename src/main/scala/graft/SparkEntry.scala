@@ -22,7 +22,8 @@ object SparkEntry {
     TextPack,
     DedupSimPack,
     MlPack,
-    StreamMultimodalPack)
+    StreamMultimodalPack,
+    MiscPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)
