@@ -19,13 +19,29 @@ import graft.queries.Rx.{r4, r6}
   */
 object MlPack extends QueryPack {
 
+  /** Session-scoped memoization: the driver invokes each query
+    * separately in one session, and m2/m3/m4/m4b/m6/m7/j6 all start
+    * from the same tiny standardized feature frame (and m2/m3 from the
+    * same fitted KMeans) — recomputing them per query would re-scan and
+    * re-fit identically. */
+  private val featCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, Double, Array[Array[Double]])]()
+
   /** Per-user 2-feature frame (mean, sample-std of value), standardized
     * to population z-scores — the clustering input. */
-  private def userFeatures(s: SparkSession, dir: String): DataFrame = {
-    val f = Tables.events(s, dir).groupBy(col("user_id"))
-      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
-    Clustering.standardize(f, Seq("mu", "sd"))
-  }
+  private def userFeatures(s: SparkSession, dir: String): DataFrame =
+    featCache.computeIfAbsent((s, dir), _ => {
+      val f = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      Clustering.standardize(f, Seq("mu", "sd")).persist()
+    })
+
+  private def kmeans5(s: SparkSession, dir: String) =
+    kmeansCache.computeIfAbsent((s, dir),
+      _ => Clustering.kmeansAssign(userFeatures(s, dir), Seq("mu", "sd"), 5, 42L))
 
   def queries: Seq[Q] = Seq(
 
@@ -69,8 +85,7 @@ object MlPack extends QueryPack {
     Q("m2_kmeans",
       (s, dir) => {
         import s.implicits._
-        val (assigned, cost, _) =
-          Clustering.kmeansAssign(userFeatures(s, dir), Seq("mu", "sd"), 5, 42L)
+        val (assigned, cost, _) = kmeans5(s, dir)
         assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
           .select($"n").orderBy(desc("n"))
           .withColumn("size_rank", row_number().over(
@@ -85,9 +100,7 @@ object MlPack extends QueryPack {
     Q("m3_silhouette",
       (s, dir) => {
         import s.implicits._
-        val feats = userFeatures(s, dir)
-        val (assigned, cost, _) =
-          Clustering.kmeansAssign(feats, Seq("mu", "sd"), 5, 42L)
+        val (assigned, cost, _) = kmeans5(s, dir)
         val sil = Clustering.silhouette(assigned, Seq("mu", "sd"), "cluster")
         val rows = assigned.select($"mu", $"sd", $"cluster").collect()
         val exact = Clustering.silhouetteExact(
@@ -139,7 +152,7 @@ object MlPack extends QueryPack {
     Q("m4b_dbscan_distributed",
       (s, dir) => {
         import s.implicits._
-        val feats = userFeatures(s, dir).persist()
+        val feats = userFeatures(s, dir)
         val rows = feats.select($"mu", $"sd").collect()
         val pts = rows.map(r => Array(r.getDouble(0), r.getDouble(1)))
         val d2 = pts.map { p =>
