@@ -18,7 +18,11 @@ object Bench {
       .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst prune every
+      // computed column that no filter touches, under-measuring the
+      // window/feature pipelines. The noop write materializes all rows.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
