@@ -246,6 +246,33 @@ object TimeSeriesPack extends QueryPack {
              |  round(quantile_cont(value, 0.5) + 1e-9, 6) AS p50
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Gap-based session windows (engine completeness; streaming-ready —
+    // `session_window` works identically under Structured Streaming):
+    // a session closes after 30 min of inactivity per user. Oracle =
+    // the gaps-and-islands rewrite on inter-event gaps.
+    Q("w19_session_windows",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), r4(sum($"value")).as("sum_value"))
+          .select($"user_id", unix_micros($"sw.start").as("session_start"),
+            $"n_events", $"sum_value")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+             |                   OR t - lag(t) OVER w > 1800000000
+             |            THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sids AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(t) AS session_start,
+             |  count(*) AS n_events, round(sum(value) + 1e-9, 4) AS sum_value
+             |FROM sids GROUP BY user_id, sid""".stripMargin)),
+
     // As-of (backward) join: each purchase matched to the most recent
     // prior-or-equal view of the same user — union+window rewrite (one
     // shuffle + sort; no range cross-join). Oracle: DuckDB ASOF JOIN.
