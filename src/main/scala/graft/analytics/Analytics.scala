@@ -37,7 +37,7 @@ object Analytics {
   /** G12: z-score with POPULATION std (ddof=0) — sklearn StandardScaler
     * semantics (`market_analysis.py:287-293`), not Spark ML's sample std. */
   def zscore(c: Column, w: WindowSpec): Column =
-    (c - avg(c).over(w)) / stddev_pop(c).over(w)
+    (c - avg(c).over(w)) / nullif(stddev_pop(c).over(w), lit(0.0))
 
   /** G11: mean imputation (`features.fillna(features.mean())`,
     * market_analysis.py:285) — one agg + broadcast fill, no window. */
@@ -97,8 +97,8 @@ object Analytics {
       .withColumn("__sxy", s(zip_with(col("__xs"), col("__ys"), (x, y) => x * y)))
       .withColumn("corr",
         (col("n") * col("__sxy") - col("__sx") * col("__sy")) /
-          sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")) /
-          sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")))
+          nullif(sqrt(col("n") * col("__sxx") - col("__sx") * col("__sx")), lit(0.0)) /
+          nullif(sqrt(col("n") * col("__syy") - col("__sy") * col("__sy")), lit(0.0)))
       .select(col("key_a"), col("key_b"), col("corr"), col("n"))
   }
 }

@@ -28,7 +28,7 @@ object Clustering {
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(stats))
     cols.foldLeft(joined)((d, c) =>
-      d.withColumn(c, (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")))
+      d.withColumn(c, (col(c) - col(s"__mu_$c")) / nullif(col(s"__sd_$c"), lit(0.0))))
       .drop(cols.flatMap(c => Seq(s"__mu_$c", s"__sd_$c")): _*)
   }
 

@@ -93,7 +93,8 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        col("n_inter").cast("double")
+          / nullif(col("n_a") + col("n_b") - col("n_inter"), lit(0L)))
   }
 
   /** 32-bit SimHash per doc over token frequencies: bit b is set when the

@@ -26,20 +26,24 @@ object Indicators {
     coalesce(lit(100.0) - lit(100.0) / (lit(1.0) + rs), lit(50.0))
   }
 
-  /** W11: Bollinger %B position in [0,1]; zero-width band → 0.5. */
+  /** W11: Bollinger %B position; reference parity (lstm_forecasting.py:
+    * 168-184): rolling(n, min_periods=1) ma/std, then fillna(0.5) — row 1
+    * (1-obs std = null) and zero-width bands both land on 0.5, and rows
+    * 2..n-1 carry real partial-window values (not nulls). */
   def bollingerPosition(c: Column, n: Int, nStd: Double, w: WindowSpec): Column = {
-    val ma = rollMeanStrict(c, n, w)
-    val sd = rollStdStrict(c, n, w)
+    val ma = rollMean(c, n, w)
+    val sd = rollStd(c, n, w)
     val lower = ma - lit(nStd) * sd
     val width = lit(2.0 * nStd) * sd
-    coalesce((c - lower) / nullif(width, lit(0.0)), when(sd.isNotNull, lit(0.5)))
+    coalesce((c - lower) / nullif(width, lit(0.0)), lit(0.5))
   }
 
-  /** W11: Bollinger band width σ/μ; zero mean → 0. */
+  /** W11: Bollinger band width σ/μ with the reference's fillna(0):
+    * min_periods=1 rolling stats, null (row 1 / zero mean) → 0. */
   def bollingerWidth(c: Column, n: Int, w: WindowSpec): Column = {
-    val ma = rollMeanStrict(c, n, w)
-    val sd = rollStdStrict(c, n, w)
-    coalesce(sd / nullif(ma, lit(0.0)), when(sd.isNotNull, lit(0.0)))
+    val ma = rollMean(c, n, w)
+    val sd = rollStd(c, n, w)
+    coalesce(sd / nullif(ma, lit(0.0)), lit(0.0))
   }
 
   /** MACD line + signal + histogram via the Ewm operator: appends

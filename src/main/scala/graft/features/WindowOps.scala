@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
-  /** W1/W2: pandas `pct_change(k)` — k-row return; null for first k rows. */
+  /** W1/W2: pandas `pct_change(k)` — k-row return; null for first k rows.
+    * Zero-denominator → null (nullif): matches DuckDB's `/` and avoids the
+    * ANSI DIVIDE_BY_ZERO abort (pandas would give ±inf; inf has no parquet/
+    * oracle-stable representation, and a zero price is sentinel data). */
   def pctChange(c: Column, k: Int, w: WindowSpec): Column =
-    c / lag(c, k).over(w) - lit(1.0)
+    c / nullif(lag(c, k).over(w), lit(0.0)) - lit(1.0)
 
   /** W3: pandas `diff(1)`. */
   def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)

@@ -22,24 +22,35 @@ object AsOfJoin {
 
   /** @param rightVals right columns to carry to matched left rows
     *                   (each surfaced as `asof_<name>`, plus
-    *                   `asof_ord` = the matched right ordinal). */
+    *                   `asof_ord` = the matched right ordinal).
+    *
+    * The whole right payload is forward-filled as ONE struct
+    * (ord + every value column) with a single `last(ignoreNulls)`:
+    * `asof_ord` and every `asof_<c>` are guaranteed to come from the
+    * SAME right row even when some value columns are null in the
+    * matched row (per-column fills would silently mix rows). The
+    * window additionally orders by the struct itself, so among right
+    * rows tied on (key, ord) the winner is deterministic (max payload)
+    * instead of partition-layout-dependent. */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftOrd: String, rightOrd: String,
                rightVals: Seq[String]): DataFrame = {
     val l = left.withColumn("__ord", col(leftOrd)).withColumn("__side", lit(1))
+    val payload = struct(
+      col(rightOrd).as("__o") +: rightVals.map(c => col(c).as(c)): _*)
     val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__side")) ++
-        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+      keyCols.map(col) ++ Seq(col(rightOrd).as("__ord"), lit(0).as("__side"),
+        payload.as("__rrow")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ord"), col("__side"))
+      .orderBy(col("__ord"), col("__side"), col("__rrow"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(
-      unioned.withColumn("asof_ord",
-        last(when(col("__side") === 0, col("__ord")), ignoreNulls = true).over(w))
-    )((d, c) => d.withColumn(s"asof_$c",
-        last(col(s"__rv_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1)
-      .drop("__ord" +: "__side" +: rightVals.map(c => s"__rv_$c"): _*)
+    val filled = unioned
+      .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
+    rightVals.foldLeft(
+      filled.filter(col("__side") === 1)
+        .withColumn("asof_ord", col("__m.__o"))
+    )((d, c) => d.withColumn(s"asof_$c", col(s"__m.$c")))
+      .drop("__ord", "__side", "__rrow", "__m")
   }
 }

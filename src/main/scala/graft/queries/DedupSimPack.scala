@@ -105,8 +105,8 @@ object DedupSimPack extends QueryPack {
              |  SELECT id, b, sum(w * (((h >> b) & 1) * 2 - 1)) AS s
              |  FROM th, (SELECT unnest(range(0, 32)) AS b)
              |  GROUP BY 1, 2)
-             |SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
-             |                    ELSE 0 END) AS simhash
+             |SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+             |                         ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY id""".stripMargin)),
 
     // Blocked n-gram Jaccard: pairs generated only inside (lang, source)
@@ -124,7 +124,7 @@ object DedupSimPack extends QueryPack {
           .withColumn("n_inter", size(array_intersect($"sha", $"shb")))
           .withColumn("n_union", size($"sha") + size($"shb") - $"n_inter")
           .select($"lang", $"source", $"id_a", $"id_b",
-            r6($"n_inter".cast("double") / $"n_union").as("jaccard"))
+            r6($"n_inter".cast("double") / nullif($"n_union", lit(0))).as("jaccard"))
       },
       Some("""WITH d AS (SELECT doc_id, lang, source,
              |    string_split_regex(trim(text), '\s+') AS ts FROM documents),

@@ -111,15 +111,14 @@ object IndicatorPack extends QueryPack {
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
              |b AS (
              |  SELECT user_id, event_id, t, value,
-             |    CASE WHEN count(value) OVER w20 >= 20 THEN avg(value) OVER w20 END AS ma,
-             |    CASE WHEN count(value) OVER w20 >= 20 THEN stddev_samp(value) OVER w20 END AS sd
+             |    avg(value) OVER w20 AS ma,
+             |    stddev_samp(value) OVER w20 AS sd
              |  FROM e WINDOW w20 AS (PARTITION BY user_id ORDER BY t, event_id
              |                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
              |SELECT user_id, event_id, t,
              |  round(coalesce((value - (ma - 2.0 * sd)) / nullif(4.0 * sd, 0.0),
-             |                 CASE WHEN sd IS NOT NULL THEN 0.5 END) + 1e-9, 6) AS bb_position,
-             |  round(coalesce(sd / nullif(ma, 0.0),
-             |                 CASE WHEN sd IS NOT NULL THEN 0.0 END) + 1e-9, 6) AS bb_width
+             |                 0.5) + 1e-9, 6) AS bb_position,
+             |  round(coalesce(sd / nullif(ma, 0.0), 0.0) + 1e-9, 6) AS bb_width
              |FROM b""".stripMargin)),
 
     // P5 + G2: the 5-class short-term regime classifier + distribution

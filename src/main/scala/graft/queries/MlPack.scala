@@ -30,6 +30,27 @@ object MlPack extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, Double, Array[Array[Double]])]()
 
+  /** Release all memoized state for a session (or, with `session = null`
+    * semantics omitted, everything): unpersists the cached feature frames
+    * and drops the model references, so long-lived library sessions that
+    * touch many data dirs don't accumulate RDD blocks indefinitely. */
+  def clearCaches(session: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    featCache.asScala.toList.foreach { case (k, df) =>
+      if (k._1 eq session) { df.unpersist(); featCache.remove(k) }
+    }
+    kmeansCache.asScala.keys.toList.filter(_._1 eq session)
+      .foreach(kmeansCache.remove)
+  }
+
+  /** Release everything regardless of session. */
+  def clearAllCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    featCache.values.asScala.foreach(_.unpersist())
+    featCache.clear()
+    kmeansCache.clear()
+  }
+
   /** Per-user 2-feature frame (mean, sample-std of value), standardized
     * to population z-scores — the clustering input. */
   private def userFeatures(s: SparkSession, dir: String): DataFrame =

@@ -242,8 +242,12 @@ object PanelPack extends QueryPack {
              |  FROM e),
              |b AS (
              |  SELECT user_id,
-             |    CASE WHEN rn <= floor(n * 0.7) THEN 'train'
-             |         WHEN rn <= floor(n * 0.7) + floor(n * 0.15) THEN 'val'
+             |    -- CAST to DOUBLE: the reference truncates int(n*0.7) in
+             |    -- binary floating point (90*0.7 = 62.999... -> 62); a bare
+             |    -- 0.7 literal is DECIMAL in DuckDB and would yield 63.
+             |    CASE WHEN rn <= floor(n * CAST(0.7 AS DOUBLE)) THEN 'train'
+             |         WHEN rn <= floor(n * CAST(0.7 AS DOUBLE))
+             |                    + floor(n * CAST(0.15 AS DOUBLE)) THEN 'val'
              |         ELSE 'test' END AS bucket
              |  FROM r)
              |SELECT user_id, bucket, count(*) AS n FROM b GROUP BY 1, 2""".stripMargin)),

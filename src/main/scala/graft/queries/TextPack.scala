@@ -62,7 +62,8 @@ object TextPack extends QueryPack {
           .join(nTok, "doc_id")
           .select($"doc_id", $"lang",
             coalesce($"cand_lang", lit("und")).as("pred_lang"),
-            r6(coalesce($"hits", lit(0L)).cast("double") / $"n_tokens").as("score"))
+            r6(coalesce($"hits", lit(0L)).cast("double")
+              / nullif($"n_tokens", lit(0))).as("score"))
       },
       Some("""WITH sw(cand_lang, word) AS (VALUES
              |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),

@@ -226,7 +226,7 @@ object TimeSeriesPack extends QueryPack {
              |tr AS (SELECT from_label, to_label FROM x WHERE to_label IS NOT NULL),
              |c AS (SELECT from_label, to_label, count(*) AS n FROM tr GROUP BY 1, 2)
              |SELECT from_label, to_label, n,
-             |  sum(n) OVER (PARTITION BY from_label) AS n_from,
+             |  CAST(sum(n) OVER (PARTITION BY from_label) AS BIGINT) AS n_from,
              |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_label) + 1e-9, 6) AS prob
              |FROM c""".stripMargin)),
 

@@ -38,7 +38,7 @@ object Regimes {
       .withColumn("volatility",
         rollStdStrict(col("hourly_returns"), window, w) * sqrt(lit(window.toDouble)))
       .withColumn("volume_ma", rollMeanStrict(col(volumeCol), window, w))
-      .withColumn("volume_ratio", col(volumeCol) / col("volume_ma"))
+      .withColumn("volume_ratio", col(volumeCol) / nullif(col("volume_ma"), lit(0.0)))
       .withColumn("trend_direction", signum(col("daily_returns")))
       .withColumn("trend_strength",
         abs(rollMeanStrict(col("trend_direction"), window, w)))
@@ -65,7 +65,8 @@ object Regimes {
   def confidence(features: DataFrame, keyCols: Seq[String]): DataFrame =
     features.groupBy(keyCols.map(col): _*).agg(
       avg(col("trend_strength")).as("trend_confidence"),
-      (lit(1.0) - stddev_samp(col("volatility")) / avg(col("volatility")))
+      (lit(1.0) - stddev_samp(col("volatility"))
+          / nullif(avg(col("volatility")), lit(0.0)))
         .as("volatility_stability"),
       avg(when(col("volume_ratio") > 1, 1.0).otherwise(0.0)).as("volume_support"))
 

@@ -26,11 +26,12 @@ object Similarity {
     * across many pairs — the norms are then computed once per vector
     * instead of once per pair. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    dot(a, b) / nullif(sqrt(dot(a, a)), lit(0.0)) / nullif(sqrt(dot(b, b)), lit(0.0))
 
-  /** Append `outCol` = vec / ‖vec‖ (norm computed once per row). */
+  /** Append `outCol` = vec / ‖vec‖ (norm computed once per row; a
+    * zero vector normalizes to nulls rather than an ANSI abort). */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
-    df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
+    df.withColumn("__nrm", nullif(sqrt(dot(col(vecCol), col(vecCol))), lit(0.0)))
       .withColumn(outCol, transform(col(vecCol), e => e / col("__nrm")))
       .drop("__nrm")
 

@@ -46,7 +46,7 @@ object TextOps {
       "n_tokens" -> nTok,
       "n_chars_m" -> nChar,
       "avg_word_len" -> aggregate(transform(toks, t => length(t)), lit(0),
-        (acc, x) => acc + x).cast("double") / nTok,
+        (acc, x) => acc + x).cast("double") / nullif(nTok, lit(0)),
       "punct_ratio" -> regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
         greatest(nChar, lit(1)),
       "digit_ratio" -> regexp_count(text, lit("[0-9]")).cast("double") /
