@@ -10,12 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup so the first measured query doesn't absorb
-    // one-time JVM compilation cost (~3-5s otherwise).
+    // JIT/codegen warmup. Spark's whole-stage-codegen cache is keyed by
+    // generated source, which depends on the plan shape but not the data
+    // scale — so one pass of every query at the smallest SF compiles and
+    // JITs exactly the classes the measured runs execute (observed: the
+    // first execution of a window+md5 plan costs ~9s of janino+C2 churn,
+    // the second 0.5s). The measured loop then times data-proportional
+    // work, not JVM compilation.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    import org.apache.spark.sql.functions.{col, count}
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy(col("l_returnflag")).agg(count(col("l_orderkey"))).collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every

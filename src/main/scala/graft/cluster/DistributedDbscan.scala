@@ -78,9 +78,13 @@ object DistributedDbscan {
     // graph — union-find resolves components in one pass with zero
     // extra Spark rounds. The iterative min-label + pointer-jumping
     // fallback stays for edge lists beyond the threshold.
+    // One action, not count()-then-collect(): fetch threshold+1 rows —
+    // if we get more than the threshold the contracted graph is too big
+    // for the driver and the iterative path runs instead.
+    val fetched = coreEdges.limit(collectEdgeThreshold.toInt + 1).collect()
     var labels: DataFrame = null
-    if (coreEdges.count() <= collectEdgeThreshold) {
-      val edges = coreEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (fetched.length <= collectEdgeThreshold) {
+      val edges = fetched.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -114,15 +114,32 @@ object DedupSimPack extends QueryPack {
     Q("d4_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
+        // Intersection sizes via explode + equi-join on the shingle key,
+        // NOT per-pair array_intersect: the all-pairs frame is only the
+        // pair ENUMERATION (output-mandated); the set-overlap work
+        // shuffles linearly in total shingles instead of costing
+        // |pairs| × |array| hash builds per row (~2s saved at sf0.1, and
+        // the gap widens with block size).
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"lang", $"source", TextOps.tokens($"text").as("__toks"))
           .select($"doc_id", $"lang", $"source",
             TextOps.shingles($"__toks", ShingleN).as("shs"))
-        val a = docs.select($"lang", $"source", $"doc_id".as("id_a"), $"shs".as("sha"))
-        val b = docs.select($"lang", $"source", $"doc_id".as("id_b"), $"shs".as("shb"))
-        a.join(b, Seq("lang", "source")).filter($"id_a" < $"id_b")
-          .withColumn("n_inter", size(array_intersect($"sha", $"shb")))
-          .withColumn("n_union", size($"sha") + size($"shb") - $"n_inter")
+          .persist()
+        val a = docs.select($"lang", $"source", $"doc_id".as("id_a"),
+          size($"shs").as("n_a"))
+        val b = docs.select($"lang", $"source", $"doc_id".as("id_b"),
+          size($"shs").as("n_b"))
+        val pairs = a.join(b, Seq("lang", "source")).filter($"id_a" < $"id_b")
+        val ex = docs.select($"lang", $"source", $"doc_id", explode($"shs").as("sh"))
+        val inter = ex.join(
+            ex.select($"lang", $"source", $"doc_id".as("id_b"), $"sh"),
+            Seq("lang", "source", "sh"))
+          .filter($"doc_id" < $"id_b")
+          .groupBy($"lang", $"source", $"doc_id".as("id_a"), $"id_b")
+          .agg(count(lit(1)).as("n_inter"))
+        pairs.join(inter, Seq("lang", "source", "id_a", "id_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .withColumn("n_union", $"n_a" + $"n_b" - $"n_inter")
           .select($"lang", $"source", $"id_a", $"id_b",
             r6($"n_inter".cast("double") / nullif($"n_union", lit(0))).as("jaccard"))
       },

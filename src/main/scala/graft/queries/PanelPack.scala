@@ -314,11 +314,19 @@ object PanelPack extends QueryPack {
     Q("g15_approx",
       (s, dir) => {
         import s.implicits._
-        Tables.events(s, dir).groupBy($"event_type").agg(
+        // Two hash aggregates + a 5-row join, NOT one agg: mixing
+        // countDistinct (Expand plan) with the TypedImperative percentile
+        // aggregates forces the whole aggregation onto the sort-based
+        // interpreted path (~2.5s); split, each side stays a codegen'd
+        // hash aggregate (~0.5s combined).
+        val e = Tables.events(s, dir)
+        val cds = e.groupBy($"event_type").agg(
           countDistinct($"user_id").as("exact_users"),
-          approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        val pcts = e.groupBy($"event_type").agg(
           Rx.r4(percentile($"value", lit(0.5))).as("exact_p50"),
           Rx.r4(percentile_approx($"value", lit(0.5), lit(10000))).as("approx_p50"))
+        cds.join(pcts, "event_type")
       },
       None),
 

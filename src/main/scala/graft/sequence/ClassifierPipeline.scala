@@ -46,10 +46,18 @@ object ClassifierPipeline {
 
     val train = seqs.filter(col("__bucket") === "train").persist()
     val test = seqs.filter(col("__bucket") === "test").persist()
+    // Every LBFGS iteration is one job over the training partitions; for
+    // a head-sized training set (the reference trains ~10^3..10^5
+    // sequences) 32 near-empty partitions mean ~30 jobs × 32 task
+    // launches of scheduling, not math. Compact small inputs to one
+    // partition; genuinely large inputs keep their layout.
+    val nTrain = train.count()
+    val fitInput =
+      if (nTrain <= 100000) train.repartition(1).persist() else train
     val mlp = new MultilayerPerceptronClassifier()
       .setLayers(Array(seqLen, hidden, labels.size)).setSeed(seed)
       .setMaxIter(maxIter).setFeaturesCol("features").setLabelCol("label")
-    val model = mlp.fit(train)
+    val model = mlp.fit(fitInput)
     val preds = model.transform(test)
       .select(col("label").cast("int").as("y"),
         col("prediction").cast("int").as("p"))
