@@ -52,6 +52,32 @@ object Multimodal {
       (sum % 251).toDouble)                          // checksum-ish feature
   }
 
+  /** Frame sampling / resize over an opaque payload, decode-free: the
+    * payload is split into fixed `frameBytes` frames; every `stride`-th
+    * frame is kept, truncated to the first `maxFrames` frames ("resize").
+    * Works on the hex projection of the binary so the whole operator is
+    * pure codegen'd Column algebra — one row per sampled frame with the
+    * frame id, its byte length (last frame may be short) and a head
+    * preview. At scale this is a narrow explode (no shuffle): frame rows
+    * stay on the partition that read the payload. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int = 64, stride: Int = 2,
+                  maxFrames: Int = 7): DataFrame = {
+    val hexChars = frameBytes * 2
+    val nBytes = length(col(payloadCol)) // byte length for binary input
+    df.filter(nBytes > 0)
+      .select(col(idCol), hex(col(payloadCol)).as("__hx"),
+        explode(sequence(lit(0),
+          least(floor((nBytes - lit(1)) / lit(frameBytes)).cast("int"),
+            lit(maxFrames - 1)))).as("frame_id"))
+      .filter(col("frame_id") % stride === 0)
+      .withColumn("__fhx",
+        col("__hx").substr(col("frame_id") * hexChars + 1, lit(hexChars)))
+      .select(col(idCol), col("frame_id"),
+        (length(col("__fhx")) / 2).cast("int").as("frame_bytes"),
+        substring(col("__fhx"), 1, 8).as("head_hex"))
+  }
+
   /** Batched feature extraction: one partition = one batch, iterator in /
     * iterator out (the mapInPandas shape). Appends `features
     * array<double>`. */

@@ -135,6 +135,10 @@ object MlPack extends QueryPack {
       None),
 
     // M7: PCA explained-variance spectrum of the feature frame.
+    // Oracle-checkable despite the ML implementation: the 2-feature
+    // covariance matrix has closed-form eigenvalues, and the explained
+    // RATIO λ_i/trace is invariant to the sample-vs-population ddof
+    // choice, so plain SQL reproduces Spark ML's output exactly.
     Q("m7_pca",
       (s, dir) => {
         import s.implicits._
@@ -143,7 +147,24 @@ object MlPack extends QueryPack {
           .toDF("component", "explained_variance")
           .select($"component", r4($"explained_variance").as("explained_variance"))
       },
-      None),
+      Some("""WITH f AS (
+             |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+             |  FROM events GROUP BY user_id),
+             |st AS (
+             |  SELECT
+             |    (mu - avg(mu) OVER ()) / stddev_pop(mu) OVER () AS mu,
+             |    (sd - avg(sd) OVER ()) / stddev_pop(sd) OVER () AS sd
+             |  FROM f),
+             |c AS (SELECT var_samp(mu) AS a, covar_samp(mu, sd) AS b,
+             |             var_samp(sd) AS d FROM st),
+             |e AS (SELECT
+             |    (a + d + sqrt((a - d) * (a - d) + 4 * b * b)) / 2 AS l1,
+             |    (a + d - sqrt((a - d) * (a - d) + 4 * b * b)) / 2 AS l2,
+             |    a + d AS tr FROM c)
+             |SELECT 0 AS component,
+             |  round(l1 / tr + 1e-9, 4) AS explained_variance FROM e
+             |UNION ALL
+             |SELECT 1, round(l2 / tr + 1e-9, 4) FROM e""".stripMargin)),
 
     // M4+M5: DBSCAN with auto-tuned ε (knee of sorted 2-NN distances)
     // and minPts = max(log n, 3) (market_analysis.py:847-876 semantics).

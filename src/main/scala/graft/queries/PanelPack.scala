@@ -111,6 +111,29 @@ object PanelPack extends QueryPack {
              |  count(*) FILTER (event_type = 'view') AS view
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // J7: wide→long unpivot (pandas melt / DataFrame.unpivot) — the
+    // inverse of J3, closing the reshape family. Zero-count cells from
+    // the filled wide frame survive as explicit 0 rows.
+    Q("j7_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = ev(s, dir).groupBy($"user_id")
+          .pivot("event_type", types).agg(count(lit(1)))
+          .na.fill(0)
+        wide.unpivot(Array($"user_id"), types.map(col).toArray,
+          "event_type", "n")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |t(event_type) AS (VALUES
+             |  ('click'),('error'),('purchase'),('signup'),('view')),
+             |c AS (SELECT user_id, event_type, count(*) AS n
+             |      FROM events GROUP BY 1, 2)
+             |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+             |FROM u CROSS JOIN t
+             |LEFT JOIN c ON c.user_id = u.user_id
+             |           AND c.event_type = t.event_type""".stripMargin)),
+
     // J5 + G10: correlation matrix as unordered key pairs — daily value
     // sums per event_type, aligned on day, pairwise-complete Pearson
     // (market_analysis.py:74-89 + 310-318).

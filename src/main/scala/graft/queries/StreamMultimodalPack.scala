@@ -106,5 +106,31 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(nb // 64 AS DOUBLE) AS f_frames,
              |  round(CAST(bsum AS DOUBLE) / greatest(nb, 1) + 1e-9, 6) AS f_mean_byte,
              |  CAST(bsum % 251 AS DOUBLE) AS f_checksum
-             |FROM d""".stripMargin)))
+             |FROM d""".stripMargin)),
+
+    // Multimodal frame sampling: fixed 64-byte frames over the payload,
+    // every 2nd frame kept, truncated at 7 frames — video frame-sample /
+    // image-resize plumbing as pure Column algebra on the hex projection
+    // (no decoder, no UDF, narrow explode → no shuffle at any scale).
+    Q("mm2_frames",
+      (s, dir) => {
+        val payloads = Multimodal.asPayload(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        Multimodal.frameSample(payloads, "id", "payload",
+            frameBytes = 64, stride = 2, maxFrames = 7)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, hex(encode(text)) AS hx,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |f AS (
+             |  SELECT doc_id, hx,
+             |    unnest(range(0, least((nb - 1) // 64 + 1, 7))) AS frame_id
+             |  FROM d)
+             |SELECT doc_id, frame_id,
+             |  length(substring(hx, CAST(frame_id * 128 + 1 AS INT), 128)) // 2
+             |    AS frame_bytes,
+             |  substring(hx, CAST(frame_id * 128 + 1 AS INT), 8) AS head_hex
+             |FROM f WHERE frame_id % 2 = 0""".stripMargin)))
 }

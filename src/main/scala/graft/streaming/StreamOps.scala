@@ -31,6 +31,17 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("win.start").as("day"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup (the LLM-pipeline d1 operator as a stream):
+    * drops rows whose key was already seen within the watermark horizon.
+    * State is one entry per distinct key inside the horizon and is
+    * evicted as the watermark passes — bounded memory at any scale,
+    * unlike plain `dropDuplicates` whose state grows forever. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keyCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful island transitions: one output row per label change per
     * key, carrying O(1) state across micro-batches.
     *

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** Watermark semantics under real multi-micro-batch execution:
+  *  - a windowed aggregate in append mode DROPS data arriving later than
+  *    the watermark horizon (the closed window's emitted count is final);
+  *  - dedupWithinWatermark drops duplicate keys arriving within the
+  *    horizon while keeping state bounded.
+  * Both use the two-file / maxFilesPerTrigger=1 pattern from
+  * StreamingSpec so each file is its own micro-batch and the watermark
+  * advances between them. */
+class WatermarkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Write each batch as one parquet file into a fresh stream dir and
+    * run `f` over a maxFilesPerTrigger=1 file stream, draining between
+    * file drops; returns the memory-sink table name. */
+  private def runBatches(name: String,
+                         batches: Seq[org.apache.spark.sql.DataFrame],
+                         plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                         outputMode: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    val schema = batches.head.schema
+    val files = batches.zipWithIndex.map { case (b, i) =>
+      b.coalesce(1).write.parquet(s"$dir/in/p$i")
+      new java.io.File(s"$dir/in/p$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = plan(stream).writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    try {
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(streamDir, f"batch_$i%03d.parquet").toPath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    name
+  }
+
+  test("10s tumbling windows: late row below watermark is dropped") {
+    def ev(ts: Long, label: String) =
+      (new java.sql.Timestamp(ts * 1000L), label, 1.0)
+    val b1 = ((0 until 10).map(i => ev(i, "a")) :+ ev(30, "b"))
+      .toDF("ts", "event_type", "value")
+    // t=50 pushes the final watermark to 45s > 40s so window [30,40)
+    // also closes and emits before the stream stops.
+    val b2 = Seq(ev(2, "a"), ev(50, "c")).toDF("ts", "event_type", "value")
+
+    val table = runBatches("wm_win_test", Seq(b1, b2),
+      s => s.withWatermark("ts", "5 seconds")
+        .groupBy(window(col("ts"), "10 seconds").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").cast("long").as("w0"), col("event_type"), col("n")),
+      "append")
+
+    val rows = spark.table(table)
+      .select($"w0", $"event_type", $"n").as[(Long, String, Long)]
+      .collect().toSet
+    // Window [0,10) closed with 10 rows — the late t=2s row did NOT
+    // reopen or grow it; window [30,40) closed with its single row.
+    assert(rows.contains((0L, "a", 10L)), s"got $rows")
+    assert(rows.contains((30L, "b", 1L)), s"got $rows")
+    assert(!rows.exists { case (w, l, n) => w == 0L && l == "a" && n != 10L },
+      s"late row leaked into a closed window: $rows")
+  }
+
+  test("dedupWithinWatermark drops cross-batch duplicates inside the horizon") {
+    def ev(ts: Long, id: Long) = (new java.sql.Timestamp(ts * 1000L), id, s"p$id")
+    val b1 = Seq(ev(0, 1), ev(1, 2), ev(2, 1), ev(30, 3))
+      .toDF("ts", "doc_id", "payload")       // in-batch dup of id 1
+    val b2 = Seq(ev(31, 2), ev(32, 4)).toDF("ts", "doc_id", "payload")
+
+    val table = runBatches("wm_dedup_test", Seq(b1, b2),
+      s => StreamOps.dedupWithinWatermark(s, "ts", Seq("doc_id"), "1 hour"),
+      "append")
+
+    val ids = spark.table(table).select($"doc_id").as[Long].collect().sorted
+    // id 1 deduped in-batch; id 2's second arrival (t=31, within the 1h
+    // horizon of t=1) deduped across batches; ids 3 and 4 kept.
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L), s"got ${ids.toSeq}")
+  }
+}
