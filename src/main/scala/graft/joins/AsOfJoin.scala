@@ -53,4 +53,18 @@ object AsOfJoin {
     )((d, c) => d.withColumn(s"asof_$c", col(s"__m.$c")))
       .drop("__ord", "__side", "__rrow", "__m")
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row of
+    * the same key with `rightOrd >= leftOrd`. Implemented as [[backward]]
+    * on negated ordinals (the mirror image), so it inherits the same
+    * one-shuffle cost and same-row payload guarantees. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftOrd: String, rightOrd: String,
+              rightVals: Seq[String]): DataFrame = {
+    val l = left.withColumn("__fwd", negate(col(leftOrd)))
+    val r = right.withColumn("__fwd", negate(col(rightOrd)))
+    backward(l, r, keyCols, "__fwd", "__fwd", rightVals)
+      .withColumn("asof_ord", negate(col("asof_ord")))
+      .drop("__fwd")
+  }
 }

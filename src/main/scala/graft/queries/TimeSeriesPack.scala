@@ -273,6 +273,48 @@ object TimeSeriesPack extends QueryPack {
              |  count(*) AS n_events, round(sum(value) + 1e-9, 4) AS sum_value
              |FROM sids GROUP BY user_id, sid""".stripMargin)),
 
+    // Range (point-in-interval) join: each purchase joined to the
+    // 30-min session interval containing it — the BUCKETED rewrite
+    // (equi-join on (user, time bucket) + residual containment filter),
+    // never a cross join with a range predicate. Oracle: DuckDB plain
+    // inequality join over the islands-rewrite sessions.
+    Q("rj_point_interval",
+      (s, dir) => {
+        import s.implicits._
+        val sessions = Tables.events(s, dir)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(min(unix_micros($"ts")).as("session_start"),
+            max(unix_micros($"ts")).as("session_end"))
+          .select($"user_id", $"session_start", $"session_end")
+        val purchases = ev(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t")
+        graft.joins.RangeJoin.pointInInterval(purchases, sessions,
+            Seq("user_id"), "t", "session_start", "session_end",
+            bucketWidth = 3600000000L) // 1 h buckets in µs
+          .select($"user_id", $"event_id", $"t",
+            $"session_start", $"session_end")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+             |          FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+             |                   OR t - lag(t) OVER w > 1800000000
+             |            THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sids AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |iv AS (SELECT user_id, min(t) AS session_start,
+             |              max(t) AS session_end
+             |       FROM sids GROUP BY user_id, sid),
+             |p AS (SELECT user_id, event_id, t FROM e
+             |      WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id, p.t,
+             |  iv.session_start, iv.session_end
+             |FROM p JOIN iv ON p.user_id = iv.user_id
+             |  AND p.t >= iv.session_start AND p.t <= iv.session_end""".stripMargin)),
+
     // As-of (backward) join: each purchase matched to the most recent
     // prior-or-equal view of the same user — union+window rewrite (one
     // shuffle + sort; no range cross-join). Oracle: DuckDB ASOF JOIN.
