@@ -97,6 +97,45 @@ object Dedup {
           / nullif(col("n_a") + col("n_b") - col("n_inter"), lit(0L)))
   }
 
+  /** Connected components over an undirected edge list (near-dup pairs →
+    * dedup CLUSTERS): iterative min-label propagation + pointer jumping,
+    * converging in O(log diameter) join+agg rounds with lineage cut by
+    * localCheckpoint. Fully distributed — no driver collection — because
+    * unlike the contracted DBSCAN core graph, a corpus-scale dup graph
+    * can itself be huge. Returns (id, cluster) with cluster = min member
+    * id (deterministic canonical representative). */
+  def components(edges: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(edges.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct().persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // pointer jumping: label ← label's label (halves chain lengths)
+      val jumped = propagated.as("p")
+        .join(propagated.select(col("id").as("lbl"), col("lbl").as("gl")).as("g"),
+          Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("gl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changes = jumped
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = jumped
+      converged = changes == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("lbl", "cluster")
+  }
+
   /** 32-bit SimHash per doc over token frequencies: bit b is set when the
     * count-weighted sum of (2·bit_b(hash(token)) − 1) is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

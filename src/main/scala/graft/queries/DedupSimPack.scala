@@ -90,6 +90,63 @@ object DedupSimPack extends QueryPack {
               |JOIN sizes za ON za.id = c.id_a
               |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
 
+    // Dup-cluster formation: verified near-dup pairs (jaccard >= 0.5)
+    // → connected components → canonical (min-id) cluster per doc with
+    // its size. The step that turns pair lists into the keep/drop
+    // decision of a corpus dedup pass. Oracle: recursive-CTE transitive
+    // closure (exact for any component diameter).
+    Q("d6_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val sh = Dedup.shingleRows(docs, "doc_id", "text", ShingleN).persist()
+        val sigs = Dedup.minhashSignatures(sh, NumPerm).persist()
+        val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
+        val edges = Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val comp = Dedup.components(edges)
+        val sizes = comp.groupBy($"cluster").agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "cluster")
+          .select($"id".as("doc_id"), $"cluster", $"cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $OracleSig,
+              |$OracleBand,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2),
+              |ed AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes za ON za.id = c.id_a
+              |  JOIN sizes zb ON zb.id = c.id_b
+              |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= 0.5),
+              |sym AS (
+              |  SELECT id_a AS a, id_b AS b FROM ed
+              |  UNION SELECT id_b, id_a FROM ed
+              |  UNION SELECT id_a, id_a FROM ed
+              |  UNION SELECT id_b, id_b FROM ed),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+              |comp AS (SELECT a AS doc_id, min(b) AS cluster
+              |         FROM reach GROUP BY a),
+              |cs AS (SELECT cluster, count(*) AS cluster_size
+              |       FROM comp GROUP BY cluster)
+              |SELECT comp.doc_id, comp.cluster, cs.cluster_size
+              |FROM comp JOIN cs USING (cluster)""".stripMargin)),
+
     // SimHash 32-bit signatures (near-dup via signature equality /
     // low Hamming distance).
     Q("d3_simhash",

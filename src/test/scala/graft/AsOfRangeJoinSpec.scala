@@ -45,6 +45,18 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
       (2L, 10L, -1L, -1.0)))   // no right >= 10 for key 2 → null match
   }
 
+  test("components resolves a long chain and separate clusters deterministically") {
+    // chain 1-2-3-...-9 (diameter 8 → needs >1 propagation round even
+    // with pointer jumping) + isolated pair (100,101)
+    val edges = ((1L to 8L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    val comp = graft.dedup.Dedup.components(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 9L).foreach(i => assert(comp(i) == 1L, s"node $i"))
+    assert(comp(100L) == 100L && comp(101L) == 100L)
+    assert(comp.size == 11)
+  }
+
   test("bucketed range join == naive range join at several bucket widths") {
     val rng = new scala.util.Random(7)
     val points = (1 to 300).map(i => (i.toLong % 5, rng.nextInt(1000).toLong, i.toLong))
