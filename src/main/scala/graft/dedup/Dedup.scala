@@ -98,17 +98,44 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list (near-dup pairs →
-    * dedup CLUSTERS): iterative min-label propagation + pointer jumping,
+    * dedup CLUSTERS). Hybrid, same design as DistributedDbscan: a dup
+    * graph that fits on the driver (the common case — edges ≪ corpus
+    * because LSH already pruned) resolves with one collect + union-find;
+    * beyond `collectEdgeThreshold` edges the fully distributed
+    * min-label-propagation + pointer-jumping loop runs instead,
     * converging in O(log diameter) join+agg rounds with lineage cut by
-    * localCheckpoint. Fully distributed — no driver collection — because
-    * unlike the contracted DBSCAN core graph, a corpus-scale dup graph
-    * can itself be huge. Returns (id, cluster) with cluster = min member
+    * localCheckpoint. Returns (id, cluster) with cluster = min member
     * id (deterministic canonical representative). */
   def components(edges: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20,
+                 collectEdgeThreshold: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(edges.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().persist()
+
+    val fetched = sym.limit(
+      math.min(collectEdgeThreshold + 1, Int.MaxValue.toLong).toInt).collect()
+    if (fetched.length <= collectEdgeThreshold) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      fetched.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val resolved = fetched.map(_.getLong(0)).distinct.map(id => (id, find(id)))
+      sym.unpersist()
+      return resolved.toSeq.toDF("id", "cluster")
+    }
+
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var converged = false

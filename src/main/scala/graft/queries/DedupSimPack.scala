@@ -20,6 +20,30 @@ object DedupSimPack extends QueryPack {
   private val Bands = 4
   private val RowsPerBand = 4
 
+  /** Session-scoped memoization of the shared MinHash inputs: d2 and d6
+    * both start from the same persisted (shingles, signatures) pair —
+    * same pattern as MlPack's feature cache. */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def shingleSigs(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    sigCache.computeIfAbsent((s, dir), _ => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", ShingleN).persist()
+      val sigs = Dedup.minhashSignatures(sh, NumPerm).persist()
+      (sh, sigs)
+    })
+
+  /** Release memoized shingle/signature frames for a session. */
+  def clearCaches(session: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    sigCache.asScala.toList.foreach { case (k, (sh, sigs)) =>
+      if (k._1 eq session) {
+        sh.unpersist(); sigs.unpersist(); sigCache.remove(k)
+      }
+    }
+  }
+
   /** Shared oracle prefix: per-doc distinct shingle list + per-doc
     * minhash signature columns, mirrored from Dedup.minhashSignatures
     * (one min-aggregate per permutation, constants interpolated). */
@@ -59,9 +83,7 @@ object DedupSimPack extends QueryPack {
     // pairs → exact Jaccard verification (only candidates verified).
     Q("d2_minhash_lsh",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val sh = Dedup.shingleRows(docs, "doc_id", "text", ShingleN).persist()
-        val sigs = Dedup.minhashSignatures(sh, NumPerm).persist()
+        val (sh, sigs) = shingleSigs(s, dir)
         val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
         Dedup.verifyJaccard(cands, sh, sigs.select(col("id"), col("n_sh")))
           .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
@@ -98,9 +120,7 @@ object DedupSimPack extends QueryPack {
     Q("d6_dup_clusters",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
-        val sh = Dedup.shingleRows(docs, "doc_id", "text", ShingleN).persist()
-        val sigs = Dedup.minhashSignatures(sh, NumPerm).persist()
+        val (sh, sigs) = shingleSigs(s, dir)
         val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
         val edges = Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
           .filter($"jaccard" >= 0.5)

@@ -47,14 +47,19 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
 
   test("components resolves a long chain and separate clusters deterministically") {
     // chain 1-2-3-...-9 (diameter 8 → needs >1 propagation round even
-    // with pointer jumping) + isolated pair (100,101)
+    // with pointer jumping) + isolated pair (100,101); run BOTH paths —
+    // driver union-find (default threshold) and the distributed loop
+    // (threshold 0) — and require identical results.
     val edges = ((1L to 8L).map(i => (i, i + 1)) :+ (100L, 101L))
       .toDF("id_a", "id_b")
-    val comp = graft.dedup.Dedup.components(edges)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    (1L to 9L).foreach(i => assert(comp(i) == 1L, s"node $i"))
-    assert(comp(100L) == 100L && comp(101L) == 100L)
-    assert(comp.size == 11)
+    for (threshold <- Seq(5000000L, 0L)) {
+      val comp = graft.dedup.Dedup.components(edges,
+          collectEdgeThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (1L to 9L).foreach(i => assert(comp(i) == 1L, s"node $i thr=$threshold"))
+      assert(comp(100L) == 100L && comp(101L) == 100L, s"thr=$threshold")
+      assert(comp.size == 11, s"thr=$threshold")
+    }
   }
 
   test("bucketed range join == naive range join at several bucket widths") {
