@@ -62,7 +62,11 @@ object MlPack extends QueryPack {
 
   private def kmeans5(s: SparkSession, dir: String) =
     kmeansCache.computeIfAbsent((s, dir),
-      _ => Clustering.kmeansAssign(userFeatures(s, dir), Seq("mu", "sd"), 5, 42L))
+      // coalesce(1): the feature frame is per-key aggregated (head-sized
+      // by construction) and every Lloyd iteration is one Spark job —
+      // one task per iteration instead of 32 near-empty task launches.
+      _ => Clustering.kmeansAssign(userFeatures(s, dir).coalesce(1),
+        Seq("mu", "sd"), 5, 42L))
 
   def queries: Seq[Q] = Seq(
 
