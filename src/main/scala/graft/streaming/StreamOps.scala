@@ -42,6 +42,24 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream inner join on a key with a time-interval condition
+    * (right row within `lookback` BEFORE the left row) — the streaming
+    * form of the range/as-of family. Both sides carry watermarks so the
+    * join state store evicts rows older than the horizon: bounded state
+    * at any scale, which an un-watermarked stream-stream join cannot
+    * guarantee. Left columns come out prefixed `l_`, right `r_`. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String = "ts", lookback: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r, expr(
+      s"l_$keyCol = r_$keyCol AND " +
+        s"r_$tsCol >= l_$tsCol - INTERVAL $lookback AND r_$tsCol <= l_$tsCol"))
+  }
+
   /** Stateful island transitions: one output row per label change per
     * key, carrying O(1) state across micro-batches.
     *

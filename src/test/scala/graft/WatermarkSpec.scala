@@ -72,6 +72,56 @@ class WatermarkSpec extends AnyFunSuite {
       s"late row leaked into a closed window: $rows")
   }
 
+  test("stream-stream interval join across micro-batches == batch interval join") {
+    def ev(ts: Long, k: Long, id: Long) =
+      (new java.sql.Timestamp(ts * 1000L), k, id)
+    // purchases at t=100..104 per key; views scattered before/after
+    val purchases = (0 until 10).map(i => ev(100 + i, i % 3, 1000 + i))
+      .toDF("ts", "k", "pid")
+    val views = (0 until 30).map(i => ev(60 + i * 3, i % 3, 2000 + i))
+      .toDF("ts", "k", "vid")
+
+    // batch ground truth: views within 30s before the purchase, same key
+    val batch = purchases.as("p").join(views.as("v"),
+        $"p.k" === $"v.k" &&
+          $"v.ts" >= $"p.ts" - expr("INTERVAL 30 seconds") && $"v.ts" <= $"p.ts")
+      .select($"p.pid", $"v.vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // streaming: drive BOTH sides from one file stream, split by role
+    val all = purchases.withColumnRenamed("pid", "id").withColumn("role", lit("p"))
+      .unionByName(views.withColumnRenamed("vid", "id").withColumn("role", lit("v")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val half = all.filter($"ts" < new java.sql.Timestamp(90 * 1000L))
+    val rest = all.filter($"ts" >= new java.sql.Timestamp(90 * 1000L))
+    half.coalesce(1).write.parquet(s"$dir/in/p0")
+    rest.coalesce(1).write.parquet(s"$dir/in/p1")
+    val files = Seq(0, 1).map(i => new java.io.File(s"$dir/in/p$i").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head)
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    val src = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val joined = StreamOps.intervalJoinStream(
+      src.filter($"role" === "p").select($"ts", $"k", $"id".as("pid")),
+      src.filter($"role" === "v").select($"ts", $"k", $"id".as("vid")),
+      keyCol = "k", lookback = "30 seconds", watermark = "2 minutes")
+    val q = joined.select($"l_pid".as("pid"), $"r_vid".as("vid"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_test").start()
+    try {
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(streamDir, s"batch_$i.parquet").toPath)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("ssj_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("dedupWithinWatermark drops cross-batch duplicates inside the horizon") {
     def ev(ts: Long, id: Long) = (new java.sql.Timestamp(ts * 1000L), id, s"p$id")
     val b1 = Seq(ev(0, 1), ev(1, 2), ev(2, 1), ev(30, 3))
