@@ -2,24 +2,40 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Greatest, LambdaFunction, Least, Literal, UnresolvedNamedLambdaVariable}
 import graft.features.EwmAgg
 
 /** Catalyst extension registration (SURVEY §4.2 / guide pattern):
-  * surfaces the engine's custom expressions to SQL.
+  * surfaces the engine's custom expressions and operators to SQL —
+  * every registered function lowers to native Catalyst expression trees
+  * (resolved + codegen'd by the analyzer like any built-in), never a
+  * Scala UDF.
   *
-  * Two entry points for the same builder:
+  * Two entry points for the same builders:
   *  - config-time: `spark.sql.extensions=graft.GraftExtensions`
   *    (or `.withExtensions(new GraftExtensions)`);
   *  - runtime: `GraftExtensions.register(spark)` on a live session.
   *
-  * After either, `SELECT ewm(x, 12) OVER (PARTITION BY k ORDER BY t
-  * ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)` runs the native
-  * EwmAgg aggregate.
+  * Surface: `ewm(x, span)` (window aggregate), `graft_dot(a, b)`,
+  * `graft_cosine(a, b)` (array<double> similarity), `graft_clip(x, lo,
+  * hi)`, `graft_fingerprint(text)`, `graft_tokens(text)`,
+  * `graft_token_count(text)`.
+  *
+  * The builders mirror the Column-API definitions in `sim.Similarity` /
+  * `text.TextOps` / `features.WindowOps` as UnresolvedFunction trees
+  * (the analyzer resolves them to the same built-ins); equivalence is
+  * asserted in EwmAggSpec. The Column objects themselves cannot be
+  * spliced in directly — Spark 4 Column nodes handed back from a
+  * function builder bypass node→expression conversion and die at
+  * codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftExtensions.ewmFunction)
+    GraftExtensions.all.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name), builder))
+    }
 }
 
 object GraftExtensions {
@@ -34,13 +50,66 @@ object GraftExtensions {
     EwmAgg(exprs.head, 2.0 / (span + 1.0))
   }
 
-  val ewmFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("ewm"),
-      new ExpressionInfo(classOf[EwmAgg].getName, "ewm"),
-      buildEwm _)
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+  private def v(n: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(n))
+
+  /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (acc,z) -> acc+z) —
+    * Similarity.dot's left-to-right fold. */
+  private def dot(a: Expression, b: Expression): Expression = {
+    val x = v("x"); val y = v("y")
+    val acc = v("acc"); val z = v("z")
+    fn("aggregate",
+      fn("zip_with", a, b, LambdaFunction(fn("*", x, y), Seq(x, y))),
+      Literal(0.0),
+      LambdaFunction(fn("+", acc, z), Seq(acc, z)))
+  }
+
+  private def cosine(a: Expression, b: Expression): Expression =
+    fn("/",
+      fn("/", dot(a, b),
+        fn("nullif", fn("sqrt", dot(a, a)), Literal(0.0))),
+      fn("nullif", fn("sqrt", dot(b, b)), Literal(0.0)))
+
+  /** split(trim(t), '\s+') — TextOps.tokens. */
+  private def tokens(t: Expression): Expression =
+    fn("split", fn("trim", t), Literal("\\s+"))
+
+  /** md5 of sorted distinct lowercase-alnum tokens — TextOps.fingerprint. */
+  private def fingerprint(t: Expression): Expression = {
+    val norm = fn("regexp_replace", fn("lower", t),
+      Literal("[^a-z0-9\\s]"), Literal(""))
+    fn("md5", fn("concat_ws", Literal(" "),
+      fn("array_sort", fn("array_distinct", tokens(norm)))))
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ewm" -> (buildEwm _),
+    "graft_dot" -> { exprs =>
+      require(exprs.length == 2, "graft_dot takes 2 arguments")
+      dot(exprs(0), exprs(1)) },
+    "graft_cosine" -> { exprs =>
+      require(exprs.length == 2, "graft_cosine takes 2 arguments")
+      cosine(exprs(0), exprs(1)) },
+    "graft_clip" -> { exprs =>
+      require(exprs.length == 3, "graft_clip takes 3 arguments")
+      Least(Seq(Greatest(Seq(exprs(0), exprs(1))), exprs(2))) },
+    "graft_fingerprint" -> { exprs =>
+      require(exprs.length == 1, "graft_fingerprint takes 1 argument")
+      fingerprint(exprs(0)) },
+    "graft_tokens" -> { exprs =>
+      require(exprs.length == 1, "graft_tokens takes 1 argument")
+      tokens(exprs(0)) },
+    "graft_token_count" -> { exprs =>
+      require(exprs.length == 1, "graft_token_count takes 1 argument")
+      fn("regexp_count", exprs(0),
+        Literal("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")) })
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ewm", buildEwm, "built-in")
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

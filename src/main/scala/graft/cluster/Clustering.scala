@@ -103,6 +103,32 @@ object Clustering {
       .fit(assembled).explainedVariance.toArray
   }
 
+  /** M5 input: sorted 2nd-nearest-neighbor distances (the DBSCAN
+    * ε-tuning curve). One O(n) two-minimum scan per point instead of a
+    * full sort per point — O(n²) not O(n² log n), and no per-point
+    * array allocation. */
+  def twoNNDistances(pts: Array[Array[Double]]): Array[Double] = {
+    val n = pts.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var m1 = Double.MaxValue
+      var m2 = Double.MaxValue
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val d = math.hypot(pts(i)(0) - pts(j)(0), pts(i)(1) - pts(j)(1))
+          if (d < m1) { m2 = m1; m1 = d } else if (d < m2) m2 = d
+        }
+        j += 1
+      }
+      out(i) = if (n > 2) m2 else m1
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** M5: knee of the sorted k-NN distance curve (max distance to the
     * chord from first to last point — `market_analysis.py:851-875`'s
     * KneeLocator essence); falls back to the 90th percentile when the

@@ -179,11 +179,7 @@ object MlPack extends QueryPack {
           .select($"user_id", $"mu", $"sd").orderBy($"user_id").collect()
         val pts = rows.map(r => Array(r.getDouble(1), r.getDouble(2)))
         val n = pts.length
-        val d2 = pts.map { p =>
-          pts.map(q => math.hypot(p(0) - q(0), p(1) - q(1)))
-            .sorted.drop(1).take(2).last
-        }.sorted
-        val eps = Clustering.kneeEps(d2)
+        val eps = Clustering.kneeEps(Clustering.twoNNDistances(pts))
         val minPts = math.max(math.log(n).toInt, 3)
         val labels = Clustering.dbscan(pts, eps, minPts)
         val nClusters = labels.filter(_ >= 0).distinct.length
@@ -201,11 +197,7 @@ object MlPack extends QueryPack {
         val feats = userFeatures(s, dir)
         val rows = feats.select($"mu", $"sd").collect()
         val pts = rows.map(r => Array(r.getDouble(0), r.getDouble(1)))
-        val d2 = pts.map { p =>
-          pts.map(q => math.hypot(p(0) - q(0), p(1) - q(1)))
-            .sorted.drop(1).take(2).last
-        }.sorted
-        val eps = Clustering.kneeEps(d2)
+        val eps = Clustering.kneeEps(Clustering.twoNNDistances(pts))
         val minPts = math.max(math.log(pts.length).toInt, 3)
         val labeled = graft.cluster.DistributedDbscan.run(
           feats.select($"user_id", $"mu", $"sd"), "user_id", "mu", "sd",

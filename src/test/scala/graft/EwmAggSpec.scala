@@ -45,6 +45,24 @@ class EwmAggSpec extends AnyFunSuite {
     viaSql.zip(viaMp).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("column-algebra operators are callable from SQL (native, no UDF)") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |  graft_clip(9.0d, 0.0d, 5.0d) AS cl,
+        |  graft_token_count('hello, world 42') AS tc,
+        |  graft_fingerprint('B a. a b') AS fp""".stripMargin).collect().head
+    assert(row.getDouble(0) == 11.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.getDouble(2) == 5.0)
+    assert(row.getInt(3) == 4) // hello | , | world | 42
+    // fingerprint = md5 of sorted distinct lowercase alnum tokens "a b"
+    assert(row.getString(4) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("EwmAgg handles leading nulls (null out, state starts at first value)") {
     val df = Seq(("a", 1L, None: Option[Double]), ("a", 2L, Some(10.0)),
       ("a", 3L, Some(12.0))).toDF("k", "t", "x")
