@@ -305,9 +305,10 @@ object DedupSimPack extends QueryPack {
              |FROM rk WHERE rank <= 5""".stripMargin)),
 
     // IVF ANN: coarse quantizer = KMeans centroids (seed 42); each query
-    // probes only its nearest centroid's cell — the classic
-    // inverted-file index shape (centroids not SQL-reproducible →
-    // rows-only check; recall is spot-checked in tests against s1).
+    // probes its nprobe=2 NEAREST cells (the standard IVF recall knob —
+    // single-cell probing recalls ~0.34 on these near-isotropic
+    // embeddings, 2 cells ~2×). Centroids not SQL-reproducible →
+    // rows-only check; recall floor asserted in AnnRecallSpec vs s1.
     Q("s3_ann_ivf",
       (s, dir) => {
         import s.implicits._
@@ -319,9 +320,21 @@ object DedupSimPack extends QueryPack {
           .setK(8).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
         val model = km.fit(e)
         val binned = model.transform(e).drop("features")
-        val queries = binned.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"v".as("qv"), $"cell")
-        val scored = binned.join(broadcast(queries), Seq("cell"))
+        // nprobe=2: rank all centroids per query by L2 distance, keep 2.
+        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.toSeq)
+        }.toSeq.toDF("cell", "center")
+        val qBase = binned.filter($"vec_id" < 10)
+          .select($"vec_id".as("query_id"), $"v".as("qv"))
+        val wc = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
+        val probes = qBase.crossJoin(broadcast(centers))
+          .withColumn("cdist", aggregate(
+            zip_with($"qv", $"center", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+          .withColumn("crank", row_number().over(wc))
+          .filter($"crank" <= 2)
+          .select($"query_id", $"qv", $"cell")
+        val scored = binned.join(broadcast(probes), Seq("cell"))
           .filter($"query_id" =!= $"vec_id")
           .withColumn("cos", graft.sim.Similarity.cosine($"qv", $"v"))
         val w = Window.partitionBy($"query_id")
@@ -332,15 +345,17 @@ object DedupSimPack extends QueryPack {
       },
       None),
 
-    // LSH-bucketed ANN: sign-hyperplane bucket on the first 4 dims —
-    // candidates shrink to the query's bucket (the scale path).
+    // LSH-bucketed ANN: sign-hyperplane bucket on the first 4 dims with
+    // Hamming-1 MULTI-PROBE (query probes its own + 4 bit-flip buckets =
+    // 5/16 of the corpus; recall ~3× the single-bucket variant on these
+    // near-isotropic embeddings, still a bounded candidate set).
     Q("s2_ann_lsh",
       (s, dir) => {
         import s.implicits._
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         val queries = e.filter($"vec_id" < 10)
-        Similarity.annTopK(e, queries, "vec_id", "v", 5, 4)
+        Similarity.annTopK(e, queries, "vec_id", "v", 5, 4, probeHamming1 = true)
           .select($"query_id", $"bucket", $"corpus_id", r6($"cos").as("cos"), $"rank")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -357,14 +372,17 @@ object DedupSimPack extends QueryPack {
              |    (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) +
              |    (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
              |  FROM nm),
-             |q AS (SELECT vec_id AS query_id, nv AS qv, bucket FROM bk
-             |      WHERE vec_id < 10),
+             |q AS (SELECT vec_id AS query_id, qv, probe FROM (
+             |        SELECT vec_id, nv AS qv,
+             |          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+             |                  xor(bucket, 4), xor(bucket, 8)]) AS probe
+             |        FROM bk WHERE vec_id < 10)),
              |sc AS (
              |  SELECT q.query_id, b.bucket, b.vec_id AS corpus_id,
              |    list_reduce(list_prepend(0.0,
              |        list_transform(range(1, len(qv) + 1), i -> qv[i] * b.nv[i])),
              |        (acc, x) -> acc + x) AS cos
-             |  FROM q JOIN bk b ON q.bucket = b.bucket AND q.query_id <> b.vec_id),
+             |  FROM q JOIN bk b ON q.probe = b.bucket AND q.query_id <> b.vec_id),
              |rk AS (
              |  SELECT query_id, bucket, corpus_id, cos,
              |    row_number() OVER (PARTITION BY query_id

@@ -61,15 +61,27 @@ object Similarity {
       when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** ANN top-k: candidates restricted to the query's sign bucket. */
+  /** ANN top-k: candidates restricted to the query's sign bucket —
+    * plus, with `probeHamming1`, every bucket one bit-flip away
+    * (standard multi-probe LSH: recall rises from scanning (nBits+1)/2^nBits
+    * of the corpus instead of 1/2^nBits, still a bounded candidate set).
+    * The probe fan-out happens on the (small, broadcast) QUERY side; the
+    * corpus is still bucketed once. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nBits: Int): DataFrame = {
+              vecCol: String, k: Int, nBits: Int,
+              probeHamming1: Boolean = false): DataFrame = {
     val c = withNormalized(corpus, vecCol, "__cv")
       .select(col(idCol).as("corpus_id"), col("__cv"),
         signBucket(col(vecCol), nBits).as("__bucket"))
-    val q = withNormalized(queries, vecCol, "__qv")
+    val qBase = withNormalized(queries, vecCol, "__qv")
       .select(col(idCol).as("query_id"), col("__qv"),
-        signBucket(col(vecCol), nBits).as("__bucket"))
+        signBucket(col(vecCol), nBits).as("__b0"))
+    val q =
+      if (!probeHamming1) qBase.withColumn("__bucket", col("__b0")).drop("__b0")
+      else qBase.withColumn("__bucket",
+          explode(array(col("__b0") +: (0 until nBits).map(i =>
+            col("__b0").bitwiseXOR(lit(1 << i))): _*)))
+        .drop("__b0")
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("__qv"), col("__cv")))

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN accuracy contract (the approximate-operator analogue of
+  * ApproxSpec): recall@5 of the bucketed variants against the exact
+  * brute-force top-k on the sf0.01 embeddings. Multi-probe LSH
+  * (Hamming-1) and nprobe=2 IVF both sit ≥ ~0.5 here; the floor is set
+  * with margin. Single-probe variants measured ~0.2/0.34 — the floor
+  * also guards against silently reverting the probe settings. */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def pairs(name: String): Set[(Long, Long)] = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+    df.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("multi-probe LSH and nprobe=2 IVF recall@5 >= 0.4 vs exact top-k") {
+    val exact = pairs("s1_cosine_topk")
+    assert(exact.nonEmpty)
+    val lsh = pairs("s2_ann_lsh")
+    val ivf = pairs("s3_ann_ivf")
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(lshRecall >= 0.4, s"LSH recall@5 = $lshRecall")
+    assert(ivfRecall >= 0.4, s"IVF recall@5 = $ivfRecall")
+  }
+}
