@@ -108,6 +108,53 @@ object TextPack extends QueryPack {
              |  length(text) AS n_chars_measured, n_chars
              |FROM documents""".stripMargin)),
 
+    // Deterministic content-hash sampling: keep a doc iff
+    // hash60(text) % 20 < 2 (a stable 10% sample — identical across
+    // re-ingestions and engines, unlike RNG-based sampleBy). Surfaced as
+    // per-stratum counts so the driver verifies rate AND placement.
+    Q("t8_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(pmod(TextOps.hash60($"text"), lit(20L)) < 2, 1)).as("n_sampled"))
+          .withColumn("rate", r4($"n_sampled".cast("double") / $"n_total"))
+      },
+      Some("""SELECT lang, source, count(*) AS n_total,
+             |  count(*) FILTER (
+             |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 20 < 2)
+             |    AS n_sampled,
+             |  round(CAST(count(*) FILTER (
+             |      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 20 < 2)
+             |    AS DOUBLE) / count(*) + 1e-9, 4) AS rate
+             |FROM documents GROUP BY lang, source""".stripMargin)),
+
+    // Token-budget sequence packing: per lang, docs in doc_id order are
+    // assigned to 4096-token bins by cumulative token count (the
+    // prefix-sum approximation of greedy packing — windowed cumsum, one
+    // shuffle, no sequential loop).
+    Q("t9_pack",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TextOps.bpeishCount($"text").as("n_tok"))
+          .withColumn("cum_tok", sum($"n_tok").over(w))
+          .withColumn("bin", floor(($"cum_tok" - $"n_tok") / 4096).cast("long"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |         AS INT) AS n_tok
+             |  FROM documents)
+             |SELECT doc_id, lang, n_tok,
+             |  CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok,
+             |  CAST(floor(CAST(sum(n_tok) OVER w - n_tok AS DOUBLE) / 4096)
+             |       AS BIGINT) AS bin
+             |FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id)""".stripMargin)),
+
     // Document fingerprinting: canonical-form md5 + same-fingerprint
     // group size (rolling-hash-free, portable canonicalization).
     Q("t4_fingerprint",
