@@ -117,7 +117,13 @@ object Clustering {
       var j = 0
       while (j < n) {
         if (j != i) {
-          val d = math.hypot(pts(i)(0) - pts(j)(0), pts(i)(1) - pts(j)(1))
+          // sqrt(dx²+dy²), NOT math.hypot: hypot differs from the sqrt
+          // form in the last ulp and has no SQL equivalent — this exact
+          // expression order is mirrored by the DuckDB oracle so the
+          // derived ε is bit-identical across engines.
+          val dx = pts(i)(0) - pts(j)(0)
+          val dy = pts(i)(1) - pts(j)(1)
+          val d = math.sqrt(dx * dx + dy * dy)
           if (d < m1) { m2 = m1; m1 = d } else if (d < m2) m2 = d
         }
         j += 1
@@ -138,7 +144,8 @@ object Clustering {
     if (n < 3) return if (n == 0) 0.0 else sortedDists.last
     val (x1, y1) = (0.0, sortedDists.head)
     val (x2, y2) = ((n - 1).toDouble, sortedDists.last)
-    val len = math.hypot(x2 - x1, y2 - y1)
+    // sqrt form, not hypot — mirrored bit-exactly by the SQL oracle.
+    val len = math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
     if (len == 0) return sortedDists.last
     var best = -1.0; var bestI = 0
     var i = 0

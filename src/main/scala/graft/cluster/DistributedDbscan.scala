@@ -53,7 +53,11 @@ object DistributedDbscan {
       .select($"id_b", $"xb", $"yb", $"cell.cx".as("cx"), $"cell.cy".as("cy"))
     val pairs = build.join(probe, Seq("cx", "cy"))
       .filter($"id" =!= $"id_b")
-      .withColumn("d2", pow($"x" - $"xb", 2) + pow($"y" - $"yb", 2))
+      // explicit multiply, not pow(x, 2): Math.pow is allowed 1 ulp of
+      // error; the multiply form is an exact IEEE op and matches the
+      // driver dbscan and the SQL oracle bit-for-bit.
+      .withColumn("d2",
+        ($"x" - $"xb") * ($"x" - $"xb") + ($"y" - $"yb") * ($"y" - $"yb"))
       .filter($"d2" <= eps * eps)
       .select($"id".as("a"), $"id_b".as("b"))
       .persist()

@@ -60,6 +60,18 @@ object MlPack extends QueryPack {
       Clustering.standardize(f, Seq("mu", "sd")).persist()
     })
 
+  /** DBSCAN input: the standardized features rounded to 1e-6. The
+    * rounding is the cross-engine determinism contract — aggregation
+    * order makes raw standardized doubles differ in the last ulp
+    * between engines, and DBSCAN's ε-boundary comparisons would
+    * amplify an ulp into a different cluster count. On r6-identical
+    * inputs every downstream double op (sqrt-form distances, knee,
+    * ε²) is bit-exact in both engines, so the whole pipeline is
+    * oracle-checkable. */
+  private def dbscanFeatures(s: SparkSession, dir: String): DataFrame =
+    userFeatures(s, dir).select(col("user_id"),
+      r6(col("mu")).as("mu"), r6(col("sd")).as("sd"))
+
   private def kmeans5(s: SparkSession, dir: String) =
     kmeansCache.computeIfAbsent((s, dir),
       // coalesce(1): the feature frame is per-key aggregated (head-sized
@@ -175,7 +187,7 @@ object MlPack extends QueryPack {
     Q("m4_dbscan",
       (s, dir) => {
         import s.implicits._
-        val rows = userFeatures(s, dir)
+        val rows = dbscanFeatures(s, dir)
           .select($"user_id", $"mu", $"sd").orderBy($"user_id").collect()
         val pts = rows.map(r => Array(r.getDouble(1), r.getDouble(2)))
         val n = pts.length
@@ -187,14 +199,20 @@ object MlPack extends QueryPack {
         Seq((r4d(eps), minPts, nClusters, nNoise, n))
           .toDF("eps", "min_pts", "n_clusters", "n_noise", "n_points")
       },
-      None),
+      Some(DbscanOracle.prefix + """
+          |SELECT round((SELECT eps FROM eps0) + 1e-9, 4) AS eps,
+          |  (SELECT minpts FROM mp) AS min_pts,
+          |  (SELECT count(DISTINCT lbl) FROM comp) AS n_clusters,
+          |  (SELECT count(*) FROM st) - (SELECT count(*) FROM coreids)
+          |    - (SELECT count(*) FROM borders) AS n_noise,
+          |  (SELECT count(*) FROM st) AS n_points""".stripMargin)),
 
     // M4 scale path: fully-distributed grid DBSCAN (same ε/minPts
     // derivation as m4_dbscan) — no driver collection of points.
     Q("m4b_dbscan_distributed",
       (s, dir) => {
         import s.implicits._
-        val feats = userFeatures(s, dir)
+        val feats = dbscanFeatures(s, dir)
         val rows = feats.select($"mu", $"sd").collect()
         val pts = rows.map(r => Array(r.getDouble(0), r.getDouble(1)))
         val eps = Clustering.kneeEps(Clustering.twoNNDistances(pts))
@@ -208,7 +226,18 @@ object MlPack extends QueryPack {
           .agg(count(lit(1)).as("n"),
             countDistinct(when($"cluster" =!= -1L, $"cluster")).as("n_clusters"))
       },
-      None),
+      Some(DbscanOracle.prefix + """
+          |SELECT * FROM (
+          |  SELECT 'clustered' AS kind,
+          |    (SELECT count(*) FROM coreids)
+          |      + (SELECT count(*) FROM borders) AS n,
+          |    (SELECT count(DISTINCT lbl) FROM comp) AS n_clusters
+          |  UNION ALL
+          |  SELECT 'noise',
+          |    (SELECT count(*) FROM st) - (SELECT count(*) FROM coreids)
+          |      - (SELECT count(*) FROM borders),
+          |    0)
+          |WHERE n > 0""".stripMargin)),
 
     // M9 substitution (SURVEY M9 verdict): the full sequence
     // classification pipeline — per-key z-scored features → sliding
@@ -261,4 +290,69 @@ object MlPack extends QueryPack {
       None))
 
   private def r4d(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4
+}
+
+/** Shared SQL prefix reproducing the full DBSCAN pipeline in DuckDB —
+  * standardize → r6 round (the determinism contract) → pairwise
+  * sqrt-form distances → sorted 2-NN curve → knee ε → degrees/cores →
+  * recursive-CTE core components → borders. Every double expression
+  * mirrors the Scala evaluation order so the comparison
+  * `d² <= ε²` resolves identically in both engines. */
+private[queries] object DbscanOracle {
+  val prefix: String =
+    """WITH RECURSIVE f AS (
+      |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY user_id),
+      |st AS (
+      |  SELECT user_id,
+      |    round((mu - avg(mu) OVER ()) / stddev_pop(mu) OVER () + 1e-9, 6) AS x,
+      |    round((sd - avg(sd) OVER ()) / stddev_pop(sd) OVER () + 1e-9, 6) AS y
+      |  FROM f),
+      |pd AS (
+      |  SELECT a.user_id AS ia, b.user_id AS ib,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM st a JOIN st b ON a.user_id <> b.user_id),
+      |nn AS (
+      |  SELECT id, sqrt(d2) AS d FROM (
+      |    SELECT ia AS id, d2,
+      |      row_number() OVER (PARTITION BY ia ORDER BY d2) AS rn
+      |    FROM pd) WHERE rn = 2),
+      |curve AS (SELECT d, row_number() OVER (ORDER BY d) - 1 AS i FROM nn),
+      |ends AS (
+      |  SELECT (SELECT d FROM curve WHERE i = 0) AS y1,
+      |    (SELECT d FROM curve ORDER BY i DESC LIMIT 1) AS y2,
+      |    (SELECT CAST(max(i) AS DOUBLE) FROM curve) AS x2),
+      |knee AS (
+      |  SELECT c.d, c.i,
+      |    abs((e.y2 - e.y1) * c.i - e.x2 * c.d + e.x2 * e.y1)
+      |      / sqrt(e.x2 * e.x2 + (e.y2 - e.y1) * (e.y2 - e.y1)) AS cd
+      |  FROM curve c, ends e),
+      |eps0 AS (SELECT d AS eps FROM knee ORDER BY cd DESC, i LIMIT 1),
+      |mp AS (
+      |  SELECT greatest(CAST(trunc(ln(count(*))) AS INT), 3) AS minpts
+      |  FROM st),
+      |deg AS (
+      |  SELECT ia AS id, count(*) AS deg FROM pd, eps0
+      |  WHERE pd.d2 <= eps0.eps * eps0.eps GROUP BY ia),
+      |coreids AS (
+      |  SELECT st.user_id AS id
+      |  FROM st LEFT JOIN deg ON st.user_id = deg.id CROSS JOIN mp
+      |  WHERE coalesce(deg.deg, 0) + 1 >= mp.minpts),
+      |ce AS (
+      |  SELECT pd.ia AS a, pd.ib AS b FROM pd, eps0
+      |  WHERE pd.d2 <= eps0.eps * eps0.eps
+      |    AND pd.ia IN (SELECT id FROM coreids)
+      |    AND pd.ib IN (SELECT id FROM coreids)),
+      |sym AS (SELECT a, b FROM ce UNION SELECT id, id FROM coreids),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comp AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+      |borders AS (
+      |  SELECT DISTINCT pd.ia AS id FROM pd, eps0
+      |  WHERE pd.d2 <= eps0.eps * eps0.eps
+      |    AND pd.ib IN (SELECT id FROM coreids)
+      |    AND pd.ia NOT IN (SELECT id FROM coreids))
+      |""".stripMargin
 }
