@@ -79,6 +79,31 @@ object StreamMultimodalPack extends QueryPack {
              |  start_ord AS start_time, end_time
              |FROM x WHERE to_label IS NOT NULL""".stripMargin)),
 
+    // Streaming exact dedup (d1 as a stream): dropDuplicatesWithinWatermark
+    // over a REAL streaming run. Output projects to the dedup KEY — the
+    // kept row is whichever arrived first (partition-order-dependent),
+    // but the key set equals batch DISTINCT regardless of arrival order,
+    // so the check is deterministic. Watermark far exceeds the data span:
+    // nothing is dropped, state is one entry per distinct key.
+    Q("st3_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st3_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select($"ts", $"user_id", $"event_type")
+        val q = StreamOps.dedupWithinWatermark(
+            stream, "ts", Seq("user_id", "event_type"), "365 days")
+          .select($"user_id", $"event_type")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
     // Multimodal plumbing: binary payload + metadata struct + batched
     // per-partition feature extraction (decode stubbed deterministically).
     Q("m1_multimodal",
