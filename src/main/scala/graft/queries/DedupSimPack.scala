@@ -167,6 +167,59 @@ object DedupSimPack extends QueryPack {
               |SELECT comp.doc_id, comp.cluster, cs.cluster_size
               |FROM comp JOIN cs USING (cluster)""".stripMargin)),
 
+    // The dedup END PRODUCT: the kept corpus — every doc except
+    // non-canonical members of a dup cluster (keep = cluster
+    // representative or never-duplicated). This is the keep/drop
+    // decision d6's clusters exist for, materialized as an anti-join.
+    Q("d7_dedup_keep",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, sigs) = shingleSigs(s, dir)
+        val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
+        val edges = Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val drop = Dedup.components(edges)
+          .filter($"id" =!= $"cluster").select($"id".as("doc_id"))
+        Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
+          .join(drop, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH RECURSIVE $OracleSig,
+              |$OracleBand,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2),
+              |ed AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes za ON za.id = c.id_a
+              |  JOIN sizes zb ON zb.id = c.id_b
+              |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= 0.5),
+              |sym AS (
+              |  SELECT id_a AS a, id_b AS b FROM ed
+              |  UNION SELECT id_b, id_a FROM ed
+              |  UNION SELECT id_a, id_a FROM ed
+              |  UNION SELECT id_b, id_b FROM ed),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+              |comp AS (SELECT a AS doc_id, min(b) AS cluster
+              |         FROM reach GROUP BY a)
+              |SELECT d.doc_id, d.lang, d.source FROM documents d
+              |WHERE d.doc_id NOT IN
+              |  (SELECT doc_id FROM comp WHERE doc_id <> cluster)""".stripMargin)),
+
     // SimHash 32-bit signatures (near-dup via signature equality /
     // low Hamming distance).
     Q("d3_simhash",
