@@ -79,6 +79,39 @@ object StreamMultimodalPack extends QueryPack {
              |  start_ord AS start_time, end_time
              |FROM x WHERE to_label IS NOT NULL""".stripMargin)),
 
+    // Streaming W1/W4/W5: per-key trailing-24 return/mean/std via
+    // flatMapGroupsWithState carrying a ring buffer — rolling window
+    // features computed under Structured Streaming with O(window) state,
+    // hash-matched against the batch window-frame SQL.
+    Q("st4_stream_rolling",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st4_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", expr("ts div 1000").as("t"), $"event_id", $"value")
+          .as[StreamOps.ValueEvent]
+        val q = StreamOps.rollingFeaturesStream(stream, 24)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select($"user_id", $"event_id", $"t",
+          Rx.r6($"ret").as("ret"), Rx.r4($"ma").as("ma"), Rx.r4($"sd").as("sd"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+             |          FROM events)
+             |SELECT user_id, event_id, t,
+             |  round(value / nullif(lag(value) OVER win, 0) - 1 + 1e-9, 6) AS ret,
+             |  CASE WHEN count(value) OVER w24 >= 24
+             |    THEN round(avg(value) OVER w24 + 1e-9, 4) END AS ma,
+             |  CASE WHEN count(value) OVER w24 >= 24
+             |    THEN round(stddev_samp(value) OVER w24 + 1e-9, 4) END AS sd
+             |FROM e
+             |WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id),
+             |  w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Streaming exact dedup (d1 as a stream): dropDuplicatesWithinWatermark
     // over a REAL streaming run. Output projects to the dedup KEY — the
     // kept row is whichever arrived first (partition-order-dependent),

@@ -22,6 +22,48 @@ object StreamOps {
   case class StreamTransition(user_id: Long, from_label: String, to_label: String,
                               start_time: Long, end_time: Long)
 
+  case class ValueEvent(user_id: Long, t: Long, event_id: Long, value: Double)
+  case class RollState(window: Seq[Double])
+  case class RollFeature(user_id: Long, event_id: Long, t: Long,
+                         ret: Option[Double], ma: Option[Double],
+                         sd: Option[Double])
+
+  /** Streaming rolling features (the W1/W4/W5 operators under
+    * Structured Streaming): per-key trailing-`window` return, mean and
+    * sample-std via `flatMapGroupsWithState` carrying a ring buffer of
+    * the last `window` values — O(window) state per key, emitted per
+    * event, exact batch parity (strict min_periods: ma/sd null until
+    * the frame holds `window` rows). Rows are sorted per micro-batch;
+    * cross-batch order relies on event-time-ordered delivery like
+    * [[transitionsStream]]. */
+  def rollingFeaturesStream(events: Dataset[ValueEvent], window: Int = 24)
+      : Dataset[RollFeature] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[RollState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
+          var buf = state.getOption.map(_.window.toVector).getOrElse(Vector.empty)
+          val out = sorted.map { r =>
+            val ret = buf.lastOption.filter(_ != 0.0).map(prev => r.value / prev - 1.0)
+            buf = (buf :+ r.value).takeRight(window)
+            val (ma, sd) =
+              if (buf.length < window) (None, None)
+              else {
+                var s = 0.0
+                buf.foreach(s += _) // left-to-right, matches SQL sum order
+                val m = s / window
+                var ss = 0.0
+                buf.foreach { v => val d = v - m; ss += d * d }
+                (Some(m), Some(math.sqrt(ss / (window - 1))))
+              }
+            RollFeature(uid, r.event_id, r.t, ret, ma, sd)
+          }
+          state.update(RollState(buf))
+          out.iterator
+      }
+  }
+
   /** Streaming daily (tumbling) counts per label with a watermark —
     * works identically on a batch frame for testing. */
   def dailyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =

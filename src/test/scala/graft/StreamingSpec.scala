@@ -56,4 +56,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("stateful rolling features across two micro-batches == batch windows") {
+    import graft.features.WindowOps
+    import org.apache.spark.sql.expressions.Window
+    val rows = for (k <- 0L until 3L; i <- 0 until 60)
+      yield (k, i.toLong * 1000L, (k * 1000 + i).toLong,
+        math.sin(i * 0.3 + k) * 10 + 50)
+    val df = rows.toDF("user_id", "t", "event_id", "value")
+
+    // batch ground truth: W1/W4-strict/W5-strict with window 24
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val batch = df
+      .withColumn("ret", round(WindowOps.pctChange($"value", 1, w) + 1e-9, 6))
+      .withColumn("ma", round(WindowOps.rollMeanStrict($"value", 24, w) + 1e-9, 4))
+      .withColumn("sd", round(WindowOps.rollStdStrict($"value", 24, w) + 1e-9, 4))
+      .select($"user_id", $"event_id", $"ret", $"ma", $"sd")
+      .collect().map(_.toSeq).toSet
+
+    // the second batch starts mid-window (t=30k < 24 rows past the
+    // boundary), so its ma/sd depend on state carried from batch one
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll").toString
+    df.filter($"t" < 30000L).coalesce(1).write.parquet(s"$dir/in/p1")
+    df.filter($"t" >= 30000L).coalesce(1).write.parquet(s"$dir/in/p2")
+    val f1 = new java.io.File(s"$dir/in/p1").listFiles().filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/in/p2").listFiles().filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath, new java.io.File(streamDir, "batch_a.parquet").toPath)
+
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.ValueEvent]
+    val q = StreamOps.rollingFeaturesStream(stream, 24)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_roll_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath, new java.io.File(streamDir, "batch_b.parquet").toPath)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_roll_test")
+      .select($"user_id", $"event_id",
+        round($"ret" + 1e-9, 6).as("ret"),
+        round($"ma" + 1e-9, 4).as("ma"),
+        round($"sd" + 1e-9, 4).as("sd"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }
