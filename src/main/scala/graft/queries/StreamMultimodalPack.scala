@@ -112,6 +112,38 @@ object StreamMultimodalPack extends QueryPack {
              |  w24 AS (PARTITION BY user_id ORDER BY t, event_id
              |          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Streaming W9: EWM(span 12) as a stream — O(1) state per key (the
+    // previous output), bit-identical to the batch mapPartitions
+    // recursion, hash-matched against the DuckDB list_reduce oracle.
+    Q("st5_stream_ewm",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st5_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", expr("ts div 1000").as("t"), $"event_id", $"value")
+          .as[StreamOps.ValueEvent]
+        val q = StreamOps.ewmStream(stream, span = 12.0)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select($"user_id", $"event_id", $"t",
+          Rx.r6($"ewm").as("ewm"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+             |          FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, t,
+             |    list(value) OVER w AS xs
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, t,
+             |  round(list_reduce(xs,
+             |    (acc, x) -> 2.0/13.0 * x + (1.0 - 2.0/13.0) * acc) + 1e-9, 6)
+             |    AS ewm
+             |FROM l""".stripMargin)),
+
     // Streaming exact dedup (d1 as a stream): dropDuplicatesWithinWatermark
     // over a REAL streaming run. Output projects to the dedup KEY — the
     // kept row is whichever arrived first (partition-order-dependent),

@@ -84,6 +84,34 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  case class EwmState(y: Double)
+  case class EwmPoint(user_id: Long, event_id: Long, t: Long, ewm: Double)
+
+  /** Streaming EWM (W9 under Structured Streaming): the one true
+    * recursion carries O(1) state per key — just the previous output.
+    * Recursion operand order matches [[graft.features.Ewm.ewmMean]]
+    * exactly (`α·x + (1−α)·y`), so batch and stream are bit-identical. */
+  def ewmStream(events: Dataset[ValueEvent], span: Double): Dataset[EwmPoint] = {
+    import events.sparkSession.implicits._
+    val alpha = 2.0 / (span + 1.0)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[EwmState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
+          var cur = state.getOption
+          val out = sorted.map { r =>
+            val y = cur match {
+              case Some(s) => alpha * r.value + (1.0 - alpha) * s.y
+              case None => r.value
+            }
+            cur = Some(EwmState(y))
+            EwmPoint(uid, r.event_id, r.t, y)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join on a key with a time-interval condition
     * (right row within `lookback` BEFORE the left row) — the streaming
     * form of the range/as-of family. Both sides carry watermarks so the
