@@ -179,7 +179,8 @@ object Clustering {
       else {
         cluster += 1
         labels(i) = cluster
-        val queue = scala.collection.mutable.Queue(neighbors(i): _*)
+        val queue = scala.collection.mutable.Queue.empty[Int]
+        queue.enqueueAll(neighbors(i))
         while (queue.nonEmpty) {
           val j = queue.dequeue()
           if (labels(j) == -1) labels(j) = cluster
