@@ -62,6 +62,29 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("frameSample at stride 1 reconstructs the payload hex exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a" * 64 + "b" * 64 + "cdef"), (2L, "short"),
+      (3L, "x" * 63), (4L, "y" * 65)).toDF("id", "text")
+    val p = docs.select($"id", $"text".cast("binary").as("payload"))
+    val frames = graft.multimodal.Multimodal
+      .frameSample(p, "id", "payload", frameBytes = 64, stride = 1, maxFrames = 99)
+    // per doc: frames abut (64 bytes each except a short tail), and the
+    // byte total reconstructs the payload length
+    val byId = frames.groupBy($"id")
+      .agg(sum($"frame_bytes").as("total"), count(lit(1)).as("n"),
+        max($"frame_id").as("maxf"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(byId(1L) == ((132L, 3L, 2)))
+    assert(byId(2L) == ((5L, 1L, 0)))
+    assert(byId(3L) == ((63L, 1L, 0)))
+    assert(byId(4L) == ((65L, 2L, 1)))
+    // head of frame 1 of doc 1 is the hex of "bbbb"
+    val head = frames.filter($"id" === 1L && $"frame_id" === 1)
+      .select($"head_hex").collect().head.getString(0)
+    assert(head == "62626262")
+  }
+
   test("bucketed range join == naive range join at several bucket widths") {
     val rng = new scala.util.Random(7)
     val points = (1 to 300).map(i => (i.toLong % 5, rng.nextInt(1000).toLong, i.toLong))
