@@ -121,6 +121,189 @@ object IndicatorPack extends QueryPack {
              |  round(coalesce(sd / nullif(ma, 0.0), 0.0) + 1e-9, 6) AS bb_width
              |FROM b""".stripMargin)),
 
+    // EP3 prepare_features: the reference's full 16-feature LSTM input
+    // frame as one composed plan (FeatureEngineering.prepare) — every
+    // rolling/EWM/indicator family at once, with the reference's clips,
+    // zero-MA substitution, MACD max-normalization and
+    // ffill/bfill/fillna(0) scrub. high=low=close on this table, so
+    // price_range degenerates to 0 (the plumbing, clip and scrub are
+    // still exercised).
+    Q("w20_features16",
+      (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
+          .withColumn("high", $"value").withColumn("low", $"value")
+        val feat = graft.features.FeatureEngineering.prepare(
+          base, Seq("user_id"), Seq("t", "event_id"),
+          "value", "high", "low", "volume")
+        feat.select($"user_id" +: $"event_id" +: $"t" +:
+          graft.features.FeatureEngineering.featureNames
+            .map(c => r6(col(c)).as(c)): _*)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+             |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
+             |  FROM events),
+             |l AS (
+             |  SELECT *, list(value) OVER wcum AS xs FROM e
+             |  WINDOW wcum AS (PARTITION BY user_id ORDER BY t, event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |m AS (
+             |  SELECT *,
+             |    list_reduce(xs, (acc, x) -> 2.0/13.0 * x + (1.0 - 2.0/13.0) * acc)
+             |      - list_reduce(xs, (acc, x) -> 2.0/27.0 * x + (1.0 - 2.0/27.0) * acc)
+             |      AS macd0
+             |  FROM l),
+             |ml AS (
+             |  SELECT *, list(macd0) OVER wcum AS ms FROM m
+             |  WINDOW wcum AS (PARTITION BY user_id ORDER BY t, event_id
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |mh AS (
+             |  SELECT *,
+             |    list_reduce(ms, (acc, x) -> 2.0/10.0 * x + (1.0 - 2.0/10.0) * acc)
+             |      AS sig0
+             |  FROM ml),
+             |f1 AS (
+             |  SELECT *, macd0 - sig0 AS hist0,
+             |    value / nullif(lag(value) OVER win, 0) - 1 AS returns,
+             |    ln(nullif(value, 0)) - lag(ln(nullif(value, 0))) OVER win
+             |      AS log_returns,
+             |    volume / nullif(lag(volume) OVER win, 0) - 1 AS vchg0,
+             |    value - lag(value) OVER win AS delta
+             |  FROM mh WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |f2 AS (
+             |  SELECT *,
+             |    stddev_samp(returns) OVER w5 AS vola5,
+             |    stddev_samp(returns) OVER w24 AS vola24,
+             |    avg(returns) OVER w5 AS tr5,
+             |    avg(returns) OVER w24 AS tr24,
+             |    avg(volume) OVER w24 AS vma0,
+             |    stddev_samp(volume) OVER w24 AS vstd,
+             |    avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END) OVER w14 AS avg_gain,
+             |    avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END) OVER w14 AS avg_loss,
+             |    avg(value) OVER w20 AS bma,
+             |    stddev_samp(value) OVER w20 AS bsd,
+             |    max(abs(macd0)) OVER wk AS mmx,
+             |    max(abs(sig0)) OVER wk AS smx,
+             |    max(abs(hist0)) OVER wk AS hmx,
+             |    avg(volume) OVER wk AS gvmean
+             |  FROM f1
+             |  WINDOW
+             |    w5 AS (PARTITION BY user_id ORDER BY t, event_id
+             |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             |    w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+             |    w14 AS (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+             |    w20 AS (PARTITION BY user_id ORDER BY t, event_id
+             |            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             |    wk AS (PARTITION BY user_id)),
+             |f3 AS (
+             |  SELECT *, CASE WHEN vma0 = 0 THEN gvmean ELSE vma0 END AS vma
+             |  FROM f2),
+             |f4 AS (
+             |  SELECT user_id, event_id, t,
+             |    returns,
+             |    log_returns,
+             |    vola5 AS volatility_5h,
+             |    vola24 AS volatility_24h,
+             |    tr5 AS trend_5h,
+             |    tr24 AS trend_24h,
+             |    (value - value) / nullif(value, 0) AS price_range,
+             |    CASE WHEN volume / nullif(vma, 0) IS NULL THEN NULL
+             |      ELSE least(greatest(volume / nullif(vma, 0), 0.0), 10.0) END
+             |      AS volume_intensity,
+             |    CASE WHEN vchg0 IS NULL THEN NULL
+             |      ELSE least(greatest(vchg0, -10.0), 10.0) END AS volume_change,
+             |    CASE WHEN vstd / nullif(vma, 0) IS NULL THEN NULL
+             |      ELSE least(greatest(vstd / nullif(vma, 0), 0.0), 10.0) END
+             |      AS volume_volatility,
+             |    least(greatest(coalesce(
+             |      100.0 - 100.0 / (1.0 + avg_gain / nullif(avg_loss, 0.0)), 50.0),
+             |      0.0), 100.0) AS rsi,
+             |    least(greatest(CASE WHEN mmx = 0 THEN macd0 ELSE macd0 / mmx END,
+             |      -1.0), 1.0) AS macd,
+             |    least(greatest(CASE WHEN smx = 0 THEN sig0 ELSE sig0 / smx END,
+             |      -1.0), 1.0) AS macd_signal,
+             |    least(greatest(CASE WHEN hmx = 0 THEN hist0 ELSE hist0 / hmx END,
+             |      -1.0), 1.0) AS macd_hist,
+             |    least(greatest(coalesce(
+             |      (value - (bma - 2.0 * bsd)) / nullif(4.0 * bsd, 0.0), 0.5),
+             |      0.0), 1.0) AS bb_position,
+             |    least(greatest(coalesce(bsd / nullif(bma, 0.0), 0.0), 0.0), 5.0)
+             |      AS bb_width
+             |  FROM f3)
+             |SELECT user_id, event_id, t,
+             |  round(coalesce(
+             |    last_value(returns IGNORE NULLS) OVER wf,
+             |    first_value(returns IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS returns,
+             |  round(coalesce(
+             |    last_value(log_returns IGNORE NULLS) OVER wf,
+             |    first_value(log_returns IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS log_returns,
+             |  round(coalesce(
+             |    last_value(volatility_5h IGNORE NULLS) OVER wf,
+             |    first_value(volatility_5h IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS volatility_5h,
+             |  round(coalesce(
+             |    last_value(volatility_24h IGNORE NULLS) OVER wf,
+             |    first_value(volatility_24h IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS volatility_24h,
+             |  round(coalesce(
+             |    last_value(trend_5h IGNORE NULLS) OVER wf,
+             |    first_value(trend_5h IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS trend_5h,
+             |  round(coalesce(
+             |    last_value(trend_24h IGNORE NULLS) OVER wf,
+             |    first_value(trend_24h IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS trend_24h,
+             |  round(coalesce(
+             |    last_value(price_range IGNORE NULLS) OVER wf,
+             |    first_value(price_range IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS price_range,
+             |  round(coalesce(
+             |    last_value(volume_intensity IGNORE NULLS) OVER wf,
+             |    first_value(volume_intensity IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS volume_intensity,
+             |  round(coalesce(
+             |    last_value(volume_change IGNORE NULLS) OVER wf,
+             |    first_value(volume_change IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS volume_change,
+             |  round(coalesce(
+             |    last_value(volume_volatility IGNORE NULLS) OVER wf,
+             |    first_value(volume_volatility IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS volume_volatility,
+             |  round(coalesce(
+             |    last_value(rsi IGNORE NULLS) OVER wf,
+             |    first_value(rsi IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6) AS rsi,
+             |  round(coalesce(
+             |    last_value(macd IGNORE NULLS) OVER wf,
+             |    first_value(macd IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6) AS macd,
+             |  round(coalesce(
+             |    last_value(macd_signal IGNORE NULLS) OVER wf,
+             |    first_value(macd_signal IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS macd_signal,
+             |  round(coalesce(
+             |    last_value(macd_hist IGNORE NULLS) OVER wf,
+             |    first_value(macd_hist IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS macd_hist,
+             |  round(coalesce(
+             |    last_value(bb_position IGNORE NULLS) OVER wf,
+             |    first_value(bb_position IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS bb_position,
+             |  round(coalesce(
+             |    last_value(bb_width IGNORE NULLS) OVER wf,
+             |    first_value(bb_width IGNORE NULLS) OVER wb, 0.0) + 1e-9, 6)
+             |    AS bb_width
+             |FROM f4
+             |WINDOW
+             |  wf AS (PARTITION BY user_id ORDER BY t, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wb AS (PARTITION BY user_id ORDER BY t, event_id
+             |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     // P5 + G2: the 5-class short-term regime classifier + distribution
     // (short_term.py:50-80, market_analysis.py:32-48). Close = value,
     // volume = props.k (JSON scalar extraction, §2.8).
