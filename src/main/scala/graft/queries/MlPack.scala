@@ -251,9 +251,20 @@ object MlPack extends QueryPack {
         val base = Tables.events(s, dir)
           .filter($"user_id" < 20) // reference trains on 3 symbols; bound the head
           .withColumn("t", unix_micros($"ts"))
+          .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
+          .withColumn("high", $"value").withColumn("low", $"value")
+        // reference shape: the full 16-feature engineered frame,
+        // sequences of 30 × 16 flattened into the classifier head
+        val feats = graft.features.FeatureEngineering.prepare(
+          base, Seq("user_id"), Seq("t", "event_id"),
+          "value", "high", "low", "volume")
         val result = graft.sequence.ClassifierPipeline.run(
-          base, "user_id", "t", "event_id", "value", "event_type",
-          labels = Seq("click", "error", "purchase", "signup", "view"))
+          feats, "user_id", "t", "event_id",
+          graft.features.FeatureEngineering.featureNames, "event_type",
+          labels = Seq("click", "error", "purchase", "signup", "view"),
+          // 15 LBFGS iterations: the 480-input head converges in ~10 on
+          // this data; 30 doubled fit time for identical test metrics
+          seqLen = 30, seed = 42L, maxIter = 15, hidden = 16)
         result.metrics
           .select($"label", $"tp", $"fp", $"fn", r4($"accuracy").as("accuracy"),
             r4($"f1").as("f1"))

@@ -20,28 +20,44 @@ object ClassifierPipeline {
 
   final case class Result(metrics: DataFrame, nTrain: Long, nTest: Long)
 
-  /** @param panel     (key, ord, tiebreak, value, label) columns
-    * @param seqLen    sequence length (reference: 30)
-    * @param labels    label vocabulary (stable index order) */
+  /** Single-feature convenience form. */
   def run(panel: DataFrame, keyCol: String, ordCol: String, tiebreakCol: String,
           valueCol: String, labelCol: String, labels: Seq[String],
           seqLen: Int = 30, seed: Long = 42L, maxIter: Int = 30,
-          hidden: Int = 16): Result = {
+          hidden: Int = 16): Result =
+    run(panel, keyCol, ordCol, tiebreakCol, Seq(valueCol), labelCol, labels,
+      seqLen, seed, maxIter, hidden)
+
+  /** @param panel       (key, ord, tiebreak, features..., label) columns
+    * @param featureCols feature columns — the reference uses the
+    *                    16-column `FeatureEngineering.prepare` frame;
+    *                    sequences are seqLen × |features| flattened
+    * @param seqLen      sequence length (reference: 30)
+    * @param labels      label vocabulary (stable index order) */
+  def run(panel: DataFrame, keyCol: String, ordCol: String, tiebreakCol: String,
+          featureCols: Seq[String], labelCol: String, labels: Seq[String],
+          seqLen: Int, seed: Long, maxIter: Int, hidden: Int): Result = {
     import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
     import org.apache.spark.ml.functions.array_to_vector
 
     val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol), col(tiebreakCol))
-    val seqs = panel
-      .withColumn("__z", Analytics.zscore(col(valueCol),
-        Window.partitionBy(col(keyCol))))
-      .withColumn("__seq", lag(Sequences.slidingSequence(col("__z"), seqLen, w), 1).over(w))
+    val wKey = Window.partitionBy(col(keyCol))
+    // per-key per-column z-score (sklearn StandardScaler, ddof=0, fit on
+    // the full key like the reference); a zero-variance column scales to
+    // 0 exactly as sklearn's scale_=1-when-var-0 rule yields
+    val zs = featureCols.foldLeft(panel)((d, c) =>
+      d.withColumn(s"__z_$c",
+        coalesce(Analytics.zscore(col(c), wKey), lit(0.0))))
+    val vec = array(featureCols.map(c => col(s"__z_$c")): _*)
+    val seqs = zs
+      .withColumn("__seq", lag(Sequences.slidingSequence(vec, seqLen, w), 1).over(w))
       .withColumn("__label",
         labels.zipWithIndex.foldLeft(lit(-1.0)) { case (acc, (l, i)) =>
           when(col(labelCol) === l, i.toDouble).otherwise(acc)
         })
       .filter(col("__seq").isNotNull)
       .withColumn("__bucket", Sequences.orderedSplit(w))
-      .select(array_to_vector(col("__seq")).as("features"),
+      .select(array_to_vector(flatten(col("__seq"))).as("features"),
         col("__label").as("label"), col("__bucket"))
 
     val train = seqs.filter(col("__bucket") === "train").persist()
@@ -55,7 +71,8 @@ object ClassifierPipeline {
     val fitInput =
       if (nTrain <= 100000) train.repartition(1).persist() else train
     val mlp = new MultilayerPerceptronClassifier()
-      .setLayers(Array(seqLen, hidden, labels.size)).setSeed(seed)
+      .setLayers(Array(seqLen * featureCols.size, hidden, labels.size))
+      .setSeed(seed)
       .setMaxIter(maxIter).setFeaturesCol("features").setLabelCol("label")
     val model = mlp.fit(fitInput)
     val preds = model.transform(test)
