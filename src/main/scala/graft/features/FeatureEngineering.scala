@@ -42,7 +42,9 @@ object FeatureEngineering {
     val close = col(closeCol)
     val volume = col(volumeCol)
 
-    val withMacdRaw = Indicators.withMacd(df, partCols, ordCols, closeCol)
+    // fused single-pass MACD + per-key normalization (one exchange;
+    // withMacd + normalization windows would cost three)
+    val withMacdRaw = Ewm.ewmMacdNormalized(df, partCols, ordCols, closeCol)
 
     val base = withMacdRaw
       .withColumn("returns", pctChange(close, 1, w))
@@ -68,12 +70,10 @@ object FeatureEngineering {
       .withColumn("bb_width",
         nullSafeClip(Indicators.bollingerWidth(close, 20, w), 0, 5))
 
-    // per-key max-|value| normalization of the MACD triple (skipped when
-    // the max is zero — reference keeps the raw series then)
+    // the MACD triple arrives pre-normalized from the fused pass; only
+    // the reference's clip remains
     val normed = Seq("macd", "macd_signal", "macd_hist").foldLeft(base) { (d, c) =>
-      val m = max(abs(col(c))).over(wAll)
-      d.withColumn(c,
-        nullSafeClip(when(m === 0, col(c)).otherwise(col(c) / m), -1, 1))
+      d.withColumn(c, nullSafeClip(col(c), -1, 1))
     }
 
     // ffill().bfill().fillna(0) per feature column. ffill-then-bfill
