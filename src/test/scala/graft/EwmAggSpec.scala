@@ -63,6 +63,26 @@ class EwmAggSpec extends AnyFunSuite {
         .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("fused ewmMacdNormalized == withMacd + window normalization, bit-exact") {
+    import org.apache.spark.sql.functions._
+    val rows = for (k <- Seq("a", "b", "c"); i <- 0 until 80)
+      yield (k, i.toLong, math.sin(i * 0.37) * 7 + 50 + (k.hashCode % 5))
+    val df = rows.toDF("k", "t", "x").repartition(5) // scrambled input layout
+    val fused = Ewm.ewmMacdNormalized(df, Seq("k"), Seq("t"), "x")
+      .select($"k", $"t", $"macd", $"macd_signal", $"macd_hist")
+    val wAll = Window.partitionBy($"k")
+    val unfused0 = graft.features.Indicators.withMacd(df, Seq("k"), Seq("t"), "x")
+    val unfused = Seq("macd", "macd_signal", "macd_hist").foldLeft(unfused0) {
+      (d, c) =>
+        val m = max(abs(col(c))).over(wAll)
+        d.withColumn(c, when(m === 0, col(c)).otherwise(col(c) / m))
+    }.select($"k", $"t", $"macd", $"macd_signal", $"macd_hist")
+    val f = fused.orderBy($"k", $"t").collect().map(_.toSeq)
+    val u = unfused.orderBy($"k", $"t").collect().map(_.toSeq)
+    assert(f.length == 240)
+    f.zip(u).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
   test("EwmAgg handles leading nulls (null out, state starts at first value)") {
     val df = Seq(("a", 1L, None: Option[Double]), ("a", 2L, Some(10.0)),
       ("a", 3L, Some(12.0))).toDF("k", "t", "x")
