@@ -122,6 +122,44 @@ class WatermarkSpec extends AnyFunSuite {
       s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("streaming session_window aggregation == batch sessions") {
+    def ev(ts: Long, k: Long, v: Double) =
+      (new java.sql.Timestamp(ts * 1000L), k, v)
+    // two sessions per key separated by a > 60s gap; the second batch
+    // EXTENDS an open session from the first (state merge across
+    // micro-batches), plus a late watermark-pushing row to close all
+    val rows = Seq(
+      ev(0, 1, 1.0), ev(20, 1, 2.0), ev(40, 1, 3.0),   // session A (k=1)
+      ev(200, 1, 4.0),                                  // session B starts
+      ev(10, 2, 5.0), ev(30, 2, 6.0))                   // session C (k=2)
+    val more = Seq(
+      ev(230, 1, 7.0),                                  // extends session B
+      ev(1000, 1, 0.0), ev(1000, 2, 0.0))               // watermark pushers
+    val b1 = rows.toDF("ts", "k", "v")
+    val b2 = more.toDF("ts", "k", "v")
+
+    val all = b1.unionByName(b2)
+    // the t=1000 pusher sessions stay OPEN at stream end and never emit
+    // in append mode — compare only the closed sessions
+    val batch = all
+      .groupBy($"k", session_window($"ts", "60 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .select($"k", $"sw.start".cast("long").as("s"), $"n", $"sv")
+      .filter($"s" < 1000)
+      .collect().map(_.toSeq).toSet
+
+    val table = runBatches("wm_sess_test", Seq(b1, b2),
+      s => s.withWatermark("ts", "10 seconds")
+        .groupBy($"k", session_window($"ts", "60 seconds").as("sw"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .select($"k", $"sw.start".cast("long").as("s"), $"n", $"sv"),
+      "append")
+    val streamed = spark.table(table)
+      .filter($"s" < 1000).collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(4)} extra=${(streamed -- batch).take(4)}")
+  }
+
   test("dedupWithinWatermark drops cross-batch duplicates inside the horizon") {
     def ev(ts: Long, id: Long) = (new java.sql.Timestamp(ts * 1000L), id, s"p$id")
     val b1 = Seq(ev(0, 1), ev(1, 2), ev(2, 1), ev(30, 3))
