@@ -18,11 +18,15 @@ object Bench {
     // the second 0.5s). The measured loop then times data-proportional
     // work, not JVM compilation.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Dev loop: SPARK_GRAFT_ONLY=q1_pricing,j6_knn benches a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (only.forall(_.contains(name)))
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
     }
     // Deterministic name order: Map hash order reshuffles whenever the
@@ -30,7 +34,9 @@ object Bench {
     // costs (feature caches, fitted models) to a different "first" query
     // between rounds. Sorted order keeps per-query timings comparable
     // across BENCH_r{N} files.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // computed column that no filter touches, under-measuring the

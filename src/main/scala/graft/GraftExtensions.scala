@@ -94,7 +94,10 @@ object GraftExtensions {
       cosine(exprs(0), exprs(1)) },
     "graft_clip" -> { exprs =>
       require(exprs.length == 3, "graft_clip takes 3 arguments")
-      Least(Seq(Greatest(Seq(exprs(0), exprs(1))), exprs(2))) },
+      // Least/Greatest skip nulls, which would coerce graft_clip(NULL,lo,hi)
+      // to lo — guard for pandas-clip null passthrough (WindowOps.nullSafeClip).
+      fn("if", fn("isnull", exprs(0)), Literal(null),
+        Least(Seq(Greatest(Seq(exprs(0), exprs(1))), exprs(2)))) },
     "graft_fingerprint" -> { exprs =>
       require(exprs.length == 1, "graft_fingerprint takes 1 argument")
       fingerprint(exprs(0)) },

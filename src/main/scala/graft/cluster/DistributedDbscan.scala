@@ -82,13 +82,14 @@ object DistributedDbscan {
     // graph — union-find resolves components in one pass with zero
     // extra Spark rounds. The iterative min-label + pointer-jumping
     // fallback stays for edge lists beyond the threshold.
-    // One action, not count()-then-collect(): fetch threshold+1 rows —
-    // if we get more than the threshold the contracted graph is too big
-    // for the driver and the iterative path runs instead.
-    val fetched = coreEdges.limit(collectEdgeThreshold.toInt + 1).collect()
+    // Size-probe with a count first: a speculative threshold+1 collect
+    // would haul up to the full multi-million-row edge list onto the
+    // driver even when the distributed path is about to run — the count
+    // touches the persisted edges without materializing them driver-side.
+    val edgeCount = coreEdges.limit(collectEdgeThreshold.toInt + 1).count()
     var labels: DataFrame = null
-    if (fetched.length <= collectEdgeThreshold) {
-      val edges = fetched.map(r => (r.getLong(0), r.getLong(1)))
+    if (edgeCount <= collectEdgeThreshold) {
+      val edges = coreEdges.select($"a", $"b").as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -114,10 +114,15 @@ object Dedup {
       .unionByName(edges.select(col(idB).as("a"), col(idA).as("b")))
       .distinct().persist()
 
-    val fetched = sym.limit(
-      math.min(collectEdgeThreshold + 1, Int.MaxValue.toLong).toInt).collect()
-    if (fetched.length <= collectEdgeThreshold) {
+    // Size-probe with a count over the persisted edges — the probe itself
+    // must not collect: when the distributed path runs, a speculative
+    // multi-million-row collect would be pure driver-OOM risk.
+    val probeLimit = math.min(collectEdgeThreshold + 1, Int.MaxValue.toLong).toInt
+    val edgeCount = sym.limit(probeLimit).count()
+    if (edgeCount <= collectEdgeThreshold) {
       import spark.implicits._
+      val fetched: Array[(Long, Long)] =
+        sym.select(col("a"), col("b")).as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -126,12 +131,11 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      fetched.foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
+      fetched.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val resolved = fetched.map(_.getLong(0)).distinct.map(id => (id, find(id)))
+      val resolved = fetched.map(_._1).distinct.map(id => (id, find(id)))
       sym.unpersist()
       return resolved.toSeq.toDF("id", "cluster")
     }

@@ -70,29 +70,36 @@ object Ewm {
           val macd = new Array[Double](n)
           val sig = new Array[Double](n)
           val hist = new Array[Double](n)
+          val valid = new Array[Boolean](n)
           var yF, yS, yG = 0.0
           var has = false
+          var hasG = false
           var i = 0
           while (i < n) {
-            val v = rows(i).getDouble(vIdx)
-            if (!has) { yF = v; yS = v; has = true }
-            else {
-              yF = aF * v + (1.0 - aF) * yF
-              yS = aS * v + (1.0 - aS) * yS
+            // Null in → null out, state untouched — same contract as ewmMean.
+            if (!rows(i).isNullAt(vIdx)) {
+              val v = rows(i).getDouble(vIdx)
+              if (!has) { yF = v; yS = v; has = true }
+              else {
+                yF = aF * v + (1.0 - aF) * yF
+                yS = aS * v + (1.0 - aS) * yS
+              }
+              val m = yF - yS
+              yG = if (!hasG) { hasG = true; m } else aG * m + (1.0 - aG) * yG
+              macd(i) = m; sig(i) = yG; hist(i) = m - yG
+              valid(i) = true
             }
-            val m = yF - yS
-            yG = if (i == 0) m else aG * m + (1.0 - aG) * yG
-            macd(i) = m; sig(i) = yG; hist(i) = m - yG
             i += 1
           }
           def maxAbs(a: Array[Double]): Double = {
             var mx = 0.0; var j = 0
-            while (j < a.length) { val x = math.abs(a(j)); if (x > mx) mx = x; j += 1 }
+            while (j < a.length) { if (valid(j)) { val x = math.abs(a(j)); if (x > mx) mx = x }; j += 1 }
             mx
           }
           val (mm, sm, hm) = (maxAbs(macd), maxAbs(sig), maxAbs(hist))
           out = rows.iterator.zipWithIndex.map { case (r, j) =>
-            Row.fromSeq(r.toSeq ++ Seq(
+            if (!valid(j)) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+            else Row.fromSeq(r.toSeq ++ Seq(
               if (mm == 0) macd(j) else macd(j) / mm,
               if (sm == 0) sig(j) else sig(j) / sm,
               if (hm == 0) hist(j) else hist(j) / hm))

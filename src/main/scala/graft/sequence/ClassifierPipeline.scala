@@ -78,6 +78,18 @@ object ClassifierPipeline {
     val preds = model.transform(test)
       .select(col("label").cast("int").as("y"),
         col("prediction").cast("int").as("p"))
-    Result(Metrics.perClassF1(preds, "y", "p"), train.count(), test.count())
+    // Materialize the (per-class-sized) metrics while the caches are
+    // live, then release them — a long-lived session must not accumulate
+    // one train+test+fitInput cache residue per run().
+    val lazyMetrics = Metrics.perClassF1(preds, "y", "p")
+    val metricRows = lazyMetrics.collect()
+    val nTest = test.count()
+    if (fitInput ne train) fitInput.unpersist()
+    train.unpersist()
+    test.unpersist()
+    val spark = panel.sparkSession
+    val metrics = spark.createDataFrame(
+      java.util.Arrays.asList(metricRows: _*), lazyMetrics.schema)
+    Result(metrics, nTrain, nTest)
   }
 }

@@ -83,6 +83,31 @@ class EwmAggSpec extends AnyFunSuite {
     f.zip(u).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
   }
 
+  test("ewmMacdNormalized: null in → null out, EWM state untouched, like ewmMean") {
+    val df = Seq(
+      ("a", 1L, Some(50.0)), ("a", 2L, None: Option[Double]),
+      ("a", 3L, Some(52.0)), ("a", 4L, Some(49.0))).toDF("k", "t", "x")
+    val withNull = Ewm.ewmMacdNormalized(df, Seq("k"), Seq("t"), "x")
+      .orderBy($"t")
+      .select($"macd", $"macd_signal", $"macd_hist")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(withNull(1) == ((None, None, None)), "null row emits null macd columns")
+    // State skips the null: remaining rows equal the dense-input run.
+    val dense = Ewm.ewmMacdNormalized(
+      df.filter($"x".isNotNull), Seq("k"), Seq("t"), "x")
+      .orderBy($"t")
+      .select($"macd", $"macd_signal", $"macd_hist")
+      .as[(Option[Double], Option[Double], Option[Double])].collect()
+    assert(Seq(withNull(0), withNull(2), withNull(3)) == dense.toSeq)
+  }
+
+  test("graft_clip passes NULL through (pandas clip), never coerces to lo") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_clip(CAST(NULL AS DOUBLE), 0.0d, 5.0d) AS c").collect().head
+    assert(r.isNullAt(0), "graft_clip(NULL, lo, hi) must be NULL")
+  }
+
   test("EwmAgg handles leading nulls (null out, state starts at first value)") {
     val df = Seq(("a", 1L, None: Option[Double]), ("a", 2L, Some(10.0)),
       ("a", 3L, Some(12.0))).toDF("k", "t", "x")
