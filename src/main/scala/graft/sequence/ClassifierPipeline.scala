@@ -59,9 +59,14 @@ object ClassifierPipeline {
       .withColumn("__bucket", Sequences.orderedSplit(w))
       .select(array_to_vector(flatten(col("__seq"))).as("features"),
         col("__label").as("label"), col("__bucket"))
+      // One persist of the shared sequence frame: train count, the fit
+      // input and the test transform all filter this cache — persisting
+      // the two filtered splits instead re-ran the whole window+sequence
+      // pipeline once per split materialization.
+      .persist()
 
-    val train = seqs.filter(col("__bucket") === "train").persist()
-    val test = seqs.filter(col("__bucket") === "test").persist()
+    val train = seqs.filter(col("__bucket") === "train")
+    val test = seqs.filter(col("__bucket") === "test")
     // Every LBFGS iteration is one job over the training partitions; for
     // a head-sized training set (the reference trains ~10^3..10^5
     // sequences) 32 near-empty partitions mean ~30 jobs × 32 task
@@ -85,8 +90,7 @@ object ClassifierPipeline {
     val metricRows = lazyMetrics.collect()
     val nTest = test.count()
     if (fitInput ne train) fitInput.unpersist()
-    train.unpersist()
-    test.unpersist()
+    seqs.unpersist()
     val spark = panel.sparkSession
     val metrics = spark.createDataFrame(
       java.util.Arrays.asList(metricRows: _*), lazyMetrics.schema)
