@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Greatest, LambdaFunction, Least, Literal, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Greatest, Least, Literal}
 import graft.features.EwmAgg
 
 /** Catalyst extension registration (SURVEY §4.2 / guide pattern):
@@ -52,19 +52,12 @@ object GraftExtensions {
 
   private def fn(name: String, args: Expression*): Expression =
     UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
-  private def v(n: String): UnresolvedNamedLambdaVariable =
-    UnresolvedNamedLambdaVariable(Seq(n))
 
-  /** aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (acc,z) -> acc+z) —
-    * Similarity.dot's left-to-right fold. */
-  private def dot(a: Expression, b: Expression): Expression = {
-    val x = v("x"); val y = v("y")
-    val acc = v("acc"); val z = v("z")
-    fn("aggregate",
-      fn("zip_with", a, b, LambdaFunction(fn("*", x, y), Seq(x, y))),
-      Literal(0.0),
-      LambdaFunction(fn("+", acc, z), Seq(acc, z)))
-  }
+  /** Similarity.dot's left-to-right fold — the codegen'd native
+    * expression (bit-identical to the aggregate/zip_with composition,
+    * see DotProductSpec). */
+  private def dot(a: Expression, b: Expression): Expression =
+    graft.sim.DotProduct(a, b)
 
   private def cosine(a: Expression, b: Expression): Expression =
     fn("/",

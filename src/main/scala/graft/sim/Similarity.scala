@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right fold dot product — bit-reproducible across engines
-    * (`zip_with` product + `aggregate` sum). */
-  def dot(x: Column, y: Column): Column =
+  /** Left-to-right fold dot product — bit-reproducible across engines.
+    * Lowers to the codegen'd [[DotProduct]] expression; the
+    * higher-order-function formulation below ([[dotHof]]) is the
+    * semantic reference it must match bit-for-bit (DotProductSpec). */
+  def dot(x: Column, y: Column): Column = DotProduct(x, y)
+
+  /** The `zip_with` product + `aggregate` sum composition of [[dot]] —
+    * kept as the cross-verification reference (HOFs are CodegenFallback
+    * and allocate the zipped array per pair; don't use on hot paths). */
+  def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
 
   /** Cosine similarity of two raw double-array columns. Prefer
