@@ -369,9 +369,15 @@ object DedupSimPack extends QueryPack {
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
           .withColumn("features", array_to_vector($"v"))
+        // Single-partition fit input (cf. MlPack.kmeans5): the embedding
+        // corpus is head-sized and every Lloyd iteration is one job —
+        // one task per iteration beats 32 near-empty task launches. The
+        // quantizer SAMPLE would be similarly bounded at real scale.
+        val fitInput = e.coalesce(1).persist()
         val km = new org.apache.spark.ml.clustering.KMeans()
           .setK(8).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
-        val model = km.fit(e)
+        val model = km.fit(fitInput)
+        fitInput.unpersist()
         val binned = model.transform(e).drop("features")
         // nprobe=2: rank all centroids per query by L2 distance, keep 2.
         val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>

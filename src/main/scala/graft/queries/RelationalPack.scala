@@ -143,6 +143,110 @@ object RelationalPack extends QueryPack {
              |  SELECT avg(l_quantity) FROM lineitem l2
              |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)),
 
+    // Correlated-EXISTS over two FACT tables (TPC-H Q4 shape): orders
+    // with at least one line shipped >90 days after the order date.
+    // Decorrelates to a left-semi join with a non-equi residual — at
+    // 100 TB both sides shuffle on l_orderkey/o_orderkey (no broadcast
+    // possible); the semi join keeps the probe side un-duplicated so
+    // the count never double-counts multi-line orders.
+    Q("q4_exists",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= to_timestamp(lit("1997-01-01")) &&
+                  $"o_orderdate" < to_timestamp(lit("1998-01-01")))
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+        ord.join(li,
+            $"l_orderkey" === $"o_orderkey" &&
+              $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey
+             |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Cross-nation volume shipping (TPC-H Q7 shape): the SAME dim table
+    // joined twice under different roles (supplier nation vs customer
+    // nation) with an asymmetry predicate — broadcast both aliases,
+    // group by the role pair + year.
+    Q("q7_nations",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+                  $"l_shipdate" < to_timestamp(lit("1999-01-01")))
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount",
+            year($"l_shipdate").as("l_year"))
+        val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+        val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+        val supp = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+        val natS = Tables.nation(s, dir)
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+        val natC = Tables.nation(s, dir)
+          .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(natS), $"s_nationkey" === $"sn_key")
+          .join(broadcast(natC), $"c_nationkey" === $"cn_key")
+          .filter($"supp_nation" < $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation", $"l_year")
+          .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+               count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  year(l_shipdate) AS l_year,
+             |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1999-01-01'
+             |  AND sn.n_name < cn.n_name
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Conditional-aggregate ratio (TPC-H Q14 shape): promo revenue share
+    // in a ship-date window — sum(CASE)/sum over a broadcast part join.
+    Q("q14_promo",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+                  $"l_shipdate" < to_timestamp(lit("1997-04-01")))
+          .select($"l_partkey", $"l_extendedprice", $"l_discount")
+        val pt = Tables.part(s, dir).select($"p_partkey", $"p_type")
+        li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+          .agg(
+            r4(sum(when($"p_type" === "PROMO",
+                $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .otherwise(lit(0.0))) * 100.0 /
+              sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+              .as("promo_revenue_pct"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT
+             |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+             |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             |    / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+             |    AS promo_revenue_pct,
+             |  count(*) AS cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
     // Ranking-function family (engine completeness — SURVEY §2.5 notes
     // the reference uses none): rank/dense_rank/percent_rank/ntile over
     // a deterministic total order.
