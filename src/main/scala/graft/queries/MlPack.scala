@@ -92,8 +92,10 @@ object MlPack extends QueryPack {
         val b = f.select($"user_id".as("nid"), $"mu".as("mub"), $"sd".as("sdb"))
         val pairs = a.join(b, $"uid" =!= $"nid")
           .withColumn("dist", sqrt(pow($"mua" - $"mub", 2) + pow($"sda" - $"sdb", 2)))
-        val w = Window.partitionBy($"uid").orderBy($"dist", $"nid")
-        pairs.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+          .select($"uid", $"nid", $"dist")
+        // bounded per-key heaps instead of a row_number window: the
+        // all-pairs candidate set never transits the shuffle (TopKAgg)
+        graft.operators.TopK.perKey(pairs, Seq("uid"), Seq($"dist", $"nid"), 2)
           .select($"uid".as("user_id"), $"nid".as("neighbor_id"),
             r4($"dist").as("dist"), $"rank")
       },

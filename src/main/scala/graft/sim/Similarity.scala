@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (BASELINE.json scale extensions):
@@ -44,7 +43,14 @@ object Similarity {
 
   /** Exact brute-force top-k: for each query row, the k most-cosine-similar
     * corpus rows (self excluded). Queries are broadcast; both sides are
-    * pre-normalized so each pair costs one fused dot product. */
+    * pre-normalized so each pair costs one fused dot product.
+    *
+    * Top-k via [[graft.operators.TopK.perKey]] (bounded map-side heaps),
+    * NOT a `row_number` window: the window form would shuffle the whole
+    * scored corpus × queries candidate set to sort it per query — the
+    * heap form ships ≤ k rows per query per mapper through the exchange,
+    * which is the difference between O(corpus) and O(k) shuffle volume
+    * per query at 100 TB. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val c = withNormalized(corpus, vecCol, "__cv")
@@ -53,10 +59,9 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("__qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(negate(col("cos")), col("corpus_id")), k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
@@ -92,10 +97,10 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__bucket"), col("corpus_id"), col("cos"))
+    // bounded heaps, not a window — see cosineTopK
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(negate(col("cos")), col("corpus_id")), k)
       .select(col("query_id"), col("__bucket").as("bucket"), col("corpus_id"),
         col("cos"), col("rank"))
   }

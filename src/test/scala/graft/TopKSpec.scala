@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TopK
+
+/** TopK.perKey must reproduce the row_number-window idiom exactly —
+  * including multi-column orderings, descending numeric keys (negated),
+  * null sort values (asc nulls first), k larger than the group, and
+  * partial/merge paths (forced by many input partitions). */
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame,
+                        keys: Seq[String], sort: Seq[org.apache.spark.sql.Column],
+                        k: Int) = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(sort: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  test("matches row_number window on a multi-partition frame") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(5000) { i =>
+      (s"k${i % 7}", rnd.nextDouble() * 100, i.toLong)
+    }
+    val df = rows.toDF("key", "score", "id").repartition(13)
+    val expected = viaWindow(df, Seq("key"), Seq($"score".desc, $"id"), 5)
+      .select($"key", $"score", $"id", $"rank")
+      .orderBy($"key", $"rank").collect()
+    val actual = TopK.perKey(df, Seq("key"), Seq(negate($"score"), $"id"), 5)
+      .select($"key", $"score", $"id", $"rank")
+      .orderBy($"key", $"rank").collect()
+    assert(actual.toSeq == expected.toSeq)
+    assert(actual.length == 35)
+  }
+
+  test("k exceeding group size returns the whole group, ranked") {
+    val df = Seq(("a", 3), ("a", 1), ("b", 2)).toDF("key", "v")
+    val out = TopK.perKey(df, Seq("key"), Seq($"v"), 10)
+      .orderBy($"key", $"rank")
+      .select($"key", $"v", $"rank").as[(String, Int, Int)].collect()
+    assert(out.toSeq == Seq(("a", 1, 1), ("a", 3, 2), ("b", 2, 1)))
+  }
+
+  test("null sort fields rank first (asc nulls-first), like the window") {
+    val df = Seq(("a", Some(2.0), 1L), ("a", None, 2L), ("a", Some(1.0), 3L))
+      .toDF("key", "score", "id")
+    val expected = viaWindow(df, Seq("key"), Seq($"score", $"id"), 2)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    val actual = TopK.perKey(df, Seq("key"), Seq($"score", $"id"), 2)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    assert(actual.toSeq == expected.toSeq)
+    assert(actual.head == ((2L, 1))) // the null-scored row wins
+  }
+
+  test("plan uses partial aggregation, not a global sort-per-key") {
+    val df = spark.range(1000)
+      .select(($"id" % 10).as("key"), $"id".as("v"))
+    val plan = TopK.perKey(df, Seq("key"), Seq($"v"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("string keys and multi-column payloads survive serialization") {
+    val rows = Seq.tabulate(200)(i => (i % 5, s"name_$i", s"cat_${i % 3}", i * 1.5))
+    val df = rows.toDF("key", "name", "cat", "v").repartition(8)
+    val expected = viaWindow(df, Seq("key"), Seq($"cat", negate($"v"), $"name"), 4)
+      .select($"key", $"name", $"cat", $"v", $"rank")
+      .orderBy($"key", $"rank").collect()
+    val actual = TopK.perKey(df, Seq("key"), Seq($"cat", negate($"v"), $"name"), 4)
+      .select($"key", $"name", $"cat", $"v", $"rank")
+      .orderBy($"key", $"rank").collect()
+    assert(actual.toSeq == expected.toSeq)
+  }
+}
