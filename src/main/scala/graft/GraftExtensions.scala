@@ -100,7 +100,16 @@ object GraftExtensions {
     "graft_token_count" -> { exprs =>
       require(exprs.length == 1, "graft_token_count takes 1 argument")
       fn("regexp_count", exprs(0),
-        Literal("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")) })
+        Literal("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")) },
+    "graft_topk" -> { exprs =>
+      require(exprs.length == 3,
+        "graft_topk(sort_key, payload, k) takes 3 arguments")
+      val k = exprs(2) match {
+        case Literal(v, _) => v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_topk k must be a literal, got $other")
+      }
+      graft.operators.TopKAgg(exprs(0), exprs(1), k) })
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

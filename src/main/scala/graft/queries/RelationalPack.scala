@@ -247,6 +247,29 @@ object RelationalPack extends QueryPack {
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
 
+    // Per-group top-k through the bounded-heap aggregate (TopKAgg): top
+    // 3 customers by account balance per market segment. The oracle is
+    // the row_number window the operator replaces — proving the heap
+    // form is result-identical while shuffling O(keys × k) instead of
+    // O(rows).
+    Q("o6_topk_per_group",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+          .select($"c_mktsegment", $"c_custkey", $"c_name", r4($"c_acctbal").as("acctbal"))
+        graft.operators.TopK.perKey(cust, Seq("c_mktsegment"),
+            Seq(negate($"acctbal"), $"c_custkey"), 3)
+          .select($"c_mktsegment", $"c_custkey", $"c_name", $"acctbal", $"rank")
+      },
+      Some("""WITH r AS (
+             |  SELECT c_mktsegment, c_custkey, c_name,
+             |    round(c_acctbal + 1e-9, 4) AS acctbal,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY round(c_acctbal + 1e-9, 4) DESC, c_custkey) AS rank
+             |  FROM customer)
+             |SELECT c_mktsegment, c_custkey, c_name, acctbal, rank
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
     // Ranking-function family (engine completeness — SURVEY §2.5 notes
     // the reference uses none): rank/dense_rank/percent_rank/ntile over
     // a deterministic total order.

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * sign-hyperplane LSH-bucketed variant as the scale path.
   *
   * 100 TB design: the query side is always the small side — broadcast
-  * it; the corpus scans once. Top-k is a per-query window `row_number`
-  * over partial results (per-partition heaps after AQE), never a global
-  * sort. The LSH variant shrinks the candidate set to one bucket per
-  * query (probes can be added by unioning neighbor buckets).
+  * it; the corpus scans once. Top-k is a bounded per-key heap aggregate
+  * ([[graft.operators.TopKAgg]]) with map-side partial combine — never
+  * a window sort of the full candidate set, never a global sort. The
+  * LSH variant shrinks the candidate set to one bucket per query
+  * (probes can be added by unioning neighbor buckets).
   */
 object Similarity {
 

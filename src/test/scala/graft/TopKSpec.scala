@@ -64,6 +64,21 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("graft_topk is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    Seq(("a", 5.0, 1L), ("a", 1.0, 2L), ("a", 3.0, 3L), ("b", 2.0, 4L))
+      .toDF("k", "score", "id").createOrReplaceTempView("topk_in")
+    val out = spark.sql(
+      """SELECT k, t.value.id AS id, t.value.score AS score
+        |FROM (SELECT k, graft_topk(struct(-score, id),
+        |              struct(score, id), 2) AS tk
+        |      FROM topk_in GROUP BY k)
+        |LATERAL VIEW explode(tk) AS t
+        |ORDER BY k, t.key""".stripMargin)
+      .as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("a", 1L, 5.0), ("a", 3L, 3.0), ("b", 4L, 2.0)))
+  }
+
   test("string keys and multi-column payloads survive serialization") {
     val rows = Seq.tabulate(200)(i => (i % 5, s"name_$i", s"cat_${i % 3}", i * 1.5))
     val df = rows.toDF("key", "name", "cat", "v").repartition(8)
