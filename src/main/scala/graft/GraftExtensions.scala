@@ -31,11 +31,13 @@ import graft.features.EwmAgg
   * codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftExtensions", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.EwmMacdStrategy)
+  }
 }
 
 object GraftExtensions {

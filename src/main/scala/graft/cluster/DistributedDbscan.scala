@@ -135,18 +135,19 @@ object DistributedDbscan {
       }
     }
 
-    // 5. border attachment + noise
+    // 5. border attachment + noise. Core and border ids are disjoint
+    // (border candidates anti-join the cores), so ONE unioned label map
+    // and ONE left join produce the output — instead of stacking
+    // is_core + core_label + border_label joins and resolving with a
+    // conditional.
     val borderLabels = pairs
       .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"), Seq("b"))
-      .groupBy($"a".as("id")).agg(min($"lb").as("border_label"))
+      .join(coreIds.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+      .groupBy($"a".as("id")).agg(min($"lb").as("label"))
+    val labelMap = labels.unionByName(borderLabels)
     val out = pts.select($"id")
-      .join(core, Seq("id"), "left")
-      .join(labels.withColumnRenamed("label", "core_label"), Seq("id"), "left")
-      .join(borderLabels, Seq("id"), "left")
-      .withColumn("cluster",
-        when($"is_core", $"core_label")
-          .otherwise(coalesce($"border_label", lit(-1L))))
-      .select($"id", $"cluster")
+      .join(labelMap, Seq("id"), "left")
+      .select($"id", coalesce($"label", lit(-1L)).as("cluster"))
     pairs.unpersist(); core.unpersist(); coreEdges.unpersist()
     out
   }

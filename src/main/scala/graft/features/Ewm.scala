@@ -2,6 +2,7 @@ package graft.features
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.DoubleType
 
 /** W9: exponentially-weighted moving mean, pandas
@@ -23,96 +24,29 @@ import org.apache.spark.sql.types.DoubleType
 object Ewm {
 
   /** Fused MACD pass: fast/slow/signal EWMs, histogram AND the per-key
-    * max-|·| normalization in ONE repartition+sort+scan — `withMacd`
+    * max-|·| normalization in ONE exchange+sort+scan — `withMacd`
     * (two ewmMean calls) costs two exchanges and the normalization
-    * windows a third; this costs one. The signal EWM consumes the MACD
-    * value computed in the same row visit, and each key's rows are
-    * buffered (keys are contiguous after the sort) so the max-abs
-    * normalization happens at key flush — O(rows-per-key) memory, the
-    * same bound as any collect_list window. Appends `macd`,
-    * `macd_signal`, `macd_hist`, normalized to [-1,1]-scale by the
-    * per-key max unless that max is 0 (reference rule). */
+    * windows a third; this costs one. Null in → null out, state
+    * untouched, nulls excluded from the max-abs pass (ewmMean's
+    * contract).
+    *
+    * Implemented as a first-class Catalyst operator
+    * ([[graft.plans.EwmMacdPlan]] → [[graft.plans.EwmMacdExec]]): the
+    * physical node declares its required distribution/ordering — so the
+    * one exchange+sort Catalyst plans below it is REUSED by every
+    * downstream `Window.partitionBy(partCols).orderBy(ordCols)` (a
+    * mapPartitions lambda would hide both properties and force a
+    * second shuffle), and rows stay in InternalRow form (no Row
+    * encoder round-trip). The planner strategy self-registers on the
+    * session at first use; `GraftExtensions` also injects it
+    * config-time. */
   def ewmMacdNormalized(df: DataFrame, partCols: Seq[String], ordCols: Seq[String],
                         valueCol: String, fast: Double = 12, slow: Double = 26,
                         signal: Double = 9): DataFrame = {
-    val outSchema = df.schema.add("macd", DoubleType)
-      .add("macd_signal", DoubleType).add("macd_hist", DoubleType)
-    val schema = df.schema
-    val partIdx = partCols.map(schema.fieldIndex).toArray
-    val vIdx = schema.fieldIndex(valueCol)
-    val aF = 2.0 / (fast + 1.0)
-    val aS = 2.0 / (slow + 1.0)
-    val aG = 2.0 / (signal + 1.0)
-
-    val sorted = df
-      .repartition(partCols.map(col): _*)
-      .sortWithinPartitions((partCols ++ ordCols).map(col): _*)
-
-    sorted.mapPartitions { it =>
-      new Iterator[Row] {
-        private var out: Iterator[Row] = Iterator.empty
-        private var pending: Row = null
-
-        private def flushKey(): Unit = {
-          if (pending == null && !it.hasNext) return
-          val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-          val first = if (pending != null) pending else it.next()
-          pending = null
-          val key = partIdx.toIndexedSeq.map(first.get)
-          rows += first
-          var done = false
-          while (!done && it.hasNext) {
-            val r = it.next()
-            if (partIdx.toIndexedSeq.map(r.get) == key) rows += r
-            else { pending = r; done = true }
-          }
-          val n = rows.length
-          val macd = new Array[Double](n)
-          val sig = new Array[Double](n)
-          val hist = new Array[Double](n)
-          val valid = new Array[Boolean](n)
-          var yF, yS, yG = 0.0
-          var has = false
-          var hasG = false
-          var i = 0
-          while (i < n) {
-            // Null in → null out, state untouched — same contract as ewmMean.
-            if (!rows(i).isNullAt(vIdx)) {
-              val v = rows(i).getDouble(vIdx)
-              if (!has) { yF = v; yS = v; has = true }
-              else {
-                yF = aF * v + (1.0 - aF) * yF
-                yS = aS * v + (1.0 - aS) * yS
-              }
-              val m = yF - yS
-              yG = if (!hasG) { hasG = true; m } else aG * m + (1.0 - aG) * yG
-              macd(i) = m; sig(i) = yG; hist(i) = m - yG
-              valid(i) = true
-            }
-            i += 1
-          }
-          def maxAbs(a: Array[Double]): Double = {
-            var mx = 0.0; var j = 0
-            while (j < a.length) { if (valid(j)) { val x = math.abs(a(j)); if (x > mx) mx = x }; j += 1 }
-            mx
-          }
-          val (mm, sm, hm) = (maxAbs(macd), maxAbs(sig), maxAbs(hist))
-          out = rows.iterator.zipWithIndex.map { case (r, j) =>
-            if (!valid(j)) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
-            else Row.fromSeq(r.toSeq ++ Seq(
-              if (mm == 0) macd(j) else macd(j) / mm,
-              if (sm == 0) sig(j) else sig(j) / sm,
-              if (hm == 0) hist(j) else hist(j) / hm))
-          }
-        }
-
-        def hasNext: Boolean = {
-          while (!out.hasNext && (pending != null || it.hasNext)) flushKey()
-          out.hasNext
-        }
-        def next(): Row = { if (!hasNext) throw new NoSuchElementException; out.next() }
-      }
-    }(Encoders.row(outSchema))
+    val spark = df.sparkSession
+    PlanBridge.addStrategy(spark, graft.plans.EwmMacdStrategy)
+    PlanBridge.ofRows(spark, graft.plans.EwmMacdPlan(
+      PlanBridge.plan(df), partCols, ordCols, valueCol, fast, slow, signal))
   }
 
   /** Append one EWM output column per (inputCol, span, outputCol) spec. */
