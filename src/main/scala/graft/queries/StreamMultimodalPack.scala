@@ -38,6 +38,39 @@ object StreamMultimodalPack extends QueryPack {
              |  count(*) AS n, round(sum(value) + 1e-9, 4) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Streaming top-k: the bounded-heap aggregate (TopKAgg) as a
+    // STREAMING aggregation — its merge() is a true heap union, so
+    // partial states combine across micro-batches exactly like map-side
+    // partials in batch (the window idiom has no streaming equivalent
+    // at all: ranking functions are unsupported on streams). Complete
+    // mode keeps per-key state of O(k), not O(rows).
+    Q("st6_stream_topk",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st6_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val agg = stream.groupBy($"user_id")
+          .agg(graft.operators.TopKAgg.topK(
+            struct(negate($"value"), $"event_id"),
+            struct($"event_id", $"value"), 3).as("tk"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select($"user_id", posexplode($"tk").as(Seq("pos", "kv")))
+          .select($"user_id", $"kv.value.event_id".as("event_id"),
+            Rx.r4($"kv.value.value").as("value"), ($"pos" + 1).as("rank"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY value DESC, event_id) AS rank
+             |  FROM events)
+             |SELECT user_id, event_id, round(value + 1e-9, 4) AS value, rank
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
     // Streaming W12: stateful gaps-and-islands transitions via
     // flatMapGroupsWithState — must emit exactly the batch islands
     // result (open final island never emitted).
