@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.GraftExtensions", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.EwmMacdStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.EwmStrategy)
   }
 }
 

@@ -1,9 +1,7 @@
 package graft.features
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.graftbridge.PlanBridge
-import org.apache.spark.sql.types.DoubleType
 
 /** W9: exponentially-weighted moving mean, pandas
   * `ewm(span=s, adjust=False).mean()` — the recursion
@@ -49,42 +47,19 @@ object Ewm {
       PlanBridge.plan(df), partCols, ordCols, valueCol, fast, slow, signal))
   }
 
-  /** Append one EWM output column per (inputCol, span, outputCol) spec. */
+  /** Append one EWM output column per (inputCol, span, outputCol) spec.
+    *
+    * Same first-class-operator treatment as the fused MACD pass
+    * ([[graft.plans.EwmPlan]]): O(#specs) state per key, rows emitted
+    * streaming (no buffering), ordering/partitioning advertised — so
+    * chained ewmMean calls (e.g. `Indicators.withMacd`'s line + signal
+    * passes) and downstream windows all share ONE exchange+sort. */
   def ewmMean(df: DataFrame, partCols: Seq[String], ordCols: Seq[String],
               specs: Seq[(String, Double, String)]): DataFrame = {
-    val outSchema = specs.foldLeft(df.schema)((sc, s) => sc.add(s._3, DoubleType))
-    val schema = df.schema
-    val partIdx = partCols.map(schema.fieldIndex).toArray
-    val valIdx = specs.map(s => schema.fieldIndex(s._1)).toArray
-    val alphas = specs.map(s => 2.0 / (s._2 + 1.0)).toArray
-
-    val sorted = df
-      .repartition(partCols.map(col): _*)
-      .sortWithinPartitions((partCols ++ ordCols).map(col): _*)
-
-    sorted.mapPartitions { it =>
-      var curKey: IndexedSeq[Any] = null
-      val state = new Array[Double](valIdx.length)
-      val hasState = new Array[Boolean](valIdx.length)
-      it.map { r =>
-        val key = partIdx.toIndexedSeq.map(r.get)
-        if (key != curKey) {
-          curKey = key
-          java.util.Arrays.fill(hasState, false)
-        }
-        val outs = new Array[Any](valIdx.length)
-        var i = 0
-        while (i < valIdx.length) {
-          if (!r.isNullAt(valIdx(i))) {
-            val v = r.getDouble(valIdx(i))
-            state(i) = if (hasState(i)) alphas(i) * v + (1.0 - alphas(i)) * state(i) else v
-            hasState(i) = true
-            outs(i) = state(i)
-          } else outs(i) = null
-          i += 1
-        }
-        Row.fromSeq(r.toSeq ++ outs)
-      }
-    }(Encoders.row(outSchema))
+    val spark = df.sparkSession
+    PlanBridge.addStrategy(spark, graft.plans.EwmStrategy)
+    PlanBridge.ofRows(spark, graft.plans.EwmPlan.create(
+      PlanBridge.plan(df), partCols, ordCols,
+      specs.map(s => (s._1, 2.0 / (s._2 + 1.0), s._3))))
   }
 }
