@@ -108,10 +108,14 @@ object GraftExtensions {
       require(exprs.length == 3,
         "graft_topk(sort_key, payload, k) takes 3 arguments")
       val k = exprs(2) match {
-        case Literal(v, _) => v.toString.toInt
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) if v > 0 && v <= Int.MaxValue => v.toInt
+        case Literal(v: Short, _) => v.toInt
+        case Literal(v: Byte, _) => v.toInt
         case other => throw new IllegalArgumentException(
-          s"graft_topk k must be a literal, got $other")
+          s"graft_topk k must be a positive integer literal, got $other")
       }
+      require(k > 0, s"graft_topk k must be positive, got $k")
       graft.operators.TopKAgg(exprs(0), exprs(1), k) })
 
   /** Runtime registration on an existing session. */

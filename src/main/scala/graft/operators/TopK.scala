@@ -14,13 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
+  /** Descending numeric sort key with the window's DESC null ordering
+    * (nulls LAST): a bare `negate(c)` would flip nulls to the front
+    * (asc-nulls-first), silently promoting null-scored rows into the
+    * top-k — rank the null flag first instead. */
+  def descNullsLast(c: Column): Column =
+    struct(c.isNull.cast("int"), negate(c))
+
+  /** Ascending sort key with nulls LAST (window `asc_nulls_last`). */
+  def ascNullsLast(c: Column): Column =
+    struct(c.isNull.cast("int"), c)
+
   def perKey(df: DataFrame, keyCols: Seq[String], sortAsc: Seq[Column], k: Int,
              rankCol: String = "rank"): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    // like withColumn(rankCol, row_number...), an existing rankCol is
+    // replaced, not duplicated
+    val payload = struct(df.columns.filterNot(_ == rankCol).map(col): _*)
     val key = struct(sortAsc: _*)
     df.groupBy(keyCols.map(col): _*)
-      .agg(TopKAgg.topK(key, payload, k).as("__topk"))
-      .select(posexplode(col("__topk")).as(Seq("__pos", "__kv")))
-      .select((col("__pos") + 1).as(rankCol), col("__kv.value.*"))
+      .agg(TopKAgg.topK(key, payload, k).as("__graft_topk"))
+      .select(posexplode(col("__graft_topk")).as(Seq("__graft_pos", "__graft_kv")))
+      .select((col("__graft_pos") + 1).as(rankCol), col("__graft_kv.value.*"))
   }
 }

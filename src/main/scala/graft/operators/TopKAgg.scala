@@ -56,6 +56,7 @@ case class TopKAgg(sortKey: Expression, payload: Expression, k: Int,
   private def copyVal(v: Any): Any = v match {
     case r: InternalRow => r.copy()
     case a: ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
     case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
     case x => x
   }
@@ -78,9 +79,22 @@ case class TopKAgg(sortKey: Expression, payload: Expression, k: Int,
   }
 
   override def update(buf: TopKAgg.Buf, input: InternalRow): TopKAgg.Buf = {
-    val key = copyVal(sortKey.eval(input))
-    val value = copyVal(payload.eval(input))
-    offer(buf, key, value)
+    // test acceptance BEFORE copying: on the hot path nearly every row
+    // is rejected by the full heap, and the deep copy of key+payload is
+    // the operator's dominant allocation — only accepted rows pay it
+    val key = sortKey.eval(input)
+    val accept =
+      if (buf.size < k) true
+      else {
+        val worst = buf.peek()._1
+        if (key == null) worst != null
+        else if (worst == null) false
+        else keyOrdering.compare(key, worst) < 0
+      }
+    if (accept) {
+      if (buf.size >= k) buf.poll()
+      buf.add((copyVal(key), copyVal(payload.eval(input))))
+    }
     buf
   }
 

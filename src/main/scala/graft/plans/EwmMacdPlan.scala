@@ -43,8 +43,11 @@ case class EwmMacdPlan(child: LogicalPlan, partCols: Seq[String],
   extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output ++ macdAttrs
+  // valueCol must BE DoubleType: doExecute reads it via getDouble (cf.
+  // EwmPlan — a reinterpreted long would be silent garbage)
   override lazy val resolved: Boolean = childrenResolved &&
-    (partCols ++ ordCols :+ valueCol).forall(n => child.output.exists(_.name == n))
+    (partCols ++ ordCols).forall(n => child.output.exists(_.name == n)) &&
+    child.output.exists(a => a.name == valueCol && a.dataType == DoubleType)
 
   // The key/order/value columns are consumed by name inside doExecute —
   // declare them so ColumnPruning keeps them when a downstream Project

@@ -33,9 +33,13 @@ case class EwmPlan(child: LogicalPlan, partCols: Seq[String],
   }
 
   override def output: Seq[Attribute] = child.output ++ attrs
+  // value columns must BE DoubleType (not merely castable): doExecute
+  // reads the raw 8-byte slot via getDouble — a long reinterpreted as
+  // IEEE bits would be silent garbage, so refuse to resolve instead
   override lazy val resolved: Boolean = childrenResolved &&
-    (partCols ++ ordCols ++ specs.map(_._1))
-      .forall(n => child.output.exists(_.name == n))
+    (partCols ++ ordCols).forall(n => child.output.exists(_.name == n)) &&
+    specs.forall(s => child.output.exists(a =>
+      a.name == s._1 && a.dataType == DoubleType))
 
   override def references: AttributeSet = AttributeSet(
     child.output.filter(a => partCols.contains(a.name) ||

@@ -53,7 +53,7 @@ object StreamMultimodalPack extends QueryPack {
           .option("pathGlobFilter", "events.parquet").parquet(dir)
         val agg = stream.groupBy($"user_id")
           .agg(graft.operators.TopKAgg.topK(
-            struct(negate($"value"), $"event_id"),
+            struct($"value".isNull.cast("int"), negate($"value"), $"event_id"),
             struct($"event_id", $"value"), 3).as("tk"))
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()

@@ -62,7 +62,7 @@ object Similarity {
       .withColumn("cos", dot(col("__qv"), col("__cv")))
       .select(col("query_id"), col("corpus_id"), col("cos"))
     graft.operators.TopK.perKey(scored, Seq("query_id"),
-        Seq(negate(col("cos")), col("corpus_id")), k)
+        Seq(graft.operators.TopK.descNullsLast(col("cos")), col("corpus_id")), k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
@@ -101,7 +101,7 @@ object Similarity {
       .select(col("query_id"), col("__bucket"), col("corpus_id"), col("cos"))
     // bounded heaps, not a window — see cosineTopK
     graft.operators.TopK.perKey(scored, Seq("query_id"),
-        Seq(negate(col("cos")), col("corpus_id")), k)
+        Seq(graft.operators.TopK.descNullsLast(col("cos")), col("corpus_id")), k)
       .select(col("query_id"), col("__bucket").as("bucket"), col("corpus_id"),
         col("cos"), col("rank"))
   }

@@ -55,6 +55,25 @@ class TopKSpec extends AnyFunSuite {
     assert(actual.head == ((2L, 1))) // the null-scored row wins
   }
 
+  test("descNullsLast matches the window's desc (nulls LAST), never promoting nulls") {
+    val df = Seq(("a", Some(2.0), 1L), ("a", None, 2L), ("a", Some(5.0), 3L),
+      ("a", Some(1.0), 4L)).toDF("key", "score", "id")
+    val expected = viaWindow(df, Seq("key"), Seq($"score".desc, $"id"), 2)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    val actual = TopK.perKey(df, Seq("key"),
+        Seq(TopK.descNullsLast($"score"), $"id"), 2)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    assert(actual.toSeq == expected.toSeq)
+    assert(actual.map(_._1).toSeq == Seq(3L, 1L), "null row must NOT be in top-2")
+  }
+
+  test("an existing rank column is replaced, like withColumn(row_number)") {
+    val df = Seq(("a", 3, 99), ("a", 1, 98)).toDF("key", "v", "rank")
+    val out = TopK.perKey(df, Seq("key"), Seq($"v"), 1)
+    assert(out.columns.count(_ == "rank") == 1)
+    assert(out.select($"rank").as[Int].collect().toSeq == Seq(1))
+  }
+
   test("plan uses partial aggregation, not a global sort-per-key") {
     val df = spark.range(1000)
       .select(($"id" % 10).as("key"), $"id".as("v"))
