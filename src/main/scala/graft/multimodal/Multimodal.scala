@@ -78,6 +78,24 @@ object Multimodal {
         substring(col("__fhx"), 1, 8).as("head_hex"))
   }
 
+  /** Pooled resize of a dense feature/embedding vector: average-pool
+    * `vecCol` (length divisible into `bins` equal slices) down to a
+    * `bins`-element vector — the "image resize / embedding downsample"
+    * step as pure codegen'd Column algebra (slice + left-fold sum per
+    * bin), no UDF, no shuffle. Elements are summed left-to-right so the
+    * result is bit-reproducible across engines. */
+  def poolResize(df: DataFrame, vecCol: String, bins: Int,
+                 outCol: String = "pooled"): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate, array, lit, size, slice}
+    val v = col(vecCol)
+    val binWidth = (size(v) / bins).cast("int")
+    val pooled = array((0 until bins).map { b =>
+      aggregate(slice(v, binWidth * b + 1, binWidth), lit(0.0),
+        (acc, x) => acc + x) / binWidth
+    }: _*)
+    df.withColumn(outCol, pooled)
+  }
+
   /** Batched feature extraction: one partition = one batch, iterator in /
     * iterator out (the mapInPandas shape). Appends `features
     * array<double>`. */

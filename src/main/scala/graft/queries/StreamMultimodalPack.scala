@@ -231,6 +231,33 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(bsum % 251 AS DOUBLE) AS f_checksum
              |FROM d""".stripMargin)),
 
+    // Multimodal resize: average-pool the 64-dim embedding down to 8
+    // bins — the image-resize / embedding-downsample step as pure
+    // Column algebra (slice + left-fold per bin; bit-reproducible, so
+    // the DuckDB list-comprehension oracle hash-matches exactly).
+    Q("mm3_resize",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        // one scalar column per bin: the driver compare sorts rows by
+        // every column, which array-typed outputs break (cf. t7's
+        // scalar projections of its array results)
+        Multimodal.poolResize(e, "v", 8)
+          .select($"vec_id" +:
+            (0 until 8).map(b =>
+              r6(element_at($"pooled", b + 1)).as(s"p$b")): _*)
+      },
+      Some("""SELECT vec_id,
+             |  """.stripMargin +
+        (0 until 8).map(b =>
+          s"""round(list_reduce(list_prepend(0.0,
+             |     list_transform(embedding[$b*8+1 : $b*8+8],
+             |       x -> CAST(x AS DOUBLE))),
+             |     (acc, x) -> acc + x) / 8 + 1e-9, 6) AS p$b""".stripMargin)
+          .mkString(",\n  ") +
+        "\nFROM embeddings")),
+
     // Multimodal frame sampling: fixed 64-byte frames over the payload,
     // every 2nd frame kept, truncated at 7 frames — video frame-sample /
     // image-resize plumbing as pure Column algebra on the hex projection
