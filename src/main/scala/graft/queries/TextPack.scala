@@ -181,5 +181,61 @@ object TextPack extends QueryPack {
       (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text"),
       Some("""SELECT md5(text) AS content_hash, count(*) AS n_dups,
              |  min(doc_id) AS canonical_id
-             |FROM documents GROUP BY md5(text)""".stripMargin)))
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // End-to-end curation pipeline (the training-data shape the engine
+    // exists for): quality gate → exact dedup (keep min id per content
+    // hash) → per-language token-budget packing → per-bin stats. One
+    // lazy plan: the quality regexes ride the scan, dedup is one
+    // shuffle on the content hash, packing one shuffle on lang — no
+    // driver round-trips between stages.
+    Q("p9_curation",
+      (s, dir) => {
+        import s.implicits._
+        val feats = graft.text.TextOps.qualityFeatures($"text")
+        val scored = feats.foldLeft(Tables.documents(s, dir))(
+          (d, f) => d.withColumn(f._1, f._2))
+        val filtered = scored
+          .filter($"n_tokens" >= 5 && $"punct_ratio" < 0.2)
+        val wDup = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"text")).orderBy($"doc_id")
+        val deduped = filtered
+          .withColumn("__rn", row_number().over(wDup))
+          .filter($"__rn" === 1)
+        val wPack = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")
+        deduped
+          .select($"doc_id", $"lang",
+            graft.text.TextOps.bpeishCount($"text").as("n_tok"))
+          .withColumn("bin",
+            floor((sum($"n_tok").over(wPack) - $"n_tok") / 4096).cast("long"))
+          .groupBy($"lang", $"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, text,
+             |    string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, lang, text FROM d
+             |  WHERE len(ts) >= 5
+             |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+             |        / greatest(length(text), 1) < 0.2),
+             |k AS (
+             |  SELECT doc_id, lang, text,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM q),
+             |t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |         AS INT) AS n_tok
+             |  FROM k WHERE rn = 1),
+             |p AS (
+             |  SELECT lang, n_tok,
+             |    CAST(floor(CAST(sum(n_tok) OVER w - n_tok AS DOUBLE) / 4096)
+             |         AS BIGINT) AS bin
+             |  FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id))
+             |SELECT lang, bin, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+             |FROM p GROUP BY 1, 2""".stripMargin)))
 }
