@@ -98,6 +98,20 @@ class TopKSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 1L, 5.0), ("a", 3L, 3.0), ("b", 4L, 2.0)))
   }
 
+  test("heavy ties at the k-boundary resolve identically to the window") {
+    // 500 rows, only 3 distinct scores → the k=4 boundary cuts through
+    // a tie group in every key; the id tie-break must decide both forms
+    val rows = Seq.tabulate(500)(i => (s"k${i % 4}", (i % 3).toDouble, i.toLong))
+    val df = rows.toDF("key", "score", "id").repartition(11)
+    val expected = viaWindow(df, Seq("key"), Seq($"score", $"id"), 4)
+      .select($"key", $"score", $"id", $"rank")
+      .orderBy($"key", $"rank").collect()
+    val actual = TopK.perKey(df, Seq("key"), Seq($"score", $"id"), 4)
+      .select($"key", $"score", $"id", $"rank")
+      .orderBy($"key", $"rank").collect()
+    assert(actual.toSeq == expected.toSeq)
+  }
+
   test("string keys and multi-column payloads survive serialization") {
     val rows = Seq.tabulate(200)(i => (i % 5, s"name_$i", s"cat_${i % 3}", i * 1.5))
     val df = rows.toDF("key", "name", "cat", "v").repartition(8)
