@@ -39,4 +39,33 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /** Interval-OVERLAP join: pair every left interval with every right
+    * interval (same `keyCols`) satisfying `aStart <= bEnd && bStart <=
+    * aEnd` (closed-interval overlap). Both sides explode to the fixed-
+    * width buckets they span and equi-join on (keys..., bucket); an
+    * overlapping pair co-occupies every bucket their intersection
+    * spans, so to emit each pair EXACTLY ONCE — with no quadratic
+    * dedup/distinct — the residual keeps only the bucket holding the
+    * intersection's left edge, `floor(max(aStart, bStart) / width)`.
+    * One shuffle per side; candidate volume is bucket occupancy, never
+    * |A|×|B|. Left columns are suffixed `_a`, right `_b` when names
+    * collide (caller supplies pre-renamed frames for clarity). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String],
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    val bw = lit(bucketWidth)
+    def exploded(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bkt",
+        explode(sequence(floor(col(s) / bw).cast("long"),
+          floor(col(e) / bw).cast("long"))))
+    exploded(left, aStart, aEnd)
+      .join(exploded(right, bStart, bEnd), keyCols :+ "__bkt")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bkt") ===
+        floor(greatest(col(aStart), col(bStart)) / bw).cast("long"))
+      .drop("__bkt")
+  }
 }

@@ -315,6 +315,55 @@ object TimeSeriesPack extends QueryPack {
              |FROM p JOIN iv ON p.user_id = iv.user_id
              |  AND p.t >= iv.session_start AND p.t <= iv.session_end""".stripMargin)),
 
+    // Interval-OVERLAP join: concurrent sessions across user pairs —
+    // both interval sides bucketed, equi-join on the bucket, each pair
+    // emitted exactly once via the intersection-left-edge bucket rule
+    // (no distinct, no cross join). Oracle: DuckDB inequality self-join
+    // over the islands-rewrite sessions.
+    Q("rj2_interval_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val sessions = Tables.events(s, dir)
+          .filter($"user_id" < 10)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(min(unix_micros($"ts")).as("s_start"),
+            max(unix_micros($"ts")).as("s_end"))
+          .select($"user_id", $"s_start", $"s_end")
+        val a = sessions.select($"user_id".as("user_a"),
+          $"s_start".as("a_start"), $"s_end".as("a_end"))
+        val b = sessions.select($"user_id".as("user_b"),
+          $"s_start".as("b_start"), $"s_end".as("b_end"))
+        graft.joins.RangeJoin.intervalOverlap(a, b, Seq.empty,
+            "a_start", "a_end", "b_start", "b_end",
+            bucketWidth = 3600000000L) // 1 h buckets in µs
+          .filter($"user_a" < $"user_b")
+          .groupBy($"user_a", $"user_b")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least($"a_end", $"b_end") - greatest($"a_start", $"b_start"))
+              .as("overlap_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+             |          WHERE user_id < 10),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+             |                   OR t - lag(t) OVER w > 1800000000
+             |            THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sids AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |iv AS (SELECT user_id, min(t) AS s_start, max(t) AS s_end
+             |       FROM sids GROUP BY user_id, sid)
+             |SELECT a.user_id AS user_a, b.user_id AS user_b,
+             |  count(*) AS n_overlaps,
+             |  CAST(sum(least(a.s_end, b.s_end)
+             |           - greatest(a.s_start, b.s_start)) AS BIGINT) AS overlap_us
+             |FROM iv a JOIN iv b
+             |  ON a.user_id < b.user_id
+             |  AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+             |GROUP BY 1, 2""".stripMargin)),
+
     // As-of (backward) join: each purchase matched to the most recent
     // prior-or-equal view of the same user — union+window rewrite (one
     // shuffle + sort; no range cross-join). Oracle: DuckDB ASOF JOIN.

@@ -85,6 +85,25 @@ class AsOfRangeJoinSpec extends AnyFunSuite {
     assert(head == "62626262")
   }
 
+  test("interval-overlap join == naive inequality join, each pair exactly once") {
+    val rnd = new scala.util.Random(23)
+    def ivs(n: Int, keyed: Boolean) = Seq.tabulate(n) { i =>
+      val s0 = rnd.nextInt(10000).toLong
+      (if (keyed) s"g${i % 3}" else "g", i.toLong, s0, s0 + rnd.nextInt(500))
+    }
+    val left = ivs(300, keyed = true).toDF("g", "ida", "a_start", "a_end")
+    val right = ivs(250, keyed = true).toDF("g", "idb", "b_start", "b_end")
+    for (bw <- Seq(64L, 500L, 4096L)) {
+      val bucketed = RangeJoin.intervalOverlap(left, right, Seq("g"),
+          "a_start", "a_end", "b_start", "b_end", bw)
+        .select($"g", $"ida", $"idb").orderBy($"g", $"ida", $"idb").collect()
+      val naive = left.join(right, Seq("g"))
+        .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+        .select($"g", $"ida", $"idb").orderBy($"g", $"ida", $"idb").collect()
+      assert(bucketed.toSeq == naive.toSeq, s"bucket width $bw")
+    }
+  }
+
   test("bucketed range join == naive range join at several bucket widths") {
     val rng = new scala.util.Random(7)
     val points = (1 to 300).map(i => (i.toLong % 5, rng.nextInt(1000).toLong, i.toLong))
