@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => graft.plans.EwmMacdStrategy)
     e.injectPlannerStrategy(_ => graft.plans.EwmStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 
