@@ -15,6 +15,12 @@ run / fork := true
 // LoggedOutput strategy prefixes every line with "[info] ", which breaks
 // any consumer parsing Bench's single JSON line (round-1 BENCH parsed=null).
 run / outputStrategy := Some(StdoutOutput)
+// Keep Bench's JSON line the LAST line of output: sbt otherwise appends
+// "[success] Total time: ..." after the forked run exits, and a consumer
+// that parses only the final line of captured output sees that instead of
+// the JSON (round-2 BENCH parsed=null even with the [info]-prefix fix).
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9,7 +9,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: stray WARN lines (task retries, shutdown races) land
+    // after the JSON line when stdout/stderr are merged by the caller.
+    spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warmup. Spark's whole-stage-codegen cache is keyed by
     // generated source, which depends on the plan shape but not the data
     // scale — so one pass of every query at the smallest SF compiles and
@@ -49,13 +51,21 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 2-decimal formatting is load-bearing: the harness that captures this
+    // output keeps only the final ~2000 characters, and at full double
+    // precision the 84-entry queries map pushes the line past that window,
+    // truncating its head and making it unparseable (rounds 1-2 both lost
+    // their per-query numbers this way). 84 × ~22 chars ≈ 1870 fits.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    if (line.length > 1950)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars exceeds the ~2000-char capture window")
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON
     // line the driver parses (observed in round 1: parsed=null).
