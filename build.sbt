@@ -21,6 +21,8 @@ run / outputStrategy := Some(StdoutOutput)
 // the JSON (round-2 BENCH parsed=null even with the [info]-prefix fix).
 Global / showSuccess := false
 Global / showTiming := false
+// (read by sbt's command engine, not by settings — silence the unused lint)
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -247,6 +247,61 @@ object RelationalPack extends QueryPack {
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
 
+    // HAVING-subquery join (TPC-H Q18 shape): orders whose lines sum past
+    // a quantity threshold, decorated with the customer. The IN-subquery
+    // decorrelates to aggregate → filter → fact-fact equi-join: at 100 TB
+    // both lineitem and orders shuffle on the order key (no broadcast
+    // side exists); the HAVING filter runs map-side-partial first, so the
+    // join's build input is already reduced to qualifying keys. customer
+    // is unfiltered here — fact-sized at scale — so it joins post-agg on
+    // the (already top-k-bounded at most 100-row) probe side via AQE.
+    Q("q18_bigorders",
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables.lineitem(s, dir).select($"l_orderkey", $"l_quantity")
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity").as("tq"))
+          .filter($"tq" > 150.0)
+        val ord = Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+        val cust = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+        ord.join(big, $"o_orderkey" === $"l_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+            $"o_totalprice", r4($"tq").as("total_qty"))
+          .orderBy(desc("o_totalprice"), $"o_orderkey")
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |  round(b.tq + 1e-9, 4) AS total_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(l_quantity) AS tq
+             |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) b
+             |  ON o_orderkey = b.l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 100""".stripMargin)),
+
+    // Arbitrary GROUPING SETS (beyond q8's rollup / q9's cube): the
+    // Dataset.groupingSets API plans ONE scan + Expand (each row fans out
+    // to its grouping combinations before the partial aggregate) — no
+    // self-union of per-level aggregates, one shuffle total.
+    Q("q19_gsets",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_linestatus", $"l_quantity")
+          .groupingSets(
+            Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+            $"l_returnflag", $"l_linestatus")
+          .agg(r4(sum($"l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity) + 1e-9, 4) AS sum_qty, count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), ())""".stripMargin)),
+
     // Per-group top-k through the bounded-heap aggregate (TopKAgg): top
     // 3 customers by account balance per market segment. The oracle is
     // the row_number window the operator replaces — proving the heap
