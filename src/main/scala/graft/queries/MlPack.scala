@@ -214,7 +214,10 @@ object MlPack extends QueryPack {
     Q("m4b_dbscan_distributed",
       (s, dir) => {
         import s.implicits._
-        val feats = dbscanFeatures(s, dir)
+        // one materialization of the feature pipeline: the ε-tune collect
+        // below AND DistributedDbscan's internal scans all read the
+        // checkpointed blocks instead of re-running the window/agg chain
+        val feats = dbscanFeatures(s, dir).localCheckpoint()
         val rows = feats.select($"mu", $"sd").collect()
         val pts = rows.map(r => Array(r.getDouble(0), r.getDouble(1)))
         val eps = Clustering.kneeEps(Clustering.twoNNDistances(pts))
