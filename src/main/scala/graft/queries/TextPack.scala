@@ -155,6 +155,37 @@ object TextPack extends QueryPack {
              |       AS BIGINT) AS bin
              |FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id)""".stripMargin)),
 
+    // Class-balanced downsampling (the curation answer to the reference's
+    // 80%-consolidation imbalance, report.pdf §6.2): every stratum is cut
+    // to the minority class's size by a DETERMINISTIC hash order —
+    // md5(text) ranks within each lang, the bounded-heap aggregate
+    // (TopKAgg) keeps exactly n_min per stratum. Versus
+    // row_number-then-filter: the heap discards beyond-k rows in the
+    // partial aggregate, so the shuffle carries O(strata × n_min) rows,
+    // not the corpus. n_min itself is one two-level count aggregate
+    // collapsing to a single driver scalar — constant bytes at any scale.
+    Q("t10_balanced",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+        val nMin = docs.groupBy($"lang").count()
+          .agg(min($"count")).first().getLong(0).toInt
+        graft.operators.TopK.perKey(
+          docs.select($"doc_id", $"lang",
+            md5($"text".cast("binary")).as("h")),
+          Seq("lang"), Seq($"h", $"doc_id"), nMin)
+          .select($"lang", $"rank", $"doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT min(cnt) AS m FROM (
+             |    SELECT count(*) AS cnt FROM documents GROUP BY lang) t),
+             |r AS (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+             |      AS rank
+             |  FROM documents)
+             |SELECT lang, rank, doc_id FROM r, n WHERE rank <= n.m""".stripMargin)),
+
     // Document fingerprinting: canonical-form md5 + same-fingerprint
     // group size (rolling-hash-free, portable canonicalization).
     Q("t4_fingerprint",
