@@ -34,13 +34,31 @@ object DedupSimPack extends QueryPack {
       (sh, sigs)
     })
 
-  /** Release memoized shingle/signature frames for a session. */
+  /** The verified candidate-pair table is the second shared stage: d2
+    * surfaces it, d6 clusters it and d7 anti-joins it — one band join +
+    * Jaccard verification feeds all three (the compute-once curation
+    * DAG a production pipeline would materialize as a table). */
+  private val verCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    verCache.computeIfAbsent((s, dir), _ => {
+      val (sh, sigs) = shingleSigs(s, dir)
+      val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
+      Dedup.verifyJaccard(cands, sh, sigs.select(col("id"), col("n_sh")))
+        .persist()
+    })
+
+  /** Release memoized shingle/signature/verified frames for a session. */
   def clearCaches(session: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     sigCache.asScala.toList.foreach { case (k, (sh, sigs)) =>
       if (k._1 eq session) {
         sh.unpersist(); sigs.unpersist(); sigCache.remove(k)
       }
+    }
+    verCache.asScala.toList.foreach { case (k, v) =>
+      if (k._1 eq session) { v.unpersist(); verCache.remove(k) }
     }
   }
 
@@ -83,9 +101,7 @@ object DedupSimPack extends QueryPack {
     // pairs → exact Jaccard verification (only candidates verified).
     Q("d2_minhash_lsh",
       (s, dir) => {
-        val (sh, sigs) = shingleSigs(s, dir)
-        val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
-        Dedup.verifyJaccard(cands, sh, sigs.select(col("id"), col("n_sh")))
+        verifiedPairs(s, dir)
           .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
             r6(col("jaccard")).as("jaccard"))
       },
@@ -120,9 +136,7 @@ object DedupSimPack extends QueryPack {
     Q("d6_dup_clusters",
       (s, dir) => {
         import s.implicits._
-        val (sh, sigs) = shingleSigs(s, dir)
-        val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
-        val edges = Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
+        val edges = verifiedPairs(s, dir)
           .filter($"jaccard" >= 0.5)
           .select($"id_a", $"id_b")
         val comp = Dedup.components(edges)
@@ -174,9 +188,7 @@ object DedupSimPack extends QueryPack {
     Q("d7_dedup_keep",
       (s, dir) => {
         import s.implicits._
-        val (sh, sigs) = shingleSigs(s, dir)
-        val cands = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
-        val edges = Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
+        val edges = verifiedPairs(s, dir)
           .filter($"jaccard" >= 0.5)
           .select($"id_a", $"id_b")
         val drop = Dedup.components(edges)
