@@ -14,12 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** Descending numeric sort key with the window's DESC null ordering
-    * (nulls LAST): a bare `negate(c)` would flip nulls to the front
-    * (asc-nulls-first), silently promoting null-scored rows into the
-    * top-k — rank the null flag first instead. */
+  /** Above this k the heap buffer (k JVM pairs per group, per partial
+    * hash-aggregate entry, with no content spilling) stops being a
+    * clear win over the spillable window sort — fall back to the
+    * window form. Keeps data-dependent k (class-balance downsampling)
+    * from turning a bounded heap into an executor-OOM vector. */
+  val MaxHeapK: Int = 4096
+
+  /** Descending sort key with the window's `desc` ordering over a
+    * FLOATING-POINT column: desc ranks NaN first (NaN is the largest
+    * double in Spark's total order) and nulls last. A bare `negate(c)`
+    * gets both edges wrong — negate(NaN) is still NaN (sorts last
+    * ascending, silently dropping NaN rows from the top-k) and nulls
+    * would flip to the front — so rank explicit (isnull, !isnan)
+    * flags ahead of the negated value. For integral keys use
+    * [[descNullsLastIntegral]] (negate alone overflows on MinValue). */
   def descNullsLast(c: Column): Column =
-    struct(c.isNull.cast("int"), negate(c))
+    struct(c.isNull.cast("int"), (!isnan(c)).cast("int"), negate(c))
+
+  /** Descending sort key for an integral column, nulls last: widens to
+    * decimal before negating so Long.MinValue (where -x overflows and
+    * ANSI mode throws) still orders correctly. */
+  def descNullsLastIntegral(c: Column): Column =
+    struct(c.isNull.cast("int"), negate(c.cast("decimal(20,0)")))
 
   /** Ascending sort key with nulls LAST (window `asc_nulls_last`). */
   def ascNullsLast(c: Column): Column =
@@ -27,13 +44,24 @@ object TopK {
 
   def perKey(df: DataFrame, keyCols: Seq[String], sortAsc: Seq[Column], k: Int,
              rankCol: String = "rank"): DataFrame = {
-    // like withColumn(rankCol, row_number...), an existing rankCol is
-    // replaced, not duplicated
-    val payload = struct(df.columns.filterNot(_ == rankCol).map(col): _*)
-    val key = struct(sortAsc: _*)
-    df.groupBy(keyCols.map(col): _*)
-      .agg(TopKAgg.topK(key, payload, k).as("__graft_topk"))
-      .select(posexplode(col("__graft_topk")).as(Seq("__graft_pos", "__graft_kv")))
-      .select((col("__graft_pos") + 1).as(rankCol), col("__graft_kv.value.*"))
+    if (k > MaxHeapK) {
+      // window form: the sort spills, the heap buffer would not
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(sortAsc: _*)
+      val keep = df.columns.filterNot(_ == rankCol)
+      df.select(keep.map(col): _*)
+        .withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) <= k)
+        .select((col(rankCol) +: keep.map(col)): _*)
+    } else {
+      // like withColumn(rankCol, row_number...), an existing rankCol is
+      // replaced, not duplicated
+      val payload = struct(df.columns.filterNot(_ == rankCol).map(col): _*)
+      val key = struct(sortAsc: _*)
+      df.groupBy(keyCols.map(col): _*)
+        .agg(TopKAgg.topK(key, payload, k).as("__graft_topk"))
+        .select(posexplode(col("__graft_topk")).as(Seq("__graft_pos", "__graft_kv")))
+        .select((col("__graft_pos") + 1).as(rankCol), col("__graft_kv.value.*"))
+    }
   }
 }

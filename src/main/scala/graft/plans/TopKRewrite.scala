@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, NumericType, StructType}
-import graft.operators.TopKAgg
+import org.apache.spark.sql.types._
+import graft.operators.{TopK, TopKAgg}
 
 /** Optimizer rewrite: the per-key top-k window idiom
   *
@@ -23,10 +23,13 @@ import graft.operators.TopKAgg
   * Applied conservatively — only when:
   *  - the Window computes EXACTLY one expression, a plain `row_number()`;
   *  - the filter is a bare `rn <= k` / `rn < k` / `rn = 1` on an
-  *    integer literal directly above the Window;
+  *    integer literal directly above the Window, with
+  *    k <= [[graft.operators.TopK.MaxHeapK]] (the heap buffer does not
+  *    spill its contents — huge k belongs to the window sort);
   *  - every sort order is ascending-nulls-first (any orderable type) or
   *    descending-nulls-last on a numeric type (encoded as an ascending
-  *    (isnull, -x) struct) — Spark's two default direction/null
+  *    (isnull[, !isnan], -x) struct, integrals widened before negation
+  *    so MinValue can't overflow) — Spark's two default direction/null
   *    combinations.
   *
   * The rewritten subtree reproduces the original output attributes
@@ -51,13 +54,38 @@ object TopKRewrite extends Rule[LogicalPlan] {
   }
 
   /** Ascending-comparable key expression for one sort order, or None if
-    * the direction/null combination isn't safely encodable. */
+    * the direction/null combination isn't safely encodable.
+    *
+    * Descending edge cases the naive (isnull, -x) encoding gets wrong:
+    *  - NaN is the LARGEST double in Spark's total order, so `x DESC`
+    *    ranks NaN rows first — but negate(NaN) is still NaN, which
+    *    sorts LAST ascending; rank an explicit !isnan flag ahead of
+    *    the negated value.
+    *  - UnaryMinus(Int/Long.MinValue) overflows (throws under ANSI,
+    *    Spark 4's default) — widen integrals before negating.
+    */
   private def ascKey(so: SortOrder): Option[Expression] = (so.direction, so.nullOrdering) match {
     case (Ascending, NullsFirst) => Some(so.child)
-    case (Descending, NullsLast) if so.child.dataType.isInstanceOf[NumericType] =>
-      // nulls last + descending == ascending on (isnull, -x)
-      Some(CreateStruct(Seq(
-        Cast(IsNull(so.child), IntegerType), UnaryMinus(so.child))))
+    case (Descending, NullsLast) =>
+      val nullFlag = Cast(IsNull(so.child), IntegerType)
+      so.child.dataType match {
+        case FloatType | DoubleType =>
+          // desc order: NaN, then finite desc, then nulls — ascending
+          // on (isnull, !isnan, -x); all-NaN ties are fine (-NaN = NaN
+          // compares equal to itself in the interpreted ordering)
+          Some(CreateStruct(Seq(nullFlag,
+            Cast(Not(IsNaN(so.child)), IntegerType), UnaryMinus(so.child))))
+        case ByteType | ShortType | IntegerType =>
+          Some(CreateStruct(Seq(nullFlag,
+            UnaryMinus(Cast(so.child, LongType)))))
+        case LongType =>
+          Some(CreateStruct(Seq(nullFlag,
+            UnaryMinus(Cast(so.child, DecimalType(20, 0))))))
+        case _: DecimalType =>
+          // decimal range is symmetric: negation never overflows
+          Some(CreateStruct(Seq(nullFlag, UnaryMinus(so.child))))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -81,7 +109,10 @@ object TopKRewrite extends Rule[LogicalPlan] {
           if (ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
         }
       (limitOf(cond, rnAttr), keysOpt) match {
-        case (Some(k), Some(keys)) if k > 0 =>
+        // k bounded: the heap holds k JVM pairs per group inside the
+        // hash-aggregate buffer with no content spilling — past
+        // MaxHeapK the spillable window sort is the safer plan
+        case (Some(k), Some(keys)) if k > 0 && k <= TopK.MaxHeapK =>
           val sortKey = if (keys.length == 1) keys.head else CreateStruct(keys)
           val payload = CreateStruct(innerChild.output)
           val agg = TopKAgg(sortKey, payload, k).toAggregateExpression()
