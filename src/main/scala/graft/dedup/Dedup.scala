@@ -167,6 +167,63 @@ object Dedup {
     labels.withColumnRenamed("lbl", "cluster")
   }
 
+  /** Blocked n-gram Jaccard near-dup with BOUNDED fan-out — the scale-safe
+    * form of "all pairs within a block":
+    *
+    *  1. shingles exceeding `maxDf` documents within their block are
+    *     dropped (stop-shingle cap: boilerplate n-grams contribute no
+    *     dedup signal but all the quadratic pairs);
+    *  2. candidate pairs come ONLY from co-shingle collisions (the
+    *     explode + equi-join — a pair sharing zero shingles has
+    *     jaccard 0 and is never enumerated);
+    *  3. each doc keeps its `perDocK` best candidates (jaccard desc,
+    *     id tie-break) via the bounded-heap [[graft.operators.TopKAgg]].
+    *
+    * Total pair work is Σ_sh df(sh)² ≤ maxDf × (total shingle rows) —
+    * LINEAR in the corpus for constant maxDf, regardless of how hot a
+    * (lang, source) block gets; output ≤ docs × perDocK. Jaccard is
+    * exact over the FILTERED shingle sets (both sides of the driver's
+    * DuckDB oracle apply the same cap, so the contract is still
+    * hash-checkable).
+    *
+    * Output: block cols + id_a, id_b, n_inter, n_a, n_b, jaccard,
+    * cand_rank (1..perDocK per id_a).
+    */
+  def blockedNgramNearDup(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], shingleN: Int,
+                          maxDf: Int, perDocK: Int): DataFrame = {
+    val bc = blockCols.map(col)
+    val ex = docs
+      .select((bc :+ col(idCol).as("doc_id")) :+
+        TextOps.tokens(col(textCol)).as("__toks"): _*)
+      .select((bc :+ col("doc_id")) :+
+        explode(TextOps.shingles(col("__toks"), shingleN)).as("sh"): _*)
+    val dfreq = ex.groupBy(bc :+ col("sh"): _*).agg(count(lit(1)).as("__df"))
+    // persisted: feeds sizes + both sides of the co-shingle join, and
+    // Catalyst does not CSE identical subplans across self-joins
+    val fx = ex.join(dfreq.filter(col("__df") <= maxDf), blockCols :+ "sh")
+      .drop("__df").persist()
+    val sizes = fx.groupBy(bc :+ col("doc_id"): _*).agg(count(lit(1)).as("__n"))
+    val inter = fx
+      .join(fx.select((bc :+ col("doc_id").as("id_b")) :+ col("sh"): _*),
+        blockCols :+ "sh")
+      .filter(col("doc_id") < col("id_b"))
+      .groupBy((bc :+ col("doc_id")) :+ col("id_b"): _*)
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumnRenamed("doc_id", "id_a")
+    val scored = inter
+      .join(sizes.select((bc :+ col("doc_id").as("id_a")) :+ col("__n").as("n_a"): _*),
+        blockCols :+ "id_a")
+      .join(sizes.select((bc :+ col("doc_id").as("id_b")) :+ col("__n").as("n_b"): _*),
+        blockCols :+ "id_b")
+      .withColumn("jaccard", col("n_inter").cast("double")
+        / nullif(col("n_a") + col("n_b") - col("n_inter"), lit(0L)))
+    // per-doc candidate cap: bounded heap, never a full window sort
+    graft.operators.TopK.perKey(scored, Seq("id_a"),
+      Seq(graft.operators.TopK.descNullsLast(col("jaccard")), col("id_b")),
+      perDocK, "cand_rank")
+  }
+
   /** 32-bit SimHash per doc over token frequencies: bit b is set when the
     * count-weighted sum of (2·bit_b(hash(token)) − 1) is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -42,17 +42,40 @@ object TopK {
   def ascNullsLast(c: Column): Column =
     struct(c.isNull.cast("int"), c)
 
+  /** Schema-aware descending nulls-last key: dispatches on the column's
+    * actual type so callers don't have to pick between [[descNullsLast]]
+    * (floats: NaN flag) and [[descNullsLastIntegral]] (longs: widen
+    * before negating — `negate(MinValue)` overflows and throws under
+    * ANSI, Spark 4's default). Decimals negate directly (their range is
+    * symmetric). */
+  def descNullsLastFor(df: DataFrame, colName: String): Column = {
+    import org.apache.spark.sql.types._
+    val c = col(colName)
+    df.schema(colName).dataType match {
+      case FloatType | DoubleType => descNullsLast(c)
+      case ByteType | ShortType | IntegerType =>
+        struct(c.isNull.cast("int"), negate(c.cast("long")))
+      case LongType => descNullsLastIntegral(c)
+      case _: DecimalType => struct(c.isNull.cast("int"), negate(c))
+      case dt => throw new IllegalArgumentException(
+        s"descNullsLastFor: no descending encoding for $colName: $dt")
+    }
+  }
+
   def perKey(df: DataFrame, keyCols: Seq[String], sortAsc: Seq[Column], k: Int,
              rankCol: String = "rank"): DataFrame = {
     if (k > MaxHeapK) {
-      // window form: the sort spills, the heap buffer would not
+      // window form: the sort spills, the heap buffer would not. The
+      // window is evaluated over the FULL df (sortAsc may legitimately
+      // reference an existing rankCol, which the heap path also sees);
+      // the old rankCol is dropped only in the final projection.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(sortAsc: _*)
       val keep = df.columns.filterNot(_ == rankCol)
-      df.select(keep.map(col): _*)
-        .withColumn(rankCol, row_number().over(w))
-        .filter(col(rankCol) <= k)
-        .select((col(rankCol) +: keep.map(col)): _*)
+      val tmp = "__graft_win_rank"
+      df.withColumn(tmp, row_number().over(w))
+        .filter(col(tmp) <= k)
+        .select((col(tmp).as(rankCol) +: keep.map(col)): _*)
     } else {
       // like withColumn(rankCol, row_number...), an existing rankCol is
       // replaced, not duplicated

@@ -44,9 +44,13 @@ case class EwmMacdPlan(child: LogicalPlan, partCols: Seq[String],
 
   override def output: Seq[Attribute] = child.output ++ macdAttrs
   // valueCol must BE DoubleType: doExecute reads it via getDouble (cf.
-  // EwmPlan — a reinterpreted long would be silent garbage)
+  // EwmPlan — a reinterpreted long would be silent garbage). Names must
+  // be UNIQUE in the child: binding is by name, and a duplicate (e.g.
+  // after a self-join) would silently bind the wrong attribute —
+  // refusing to resolve makes the analyzer fail loudly instead.
+  private def uniquely(n: String): Boolean = child.output.count(_.name == n) == 1
   override lazy val resolved: Boolean = childrenResolved &&
-    (partCols ++ ordCols).forall(n => child.output.exists(_.name == n)) &&
+    (partCols ++ ordCols).forall(uniquely) && uniquely(valueCol) &&
     child.output.exists(a => a.name == valueCol && a.dataType == DoubleType)
 
   // The key/order/value columns are consumed by name inside doExecute —
@@ -89,9 +93,11 @@ case class EwmMacdExec(partCols: Seq[String], ordCols: Seq[String],
 
   override def output: Seq[Attribute] = child.output ++ macdAttrs
 
-  private def attr(n: String): Attribute =
-    child.output.find(_.name == n).getOrElse(
-      throw new IllegalStateException(s"EwmMacdExec: column $n not in child"))
+  private def attr(n: String): Attribute = child.output.filter(_.name == n) match {
+    case Seq(a) => a
+    case ms => throw new IllegalStateException(
+      s"EwmMacdExec: expected exactly one column named $n in child, found ${ms.length}")
+  }
 
   // one hash exchange on the keys + one in-partition sort, both planned
   // by Catalyst and SHARED with any same-keyed downstream window

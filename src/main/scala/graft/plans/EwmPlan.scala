@@ -35,10 +35,14 @@ case class EwmPlan(child: LogicalPlan, partCols: Seq[String],
   override def output: Seq[Attribute] = child.output ++ attrs
   // value columns must BE DoubleType (not merely castable): doExecute
   // reads the raw 8-byte slot via getDouble — a long reinterpreted as
-  // IEEE bits would be silent garbage, so refuse to resolve instead
+  // IEEE bits would be silent garbage, so refuse to resolve instead.
+  // Names must be UNIQUE in the child: columns are bound by name, and a
+  // duplicate (e.g. after a self-join) would silently bind the wrong
+  // attribute — refusing to resolve makes the analyzer fail loudly.
+  private def uniquely(n: String): Boolean = child.output.count(_.name == n) == 1
   override lazy val resolved: Boolean = childrenResolved &&
-    (partCols ++ ordCols).forall(n => child.output.exists(_.name == n)) &&
-    specs.forall(s => child.output.exists(a =>
+    (partCols ++ ordCols).forall(uniquely) &&
+    specs.forall(s => uniquely(s._1) && child.output.exists(a =>
       a.name == s._1 && a.dataType == DoubleType))
 
   override def references: AttributeSet = AttributeSet(
@@ -72,9 +76,11 @@ case class EwmExec(partCols: Seq[String], ordCols: Seq[String],
 
   override def output: Seq[Attribute] = child.output ++ ewmAttrs
 
-  private def attr(n: String): Attribute =
-    child.output.find(_.name == n).getOrElse(
-      throw new IllegalStateException(s"EwmExec: column $n not in child"))
+  private def attr(n: String): Attribute = child.output.filter(_.name == n) match {
+    case Seq(a) => a
+    case ms => throw new IllegalStateException(
+      s"EwmExec: expected exactly one column named $n in child, found ${ms.length}")
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(partCols.map(attr)))

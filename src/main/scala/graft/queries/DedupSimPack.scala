@@ -251,39 +251,21 @@ object DedupSimPack extends QueryPack {
              |                         ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY id""".stripMargin)),
 
-    // Blocked n-gram Jaccard: pairs generated only inside (lang, source)
-    // blocks — bounded block sizes make the pair count linear-ish.
+    // Blocked n-gram Jaccard near-dup, BOUNDED fan-out (Dedup.
+    // blockedNgramNearDup): stop-shingle df cap (>64 docs/block) +
+    // candidates only from co-shingle collisions + per-doc top-5 via the
+    // bounded heap. Pair work ≤ maxDf × shingle rows (linear), output
+    // ≤ docs × 5 — no block size can go quadratic. Ranking key is the
+    // raw int-ratio jaccard (bit-identical across engines) with id_b
+    // tie-break, so the oracle's row_number reproduces cand_rank.
     Q("d4_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
-        // Intersection sizes via explode + equi-join on the shingle key,
-        // NOT per-pair array_intersect: the all-pairs frame is only the
-        // pair ENUMERATION (output-mandated); the set-overlap work
-        // shuffles linearly in total shingles instead of costing
-        // |pairs| × |array| hash builds per row (~2s saved at sf0.1, and
-        // the gap widens with block size).
-        val docs = Tables.documents(s, dir)
-          .select($"doc_id", $"lang", $"source", TextOps.tokens($"text").as("__toks"))
-          .select($"doc_id", $"lang", $"source",
-            TextOps.shingles($"__toks", ShingleN).as("shs"))
-          .persist()
-        val a = docs.select($"lang", $"source", $"doc_id".as("id_a"),
-          size($"shs").as("n_a"))
-        val b = docs.select($"lang", $"source", $"doc_id".as("id_b"),
-          size($"shs").as("n_b"))
-        val pairs = a.join(b, Seq("lang", "source")).filter($"id_a" < $"id_b")
-        val ex = docs.select($"lang", $"source", $"doc_id", explode($"shs").as("sh"))
-        val inter = ex.join(
-            ex.select($"lang", $"source", $"doc_id".as("id_b"), $"sh"),
-            Seq("lang", "source", "sh"))
-          .filter($"doc_id" < $"id_b")
-          .groupBy($"lang", $"source", $"doc_id".as("id_a"), $"id_b")
-          .agg(count(lit(1)).as("n_inter"))
-        pairs.join(inter, Seq("lang", "source", "id_a", "id_b"), "left")
-          .na.fill(0L, Seq("n_inter"))
-          .withColumn("n_union", $"n_a" + $"n_b" - $"n_inter")
+        Dedup.blockedNgramNearDup(Tables.documents(s, dir), "doc_id", "text",
+            Seq("lang", "source"), ShingleN, maxDf = 64, perDocK = 5)
           .select($"lang", $"source", $"id_a", $"id_b",
-            r6($"n_inter".cast("double") / nullif($"n_union", lit(0))).as("jaccard"))
+            $"n_inter", $"n_a", $"n_b",
+            r6($"jaccard").as("jaccard"), $"cand_rank")
       },
       Some("""WITH d AS (SELECT doc_id, lang, source,
              |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
@@ -292,28 +274,50 @@ object DedupSimPack extends QueryPack {
              |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
              |                          for i in range(1, len(ts) - 1)])
              |      ELSE [] END AS shs
-             |  FROM d)
-             |SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
-             |  round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-             |        / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
-             |        + 1e-9, 6) AS jaccard
-             |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
-             |  AND a.doc_id < b.doc_id""".stripMargin)),
+             |  FROM d),
+             |ex AS (SELECT doc_id, lang, source, unnest(shs) AS sh FROM s),
+             |dfq AS (SELECT lang, source, sh, count(*) AS dfreq
+             |        FROM ex GROUP BY 1, 2, 3),
+             |fx AS (SELECT ex.* FROM ex
+             |       JOIN dfq ON dfq.lang = ex.lang AND dfq.source = ex.source
+             |               AND dfq.sh = ex.sh
+             |       WHERE dfq.dfreq <= 64),
+             |sz AS (SELECT doc_id, lang, source, count(*) AS n
+             |       FROM fx GROUP BY 1, 2, 3),
+             |inter AS (
+             |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS n_inter
+             |  FROM fx a JOIN fx b
+             |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |j AS (
+             |  SELECT i.lang, i.source, i.id_a, i.id_b, i.n_inter,
+             |    za.n AS n_a, zb.n AS n_b,
+             |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jac
+             |  FROM inter i
+             |  JOIN sz za ON za.doc_id = i.id_a
+             |  JOIN sz zb ON zb.doc_id = i.id_b),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY id_a
+             |    ORDER BY jac DESC, id_b) AS cand_rank
+             |  FROM j)
+             |SELECT lang, source, id_a, id_b, n_inter, n_a, n_b,
+             |  round(jac + 1e-9, 6) AS jaccard, cand_rank
+             |FROM rk WHERE cand_rank <= 5""".stripMargin)),
 
-    // Embedding near-dup: top-20 most-cosine-similar pairs, blocked by
-    // label (the IVF-partition shape: pairs only within a cell).
+    // Embedding near-dup: top-20 most-cosine-similar CANDIDATE pairs —
+    // candidates only from (label, sign-bucket) cells with Hamming-1
+    // multi-probe (Similarity.nearDupPairs), never a label-blocked
+    // all-pairs join; global top-20 via TakeOrderedAndProject.
     Q("d5_embedding_neardup",
       (s, dir) => {
         import s.implicits._
-        val e = Similarity.withNormalized(
-          Tables.embeddings(s, dir)
-            .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v")),
-          "v", "nv")
-        val a = e.select($"label", $"vec_id".as("id_a"), $"nv".as("va"))
-        val b = e.select($"label", $"vec_id".as("id_b"), $"nv".as("vb"))
-        a.join(b, Seq("label")).filter($"id_a" < $"id_b")
-          .withColumn("cos", r6(Similarity.dot($"va", $"vb")))
-          .select($"label", $"id_a", $"id_b", $"cos")
+        Similarity.nearDupPairs(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v")),
+            "label", "vec_id", "v", nBits = 4)
+          .withColumn("cos", r6($"cos"))
           .orderBy(desc("cos"), $"id_a", $"id_b")
           .limit(20)
       },
@@ -324,14 +328,24 @@ object DedupSimPack extends QueryPack {
              |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
              |      (acc, x) -> acc + x)) AS nrm
              |  FROM e),
-             |nv AS (SELECT vec_id, label,
-             |    list_transform(v, x -> x / nrm) AS nv FROM nm),
+             |bk AS (SELECT vec_id, label,
+             |    list_transform(v, x -> x / nrm) AS nv,
+             |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) +
+             |    (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             |  FROM nm),
+             |q AS (SELECT vec_id, label, nv,
+             |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+             |            xor(bucket, 4), xor(bucket, 8)]) AS probe
+             |  FROM bk),
              |p AS (
              |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
              |    round(list_reduce(list_prepend(0.0,
              |        list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * b.nv[i])),
              |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
-             |  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |  FROM q a JOIN bk b ON a.label = b.label AND a.probe = b.bucket
+             |    AND a.vec_id < b.vec_id)
              |SELECT label, id_a, id_b, cos FROM p
              |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
@@ -369,50 +383,21 @@ object DedupSimPack extends QueryPack {
              |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
              |FROM rk WHERE rank <= 5""".stripMargin)),
 
-    // IVF ANN: coarse quantizer = KMeans centroids (seed 42); each query
-    // probes its nprobe=2 NEAREST cells (the standard IVF recall knob —
-    // single-cell probing recalls ~0.34 on these near-isotropic
-    // embeddings, 2 cells ~2×). Centroids not SQL-reproducible →
-    // rows-only check; recall floor asserted in AnnRecallSpec vs s1.
+    // IVF ANN (graft.sim.IvfAnn): coarse quantizer = KMeans centroids
+    // (seed 42); each query probes its nprobe NEAREST cells — the
+    // standard IVF recall knob (1 cell recalls ~0.34 on these
+    // near-isotropic embeddings, 2 ≈ 2×, 3 ≥ 0.6 — AnnRecallSpec
+    // asserts both floors). Centroids not SQL-reproducible → rows-only
+    // check.
     Q("s3_ann_ivf",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.ml.functions.array_to_vector
-        val e = Tables.embeddings(s, dir)
-          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-          .withColumn("features", array_to_vector($"v"))
-        // Single-partition fit input (cf. MlPack.kmeans5): the embedding
-        // corpus is head-sized and every Lloyd iteration is one job —
-        // one task per iteration beats 32 near-empty task launches. The
-        // quantizer SAMPLE would be similarly bounded at real scale.
-        val fitInput = e.coalesce(1).persist()
-        val km = new org.apache.spark.ml.clustering.KMeans()
-          .setK(8).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
-        val model = km.fit(fitInput)
-        fitInput.unpersist()
-        val binned = model.transform(e).drop("features")
-        // nprobe=2: rank all centroids per query by L2 distance, keep 2.
-        val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.toSeq)
-        }.toSeq.toDF("cell", "center")
-        val qBase = binned.filter($"vec_id" < 10)
-          .select($"vec_id".as("query_id"), $"v".as("qv"))
-        val wc = Window.partitionBy($"query_id").orderBy($"cdist", $"cell")
-        val probes = qBase.crossJoin(broadcast(centers))
-          .withColumn("cdist", aggregate(
-            zip_with($"qv", $"center", (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
-          .withColumn("crank", row_number().over(wc))
-          .filter($"crank" <= 2)
-          .select($"query_id", $"qv", $"cell")
-        val scored = binned.join(broadcast(probes), Seq("cell"))
-          .filter($"query_id" =!= $"vec_id")
-          .withColumn("cos", graft.sim.Similarity.cosine($"qv", $"v"))
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"cos".desc, $"vec_id")
-        scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-          .select($"query_id", $"cell", $"vec_id".as("corpus_id"),
-            r6($"cos").as("cos"), $"rank")
+        graft.sim.IvfAnn.topK(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", queryPred = col("vec_id") < 10,
+            k = 5, nCells = 8, nprobe = 2)
+          .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"), $"rank")
       },
       None),
 

@@ -352,6 +352,88 @@ object IndicatorPack extends QueryPack {
              |  FROM f3)
              |SELECT regime, count(*) AS n FROM r GROUP BY regime""".stripMargin)),
 
+    // W13: regime-transition flags (short_term.py:107-111) over the
+    // 5-class labels: volatility-increase = target regime contains
+    // "volatile"; trend-change = bull↔bear cross either direction.
+    // Flags cast to int on both sides (stable across the driver's
+    // arrow/duckdb type coercion).
+    Q("w13_flags",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val base = ev(s, dir)
+          .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
+        val labeled = Regimes.shortTermFeatures(base, "value", "volume", w)
+          .withColumn("regime", Regimes.shortTermRegime())
+        val trans = graft.regimes.Transitions.transitions(
+          labeled, Seq("user_id"), "t", "event_id", "regime",
+          (start, end) => r6((end - start) / lit(3600e6)))
+        graft.regimes.Transitions.withFlags(trans)
+          .select($"user_id", $"from_label", $"to_label",
+            $"start_time", $"end_time", $"duration",
+            $"is_volatility_increase".cast("int").as("is_volatility_increase"),
+            $"is_trend_change".cast("int").as("is_trend_change"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+             |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume
+             |  FROM events),
+             |f1 AS (
+             |  SELECT *, value / lag(value, 1) OVER w - 1 AS hourly_returns,
+             |    value / lag(value, 24) OVER w - 1 AS daily_returns
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |f2 AS (
+             |  SELECT *,
+             |    CASE WHEN count(hourly_returns) OVER w24 >= 24
+             |         THEN stddev_samp(hourly_returns) OVER w24 * sqrt(24.0) END AS volatility,
+             |    sign(daily_returns) AS trend_direction
+             |  FROM f1 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+             |f3 AS (
+             |  SELECT *,
+             |    CASE WHEN count(trend_direction) OVER w24 >= 24
+             |         THEN abs(avg(trend_direction) OVER w24) END AS trend_strength
+             |  FROM f2 WINDOW w24 AS (PARTITION BY user_id ORDER BY t, event_id
+             |                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+             |r AS (
+             |  SELECT user_id, event_id, t, CASE
+             |    WHEN (daily_returns > 0.01 AND trend_strength > 0.6)
+             |         AND NOT coalesce(volatility > 0.02, false) THEN 'stable_bull'
+             |    WHEN (daily_returns > 0.01 AND trend_strength > 0.6)
+             |         AND coalesce(volatility > 0.02, false) THEN 'volatile_bull'
+             |    WHEN (daily_returns < -0.01 AND trend_strength > 0.6)
+             |         AND NOT coalesce(volatility > 0.02, false) THEN 'stable_bear'
+             |    WHEN (daily_returns < -0.01 AND trend_strength > 0.6)
+             |         AND coalesce(volatility > 0.02, false) THEN 'volatile_bear'
+             |    ELSE 'consolidation' END AS regime
+             |  FROM f3),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(regime) OVER w IS NULL
+             |                   OR regime <> lag(regime) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |g AS (
+             |  SELECT user_id, island, regime AS from_label, min(t) AS start_ord
+             |  FROM i GROUP BY user_id, island, regime),
+             |x AS (
+             |  SELECT user_id, from_label, start_ord,
+             |    lead(from_label) OVER w2 AS to_label,
+             |    lead(start_ord) OVER w2 AS end_time
+             |  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY island))
+             |SELECT user_id, from_label, to_label,
+             |  start_ord AS start_time, end_time,
+             |  round((end_time - start_time) / 3600e6 + 1e-9, 6) AS duration,
+             |  CASE WHEN contains(to_label, 'volatile') THEN 1 ELSE 0 END
+             |    AS is_volatility_increase,
+             |  CASE WHEN (contains(from_label, 'bull') AND contains(to_label, 'bear'))
+             |         OR (contains(from_label, 'bear') AND contains(to_label, 'bull'))
+             |       THEN 1 ELSE 0 END AS is_trend_change
+             |FROM x WHERE to_label IS NOT NULL""".stripMargin)),
+
     // G13: detector confidence metrics per key (short_term.py:73-78).
     Q("g13_confidence",
       (s, dir) => {

@@ -94,6 +94,33 @@ object PanelPack extends QueryPack {
               |        / stddev_pop(value) OVER (PARTITION BY user_id) + 1e-9, 4) AS z
               |FROM e""".stripMargin)),
 
+    // G11: mean imputation (`features.fillna(features.mean())`,
+    // market_analysis.py:285) — one agg + broadcast fill, no window and
+    // no shuffle of the fact table. Nulls injected deterministically
+    // (event_id % 17) since the raw panel has none.
+    Q("g11_impute",
+      (s, dir) => {
+        import s.implicits._
+        val masked = ev(s, dir)
+          .select($"user_id", $"event_id", $"t",
+            when($"event_id" % 17 === 0, lit(null).cast("double"))
+              .otherwise($"value").as("v_masked"))
+        Analytics.imputeMean(masked, Seq("v_masked"))
+          .select($"user_id", $"event_id", $"t",
+            r6($"v_masked").as("v_imputed"),
+            ($"event_id" % 17 === 0).cast("int").as("was_null"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+              |m AS (
+              |  SELECT user_id, event_id, t,
+              |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v_masked
+              |  FROM e),
+              |a AS (SELECT avg(v_masked) AS mv FROM m)
+              |SELECT user_id, event_id, t,
+              |  round(coalesce(v_masked, mv) + 1e-9, 6) AS v_imputed,
+              |  CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS was_null
+              |FROM m, a""".stripMargin)),
+
     // J3: long→wide pivot (market_analysis.py:76-87 regime pivot shape).
     Q("j3_pivot",
       (s, dir) => {

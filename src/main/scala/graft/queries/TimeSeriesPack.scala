@@ -249,7 +249,9 @@ object TimeSeriesPack extends QueryPack {
     // Gap-based session windows (engine completeness; streaming-ready —
     // `session_window` works identically under Structured Streaming):
     // a session closes after 30 min of inactivity per user. Oracle =
-    // the gaps-and-islands rewrite on inter-event gaps.
+    // the gaps-and-islands rewrite on inter-event gaps — with `>=`:
+    // Spark's session_window is half-open [t, t+gap), so an event
+    // landing EXACTLY on the 30:00 boundary starts a new session.
     Q("w19_session_windows",
       (s, dir) => {
         import s.implicits._
@@ -262,7 +264,7 @@ object TimeSeriesPack extends QueryPack {
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
              |g AS (
              |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
-             |                   OR t - lag(t) OVER w > 1800000000
+             |                   OR t - lag(t) OVER w >= 1800000000
              |            THEN 1 ELSE 0 END AS new_session
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
              |sids AS (
@@ -298,7 +300,7 @@ object TimeSeriesPack extends QueryPack {
              |          FROM events),
              |g AS (
              |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
-             |                   OR t - lag(t) OVER w > 1800000000
+             |                   OR t - lag(t) OVER w >= 1800000000
              |            THEN 1 ELSE 0 END AS new_session
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
              |sids AS (
@@ -346,7 +348,7 @@ object TimeSeriesPack extends QueryPack {
              |          WHERE user_id < 10),
              |g AS (
              |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
-             |                   OR t - lag(t) OVER w > 1800000000
+             |                   OR t - lag(t) OVER w >= 1800000000
              |            THEN 1 ELSE 0 END AS new_session
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
              |sids AS (

@@ -74,6 +74,42 @@ object Similarity {
       when(element_at(vec, i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Embedding near-dup candidate pairs with BOUNDED fan-out: pairs are
+    * enumerated only inside (label, sign-bucket) cells, with Hamming-1
+    * multi-probe on the pair's lower-id side (a near-identical vector
+    * pair differs in at most ~1 boundary sign bit, and both engines of
+    * the oracle apply the same bucketing, so the contract stays
+    * hash-checkable). Replaces the label-blocked ALL-pairs join: a hot
+    * label's pair count drops from |label|² to Σ_cell |cell|²×(nBits+1),
+    * and nBits scales with the corpus (cells ≈ corpus / target cell
+    * size) — the same knob an IVF index turns.
+    *
+    * Each unordered pair appears EXACTLY once: the probe list of the
+    * lower id contains nBits+1 distinct buckets, so at most one matches
+    * the higher id's bucket, and `id_a < id_b` kills the mirror row.
+    *
+    * Output: (label, id_a, id_b, cos) for every candidate pair — feed a
+    * threshold filter or a global top-N (TakeOrderedAndProject) next. */
+  def nearDupPairs(df: DataFrame, labelCol: String, idCol: String,
+                   vecCol: String, nBits: Int): DataFrame = {
+    // persisted: probe side + corpus side of the self-join below
+    val e = withNormalized(df, vecCol, "__nv")
+      .select(col(labelCol).as("label"), col(idCol).as("__id"), col("__nv"),
+        signBucket(col(vecCol), nBits).as("__b0"))
+      .persist()
+    val a = e
+      .withColumn("__probe", explode(array(col("__b0") +: (0 until nBits).map(i =>
+        col("__b0").bitwiseXOR(lit(1 << i))): _*)))
+      .select(col("label"), col("__id").as("id_a"), col("__nv").as("__va"),
+        col("__probe"))
+    val b = e.select(col("label"), col("__id").as("id_b"),
+      col("__nv").as("__vb"), col("__b0").as("__probe"))
+    a.join(b, Seq("label", "__probe"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("__va"), col("__vb")))
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** ANN top-k: candidates restricted to the query's sign bucket —
     * plus, with `probeHamming1`, every bucket one bit-flip away
     * (standard multi-probe LSH: recall rises from scanning (nBits+1)/2^nBits

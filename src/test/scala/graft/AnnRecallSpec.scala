@@ -27,4 +27,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lshRecall >= 0.4, s"LSH recall@5 = $lshRecall")
     assert(ivfRecall >= 0.4, s"IVF recall@5 = $ivfRecall")
   }
+
+  test("the IVF nprobe knob raises recall@5 to >= 0.6 at nprobe=3") {
+    import org.apache.spark.sql.functions.col
+    val exact = pairs("s1_cosine_topk")
+    assert(exact.nonEmpty)
+    val e = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ivf3 = graft.sim.IvfAnn.topK(e, "vec_id", "v",
+        queryPred = col("vec_id") < 10, k = 5, nCells = 8, nprobe = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf3).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF nprobe=3 recall@5 = $recall")
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** The two near-dup candidate generators must stay BOUNDED on skewed
+  * inputs — the 100 TB failure mode is one hot block (`en ×
+  * commoncrawl`) whose all-pairs enumeration goes quadratic. d4's
+  * generator caps shingle document-frequency and per-doc candidates;
+  * d5's buckets pairs by (label, sign-LSH cell). Both are also checked
+  * for RESULT correctness against a brute-force reference on the same
+  * fixture. */
+class DedupFanoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val MaxDf = 5
+  private val K = 3
+
+  /** One hot block: every doc shares boilerplate with ALL others (df =
+    * #docs, above the cap); true near-dup signal lives in per-group
+    * phrases shared by 4 docs (df = 4, under the cap). */
+  private def skewedDocs(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val g = i / 4
+      val boiler = "common boilerplate header text present in every single document here"
+      val group = s"group $g special marker sequence alpha beta gamma delta"
+      val unique = s"unique tail $i content ${i * 7} filler ${i * 13}"
+      (i.toLong, "en", "cc", s"$boiler $group $unique")
+    }
+    rows.toDF("doc_id", "lang", "source", "text")
+  }
+
+  test("d4 generator: hot-block pair count bounded by docs × perDocK") {
+    val docs = skewedDocs(48)
+    val out = Dedup.blockedNgramNearDup(docs, "doc_id", "text",
+      Seq("lang", "source"), 3, MaxDf, K).persist()
+    val n = out.count()
+    assert(n <= 48 * K, s"fan-out $n exceeds docs × K = ${48 * K}")
+    assert(n > 0, "no candidates found at all")
+    // the boilerplate (df = 48 > MaxDf) must generate no cross-group
+    // pairs: every surviving pair lives inside one 4-doc group
+    val crossGroup = out.filter(($"id_a" / 4).cast("long") =!= ($"id_b" / 4).cast("long")).count()
+    assert(crossGroup == 0, s"$crossGroup pairs leaked across groups via hot shingles")
+    out.unpersist()
+  }
+
+  test("d4 generator: matches the brute-force top-k over capped shingle sets") {
+    val docs = skewedDocs(24)
+    val actual = Dedup.blockedNgramNearDup(docs, "doc_id", "text",
+        Seq("lang", "source"), 3, MaxDf, K)
+      .select($"id_a", $"id_b", $"n_inter", $"jaccard", $"cand_rank")
+      .orderBy($"id_a", $"cand_rank")
+      .as[(Long, Long, Long, Double, Int)].collect()
+    // brute force: all pairs over the df-capped distinct shingle sets
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val ts = t.trim.split("\\s+")
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val raw = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = raw.values.flatten.groupBy(identity).map { case (sh, xs) => sh -> xs.size }
+    val capped = raw.map { case (id, shs) => id -> shs.filter(df(_) <= MaxDf) }
+    val pairs = for {
+      a <- raw.keys.toSeq; b <- raw.keys.toSeq if a < b
+      inter = (capped(a) intersect capped(b)).size if inter > 0
+    } yield (a, b, inter.toLong,
+      inter.toDouble / (capped(a).size + capped(b).size - inter))
+    val expected = pairs.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      ps.sortBy(p => (-p._4, p._2)).take(K).zipWithIndex
+        .map { case ((a, b, i, j), r) => (a, b, i, j, r + 1) }
+    }.sortBy(p => (p._1, p._5))
+    assert(actual.map(t => (t._1, t._2, t._3, t._5)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3, t._5)),
+      s"actual=${actual.mkString(";")}\nexpected=${expected.mkString(";")}")
+    actual.zip(expected).foreach { case (a, e) =>
+      assert(math.abs(a._4 - e._4) < 1e-9, s"jaccard mismatch: $a vs $e")
+    }
+  }
+
+  test("d5 generator: bucketed pairs ≪ all-pairs, near-identical pair found") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextGaussian())
+    // 40 vectors, ONE label (the hot block); ids 0 and 1 near-identical
+    val rows = (0 until 40).map { i =>
+      val v =
+        if (i == 1) base.map(_ + 1e-4)
+        else if (i == 0) base
+        else Array.fill(8)(rnd.nextGaussian())
+      (i.toLong, "lab", v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "v")
+    val pairs = Similarity.nearDupPairs(df, "label", "vec_id", "v", nBits = 4)
+      .persist()
+    val n = pairs.count()
+    val allPairs = 40L * 39 / 2
+    assert(n < allPairs, s"bucketing produced the full all-pairs join ($n)")
+    // expected candidate volume: Σ_cell |cell|²-ish × probes — on random
+    // gaussians the 16 cells split ~uniformly, so well under half
+    assert(n < allPairs / 2, s"fan-out $n not meaningfully bounded vs $allPairs")
+    val top = pairs.orderBy(desc("cos")).limit(1)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].head()
+    assert(top._1 == 0L && top._2 == 1L && top._3 > 0.999,
+      s"near-identical pair not surfaced: $top")
+    pairs.unpersist()
+  }
+}

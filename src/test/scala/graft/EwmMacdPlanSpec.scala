@@ -41,6 +41,28 @@ class EwmMacdPlanSpec extends AnyFunSuite {
     assert(nExchange == 1, s"expected 1 exchange, got $nExchange:\n$plan")
   }
 
+  test("duplicate column names (self-join shape) fail loudly, never mis-bind") {
+    // both custom plans bind part/ord/value columns BY NAME — an
+    // ambiguous name after a self-join must refuse to resolve, not
+    // silently bind whichever attribute happens to come first
+    val dup = panel.select($"k", $"t", $"close", $"close") // two `close` attrs
+    val e1 = intercept[Exception] {
+      Ewm.ewmMacdNormalized(dup, Seq("k"), Seq("t"), "close").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("unresolved")
+      || e1.getMessage.contains("EwmMacd"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Ewm.ewmMean(dup, Seq("k"), Seq("t"), Seq(("close", 12.0, "e12"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("unresolved")
+      || e2.getMessage.contains("Ewm"), e2.getMessage)
+    // unambiguous frames still work (same shape, distinct names)
+    val ok = Ewm.ewmMacdNormalized(
+      panel.select($"k", $"t", $"close", $"close".as("close2")),
+      Seq("k"), Seq("t"), "close")
+    assert(ok.count() == 400)
+  }
+
   test("column pruning through the node keeps key/order/value columns") {
     val out = Ewm.ewmMacdNormalized(panel, Seq("k"), Seq("t"), "close")
       .select($"k", $"macd_hist") // drops close/volume downstream

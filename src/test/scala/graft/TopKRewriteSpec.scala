@@ -61,6 +61,57 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  test("desc rewrite ranks NaN first, like the window it replaces") {
+    val base = df.withColumn("score",
+      when($"id" % 13 === 0, lit(Double.NaN))
+        .when($"id" % 11 === 0, lit(null)).otherwise($"score"))
+    val w = Window.partitionBy($"key").orderBy($"score".desc, $"id")
+    val q = base.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_topk"))
+    // NaN is the largest double in Spark's total order: with >3 NaN
+    // rows per key, every top-3 row must be NaN
+    val actual = q.select($"key", $"id", $"rn", $"score")
+      .orderBy($"key", $"rn").collect()
+    assert(actual.nonEmpty && actual.forall(r => r.getDouble(3).isNaN), actual.mkString(","))
+    val expected = graft.operators.TopK.perKey(base, Seq("key"),
+        Seq(graft.operators.TopK.descNullsLast($"score"), $"id"), 3, "rn")
+      .select($"key", $"id", $"rn", $"score").orderBy($"key", $"rn").collect()
+    assert(actual.toSeq == expected.toSeq)
+  }
+
+  test("desc rewrite on LONG keys survives Long.MinValue under ANSI") {
+    // UnaryMinus(Long.MinValue) throws under ANSI — the rewrite must
+    // widen to decimal before negating, and still match the window
+    val base = Seq(("a", Long.MinValue, 1L), ("a", 5L, 2L),
+      ("a", Long.MaxValue, 3L), ("b", -7L, 4L), ("b", 0L, 5L))
+      .toDF("key", "v", "id").repartition(3)
+    val w = Window.partitionBy($"key").orderBy($"v".desc, $"id")
+    val q = base.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_topk"),
+      q.queryExecution.optimizedPlan.toString)
+    val rows = q.select($"key", $"v", $"rn").orderBy($"key", $"rn")
+      .as[(String, Long, Int)].collect()
+    assert(rows.toSeq == Seq(("a", Long.MaxValue, 1), ("a", 5L, 2),
+      ("b", 0L, 1), ("b", -7L, 2)))
+  }
+
+  test("desc rewrite on INT keys widens Int.MinValue") {
+    val base = Seq(("a", Int.MinValue, 1L), ("a", 5, 2L), ("a", Int.MaxValue, 3L))
+      .toDF("key", "v", "id").repartition(2)
+    val w = Window.partitionBy($"key").orderBy($"v".desc, $"id")
+    val q = base.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_topk"))
+    val rows = q.select($"v", $"rn").orderBy($"rn").as[(Int, Int)].collect()
+    assert(rows.toSeq == Seq((Int.MaxValue, 1), (5, 2)))
+  }
+
+  test("k above MaxHeapK is NOT rewritten (heap would not spill)") {
+    val w = Window.partitionBy($"key").orderBy($"score", $"id")
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= graft.operators.TopK.MaxHeapK + 1)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_topk"))
+  }
+
   test("unsupported shapes stay windows") {
     val w = Window.partitionBy($"key").orderBy($"score", $"id")
     // rank() is not row_number

@@ -112,6 +112,90 @@ class TopKSpec extends AnyFunSuite {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  test("descNullsLast ranks NaN first, finite desc, nulls last — like the window") {
+    // desc over doubles: NaN is the LARGEST value in Spark's total
+    // order (ranks first), nulls rank last — both edges that a bare
+    // negate(c) encoding gets wrong
+    val df = Seq(("a", Some(2.0), 1L), ("a", None, 2L),
+      ("a", Some(Double.NaN), 3L), ("a", Some(5.0), 4L),
+      ("a", Some(Double.NaN), 5L), ("a", Some(1.0), 6L))
+      .toDF("key", "score", "id")
+    val expected = viaWindow(df, Seq("key"), Seq($"score".desc, $"id"), 4)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    val actual = TopK.perKey(df, Seq("key"),
+        Seq(TopK.descNullsLast($"score"), $"id"), 4)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    assert(actual.toSeq == expected.toSeq)
+    assert(actual.map(_._1).toSeq == Seq(3L, 5L, 4L, 1L),
+      "NaN rows first (id tie-break), then finite desc; null row excluded")
+  }
+
+  test("descNullsLastIntegral orders Long.MinValue without ANSI overflow") {
+    // negate(Long.MinValue) overflows; under ANSI (Spark 4 default) it
+    // throws — the decimal widening must not
+    val df = Seq(("a", Some(Long.MinValue), 1L), ("a", Some(5L), 2L),
+      ("a", Some(Long.MaxValue), 3L), ("a", Option.empty[Long], 4L),
+      ("a", Some(0L), 5L)).toDF("key", "v", "id")
+    val expected = viaWindow(df, Seq("key"), Seq($"v".desc, $"id"), 5)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    val actual = TopK.perKey(df, Seq("key"),
+        Seq(TopK.descNullsLastIntegral($"v"), $"id"), 5)
+      .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+    assert(actual.toSeq == expected.toSeq)
+    assert(actual.map(_._1).toSeq == Seq(3L, 2L, 5L, 1L, 4L))
+  }
+
+  test("descNullsLastFor dispatches on schema: double, int, long, decimal") {
+    val df = Seq(
+      ("a", Some(Double.NaN), Some(Int.MinValue), Some(Long.MinValue), Some(BigDecimal(3)), 1L),
+      ("a", Some(2.0), Some(7), Some(5L), Some(BigDecimal(-9)), 2L),
+      ("a", None, None, None, None, 3L),
+      ("a", Some(9.0), Some(Int.MaxValue), Some(Long.MaxValue), Some(BigDecimal(11)), 4L))
+      .toDF("key", "d", "i", "l", "dec", "id")
+    for (c <- Seq("d", "i", "l", "dec")) {
+      val expected = viaWindow(df, Seq("key"), Seq(col(c).desc, $"id"), 4)
+        .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+      val actual = TopK.perKey(df, Seq("key"),
+          Seq(TopK.descNullsLastFor(df, c), $"id"), 4)
+        .select($"id", $"rank").orderBy($"rank").as[(Long, Int)].collect()
+      assert(actual.toSeq == expected.toSeq, s"column $c")
+    }
+    intercept[IllegalArgumentException] { TopK.descNullsLastFor(df, "key") }
+  }
+
+  test("k above MaxHeapK falls back to the window form with identical shape") {
+    val rows = Seq.tabulate(6000)(i => (s"k${i % 2}", (i % 97).toDouble, i.toLong))
+    val df = rows.toDF("key", "score", "id").repartition(7)
+    val kBig = TopK.MaxHeapK + 100
+    val small = TopK.perKey(df, Seq("key"), Seq($"score", $"id"), 5)
+    val big = TopK.perKey(df, Seq("key"), Seq($"score", $"id"), kBig)
+    // same column order as the heap path — callers select positionally
+    assert(big.columns.toSeq == small.columns.toSeq)
+    val expected = viaWindow(df, Seq("key"), Seq($"score", $"id"), kBig)
+      .select($"key", $"score", $"id", $"rank")
+      .orderBy($"key", $"rank").collect()
+    val actual = big.select($"key", $"score", $"id", $"rank")
+      .orderBy($"key", $"rank").collect()
+    assert(actual.toSeq == expected.toSeq)
+    // the fallback plans the spillable window sort, not the heap agg
+    val plan = big.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("graft_topk"), plan)
+  }
+
+  test("fallback path accepts a sort expression over an existing rank column") {
+    // regression: the fallback used to drop the old rankCol BEFORE
+    // evaluating sortAsc, so a sort referencing it resolved on the heap
+    // path but threw AnalysisException past MaxHeapK
+    val df = Seq(("a", 3, 99), ("a", 1, 98), ("b", 2, 97)).toDF("key", "v", "rank")
+    val kBig = TopK.MaxHeapK + 1
+    val viaHeap = TopK.perKey(df, Seq("key"), Seq($"rank", $"v"), 2)
+      .select($"key", $"v", $"rank").orderBy($"key", $"rank").collect()
+    val viaFallback = TopK.perKey(df, Seq("key"), Seq($"rank", $"v"), kBig)
+      .select($"key", $"v", $"rank").orderBy($"key", $"rank").collect()
+    assert(viaFallback.toSeq == viaHeap.toSeq)
+  }
+
   test("string keys and multi-column payloads survive serialization") {
     val rows = Seq.tabulate(200)(i => (i % 5, s"name_$i", s"cat_${i % 3}", i * 1.5))
     val df = rows.toDF("key", "name", "cat", "v").repartition(8)
