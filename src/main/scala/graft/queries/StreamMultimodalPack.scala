@@ -202,6 +202,66 @@ object StreamMultimodalPack extends QueryPack {
       },
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // Streaming S4: the paged-ingest pattern (since-cursor paging +
+    // retry/backoff) as a custom DataSource-V2 MicroBatchStream
+    // ("graft-paged", streaming/PagedStreamSource.scala) — rate-limited
+    // to pagesPerBatch pages per symbol per trigger, with deterministic
+    // transient failures injected so the retry loop executes in the
+    // verified run. Hash-matched against the batch aggregate of the
+    // same rows.
+    Q("st7_stream_paged",
+      (s, dir) => {
+        import s.implicits._
+        // deterministic in-memory "API" over the events panel (5 symbols)
+        // — the provider stands where a production HTTP client would
+        val data = Tables.events(s, dir)
+          .filter($"user_id" < 5)
+          .select($"user_id".cast("string").as("symbol"),
+            unix_micros($"ts").as("t"), $"value",
+            get_json_object($"props", "$.k").cast("double").as("volume"),
+            $"event_id")
+          .collect()
+          .map(r => graft.io.PagedIngest.Candle(r.getString(0), r.getLong(1),
+            r.getDouble(2), r.getDouble(2), r.getDouble(2), r.getDouble(2),
+            if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+          .groupBy(_.symbol).map { case (k, v) => k -> v.sortBy(_.ts) }
+        val attempts = new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+        val key = s"events:$dir"
+        graft.streaming.PagedStreamApi.register(key, (sym, since, limit) => {
+          // every 5th cursor fails once — the source's retry must absorb it
+          val n = attempts.merge((sym, since), 1, (a, b) => a + b)
+          if (n == 1 && math.floorMod(sym.hashCode + since, 5) == 0)
+            throw new RuntimeException(s"injected transient failure $sym@$since")
+          val rest = data.getOrElse(sym, Array.empty[graft.io.PagedIngest.Candle])
+            .filter(_.ts >= since)
+          val page = rest.take(limit)
+          // ragged page: never split a same-ts tie group across pages
+          // (the cursor advances to last.ts + 1)
+          if (page.isEmpty) Seq.empty
+          else rest.takeWhile(_.ts <= page.last.ts).toSeq
+        })
+        val name = s"st7_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.format("graft-paged")
+          .option("provider", key)
+          .option("symbols", (0 until 5).map(_.toString).mkString(","))
+          .option("pageLimit", "200").option("pagesPerBatch", "2")
+          .load()
+        val agg = stream.groupBy($"symbol")
+          .agg(count(lit(1)).as("n"), Rx.r4(sum($"close")).as("sum_close"),
+            Rx.r4(sum($"volume")).as("sum_vol"),
+            min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS symbol, count(*) AS n,
+             |  round(sum(value) + 1e-9, 4) AS sum_close,
+             |  round(sum(coalesce(CAST(json_extract_string(props, '$.k')
+             |                          AS DOUBLE), 0.0)) + 1e-9, 4) AS sum_vol,
+             |  min(epoch_us(ts)) AS first_ts, max(epoch_us(ts)) AS last_ts
+             |FROM events WHERE user_id < 5 GROUP BY 1""".stripMargin)),
+
     // Multimodal plumbing: binary payload + metadata struct + batched
     // per-partition feature extraction (decode stubbed deterministically).
     Q("m1_multimodal",

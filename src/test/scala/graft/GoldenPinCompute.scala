@@ -72,7 +72,7 @@ object GoldenPinCompute {
       seqLen = 30, seed = 42L, maxIter = 15, hidden = 8)
     val m = result.metrics.select($"label", $"tp", $"fp", $"fn",
       round($"accuracy" + 1e-9, 4).as("acc")).orderBy($"label").collect()
-    m.foreach(r => println(s"PIN m9 ${r.getString(0)} tp=${r.getLong(1)} fp=${r.getLong(2)} fn=${r.getLong(3)} acc=${r.getDouble(4)}"))
+    m.foreach(r => println(s"PIN m9 ${r.get(0)} tp=${r.getLong(1)} fp=${r.getLong(2)} fn=${r.getLong(3)} acc=${r.getDouble(4)}"))
     spark.stop()
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cluster.Clustering
+
+/** Golden-value pins for the four rows-only queries' engines (m2 KMeans,
+  * m3 silhouette, m6 Louvain, m9 classifier). No second engine
+  * reproduces seeded KMeans/Louvain/MLP outputs, so the driver's oracle
+  * gate records them rows-only — these pins are the compensating
+  * regression net: exact expected values on frozen fixtures, computed
+  * once ([[GoldenPinCompute]]) and committed. A pin moving means the
+  * ALGORITHM changed, not the data. */
+class GoldenPinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def r4(x: Double): Double = math.round(x * 1e4) / 1e4
+  private def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  test("m2 pin: KMeans(3, seed 42) on the blob fixture — sizes and inertia") {
+    val df = GoldenPinCompute.blobs.toDF("x", "y").coalesce(1)
+    val (assigned, inertia, _) = Clustering.kmeansAssign(df, Seq("x", "y"), 3, 42L)
+    val sizes = assigned.groupBy($"cluster").count()
+      .select($"count").as[Long].collect().sorted.toSeq
+    assert(sizes == Seq(10L, 10L, 10L))
+    assert(r4(inertia) == 13.365, s"inertia drifted: $inertia")
+  }
+
+  test("m3 pin: exact (sklearn) and squared-Euclidean (Spark ML) silhouettes") {
+    val df = GoldenPinCompute.blobs.toDF("x", "y").coalesce(1)
+    val (assigned, _, _) = Clustering.kmeansAssign(df, Seq("x", "y"), 3, 42L)
+    val rows = assigned.select($"x", $"y", $"cluster").collect()
+    val exact = Clustering.silhouetteExact(
+      rows.map(r => Array(r.getDouble(0), r.getDouble(1))),
+      rows.map(_.getInt(2)))
+    val sq = Clustering.silhouette(assigned, Seq("x", "y"), "cluster")
+    assert(r6(exact) == 0.915226, s"exact silhouette drifted: $exact")
+    assert(r6(sq) == 0.990353, s"squared-variant silhouette drifted: $sq")
+  }
+
+  test("m6 pin: Louvain on the two-clique bridge graph — communities and Q") {
+    val (nodes, edges) = GoldenPinCompute.louvainGraph
+    val (comm, q) = Clustering.louvain(nodes, edges)
+    assert(comm.values.toSet.size == 2)
+    assert(comm.groupBy(_._2).map(_._2.size).toSeq.sorted == Seq(6, 6))
+    // both cliques must land whole: every clique node shares its
+    // community with node 0 / node 10 respectively
+    assert((0L to 5L).map(comm).toSet.size == 1)
+    assert((10L to 15L).map(comm).toSet.size == 1)
+    assert(r6(q) == 0.496678, s"modularity drifted: $q")
+  }
+
+  test("m9 pin: MLP classifier pipeline on the frozen sine series") {
+    val feats = graft.features.FeatureEngineering.prepare(
+      GoldenPinCompute.classifierFixture(spark), Seq("user_id"), Seq("t", "event_id"),
+      "value", "high", "low", "volume")
+    val result = graft.sequence.ClassifierPipeline.run(
+      feats, "user_id", "t", "event_id",
+      graft.features.FeatureEngineering.featureNames, "label",
+      labels = Seq("down", "flat", "up"),
+      seqLen = 30, seed = 42L, maxIter = 15, hidden = 8)
+    val m = result.metrics
+      .select($"label".cast("int"), $"tp", $"fp", $"fn",
+        round($"accuracy" + 1e-9, 4))
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(m == Seq(
+      (0, 22L, 0L, 0L, 0.9878),
+      (1, 16L, 1L, 0L, 0.9878),
+      (2, 43L, 0L, 1L, 0.9878)), s"classifier metrics drifted: $m")
+  }
+}

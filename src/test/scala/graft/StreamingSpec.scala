@@ -105,4 +105,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("paged source: rate-limited micro-batches, retry absorbs injected failures") {
+    import graft.io.PagedIngest.Candle
+    import graft.streaming.PagedStreamApi
+    // 2 symbols × 10 candles; pageLimit 3 + pagesPerBatch 1 forces ≥ 4
+    // micro-batches per symbol; every cursor's FIRST fetch fails
+    val data = (for (sym <- Seq("a", "b"); i <- 0 until 10)
+      yield Candle(sym, i * 1000L, 1, 2, 0, 10.0 + i, 100.0 + i))
+      .groupBy(_.symbol)
+    val attempts = new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+    PagedStreamApi.register("spec", (sym, since, limit) => {
+      val n = attempts.merge((sym, since), 1, (x, y) => x + y)
+      if (n == 1) throw new RuntimeException("flaky API")
+      data(sym).filter(_.ts >= since).take(limit).toSeq
+    })
+    val stream = spark.readStream.format("graft-paged")
+      .option("provider", "spec").option("symbols", "a,b")
+      .option("pageLimit", "3").option("pagesPerBatch", "1")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("paged_src_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("paged_src_test")
+      .select($"symbol", $"ts", $"close", $"volume")
+      .as[(String, Long, Double, Double)].collect().toSet
+    val want = data.values.flatten
+      .map(c => (c.symbol, c.ts, c.close, c.volume)).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // rate limit actually paced the ingest: 10 rows / 3-per-page ⇒ ≥ 4
+    // non-empty triggers (4 pages per symbol, one page per trigger)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 4, s"expected ≥ 4 paced micro-batches, saw $batches")
+  }
 }
