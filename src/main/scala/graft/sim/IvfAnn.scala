@@ -23,16 +23,23 @@ object IvfAnn {
     * candidate set.
     */
   def topK(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
-           k: Int, nCells: Int = 8, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+           k: Int, nCells: Int = 8, nprobe: Int = 2, seed: Long = 42L,
+           quantizerSampleSize: Int = 0): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
     import spark.implicits._
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    // Single-partition fit input (cf. MlPack.kmeans5): the quantizer
-    // SAMPLE is head-sized at any corpus scale and every Lloyd iteration
-    // is one job — one task per iteration beats 32 near-empty launches.
-    val fitInput = e.coalesce(1).persist()
+    // The quantizer fits on a BOUNDED deterministic sample (seeded
+    // hash-order + limit → TakeOrderedAndProject: a per-partition
+    // bounded heap, never a full sort or full-corpus materialization),
+    // then coalesce(1) (cf. MlPack.kmeans5): the sample is head-sized
+    // at any corpus scale and every Lloyd iteration is one job — one
+    // task per iteration beats 32 near-empty launches.
+    val sampleN =
+      if (quantizerSampleSize > 0) quantizerSampleSize
+      else math.max(256 * nCells, 2048)
+    val fitInput = quantizerFitInput(e, sampleN, seed).coalesce(1).persist()
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(fitInput)
@@ -61,4 +68,16 @@ object IvfAnn {
       .select(col("query_id"), col("cell"), col("vec_id").as("corpus_id"),
         col("cos"), col("rank"))
   }
+
+  /** Deterministic pseudo-random sample for the coarse-quantizer fit:
+    * order by a seeded hash of the id and take the first `sampleN`.
+    * Catalyst plans Sort+Limit as TakeOrderedAndProject — each input
+    * partition keeps a `sampleN`-bounded heap and the driver merges
+    * heaps — so the fit input is bounded regardless of corpus size,
+    * unbiased w.r.t. storage order, and reproducible under `seed`.
+    * Exposed for IvfQuantizerSpec's bound assertion.
+    */
+  private[graft] def quantizerFitInput(e: DataFrame, sampleN: Int,
+                                       seed: Long): DataFrame =
+    e.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id")).limit(sampleN)
 }

@@ -38,6 +38,17 @@ object GoldenPinCompute {
     rows.toDF("user_id", "t", "event_id", "value", "high", "low", "volume", "label")
   }
 
+  def ivfFixture(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    // 300 deterministic 8-dim gaussian embeddings, multi-partition so
+    // the sampled quantizer fit must be order-independent
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))
+    }
+    rows.toDF("vec_id", "v").repartition(4, col("vec_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkTestSession.spark
     import spark.implicits._
@@ -73,6 +84,15 @@ object GoldenPinCompute {
     val m = result.metrics.select($"label", $"tp", $"fp", $"fn",
       round($"accuracy" + 1e-9, 4).as("acc")).orderBy($"label").collect()
     m.foreach(r => println(s"PIN m9 ${r.get(0)} tp=${r.getLong(1)} fp=${r.getLong(2)} fn=${r.getLong(3)} acc=${r.getDouble(4)}"))
+
+    // s3 pin: IVF topK with the bounded sampled quantizer fit
+    val ivf = graft.sim.IvfAnn.topK(ivfFixture(spark), "vec_id", "v",
+        queryPred = col("vec_id") < 4, k = 3, nCells = 4, nprobe = 2,
+        seed = 42L, quantizerSampleSize = 64)
+      .select($"query_id", $"corpus_id", $"rank",
+        round($"cos" + 1e-9, 4).as("cos"))
+      .as[(Long, Long, Int, Double)].collect().sortBy(t => (t._1, t._3)).toSeq
+    println(s"PIN s3 $ivf")
     spark.stop()
   }
 }

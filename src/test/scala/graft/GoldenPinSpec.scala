@@ -69,4 +69,19 @@ class GoldenPinSpec extends AnyFunSuite {
       (1, 16L, 1L, 0L, 0.9878),
       (2, 43L, 0L, 1L, 0.9878)), s"classifier metrics drifted: $m")
   }
+
+  test("s3 pin: IVF topK with the bounded sampled quantizer fit (seed 42)") {
+    val out = graft.sim.IvfAnn.topK(GoldenPinCompute.ivfFixture(spark),
+        "vec_id", "v", queryPred = col("vec_id") < 4, k = 3, nCells = 4,
+        nprobe = 2, seed = 42L, quantizerSampleSize = 64)
+      .select($"query_id", $"corpus_id", $"rank",
+        round($"cos" + 1e-9, 4).as("cos"))
+      .as[(Long, Long, Int, Double)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(out == Seq(
+      (0L, 224L, 1, 0.7846), (0L, 33L, 2, 0.7406), (0L, 107L, 3, 0.7232),
+      (1L, 134L, 1, 0.8732), (1L, 117L, 2, 0.8358), (1L, 219L, 3, 0.768),
+      (2L, 283L, 1, 0.7158), (2L, 133L, 2, 0.7141), (2L, 83L, 3, 0.6898),
+      (3L, 151L, 1, 0.7924), (3L, 22L, 2, 0.6988), (3L, 216L, 3, 0.6679)),
+      s"IVF pin drifted: $out")
+  }
 }
