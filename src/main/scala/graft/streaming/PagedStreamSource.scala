@@ -25,10 +25,17 @@ import graft.io.PagedIngest.Candle
   * advance fetches at most `pagesPerBatch` pages per symbol — a
   * burst-free, deterministic admission budget per trigger.
   *
-  * Delivery model is the socket-source one: the driver advances per-
-  * symbol cursors and buffers fetched rows until `commit` (exactly-once
-  * within a run; a durable deployment re-points the same paging loop at
-  * a replayable log, which is an API property, not an engine one).
+  * Delivery model: the driver advances per-symbol cursors and buffers
+  * fetched rows until `commit`. The paging sequence is DETERMINISTIC
+  * given the provider — symbols are iterated in declared order and each
+  * pass admits at most `pagesPerBatch` pages per symbol — so a restart
+  * from a checkpoint re-derives any requested offset range by replaying
+  * passes from `startTs` ([[PagedMicroBatchStream.replayTo]]) and
+  * re-slicing. This makes recovery exactly-once when the provider is
+  * replay-stable (same pages for same (symbol, since, limit) — true of
+  * any since-cursor API over immutable history); if the provider cannot
+  * reproduce the range, `planInputPartitions` fails loudly rather than
+  * silently returning an empty batch.
   * The page function itself is pluggable through [[PagedStreamApi]] —
   * tests and the st7 query inject deterministic in-memory "APIs"
   * (including injected transient failures exercising the retry loop);
@@ -124,7 +131,11 @@ class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = PagedOffset(0L)
 
-  override def latestOffset(): Offset = synchronized {
+  /** One paging pass: at most `pagesPerBatch` pages per symbol, symbols
+    * in declared order. Both live ingest (`latestOffset`) and restart
+    * replay (`replayTo`) run this same loop, which is what makes the
+    * admitted row sequence a pure function of the provider. */
+  private def pagingPass(): Unit = {
     symbols.foreach { sym =>
       var pages = 0
       while (pages < pagesPerBatch && !exhausted.contains(sym)) {
@@ -137,13 +148,45 @@ class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
         pages += 1
       }
     }
+  }
+
+  override def latestOffset(): Offset = synchronized {
+    pagingPass()
     PagedOffset(admitted)
+  }
+
+  /** Restart recovery: a fresh instance has an empty buffer but the
+    * engine re-executes the last uncommitted batch by offset range.
+    * Re-run paging passes from the initial cursors until the requested
+    * end offset is buffered (or the provider is exhausted — then the
+    * caller fails loudly). */
+  private def replayTo(target: Long): Unit = {
+    while (admitted < target && !symbols.forall(exhausted.contains)) pagingPass()
+  }
+
+  /** Back to the initial cursors: the admitted sequence is a pure
+    * function of the provider, so any already-dropped range can be
+    * regenerated by paging again from `startTs`. */
+  private def resetPaging(): Unit = {
+    symbols.foreach(sym => cursors(sym) = startTs)
+    exhausted.clear(); buffer.clear(); bufferBase = 0L; admitted = 0L
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[PagedOffset].served
     val e = end.asInstanceOf[PagedOffset].served
-    val rows = buffer.slice((s - bufferBase).toInt, (e - bufferBase).toInt)
+    // restart orderings can acknowledge offsets and then re-request an
+    // earlier range in one merged batch — regenerate from scratch
+    if (s < bufferBase) { resetPaging(); replayTo(e) }
+    else if (e > bufferBase + buffer.length) replayTo(e)
+    if (e > bufferBase + buffer.length)
+      throw new IllegalStateException(
+        s"paged source: offset range [$s, $e) is not replayable " +
+        s"(buffered [$bufferBase, ${bufferBase + buffer.length}), provider " +
+        "exhausted) — the registered provider no longer reproduces the " +
+        "checkpointed range")
+    val rows = buffer.slice(
+      math.toIntExact(s - bufferBase), math.toIntExact(e - bufferBase))
     // one partition per symbol: downstream keyed aggregations read the
     // batch in parallel with per-symbol order preserved
     rows.groupBy(_.symbol).values.map(g => PagedInputPartition(g.toArray))
@@ -170,8 +213,14 @@ class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def commit(end: Offset): Unit = synchronized {
     val e = end.asInstanceOf[PagedOffset].served
-    val drop = (e - bufferBase).toInt
-    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.length)); bufferBase = e }
+    // On restart the engine acknowledges checkpoint-committed ranges on
+    // a FRESH instance (before any latestOffset call): fast-forward the
+    // paging state to the committed point first, so bufferBase never
+    // jumps past rows the replay hasn't produced yet — a blind jump
+    // would misattribute later replayed rows to wrong offsets.
+    if (e > admitted) replayTo(e)
+    val drop = math.toIntExact(math.min(e, admitted) - bufferBase)
+    if (drop > 0) { buffer.remove(0, drop); bufferBase += drop }
   }
 
   override def deserializeOffset(json: String): Offset = PagedOffset(json.toLong)

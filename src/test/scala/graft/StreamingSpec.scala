@@ -138,4 +138,94 @@ class StreamingSpec extends AnyFunSuite {
     val batches = q.recentProgress.count(_.numInputRows > 0)
     assert(batches >= 4, s"expected ≥ 4 paced micro-batches, saw $batches")
   }
+
+  test("paged source: a fresh instance replays any checkpointed offset range") {
+    import graft.io.PagedIngest.Candle
+    import graft.streaming.{PagedMicroBatchStream, PagedInputPartition, PagedOffset, PagedStreamApi}
+    val data = (for (sym <- Seq("a", "b"); i <- 0 until 12)
+      yield Candle(sym, i * 1000L, 1, 2, 0, 10.0 + i, 100.0 + i))
+      .groupBy(_.symbol)
+    PagedStreamApi.register("replay_spec", (sym, since, limit) =>
+      data(sym).filter(_.ts >= since).take(limit).toSeq)
+    def mkStream() = new PagedMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("provider", "replay_spec", "symbols", "a,b",
+          "pageLimit", "3", "pagesPerBatch", "1")))
+    def rowsOf(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.flatMap(_.asInstanceOf[PagedInputPartition].rows)
+        .groupBy(_.symbol).view.mapValues(_.toSeq).toMap
+
+    // live run: three latestOffset passes, remember the offsets
+    val live = mkStream()
+    val o1 = live.latestOffset().asInstanceOf[PagedOffset].served
+    val o2 = live.latestOffset().asInstanceOf[PagedOffset].served
+    val o3 = live.latestOffset().asInstanceOf[PagedOffset].served
+    assert(o1 > 0 && o2 > o1 && o3 > o2)
+    val liveBatch2 = rowsOf(live.planInputPartitions(PagedOffset(o1), PagedOffset(o2)))
+    val liveBatch3 = rowsOf(live.planInputPartitions(PagedOffset(o2), PagedOffset(o3)))
+
+    // restart: a FRESH instance asked for the same mid-stream ranges
+    // must replay identical rows (empty buffer → replayTo from startTs)
+    val restarted = mkStream()
+    assert(rowsOf(restarted.planInputPartitions(PagedOffset(o1), PagedOffset(o2))) == liveBatch2)
+    assert(rowsOf(restarted.planInputPartitions(PagedOffset(o2), PagedOffset(o3))) == liveBatch3)
+
+    // a range beyond what the provider can serve fails loudly, never
+    // silently empty
+    val starved = mkStream()
+    val ex = intercept[IllegalStateException] {
+      starved.planInputPartitions(PagedOffset(0), PagedOffset(10000))
+    }
+    assert(ex.getMessage.contains("not replayable"))
+  }
+
+  test("paged source: stop mid-stream, restart from checkpoint, no loss") {
+    import graft.io.PagedIngest.Candle
+    import graft.streaming.PagedStreamApi
+    // 2 symbols × 30 candles, one candle per page ⇒ 30 paced triggers:
+    // plenty of runway to stop the first run mid-stream
+    val data = (for (sym <- Seq("a", "b"); i <- 0 until 30)
+      yield Candle(sym, i * 1000L, 1, 2, 0, 10.0 + i, 100.0 + i))
+      .groupBy(_.symbol)
+    PagedStreamApi.register("restart_spec", (sym, since, limit) =>
+      data(sym).filter(_.ts >= since).take(limit).toSeq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_paged_ckpt").toString
+
+    // the memory sink cannot recover from a checkpoint — use the
+    // exactly-once parquet file sink, so the final read also proves
+    // NO duplicates across the restart boundary
+    def start() = spark.readStream.format("graft-paged")
+      .option("provider", "restart_spec").option("symbols", "a,b")
+      .option("pageLimit", "1").option("pagesPerBatch", "1")
+      .load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def sunk(): Set[(String, Long, Double, Double)] =
+      try spark.read.parquet(s"$dir/out")
+        .select($"symbol", $"ts", $"close", $"volume")
+        .as[(String, Long, Double, Double)].collect().toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+
+    val q1 = start()
+    try {
+      // wait for some-but-not-all batches, then stop mid-stream
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sunk().size < 6 && System.nanoTime() < deadline) Thread.sleep(10)
+    } finally q1.stop()
+    val run1 = sunk()
+    assert(run1.nonEmpty && run1.size < 60,
+      s"run 1 should stop mid-stream, saw ${run1.size}/60 rows")
+
+    // restart from the same checkpoint: the fresh source must replay the
+    // uncommitted range and continue to exhaustion
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sunk()
+    assert(got.size > run1.size, "restarted query must make progress")
+
+    val want = data.values.flatten
+      .map(c => (c.symbol, c.ts, c.close, c.volume)).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
 }
