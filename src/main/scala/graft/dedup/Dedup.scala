@@ -200,9 +200,11 @@ object Dedup {
         explode(TextOps.shingles(col("__toks"), shingleN)).as("sh"): _*)
     val dfreq = ex.groupBy(bc :+ col("sh"): _*).agg(count(lit(1)).as("__df"))
     // persisted: feeds sizes + both sides of the co-shingle join, and
-    // Catalyst does not CSE identical subplans across self-joins
-    val fx = ex.join(dfreq.filter(col("__df") <= maxDf), blockCols :+ "sh")
-      .drop("__df").persist()
+    // Catalyst does not CSE identical subplans across self-joins;
+    // tracked so PersistRegistry.clear can release it (the caller never
+    // sees this frame)
+    val fx = graft.io.PersistRegistry.trackPersist(
+      ex.join(dfreq.filter(col("__df") <= maxDf), blockCols :+ "sh").drop("__df"))
     val sizes = fx.groupBy(bc :+ col("doc_id"): _*).agg(count(lit(1)).as("__n"))
     val inter = fx
       .join(fx.select((bc :+ col("doc_id").as("id_b")) :+ col("sh"): _*),

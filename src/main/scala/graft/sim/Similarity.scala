@@ -92,11 +92,12 @@ object Similarity {
     * threshold filter or a global top-N (TakeOrderedAndProject) next. */
   def nearDupPairs(df: DataFrame, labelCol: String, idCol: String,
                    vecCol: String, nBits: Int): DataFrame = {
-    // persisted: probe side + corpus side of the self-join below
-    val e = withNormalized(df, vecCol, "__nv")
-      .select(col(labelCol).as("label"), col(idCol).as("__id"), col("__nv"),
-        signBucket(col(vecCol), nBits).as("__b0"))
-      .persist()
+    // persisted: probe side + corpus side of the self-join below;
+    // tracked so PersistRegistry.clear can release it
+    val e = graft.io.PersistRegistry.trackPersist(
+      withNormalized(df, vecCol, "__nv")
+        .select(col(labelCol).as("label"), col(idCol).as("__id"), col("__nv"),
+          signBucket(col(vecCol), nBits).as("__b0")))
     val a = e
       .withColumn("__probe", explode(array(col("__b0") +: (0 until nBits).map(i =>
         col("__b0").bitwiseXOR(lit(1 << i))): _*)))
