@@ -39,6 +39,11 @@ object Bench {
         }
       }
     }
+    // Drop warm-scale cached frames (pack memo caches + internally
+    // persisted frames) before measuring: they only cost memory.
+    graft.queries.DedupSimPack.clearCaches(spark)
+    graft.queries.MlPack.clearCaches(spark)
+    graft.io.PersistRegistry.clear(spark)
     // Deterministic name order: Map hash order reshuffles whenever the
     // query set changes, which silently re-attributes shared one-time
     // costs (feature caches, fitted models) to a different "first" query
@@ -60,14 +65,34 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // d2/d6/d7 share one persisted verified-pairs stage. Build and time
+    // it as its OWN line ("setup_dedup_shared") so each query's number
+    // measures the query, not whichever of the three happened to run
+    // first and pay the cache build (a round-5 attribution artifact).
+    val sharedDedup = Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep")
+    val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def buildDedupShared(): Unit =
+      try graft.queries.DedupSimPack.buildSharedStage(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] setup_dedup_shared FAILED: ${e.getMessage}")
+      }
+    if (selected.exists(s => sharedDedup.contains(s._1))) {
+      val t0 = System.nanoTime()
+      buildDedupShared()
+      setup("setup_dedup_shared") = (System.nanoTime() - t0) / 1e9
+    }
     val firstPass = selected.map { case (name, fn) =>
       val (t, ok) = timeOne(name, fn); (name, t, ok)
     }
     // Stall defense (proven necessary in round 3: one GC/host pause
     // inflated g1 14.17s / g15 8.15s on unchanged code and poisoned the
     // headline). Any query measuring >2s AND >3× its warm-pass time is
-    // re-timed once; the queries map carries the better number and the
-    // original lands in "retimed" so both measurements are reported.
+    // re-timed once — but the re-time is ACCEPTED only when the first
+    // measurement is >2× the second (genuine stalls measure 3–7× the
+    // re-run; legitimate run-to-run variance stays under ~1.5×, so a
+    // blanket min-of-two would systematically bias routine heavy
+    // queries low). When a stall IS accepted the original measurement
+    // lands in "retimed", so both numbers are reported.
     val suspects = firstPass.filter { case (n, t, ok) =>
       ok && t > 2.0 && warmTimes.get(n).exists(w => t > 3.0 * math.max(w, 0.3))
     }.sortBy(-_._2).take(5).map(_._1).toSet
@@ -76,12 +101,16 @@ object Bench {
       if (suspects.contains(name)) {
         // drop session-scoped memoized frames first: a re-run riding a
         // shared cache (d2's verified-pairs frame, m9's feature frame)
-        // would under-measure. Clearing makes the re-time conservative —
-        // min(orig, retime) then never over-corrects the headline.
+        // would under-measure...
         graft.queries.DedupSimPack.clearCaches(spark)
         graft.queries.MlPack.clearCaches(spark)
+        graft.io.PersistRegistry.clear(spark)
+        // ...except the shared dedup stage, which is billed to its own
+        // setup line: rebuild it so a d2/d6/d7 re-time measures the
+        // query under the same cache state as the first pass.
+        if (sharedDedup.contains(name)) buildDedupShared()
         val (t2, ok2) = timeOne(name, SparkEntry.queries(name))
-        if (ok2 && t2 < t) { retimed(name) = t; (name, t2, ok) }
+        if (ok2 && t > 2.0 * t2) { retimed(name) = t; (name, t2, ok) }
         else (name, t, ok)
       } else (name, t, ok)
     }
@@ -96,11 +125,12 @@ object Bench {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f2(v) }
+    val qs = (setup.toSeq ++ results.map { case (k, v, _) => (k, v) })
+      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + setup.values.sum
     // "retimed" (original stalled measurements) appears only when a
     // stall was caught — the common case pays zero of the ~2000-char
     // stdout capture budget for it.

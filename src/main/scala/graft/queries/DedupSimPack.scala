@@ -49,6 +49,14 @@ object DedupSimPack extends QueryPack {
         .persist()
     })
 
+  /** Materialize the shared shingle/signature/verified-pairs stage for
+    * (session, dir) — the compute-once curation DAG d2/d6/d7 all read.
+    * Bench times this as its own "setup_dedup_shared" line so those
+    * queries' numbers measure the queries, not whichever ran first. */
+  def buildSharedStage(s: SparkSession, dir: String): Unit = {
+    verifiedPairs(s, dir).count(); ()
+  }
+
   /** Release memoized shingle/signature/verified frames for a session. */
   def clearCaches(session: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
