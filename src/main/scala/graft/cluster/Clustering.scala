@@ -135,6 +135,41 @@ object Clustering {
     out
   }
 
+  /** M5 scale path: the ε-tune without collecting every point. A
+    * bounded deterministic sample of QUERY points (seeded hash-order +
+    * limit → TakeOrderedAndProject) gets its 2nd-NN distance against
+    * the FULL point set, computed distributed (broadcast sample ×
+    * corpus scan, bounded heap k=2 per query) — so each sampled
+    * distance is exact, and the sorted sample curve is a uniform
+    * quantile subsample of the full curve (the knee is preserved; no
+    * density bias, unlike 2-NN within a subsample). Below `cap` the
+    * sample IS the full set and the result is bit-identical to
+    * `kneeEps(twoNNDistances(pts))` — the hash-checked oracle path at
+    * test scale. Pair work is n×cap: linear in the corpus for fixed
+    * cap. KneeSampleSpec pins both properties. */
+  def sampledKneeEps(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                     cap: Int = 4096, seed: Long = 42L): Double = {
+    val q = df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(cap)
+      .select(col(idCol).as("__qid"), col(xCol).as("__qx"), col(yCol).as("__qy"))
+    val pairs = df.select(col(idCol), col(xCol), col(yCol))
+      .join(broadcast(q), col(idCol) =!= col("__qid"))
+      // sqrt(dx²+dy²) in the same operand order as twoNNDistances so
+      // the below-cap case is bit-identical
+      .withColumn("__d", sqrt(
+        (col("__qx") - col(xCol)) * (col("__qx") - col(xCol)) +
+        (col("__qy") - col(yCol)) * (col("__qy") - col(yCol))))
+    val top2 = graft.operators.TopK.perKey(pairs, Seq("__qid"),
+      Seq(col("__d"), col(idCol)), 2, "__rk")
+    // per query: the 2nd-NN distance when it exists (n > 2), else the
+    // 1st — max(struct(rank, d)) picks the highest-rank surviving row,
+    // mirroring twoNNDistances' `if (n > 2) m2 else m1`
+    val dists = top2.groupBy(col("__qid"))
+      .agg(max(struct(col("__rk"), col("__d"))).as("__m"))
+      .select(col("__m.__d")).collect().map(_.getDouble(0))
+    java.util.Arrays.sort(dists)
+    kneeEps(dists)
+  }
+
   /** M5: knee of the sorted k-NN distance curve (max distance to the
     * chord from first to last point — `market_analysis.py:851-875`'s
     * KneeLocator essence); falls back to the 90th percentile when the

@@ -214,14 +214,15 @@ object MlPack extends QueryPack {
     Q("m4b_dbscan_distributed",
       (s, dir) => {
         import s.implicits._
-        // one materialization of the feature pipeline: the ε-tune collect
+        // one materialization of the feature pipeline: the ε-tune scans
         // below AND DistributedDbscan's internal scans all read the
         // checkpointed blocks instead of re-running the window/agg chain
         val feats = dbscanFeatures(s, dir).localCheckpoint()
-        val rows = feats.select($"mu", $"sd").collect()
-        val pts = rows.map(r => Array(r.getDouble(0), r.getDouble(1)))
-        val eps = Clustering.kneeEps(Clustering.twoNNDistances(pts))
-        val minPts = math.max(math.log(pts.length).toInt, 3)
+        // bounded ε-tune: ≤4096 sampled query points against the full
+        // set (bit-identical to the collect-everything knee below the
+        // cap, so the DuckDB oracle is unaffected at test scale)
+        val eps = Clustering.sampledKneeEps(feats, "user_id", "mu", "sd")
+        val minPts = math.max(math.log(feats.count().toDouble).toInt, 3)
         val labeled = graft.cluster.DistributedDbscan.run(
           feats.select($"user_id", $"mu", $"sd"), "user_id", "mu", "sd",
           eps, minPts)
