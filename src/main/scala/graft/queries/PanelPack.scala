@@ -335,6 +335,70 @@ object PanelPack extends QueryPack {
              |FROM x WHERE to_label IS NOT NULL
              |GROUP BY 1, 2 ORDER BY n DESC, from_label, to_label LIMIT 5""".stripMargin)),
 
+    // S6: the period report's numeric content as one oracle-checked row
+    // (market_analysis.py:824-841 / period_comparison_stats.txt) —
+    // n_transitions, avg regime duration in days, symbols with a
+    // transition, avg daily volume, and the top transition with the
+    // deterministic (count desc, labels asc) tie-break. The rendered
+    // text (Sinks.periodReport) formats exactly this tuple.
+    Q("s6_period_report",
+      (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val trans = Transitions.transitions(
+          e, Seq("user_id"), "t", "event_id", "event_type",
+          (start, end) => (end - start).cast("double") / lit(86400.0e6))
+        val stats = trans.agg(
+          count(lit(1)).as("n_transitions"),
+          r4(avg($"duration")).as("avg_duration_days"),
+          countDistinct($"user_id").as("n_symbols"))
+        val daily = e
+          .groupBy(floor($"t" / lit(86400.0e6)).as("__day"))
+          .agg(sum($"value").as("__dv"))
+          .agg(r4(avg($"__dv")).as("avg_daily_volume"))
+        val top = trans.groupBy($"from_label", $"to_label")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), $"from_label", $"to_label").limit(1)
+          .select($"from_label".as("top_from"), $"to_label".as("top_to"),
+            $"n".as("top_n"))
+        stats.crossJoin(broadcast(daily)).crossJoin(broadcast(top))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t, value FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |g AS (
+             |  SELECT user_id, island, event_type AS from_label, min(t) AS start_ord
+             |  FROM i GROUP BY user_id, island, event_type),
+             |x AS (
+             |  SELECT user_id, from_label,
+             |    lead(from_label) OVER wi AS to_label,
+             |    CAST(lead(start_ord) OVER wi - start_ord AS DOUBLE)
+             |      / 86400000000.0 AS duration
+             |  FROM g WINDOW wi AS (PARTITION BY user_id ORDER BY island)),
+             |tr AS (SELECT * FROM x WHERE to_label IS NOT NULL),
+             |st AS (
+             |  SELECT count(*) AS n_transitions,
+             |    round(avg(duration) + 1e-9, 4) AS avg_duration_days,
+             |    count(DISTINCT user_id) AS n_symbols
+             |  FROM tr),
+             |dv AS (
+             |  SELECT round(avg(v) + 1e-9, 4) AS avg_daily_volume FROM (
+             |    SELECT floor(t / 86400000000.0) AS day, sum(value) AS v
+             |    FROM e GROUP BY 1)),
+             |tp AS (
+             |  SELECT from_label AS top_from, to_label AS top_to,
+             |    count(*) AS top_n
+             |  FROM tr GROUP BY 1, 2
+             |  ORDER BY top_n DESC, top_from, top_to LIMIT 1)
+             |SELECT * FROM st, dv, tp""".stripMargin)),
+
     // P2 + P3: time-range + membership anti-filter, aggregated — the
     // filters sit on raw scan columns so they push into parquet
     // (market_analysis.py:674-678, 225-227).
