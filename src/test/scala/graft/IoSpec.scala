@@ -23,6 +23,30 @@ class IoSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/p/sym=a").exists, "hive partition layout")
   }
 
+  test("date-partitioned sink: a P2 range filter becomes partition PRUNING") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date($"ts"))
+    Sinks.parquet(events, s"$dir/events_by_day", partitionBy = Seq("day"))
+    val days = spark.read.parquet(s"$dir/events_by_day")
+      .select($"day").distinct().orderBy($"day").as[java.sql.Date].collect()
+    assert(days.length >= 5, "fixture needs a multi-day panel")
+    val (lo, hi) = (days(1), days(3))
+    val back = spark.read.parquet(s"$dir/events_by_day")
+      .filter($"day" >= lo && $"day" <= hi)
+    // the range predicate must land in PartitionFilters (directory-level
+    // pruning at plan time), not merely PushedFilters (row-group skipping
+    // inside files already opened)
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("Scan parquet")).getOrElse("")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("day"), s"expected a day predicate in PartitionFilters, scan:\n$scan")
+    // and the pruned read returns exactly the rows of the logical filter
+    val want = events.filter($"day" >= lo && $"day" <= hi).count()
+    assert(back.count() == want && want > 0)
+  }
+
   test("json sink round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     Sinks.json(Seq(("BTC", 1L), ("ETH", 2L)).toDF("symbol", "rank"), s"$dir/j")
