@@ -135,6 +135,77 @@ object Clustering {
     out
   }
 
+  /** M10: force-directed (Fruchterman–Reingold) layout — the
+    * `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` step of the
+    * reference's Louvain network viz (`market_analysis.py:399`).
+    * Driver-side over the tiny aggregated graph, like [[louvain]]: the
+    * distributed part is the aggregation that produced the nodes/edges
+    * (regimes × transition counts, symbols × correlation edges — dozens
+    * of rows from billions). Deterministic under `seed`; positions are
+    * rescaled to [-1, 1] per axis like networkx. */
+  def springLayout(nodes: Seq[Long], edges: Seq[(Long, Long, Double)],
+                   iterations: Int = 50, seed: Long = 42L,
+                   k: Double = 0.0): Map[Long, (Double, Double)] = {
+    val n = nodes.length
+    if (n == 0) return Map.empty
+    if (n == 1) return Map(nodes.head -> (0.0, 0.0))
+    val idx = nodes.zipWithIndex.toMap
+    val kk = if (k > 0) k else 1.0 / math.sqrt(n.toDouble)
+    val rnd = new scala.util.Random(seed)
+    val px = Array.fill(n)(rnd.nextDouble())
+    val py = Array.fill(n)(rnd.nextDouble())
+    val wAdj = edges.flatMap { case (a, b, w) =>
+      Seq(((idx(a), idx(b)), w), ((idx(b), idx(a)), w))
+    }.groupBy(_._1).map { case (kij, ws) => (kij, ws.map(_._2).sum) }
+    // networkx cooling schedule: t starts at 0.1 of the frame width and
+    // decays linearly to 0 across the iterations
+    var t = 0.1
+    val dt = t / (iterations + 1)
+    var it = 0
+    while (it < iterations) {
+      val dx = new Array[Double](n)
+      val dy = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          if (i != j) {
+            val ddx = px(i) - px(j)
+            val ddy = py(i) - py(j)
+            val dist = math.max(math.sqrt(ddx * ddx + ddy * ddy), 0.01)
+            // net per-unit-ddx force: repulsion k²/d² for every pair,
+            // attraction w·d/k per edge (FR91 with edge weights)
+            var f = kk * kk / (dist * dist)
+            wAdj.get((i, j)).foreach(w => f -= w * dist / kk)
+            dx(i) += ddx * f
+            dy(i) += ddy * f
+          }
+          j += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val len = math.max(math.sqrt(dx(i) * dx(i) + dy(i) * dy(i)), 1e-12)
+        val step = math.min(len, t)
+        px(i) += dx(i) / len * step
+        py(i) += dy(i) / len * step
+        i += 1
+      }
+      t -= dt
+      it += 1
+    }
+    // rescale to [-1, 1] per axis (networkx rescale_layout)
+    def rescale(a: Array[Double]): Array[Double] = {
+      val mean = a.sum / n
+      val c = a.map(_ - mean)
+      val lim = c.map(math.abs).max
+      if (lim > 0) c.map(_ / lim) else c
+    }
+    val rx = rescale(px); val ry = rescale(py)
+    nodes.zipWithIndex.map { case (node, i) => node -> (rx(i), ry(i)) }.toMap
+  }
+
   /** M5 scale path: the ε-tune without collecting every point. A
     * bounded deterministic sample of QUERY points (seeded hash-order +
     * limit → TakeOrderedAndProject) gets its 2nd-NN distance against

@@ -304,6 +304,40 @@ object MlPack extends QueryPack {
           if (sizes.isEmpty) 0 else sizes.values.max))
           .toDF("n_nodes", "n_edges", "n_communities", "modularity", "max_community")
       },
+      None),
+
+    // M10: force-directed layout of the correlation network —
+    // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding
+    // plot_louvain_network (market_analysis.py:399). Same graph as m6;
+    // layout runs driver-side over the tiny aggregate (the distributed
+    // part is the correlation aggregation). Seed-deterministic but not
+    // SQL-reproducible → rows-only; LayoutSpec + GoldenPinSpec pin the
+    // algorithm, Sinks.htmlNetwork renders it (S7).
+    Q("m10_layout",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .filter(abs($"corr") > 0.3)
+          .select($"key_a".cast("long"), $"key_b".cast("long"), abs($"corr"))
+          .collect()
+        // sorted nodes/edges: collect order is not deterministic, the
+        // layout and community outputs must be
+        val edges = corr.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sortBy(e => (e._1, e._2))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val (comm, _) = Clustering.louvain(nodes, edges)
+        val pos = Clustering.springLayout(nodes, edges)
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        nodes.map { id =>
+          (id, comm.getOrElse(id, -1), r4d(pos(id)._1), r4d(pos(id)._2),
+            deg(id))
+        }.toDF("node", "community", "x", "y", "degree")
+      },
       None))
 
   private def r4d(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4

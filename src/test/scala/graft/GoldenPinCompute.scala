@@ -85,6 +85,13 @@ object GoldenPinCompute {
       round($"accuracy" + 1e-9, 4).as("acc")).orderBy($"label").collect()
     m.foreach(r => println(s"PIN m9 ${r.get(0)} tp=${r.getLong(1)} fp=${r.getLong(2)} fn=${r.getLong(3)} acc=${r.getDouble(4)}"))
 
+    // m10 pin: spring layout on the two-clique graph (seed 42)
+    val lpos = Clustering.springLayout(nodes, edges)
+    val lp = Seq(0L, 5L, 10L, 15L).map { n =>
+      (n, math.round(lpos(n)._1 * 1e4) / 1e4, math.round(lpos(n)._2 * 1e4) / 1e4)
+    }
+    println(s"PIN m10 $lp")
+
     // s3 pin: IVF topK with the bounded sampled quantizer fit
     val ivf = graft.sim.IvfAnn.topK(ivfFixture(spark), "vec_id", "v",
         queryPred = col("vec_id") < 4, k = 3, nCells = 4, nprobe = 2,

@@ -70,6 +70,18 @@ class GoldenPinSpec extends AnyFunSuite {
       (2, 43L, 0L, 1L, 0.9878)), s"classifier metrics drifted: $m")
   }
 
+  test("m10 pin: spring layout on the two-clique graph (seed 42)") {
+    val (nodes, edges) = GoldenPinCompute.louvainGraph
+    val pos = Clustering.springLayout(nodes, edges)
+    val got = Seq(0L, 5L, 10L, 15L).map { n =>
+      (n, math.round(pos(n)._1 * 1e4) / 1e4, math.round(pos(n)._2 * 1e4) / 1e4)
+    }
+    assert(got == Seq(
+      (0L, 0.8577, -0.6507), (5L, 0.6228, -0.6169),
+      (10L, -0.6218, 0.6141), (15L, -0.9996, 0.7656)),
+      s"layout pin drifted: $got")
+  }
+
   test("s3 pin: IVF topK with the bounded sampled quantizer fit (seed 42)") {
     val out = graft.sim.IvfAnn.topK(GoldenPinCompute.ivfFixture(spark),
         "vec_id", "v", queryPred = col("vec_id") < 4, k = 3, nCells = 4,
