@@ -125,28 +125,46 @@ object Bench {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val qs = (setup.toSeq ++ results.map { case (k, v, _) => (k, v) })
-      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum + setup.values.sum
+    // "sf0.1", not the full path: the path prefix is constant and the
+    // capture window is tight at 90+ queries
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // "retimed" (original stalled measurements) appears only when a
-    // stall was caught — the common case pays zero of the ~2000-char
-    // stdout capture budget for it.
-    val rt =
-      if (retimed.isEmpty) ""
-      else retimed.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-        .mkString(",\"retimed\":{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed$rt,"sf":"$sfDir"}"""
-    if (line.length > 1950)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars exceeds the ~2000-char capture window")
+    // stall was caught, capped at the 3 largest — the common case pays
+    // zero of the ~2000-char stdout capture budget for it.
+    def line(fq: Double => String): String = {
+      val qs = (setup.toSeq ++ results.map { case (k, v, _) => (k, v) })
+        .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
+        .mkString("{", ",", "}")
+      val rt =
+        if (retimed.isEmpty) ""
+        else retimed.toSeq.sortBy(-_._2).take(3)
+          .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
+          .mkString(",\"retimed\":{", ",", "}")
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed$rt,"sf":"$sfShort"}"""
+    }
+    // Adaptive precision: the 94-entry map at 2 decimals no longer fits
+    // the ~2000-char capture window the driver parses (rounds 1-2 lost
+    // their numbers to head-truncation) — degrade the per-query map to
+    // 1 decimal when the line runs long; the headline total keeps 2.
+    def f1(v: Double): String = {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    val out = { val l2 = line(f2); if (l2.length <= 1900) l2 else line(f1) }
+    if (out.length > 1950)
+      System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
+    // full-precision copy for local history, uncapped by the stdout window
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line(f2) + "\n")
+    catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON
     // line the driver parses (observed in round 1: parsed=null).
     spark.stop()
-    println(line)
+    println(out)
     Console.out.flush()
   }
 }
