@@ -65,21 +65,32 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // d2/d6/d7 share one persisted verified-pairs stage. Build and time
-    // it as its OWN line ("setup_dedup_shared") so each query's number
-    // measures the query, not whichever of the three happened to run
-    // first and pay the cache build (a round-5 attribution artifact).
-    val sharedDedup = Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep")
+    // Shared memoized stages are built and timed as their OWN lines so
+    // each query's number measures the query, not whichever member of
+    // the pack happened to run first and pay the cache build (a round-5
+    // attribution artifact, first seen on d6): the dedup pack's
+    // verified-pairs stage feeds d2/d6/d7, the ML pack's standardized
+    // feature frame feeds j6/m2/m3/m4/m4b/m7.
+    val sharedStages = Seq(
+      ("setup_dedup_shared",
+        Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep"),
+        () => graft.queries.DedupSimPack.buildSharedStage(spark, sfDir)),
+      ("setup_ml_features",
+        Set("j6_knn", "m2_kmeans", "m3_silhouette", "m4_dbscan",
+          "m4b_dbscan_distributed", "m7_pca"),
+        () => graft.queries.MlPack.buildSharedStage(spark, sfDir)))
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def buildDedupShared(): Unit =
-      try graft.queries.DedupSimPack.buildSharedStage(spark, sfDir)
+    def buildShared(name: String, build: () => Unit): Unit =
+      try build()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] setup_dedup_shared FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-    if (selected.exists(s => sharedDedup.contains(s._1))) {
-      val t0 = System.nanoTime()
-      buildDedupShared()
-      setup("setup_dedup_shared") = (System.nanoTime() - t0) / 1e9
+    sharedStages.foreach { case (name, members, build) =>
+      if (selected.exists(s => members.contains(s._1))) {
+        val t0 = System.nanoTime()
+        buildShared(name, build)
+        setup(name) = (System.nanoTime() - t0) / 1e9
+      }
     }
     val firstPass = selected.map { case (name, fn) =>
       val (t, ok) = timeOne(name, fn); (name, t, ok)
@@ -105,10 +116,12 @@ object Bench {
         graft.queries.DedupSimPack.clearCaches(spark)
         graft.queries.MlPack.clearCaches(spark)
         graft.io.PersistRegistry.clear(spark)
-        // ...except the shared dedup stage, which is billed to its own
-        // setup line: rebuild it so a d2/d6/d7 re-time measures the
-        // query under the same cache state as the first pass.
-        if (sharedDedup.contains(name)) buildDedupShared()
+        // ...except shared stages billed to their own setup lines:
+        // rebuild them so a member query's re-time measures the query
+        // under the same cache state as the first pass.
+        sharedStages.foreach { case (sn, members, build) =>
+          if (members.contains(name)) buildShared(sn, build)
+        }
         val (t2, ok2) = timeOne(name, SparkEntry.queries(name))
         if (ok2 && t > 2.0 * t2) { retimed(name) = t; (name, t2, ok) }
         else (name, t, ok)
@@ -134,13 +147,13 @@ object Bench {
     // "retimed" (original stalled measurements) appears only when a
     // stall was caught, capped at the 3 largest — the common case pays
     // zero of the ~2000-char stdout capture budget for it.
-    def line(fq: Double => String): String = {
+    def line(fq: Double => String, retimedCap: Int): String = {
       val qs = (setup.toSeq ++ results.map { case (k, v, _) => (k, v) })
         .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
         .mkString("{", ",", "}")
       val rt =
         if (retimed.isEmpty) ""
-        else retimed.toSeq.sortBy(-_._2).take(3)
+        else retimed.toSeq.sortBy(-_._2).take(retimedCap)
           .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
           .mkString(",\"retimed\":{", ",", "}")
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed$rt,"sf":"$sfShort"}"""
@@ -153,12 +166,16 @@ object Bench {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    val out = { val l2 = line(f2); if (l2.length <= 1900) l2 else line(f1) }
+    val out = {
+      val l2 = line(f2, 3); if (l2.length <= 1900) l2 else line(f1, 3)
+    }
     if (out.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
-    // full-precision copy for local history, uncapped by the stdout window
+    // genuinely-full copy for local history: 4-decimal values, every
+    // retimed entry, no length cap
+    def f4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line(f2) + "\n")
+      java.nio.file.Paths.get("BENCH_FULL.json"), line(f4, Int.MaxValue) + "\n")
     catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON

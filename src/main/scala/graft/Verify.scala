@@ -41,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release memoized/persisted frames before shutdown — keeps the
+    // registries from pinning the session if this main is embedded
+    graft.queries.DedupSimPack.clearCaches(spark)
+    graft.queries.MlPack.clearCaches(spark)
+    graft.io.PersistRegistry.clear(spark)
     spark.stop()
   }
 }

@@ -220,7 +220,7 @@ object Clustering {
     * cap. KneeSampleSpec pins both properties. */
   def sampledKneeEps(df: DataFrame, idCol: String, xCol: String, yCol: String,
                      cap: Int = 4096, seed: Long = 42L): Double = {
-    val q = df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(cap)
+    val q = graft.operators.Sampling.hashOrderedLimit(df, col(idCol), cap, seed)
       .select(col(idCol).as("__qid"), col(xCol).as("__qx"), col(yCol).as("__qy"))
     val pairs = df.select(col(idCol), col(xCol), col(yCol))
       .join(broadcast(q), col(idCol) =!= col("__qid"))

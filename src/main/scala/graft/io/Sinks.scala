@@ -50,10 +50,19 @@ object Sinks {
   def htmlChart(df: DataFrame, xCol: String, yCols: Seq[String],
                 title: String, path: String, maxPoints: Int = 10000): Unit = {
     val rows = df
-      .select((xCol +: yCols).map(c => col(c).cast("double")): _*)
+      // try_cast: under ANSI a malformed cast throws mid-collect; here a
+      // non-numeric value becomes null and is dropped, so degenerate
+      // input hits the loud require below instead of an opaque crash
+      .select((xCol +: yCols).map(c =>
+        org.apache.spark.sql.functions.expr(
+          s"try_cast(`$c` AS DOUBLE)").as(c)): _*)
+      .na.drop()
       .orderBy(col(xCol)).limit(maxPoints + 1).collect()
     require(rows.length <= maxPoints,
       s"htmlChart input exceeds $maxPoints rows — aggregate before plotting")
+    require(rows.nonEmpty,
+      "htmlChart input has no plottable rows (empty frame, or every row " +
+      "has a null/non-numeric value in the selected columns)")
     val (w, h, pad) = (960, 480, 50)
     val xs = rows.map(_.getDouble(0))
     val ys = yCols.indices.map(i => rows.map(_.getDouble(i + 1)))

@@ -30,6 +30,15 @@ object MlPack extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, Double, Array[Array[Double]])]()
 
+  /** Materialize the shared standardized feature frame for (session,
+    * dir) — the stage j6/m2/m3/m4/m4b/m7 all read. Bench times this as
+    * its own "setup_ml_features" line so the first ML query's number
+    * (j6_knn in sorted order) doesn't silently include the cache
+    * build. */
+  def buildSharedStage(s: SparkSession, dir: String): Unit = {
+    userFeatures(s, dir).count(); ()
+  }
+
   /** Release all memoized state for a session (or, with `session = null`
     * semantics omitted, everything): unpersists the cached feature frames
     * and drops the model references, so long-lived library sessions that

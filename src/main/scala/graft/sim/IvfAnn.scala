@@ -69,15 +69,10 @@ object IvfAnn {
         col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random sample for the coarse-quantizer fit:
-    * order by a seeded hash of the id and take the first `sampleN`.
-    * Catalyst plans Sort+Limit as TakeOrderedAndProject — each input
-    * partition keeps a `sampleN`-bounded heap and the driver merges
-    * heaps — so the fit input is bounded regardless of corpus size,
-    * unbiased w.r.t. storage order, and reproducible under `seed`.
-    * Exposed for IvfQuantizerSpec's bound assertion.
-    */
+  /** Deterministic bounded sample for the coarse-quantizer fit (see
+    * [[graft.operators.Sampling.hashOrderedLimit]] for the plan-shape
+    * guarantees). Exposed for IvfQuantizerSpec's bound assertion. */
   private[graft] def quantizerFitInput(e: DataFrame, sampleN: Int,
                                        seed: Long): DataFrame =
-    e.orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id")).limit(sampleN)
+    graft.operators.Sampling.hashOrderedLimit(e, col("vec_id"), sampleN, seed)
 }

@@ -64,6 +64,19 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("s7 html chart fails loudly on empty or all-null input") {
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Sinks.htmlChart(empty, "x", Seq("y"), "e", "/tmp/never_e.html")
+    }
+    assert(ex.getMessage.contains("no plottable rows"))
+    val nulls = Seq(("a", 1.0), ("b", 2.0)).toDF("x", "y") // x casts to null
+    val ex2 = intercept[IllegalArgumentException] {
+      Sinks.htmlChart(nulls, "x", Seq("y"), "n", "/tmp/never_n.html")
+    }
+    assert(ex2.getMessage.contains("no plottable rows"))
+  }
+
   test("s7+m10: network render places every node and edge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_net").toString
     val (nodes, edges) = GoldenPinCompute.louvainGraph
