@@ -37,4 +37,30 @@ class IvfQuantizerSpec extends AnyFunSuite {
     val e = GoldenPinCompute.ivfFixture(spark)
     assert(IvfAnn.quantizerFitInput(e, 1000, 42L).count() == 300L)
   }
+
+  test("sampled-fit IVF keeps recall on a corpus 8x the sample") {
+    // The test-SF embeddings tables are smaller than the default sample,
+    // so only this fixture exercises the sample<corpus regime: 2048
+    // clustered 16-dim embeddings, quantizer fit on 256 of them.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(19)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 3)
+    val rows = (0 until 2048).map { i =>
+      (i.toLong, centers(i % 8).toSeq.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    val df = rows.toDF("vec_id", "v").repartition(8)
+    def pairs(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.sim.Similarity.cosineTopK(
+      df, df.filter(col("vec_id") < 10), "vec_id", "v", k = 5))
+    val ivf = pairs(IvfAnn.topK(df, "vec_id", "v",
+      queryPred = col("vec_id") < 10, k = 5, nCells = 8, nprobe = 2,
+      seed = 42L, quantizerSampleSize = 256))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"sampled-fit recall@5 = $recall (clustered corpus: nprobe=2 of 8 " +
+      "cells must find nearly all true neighbors)")
+  }
 }
