@@ -31,6 +31,9 @@ class IvfQuantizerSpec extends AnyFunSuite {
     val c = ids(IvfAnn.quantizerFitInput(e, 64, 7L))
     assert(a.size == 64 && a == b)
     assert(a != c, "different seeds must draw different samples")
+    // physical layout must not change the sample (hash order is global)
+    val one = ids(IvfAnn.quantizerFitInput(e.coalesce(1), 64, 42L))
+    assert(one == a, "sample must be partitioning-invariant")
   }
 
   test("sample covers the whole corpus when sampleN >= corpus size") {
