@@ -226,6 +226,35 @@ object Dedup {
       perDocK, "cand_rank")
   }
 
+  /** LLM-pipeline decontamination (the C4/Dolma benchmark-overlap
+    * filter): count, per (corpus doc, benchmark doc) pair, the distinct
+    * word n-gram shingles they share, so a threshold on `n_overlap` (or
+    * `overlap_ratio`) flags training documents contaminated with eval
+    * data. The benchmark side is an eval set — small by construction —
+    * so its shingles broadcast; the corpus side is one shingle explode,
+    * one broadcast hash join, and one per-pair aggregation: LINEAR in
+    * the corpus with no corpus-side shuffle before the (doc, bench) agg.
+    *
+    * Output: doc_id, bench_id, n_overlap, n_doc (distinct shingles in
+    * the corpus doc), overlap_ratio = n_overlap / n_doc — one row per
+    * pair sharing ≥ 1 shingle.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int): DataFrame = {
+    val c = shingleRows(corpus, idCol, textCol, shingleN)
+    val b = shingleRows(bench, idCol, textCol, shingleN)
+      .select(col("id").as("bench_id"), col("sh"))
+    val sizes = c.groupBy(col("id")).agg(count(lit(1)).as("n_doc"))
+    c.join(broadcast(b), Seq("sh"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, Seq("id"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_doc"))
+      .select(col("id").as("doc_id"), col("bench_id"), col("n_overlap"),
+        col("n_doc"), col("overlap_ratio"))
+  }
+
   /** 32-bit SimHash per doc over token frequencies: bit b is set when the
     * count-weighted sum of (2·bit_b(hash(token)) − 1) is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -314,6 +314,42 @@ object DedupSimPack extends QueryPack {
              |  round(jac + 1e-9, 6) AS jaccard, cand_rank
              |FROM rk WHERE cand_rank <= 5""".stripMargin)),
 
+    // D8 (beyond-reference, LLM pipeline): benchmark decontamination —
+    // docs 0-19 stand in for an eval set; corpus docs sharing >= 2
+    // distinct 3-gram shingles with a benchmark doc are flagged with
+    // the overlap count and ratio. Benchmark shingles broadcast;
+    // corpus side is linear (one explode + broadcast join + agg).
+    Q("d8_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Dedup.decontaminate(
+            docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20),
+            "doc_id", "text", ShingleN)
+          .filter($"n_overlap" >= 2)
+          .select($"doc_id", $"bench_id", $"n_overlap", $"n_doc",
+            r6($"overlap_ratio").as("overlap_ratio"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |s AS (SELECT doc_id,
+             |    CASE WHEN len(ts) >= 3
+             |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+             |                          for i in range(1, len(ts) - 1)])
+             |      ELSE [] END AS shs
+             |  FROM d),
+             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+             |c AS (SELECT * FROM ex WHERE doc_id >= 20),
+             |b AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id < 20),
+             |sz AS (SELECT doc_id, count(*) AS n_doc FROM c GROUP BY 1),
+             |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_overlap
+             |       FROM c JOIN b USING (sh) GROUP BY 1, 2)
+             |SELECT ov.doc_id, ov.bench_id, ov.n_overlap, sz.n_doc,
+             |  round(CAST(ov.n_overlap AS DOUBLE) / sz.n_doc + 1e-9, 6)
+             |    AS overlap_ratio
+             |FROM ov JOIN sz ON sz.doc_id = ov.doc_id
+             |WHERE ov.n_overlap >= 2""".stripMargin)),
+
     // Embedding near-dup: top-20 most-cosine-similar CANDIDATE pairs —
     // candidates only from (label, sign-bucket) cells with Hamming-1
     // multi-probe (Similarity.nearDupPairs), never a label-blocked

@@ -206,6 +206,39 @@ object TextPack extends QueryPack {
              |  count(*) OVER (PARTITION BY fingerprint) AS n_same
              |FROM f""".stripMargin)),
 
+    // T11 (beyond-reference, LLM pipeline): PII redaction. The corpus
+    // text carries no PII, so a deterministic email+phone is planted
+    // per doc (both engines build the identical string) and redacted —
+    // the verified contract is regex parity (Java∩RE2 subset) and the
+    // full-string rewrite, compared via md5 so the hash diff never
+    // ships long strings.
+    Q("t11_redact",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b\\d{3}-\\d{4,}\\b"
+        Tables.documents(s, dir)
+          .withColumn("raw", concat($"text", lit(" contact user"), $"doc_id",
+            lit("@example.com or call 555-010"), $"doc_id"))
+          .select($"doc_id",
+            TextOps.matchCount($"raw", emailRe).as("n_emails"),
+            TextOps.matchCount($"raw", phoneRe).as("n_phones"),
+            md5(TextOps.redact(TextOps.redact($"raw", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_md5"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, text || ' contact user' || doc_id
+             |    || '@example.com or call 555-010' || doc_id AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(raw, '\b\d{3}-\d{4,}\b')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{4,}\b', '<PHONE>', 'g')) AS redacted_md5
+             |FROM p""".stripMargin)),
+
     // Exact dedup: one hash-groupBy (the 100 TB shape: single shuffle on
     // the 128-bit content key).
     Q("d1_exact_dedup",

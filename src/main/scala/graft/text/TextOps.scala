@@ -70,4 +70,17 @@ object TextOps {
     val norm = regexp_replace(lower(text), "[^a-z0-9\\s]", "")
     md5(concat_ws(" ", array_sort(array_distinct(tokens(norm)))))
   }
+
+  /** PII-style masking: every match of `pattern` replaced with `tag`.
+    * Pure Column algebra (regexp_replace is codegen'd) — one linear
+    * scan, no shuffle. Patterns must stay in the Java∩RE2 common
+    * subset (no backreferences/lookaround) so the DuckDB oracle can
+    * mirror them verbatim. */
+  def redact(text: Column, pattern: String, tag: String): Column =
+    regexp_replace(text, pattern, tag)
+
+  /** Number of matches of `pattern` in `text` (audit counterpart of
+    * [[redact]]: how much was masked). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

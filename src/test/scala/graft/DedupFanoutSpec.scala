@@ -107,4 +107,27 @@ class DedupFanoutSpec extends AnyFunSuite {
       s"near-identical pair not surfaced: $top")
     pairs.unpersist()
   }
+
+  test("decontaminate: planted eval leak flagged, clean docs untouched") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different benchmark question about spark joins"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // doc 1: contains bench 100's first 8 tokens verbatim → 6 shared
+      // 3-gram shingles
+      (1L, "prefix words the quick brown fox jumps over the lazy suffix"),
+      // doc 2: one shared shingle with bench 101
+      (2L, "a question about spark tuning not benchmarks"),
+      // doc 3: no overlap at all
+      (3L, "entirely unrelated text with zero common trigrams here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .select($"doc_id", $"bench_id", $"n_overlap", $"n_doc")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 100L, 6L), (2L, 101L, 1L)),
+      s"got $out")
+    // ratio denominator is the corpus doc's own distinct shingle count
+    assert(out.head._4 == 9L) // 11 tokens → 9 trigrams, all distinct
+  }
 }
