@@ -239,6 +239,35 @@ object TextPack extends QueryPack {
              |    '\b\d{3}-\d{4,}\b', '<PHONE>', 'g')) AS redacted_md5
              |FROM p""".stripMargin)),
 
+    // T12 (beyond-reference, LLM pipeline): context-window chunking —
+    // 32-token chunks at stride 24 (8-token overlap), final partial
+    // chunk kept. One explode per chunk row; chunk text compared via
+    // md5 so the hash diff never ships strings.
+    Q("t12_chunk",
+      (s, dir) => {
+        import s.implicits._
+        val C = 32; val stride = 24
+        Tables.documents(s, dir)
+          .withColumn("__toks", TextOps.tokens($"text"))
+          .withColumn("n", size($"__toks"))
+          .select($"doc_id", $"__toks", $"n",
+            posexplode(TextOps.chunkStarts($"__toks", stride))
+              .as(Seq("chunk_id", "start")))
+          .select($"doc_id", $"chunk_id",
+            least(lit(C), $"n" - $"start").as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice($"__toks", $"start" + 1, lit(C))))
+              .as("chunk_md5"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |e AS (SELECT doc_id, ts, len(ts) AS n,
+             |    unnest(range(0, greatest(len(ts), 1), 24)) AS st
+             |  FROM d)
+             |SELECT doc_id, CAST(st / 24 AS BIGINT) AS chunk_id,
+             |  least(32, n - st) AS n_chunk_tokens,
+             |  md5(array_to_string(ts[st + 1 : st + 32], ' ')) AS chunk_md5
+             |FROM e""".stripMargin)),
+
     // Exact dedup: one hash-groupBy (the 100 TB shape: single shuffle on
     // the 128-bit content key).
     Q("d1_exact_dedup",

@@ -83,4 +83,13 @@ object TextOps {
     * [[redact]]: how much was masked). */
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Context-window chunking (LLM pipeline): the 0-based token offsets
+    * at which fixed-size chunks start — 0, stride, 2·stride, … while
+    * the offset is inside the token array (the final partial chunk is
+    * kept, standard for training-data prep). Pair with
+    * `slice(toks, start + 1, chunkSize)` to materialize each chunk;
+    * pure Column algebra, one explode per chunk row, no shuffle. */
+  def chunkStarts(toks: Column, stride: Int): Column =
+    sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
 }
