@@ -231,9 +231,13 @@ object Dedup {
     * word n-gram shingles they share, so a threshold on `n_overlap` (or
     * `overlap_ratio`) flags training documents contaminated with eval
     * data. The benchmark side is an eval set — small by construction —
-    * so its shingles broadcast; the corpus side is one shingle explode,
-    * one broadcast hash join, and one per-pair aggregation: LINEAR in
-    * the corpus with no corpus-side shuffle before the (doc, bench) agg.
+    * so its shingles broadcast; the corpus side is a shingle explode,
+    * a broadcast hash join, and one per-pair aggregation: LINEAR in
+    * the corpus with no corpus-side shuffle before the (doc, bench)
+    * agg. The corpus is scanned twice (overlap join + per-doc shingle
+    * counts) ON PURPOSE: a persisted shingle table would be larger
+    * than the input, so re-running the scan+explode is the cheaper
+    * 100 TB plan (unlike d4, whose df-capped table is reused 3×).
     *
     * Output: doc_id, bench_id, n_overlap, n_doc (distinct shingles in
     * the corpus doc), overlap_ratio = n_overlap / n_doc — one row per
