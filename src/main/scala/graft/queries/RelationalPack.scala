@@ -282,6 +282,51 @@ object RelationalPack extends QueryPack {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 100""".stripMargin)),
 
+    // TPC-H Q21 shape (the hardest decorrelation in the suite): a
+    // fact-fact EXISTS + NOT EXISTS pair with an inequality on the
+    // correlated key, decorrelated to one left_semi and one left_anti
+    // join — no subquery re-execution per row, both joins shuffle on
+    // l_orderkey so AQE can plan them off the same exchange. "Late" is
+    // expressed via return flags on this schema: suppliers SOLELY
+    // responsible for a returned line in a multi-supplier finalized
+    // order.
+    Q("q21_soleblame",
+      (s, dir) => {
+        import s.implicits._
+        val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey",
+          $"l_returnflag")
+        val fOrders = Tables.orders(s, dir)
+          .filter($"o_orderstatus" === "F").select($"o_orderkey")
+        val returned = l.filter($"l_returnflag" === "R")
+          .join(fOrders, $"l_orderkey" === $"o_orderkey").drop("o_orderkey")
+        val semi = returned.as("a").join(
+          l.select($"l_orderkey".as("bk"), $"l_suppkey".as("bs")),
+          $"l_orderkey" === $"bk" && $"l_suppkey" =!= $"bs", "left_semi")
+        val anti = semi.as("a").join(
+          l.filter($"l_returnflag" === "R")
+            .select($"l_orderkey".as("ck"), $"l_suppkey".as("cs")),
+          $"l_orderkey" === $"ck" && $"l_suppkey" =!= $"cs", "left_anti")
+        anti.join(broadcast(Tables.supplier(s, dir)
+            .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), $"s_name")
+          .limit(10)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+             |             AND o.o_orderstatus = 'F'
+             |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+             |WHERE l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
+
     // Arbitrary GROUPING SETS (beyond q8's rollup / q9's cube): the
     // Dataset.groupingSets API plans ONE scan + Expand (each row fans out
     // to its grouping combinations before the partial aggregate) — no
