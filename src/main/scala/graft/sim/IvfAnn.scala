@@ -1,8 +1,22 @@
 package graft.sim
 
+import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** A fitted IVF coarse quantizer — the production lifecycle is build
+  * the index ONCE, query it many times, so the model is a first-class
+  * value: `IvfAnn.fit` → [[save]] → `IvfAnn.load` → `IvfAnn.search`.
+  * Wraps the Spark ML KMeansModel directly so a reloaded index assigns
+  * cells bit-identically to the fresh fit (same BLAS path), rather
+  * than re-deriving assignments from a centroid table. */
+final case class IvfModel(km: KMeansModel, seed: Long) {
+  def nCells: Int = km.clusterCenters.length
+  /** Persist the quantizer (Spark ML persistence — parquet + metadata
+    * under `path`; cluster-readable, versioned by Spark). */
+  def save(path: String): Unit = km.write.overwrite().save(path)
+}
 
 /** IVF (inverted-file) ANN: coarse KMeans quantizer bins the corpus into
   * cells; each query probes only its `nprobe` nearest cells. The
@@ -14,39 +28,47 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  /** Top-k most-cosine-similar corpus rows per query row (self excluded).
-    *
-    * `queryPred` selects the query subset of `df`; both sides come from
-    * the same frame (the self-search shape of the s3 benchmark). The
-    * fitted centroids are broadcast; candidates are bound by cell
-    * membership; ranking is a row_number window over the (bounded)
-    * candidate set.
-    */
-  def topK(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
-           k: Int, nCells: Int = 8, nprobe: Int = 2, seed: Long = 42L,
-           quantizerSampleSize: Int = 0): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = df.sparkSession
-    import spark.implicits._
-    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    // The quantizer fits on a BOUNDED deterministic sample (seeded
-    // hash-order + limit → TakeOrderedAndProject: a per-partition
-    // bounded heap, never a full sort or full-corpus materialization),
-    // then coalesce(1) (cf. MlPack.kmeans5): the sample is head-sized
-    // at any corpus scale and every Lloyd iteration is one job — one
-    // task per iteration beats 32 near-empty launches.
+  /** Fit the coarse quantizer on a BOUNDED deterministic sample of the
+    * corpus (seeded hash-order + limit → TakeOrderedAndProject: a
+    * per-partition bounded heap, never a full sort or full-corpus
+    * materialization), then coalesce(1) (cf. MlPack.kmeans5): the
+    * sample is head-sized at any corpus scale and every Lloyd
+    * iteration is one job — one task per iteration beats 32 near-empty
+    * launches. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, nCells: Int = 8,
+          seed: Long = 42L, quantizerSampleSize: Int = 0): IvfModel = {
+    val e = normalized(df, idCol, vecCol)
     val sampleN =
       if (quantizerSampleSize > 0) quantizerSampleSize
       else math.max(256 * nCells, 2048)
     val fitInput = quantizerFitInput(e, sampleN, seed).coalesce(1).persist()
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(fitInput)
+    val fitted = km.fit(fitInput)
     fitInput.unpersist()
-    val binned = model.transform(e).drop("features")
+    IvfModel(fitted, seed)
+  }
+
+  /** Reload a quantizer persisted with [[IvfModel.save]]. */
+  def load(path: String): IvfModel = {
+    val km = KMeansModel.load(path)
+    IvfModel(km, km.getSeed)
+  }
+
+  /** Probe a fitted index: top-k most-cosine-similar corpus rows per
+    * query row (self excluded). `queryPred` selects the query subset of
+    * `df`; both sides come from the same frame (the self-search shape
+    * of the s3 benchmark). Centroids are broadcast; candidates are
+    * bound by cell membership (nprobe/nCells of the corpus); ranking
+    * is a row_number window over the bounded candidate set. */
+  def search(model: IvfModel, df: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = normalized(df, idCol, vecCol)
+    val binned = model.km.transform(e).drop("features")
     // rank all centroids per query by L2 distance, keep nprobe
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val centers = model.km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq.toDF("cell", "center")
     val qBase = binned.filter(queryPred)
@@ -67,6 +89,19 @@ object IvfAnn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("cell"), col("vec_id").as("corpus_id"),
         col("cos"), col("rank"))
+  }
+
+  /** Fused fit + search convenience (the s3 benchmark shape). */
+  def topK(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+           k: Int, nCells: Int = 8, nprobe: Int = 2, seed: Long = 42L,
+           quantizerSampleSize: Int = 0): DataFrame =
+    search(fit(df, idCol, vecCol, nCells, seed, quantizerSampleSize),
+      df, idCol, vecCol, queryPred, k, nprobe)
+
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
   }
 
   /** Deterministic bounded sample for the coarse-quantizer fit (see

@@ -41,6 +41,27 @@ class IvfQuantizerSpec extends AnyFunSuite {
     assert(IvfAnn.quantizerFitInput(e, 1000, 42L).count() == 300L)
   }
 
+  test("fit/save/load/search lifecycle reproduces the fused topK") {
+    import org.apache.spark.sql.functions.col
+    val e = GoldenPinCompute.ivfFixture(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fused = rows(IvfAnn.topK(e, "vec_id", "v", col("vec_id") < 4,
+      k = 3, nCells = 4, nprobe = 2, seed = 42L, quantizerSampleSize = 64))
+    val model = IvfAnn.fit(e, "vec_id", "v", nCells = 4, seed = 42L,
+      quantizerSampleSize = 64)
+    assert(rows(IvfAnn.search(model, e, "vec_id", "v", col("vec_id") < 4,
+      k = 3, nprobe = 2)) == fused)
+    // persist, reload, search again: the index survives a round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    model.save(s"$dir/ivf")
+    val reloaded = IvfAnn.load(s"$dir/ivf")
+    assert(reloaded.nCells == 4)
+    assert(rows(IvfAnn.search(reloaded, e, "vec_id", "v", col("vec_id") < 4,
+      k = 3, nprobe = 2)) == fused)
+  }
+
   test("sampled-fit IVF keeps recall on a corpus 8x the sample") {
     // The test-SF embeddings tables are smaller than the default sample,
     // so only this fixture exercises the sample<corpus regime: 2048
