@@ -71,6 +71,63 @@ object StreamMultimodalPack extends QueryPack {
              |SELECT user_id, event_id, round(value + 1e-9, 4) AS value, rank
              |FROM r WHERE rank <= 3""".stripMargin)),
 
+    // Streaming similarity retrieval: the corpus arrives as a stream,
+    // the (tiny, normalized) query set is a broadcast static side, and
+    // TopKAgg maintains O(k) per-query state across micro-batches — a
+    // streaming index-refresh shape (new embeddings continuously
+    // folded into each query's running top-k). Arithmetic is the s1
+    // path verbatim (withNormalized + codegen'd dot), so the oracle is
+    // s1's exact brute-force SQL.
+    Q("st8_stream_ann",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st8_out_${counter.incrementAndGet()}"
+        val queries = graft.sim.Similarity.withNormalized(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+              .filter($"vec_id" < 10), "v", "qv")
+          .select($"vec_id".as("query_id"), $"qv")
+        val stream = s.readStream.schema(Tables.embeddingsSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val scored = graft.sim.Similarity.withNormalized(stream, "v", "cv")
+          .join(broadcast(queries), $"query_id" =!= $"vec_id")
+          .withColumn("cos", graft.sim.Similarity.dot($"qv", $"cv"))
+        val agg = scored.groupBy($"query_id")
+          .agg(graft.operators.TopKAgg.topK(
+            struct($"cos".isNull.cast("int"), negate($"cos"), $"vec_id"),
+            struct($"vec_id", $"cos"), 5).as("tk"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select($"query_id", posexplode($"tk").as(Seq("pos", "kv")))
+          .select($"query_id", $"kv.value.vec_id".as("corpus_id"),
+            r6($"kv.value.cos").as("cos"), ($"pos" + 1).as("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |nm AS (SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nm),
+             |q AS (SELECT vec_id AS query_id, nv AS qv FROM nv WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT q.query_id, nv.vec_id AS corpus_id,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * nv.nv[i])),
+             |        (acc, x) -> acc + x) AS cos
+             |  FROM q, nv WHERE q.query_id <> nv.vec_id),
+             |rk AS (
+             |  SELECT query_id, corpus_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
+             |FROM rk WHERE rank <= 5""".stripMargin)),
+
     // Streaming W12: stateful gaps-and-islands transitions via
     // flatMapGroupsWithState — must emit exactly the batch islands
     // result (open final island never emitted).

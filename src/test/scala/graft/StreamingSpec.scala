@@ -139,6 +139,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 4, s"expected ≥ 4 paced micro-batches, saw $batches")
   }
 
+  test("streaming ANN top-k across two micro-batches == batch brute force") {
+    import graft.sim.Similarity
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 60).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    val df = rows.toDF("vec_id", "v")
+    val queries = Similarity.withNormalized(
+        df.filter($"vec_id" < 3), "v", "qv")
+      .select($"vec_id".as("query_id"), $"qv")
+    val batch = Similarity.cosineTopK(df, df.filter($"vec_id" < 3),
+        "vec_id", "v", 3)
+      .select($"query_id", $"corpus_id", $"rank")
+      .collect().map(_.toSeq).toSet
+
+    // two files → two micro-batches: the per-query heap state must
+    // merge rows seen in batch 1 with rows arriving in batch 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_ann").toString
+    df.filter($"vec_id" < 30).coalesce(1).write.parquet(s"$dir/p1")
+    df.filter($"vec_id" >= 30).coalesce(1).write.parquet(s"$dir/p2")
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    def fileOf(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(fileOf("p1").toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val scored = Similarity.withNormalized(stream, "v", "cv")
+      .join(broadcast(queries), $"query_id" =!= $"vec_id")
+      .withColumn("cos", Similarity.dot($"qv", $"cv"))
+    val agg = scored.groupBy($"query_id")
+      .agg(graft.operators.TopKAgg.topK(
+        struct($"cos".isNull.cast("int"), negate($"cos"), $"vec_id"),
+        struct($"vec_id", $"cos"), 3).as("tk"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_ann_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(fileOf("p2").toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_ann_test")
+      .select($"query_id", posexplode($"tk").as(Seq("pos", "kv")))
+      .select($"query_id", $"kv.value.vec_id".as("corpus_id"),
+        ($"pos" + 1).as("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("paged source: a fresh instance replays any checkpointed offset range") {
     import graft.io.PagedIngest.Candle
     import graft.streaming.{PagedMicroBatchStream, PagedInputPartition, PagedOffset, PagedStreamApi}
