@@ -147,16 +147,27 @@ object Bench {
     // "retimed" (original stalled measurements) appears only when a
     // stall was caught, capped at the 3 largest — the common case pays
     // zero of the ~2000-char stdout capture budget for it.
-    def line(fq: Double => String, retimedCap: Int): String = {
-      val qs = (setup.toSeq ++ results.map { case (k, v, _) => (k, v) })
-        .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
+    def line(fq: Double => String, retimedCap: Int,
+             smallCutoff: Double): String = {
+      val entries = setup.toSeq ++ results.map { case (k, v, _) => (k, v) }
+      // below the cutoff individual timings are scheduling noise — fold
+      // them into one "rest" entry (count in "rest_n") so the line fits
+      // the capture window; BENCH_FULL.json always carries every entry
+      val (kept, folded) = entries.partition { case (k, v) =>
+        smallCutoff <= 0.0 || v >= smallCutoff || setup.contains(k)
+      }
+      val shown =
+        if (folded.isEmpty) kept
+        else kept :+ ("rest" -> folded.map(_._2).sum)
+      val restN = if (folded.isEmpty) "" else s""","rest_n":${folded.size}"""
+      val qs = shown.map { case (k, v) => s"\"" + k + "\":" + fq(v) }
         .mkString("{", ",", "}")
       val rt =
         if (retimed.isEmpty) ""
         else retimed.toSeq.sortBy(-_._2).take(retimedCap)
           .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
           .mkString(",\"retimed\":{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failed$rt,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$restN,"failed":$failed$rt,"sf":"$sfShort"}"""
     }
     // Adaptive precision: the 94-entry map at 2 decimals no longer fits
     // the ~2000-char capture window the driver parses (rounds 1-2 lost
@@ -166,16 +177,21 @@ object Bench {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
-    val out = {
-      val l2 = line(f2, 3); if (l2.length <= 1900) l2 else line(f1, 3)
-    }
+    // degrade in steps until the line fits: full 2-decimal map → 1
+    // decimal → fold sub-0.25s entries into "rest"
+    val out = Seq(
+        () => line(f2, 3, 0.0), () => line(f1, 3, 0.0),
+        () => line(f1, 3, 0.25))
+      .view.map(_.apply()).find(_.length <= 1900)
+      .getOrElse(line(f1, 3, 0.5))
     if (out.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
     // genuinely-full copy for local history: 4-decimal values, every
-    // retimed entry, no length cap
+    // entry, every retimed measurement, no length cap
     def f4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line(f4, Int.MaxValue) + "\n")
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      line(f4, Int.MaxValue, 0.0) + "\n")
     catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON
