@@ -178,12 +178,14 @@ object Bench {
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     // degrade in steps until the line fits: full 2-decimal map → 1
-    // decimal → fold sub-0.25s entries into "rest"
-    val out = Seq(
-        () => line(f2, 3, 0.0), () => line(f1, 3, 0.0),
-        () => line(f1, 3, 0.25))
+    // decimal → fold entries under a rising cutoff into "rest". The
+    // ladder ends at cutoff ∞ (everything folded, a ~200-char line),
+    // so a fitting line is guaranteed, not just likely.
+    val out = (Seq(() => line(f2, 3, 0.0), () => line(f1, 3, 0.0)) ++
+        Seq(0.25, 0.5, 1.0, 2.0, Double.MaxValue).map(c =>
+          () => line(f1, 3, c)))
       .view.map(_.apply()).find(_.length <= 1900)
-      .getOrElse(line(f1, 3, 0.5))
+      .getOrElse(line(f1, 3, Double.MaxValue))
     if (out.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
     // genuinely-full copy for local history: 4-decimal values, every

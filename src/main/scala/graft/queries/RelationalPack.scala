@@ -299,10 +299,10 @@ object RelationalPack extends QueryPack {
           .filter($"o_orderstatus" === "F").select($"o_orderkey")
         val returned = l.filter($"l_returnflag" === "R")
           .join(fOrders, $"l_orderkey" === $"o_orderkey").drop("o_orderkey")
-        val semi = returned.as("a").join(
+        val semi = returned.join(
           l.select($"l_orderkey".as("bk"), $"l_suppkey".as("bs")),
           $"l_orderkey" === $"bk" && $"l_suppkey" =!= $"bs", "left_semi")
-        val anti = semi.as("a").join(
+        val anti = semi.join(
           l.filter($"l_returnflag" === "R")
             .select($"l_orderkey".as("ck"), $"l_suppkey".as("cs")),
           $"l_orderkey" === $"ck" && $"l_suppkey" =!= $"cs", "left_anti")

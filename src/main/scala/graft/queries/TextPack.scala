@@ -220,24 +220,33 @@ object TextPack extends QueryPack {
         Tables.documents(s, dir)
           .withColumn("raw", concat($"text", lit(" contact user"), $"doc_id",
             lit("@example.com or call 555-010"), $"doc_id"))
+          // phones are counted AFTER email masking, mirroring the
+          // sequential redaction — a phone-shaped email domain is
+          // masked as part of the email, so it must not count as a
+          // masked phone
+          .withColumn("deml", TextOps.redact($"raw", emailRe, "<EMAIL>"))
           .select($"doc_id",
             TextOps.matchCount($"raw", emailRe).as("n_emails"),
-            TextOps.matchCount($"raw", phoneRe).as("n_phones"),
-            md5(TextOps.redact(TextOps.redact($"raw", emailRe, "<EMAIL>"),
-              phoneRe, "<PHONE>")).as("redacted_md5"))
+            TextOps.matchCount($"deml", phoneRe).as("n_phones"),
+            md5(TextOps.redact($"deml", phoneRe, "<PHONE>"))
+              .as("redacted_md5"))
       },
       Some("""WITH p AS (
              |  SELECT doc_id, text || ' contact user' || doc_id
              |    || '@example.com or call 555-010' || doc_id AS raw
-             |  FROM documents)
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, raw, regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g') AS deml
+             |  FROM p)
              |SELECT doc_id,
              |  len(regexp_extract_all(raw,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-             |  len(regexp_extract_all(raw, '\b\d{3}-\d{4,}\b')) AS n_phones,
-             |  md5(regexp_replace(regexp_replace(raw,
-             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             |    '\b\d{3}-\d{4,}\b', '<PHONE>', 'g')) AS redacted_md5
-             |FROM p""".stripMargin)),
+             |  len(regexp_extract_all(deml, '\b\d{3}-\d{4,}\b')) AS n_phones,
+             |  md5(regexp_replace(deml, '\b\d{3}-\d{4,}\b', '<PHONE>', 'g'))
+             |    AS redacted_md5
+             |FROM e""".stripMargin)),
 
     // T12 (beyond-reference, LLM pipeline): context-window chunking —
     // 32-token chunks at stride 24 (8-token overlap), final partial
@@ -248,6 +257,7 @@ object TextPack extends QueryPack {
         import s.implicits._
         val C = 32; val stride = 24
         Tables.documents(s, dir)
+          .filter($"text".isNotNull) // null docs chunk to nothing
           .withColumn("__toks", TextOps.tokens($"text"))
           .withColumn("n", size($"__toks"))
           .select($"doc_id", $"__toks", $"n",
@@ -259,7 +269,8 @@ object TextPack extends QueryPack {
               .as("chunk_md5"))
       },
       Some("""WITH d AS (SELECT doc_id,
-             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents
+             |  WHERE text IS NOT NULL),
              |e AS (SELECT doc_id, ts, len(ts) AS n,
              |    unnest(range(0, greatest(len(ts), 1), 24)) AS st
              |  FROM d)

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * Wraps the Spark ML KMeansModel directly so a reloaded index assigns
   * cells bit-identically to the fresh fit (same BLAS path), rather
   * than re-deriving assignments from a centroid table. */
-final case class IvfModel(km: KMeansModel, seed: Long) {
+final case class IvfModel(km: KMeansModel) {
   def nCells: Int = km.clusterCenters.length
+  def seed: Long = km.getSeed
   /** Persist the quantizer (Spark ML persistence — parquet + metadata
     * under `path`; cluster-readable, versioned by Spark). */
   def save(path: String): Unit = km.write.overwrite().save(path)
@@ -37,7 +38,7 @@ object IvfAnn {
     * launches. */
   def fit(df: DataFrame, idCol: String, vecCol: String, nCells: Int = 8,
           seed: Long = 42L, quantizerSampleSize: Int = 0): IvfModel = {
-    val e = normalized(df, idCol, vecCol)
+    val e = asFeatures(df, idCol, vecCol)
     val sampleN =
       if (quantizerSampleSize > 0) quantizerSampleSize
       else math.max(256 * nCells, 2048)
@@ -46,14 +47,11 @@ object IvfAnn {
       .setK(nCells).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
     val fitted = km.fit(fitInput)
     fitInput.unpersist()
-    IvfModel(fitted, seed)
+    IvfModel(fitted)
   }
 
   /** Reload a quantizer persisted with [[IvfModel.save]]. */
-  def load(path: String): IvfModel = {
-    val km = KMeansModel.load(path)
-    IvfModel(km, km.getSeed)
-  }
+  def load(path: String): IvfModel = IvfModel(KMeansModel.load(path))
 
   /** Probe a fitted index: top-k most-cosine-similar corpus rows per
     * query row (self excluded). `queryPred` selects the query subset of
@@ -65,7 +63,7 @@ object IvfAnn {
              queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val e = normalized(df, idCol, vecCol)
+    val e = asFeatures(df, idCol, vecCol)
     val binned = model.km.transform(e).drop("features")
     // rank all centroids per query by L2 distance, keep nprobe
     val centers = model.km.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -98,7 +96,10 @@ object IvfAnn {
     search(fit(df, idCol, vecCol, nCells, seed, quantizerSampleSize),
       df, idCol, vecCol, queryPred, k, nprobe)
 
-  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Rename to the (vec_id, v) convention and add the ML-vector view.
+    * NOT normalization: the quantizer bins RAW vectors (cosine ranking
+    * re-normalizes per pair inside Similarity.cosine). */
+  private def asFeatures(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("features", array_to_vector(col("v")))

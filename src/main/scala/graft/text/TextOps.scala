@@ -87,9 +87,12 @@ object TextOps {
   /** Context-window chunking (LLM pipeline): the 0-based token offsets
     * at which fixed-size chunks start — 0, stride, 2·stride, … while
     * the offset is inside the token array (the final partial chunk is
-    * kept, standard for training-data prep). Pair with
-    * `slice(toks, start + 1, chunkSize)` to materialize each chunk;
-    * pure Column algebra, one explode per chunk row, no shuffle. */
+    * kept, standard for training-data prep). A null or empty token
+    * array yields NO starts — a null document must not fabricate a
+    * phantom chunk. Pair with `slice(toks, start + 1, chunkSize)` to
+    * materialize each chunk; pure Column algebra, one explode per
+    * chunk row, no shuffle. */
   def chunkStarts(toks: Column, stride: Int): Column =
-    sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    when(size(toks) >= 1, sequence(lit(0), size(toks) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
 }
