@@ -130,6 +130,43 @@ object TextPack extends QueryPack {
              |    AS DOUBLE) / count(*) + 1e-9, 4) AS rate
              |FROM documents GROUP BY lang, source""".stripMargin)),
 
+    // T13 (beyond-reference, LLM pipeline): stratified source mixing —
+    // the corpus-mixture knob: each language stratum keeps a configured
+    // per-mille of its documents, decided by a STABLE content hash (the
+    // same doc keeps or drops identically on every run and every
+    // engine, so mixtures are reproducible). Config is a broadcast
+    // rates table with a default; one scan, one broadcast join, one
+    // aggregate.
+    Q("t13_stratified",
+      (s, dir) => {
+        import s.implicits._
+        val rates = Seq(("en", 500L), ("zh", 300L), ("es", 200L))
+          .toDF("lang", "mille")
+        Tables.documents(s, dir)
+          .join(broadcast(rates), Seq("lang"), "left")
+          .withColumn("mille", coalesce($"mille", lit(100L)))
+          .withColumn("keep",
+            pmod(TextOps.hash60($"text"), lit(1000L)) < $"mille")
+          .groupBy($"lang", $"source", $"mille")
+          .agg(count(lit(1)).as("n_total"),
+            count(when($"keep", 1)).as("n_kept"))
+          .withColumn("achieved", r4($"n_kept".cast("double") / $"n_total"))
+      },
+      Some("""WITH r(lang, mille) AS (VALUES ('en', 500), ('zh', 300), ('es', 200)),
+             |d AS (
+             |  SELECT doc_id, documents.lang, source, text,
+             |    CAST(coalesce(r.mille, 100) AS BIGINT) AS mille
+             |  FROM documents LEFT JOIN r ON r.lang = documents.lang),
+             |k AS (
+             |  SELECT *, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+             |    % 1000 < mille AS keep
+             |  FROM d)
+             |SELECT lang, source, mille, count(*) AS n_total,
+             |  count(*) FILTER (keep) AS n_kept,
+             |  round(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*)
+             |    + 1e-9, 4) AS achieved
+             |FROM k GROUP BY 1, 2, 3""".stripMargin)),
+
     // Token-budget sequence packing: per lang, docs in doc_id order are
     // assigned to 4096-token bins by cumulative token count (the
     // prefix-sum approximation of greedy packing — windowed cumsum, one
