@@ -12,20 +12,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `clear(session)` releases every tracked frame — Bench calls it
   * alongside the query packs' own clearCaches. */
 object PersistRegistry {
-  private val frames = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.Queue[DataFrame]]()
+  // All map access is under the registry lock: a lock-free variant can
+  // interleave computeIfAbsent/add with a concurrent clear()'s remove and
+  // strand a persisted frame in a dropped queue. The lock covers only
+  // bookkeeping (unpersist runs outside it), and calls are rare
+  // driver-side events, so contention is irrelevant.
+  private val frames = scala.collection.mutable.Map[
+    SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]()
 
   /** Persist `df` and remember it for a later [[clear]]. */
   def trackPersist(df: DataFrame): DataFrame = {
     df.persist()
-    frames.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    synchronized {
+      frames.getOrElseUpdate(df.sparkSession,
+        scala.collection.mutable.ArrayBuffer.empty) += df
+    }
     df
   }
 
   /** Unpersist every frame tracked for `session`. */
   def clear(session: SparkSession): Unit = {
-    val q = frames.remove(session)
-    if (q != null) q.forEach(df => df.unpersist())
+    val tracked = synchronized { frames.remove(session) }
+    tracked.foreach(_.foreach(_.unpersist()))
   }
 }

@@ -159,9 +159,28 @@ class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
     * engine re-executes the last uncommitted batch by offset range.
     * Re-run paging passes from the initial cursors until the requested
     * end offset is buffered (or the provider is exhausted — then the
-    * caller fails loudly). */
-  private def replayTo(target: Long): Unit = {
-    while (admitted < target && !symbols.forall(exhausted.contains)) pagingPass()
+    * caller fails loudly). Rows below `floor` are discarded as soon as
+    * each pass produces them, so a replay over a long committed history
+    * holds at most one paging pass plus the live range in driver memory
+    * rather than the whole history. */
+  private def replayTo(target: Long, floor: Long): Unit = {
+    while (admitted < target && !symbols.forall(exhausted.contains)) {
+      pagingPass()
+      trimBelow(floor)
+      peakReplayBuffered = math.max(peakReplayBuffered, buffer.length)
+    }
+  }
+
+  // test visibility: pins the bounded-memory contract of replay
+  // (peak is sampled after each pass's trim, so a commit fast-forward
+  // over a long history must stay within one paging pass)
+  private[graft] def bufferedRowCount: Int = buffer.length
+  private[graft] var peakReplayBuffered: Int = 0
+
+  /** Drop buffered rows at offsets below `floor` (capped at `admitted`). */
+  private def trimBelow(floor: Long): Unit = {
+    val drop = math.toIntExact(math.max(0L, math.min(floor, admitted) - bufferBase))
+    if (drop > 0) { buffer.remove(0, drop); bufferBase += drop }
   }
 
   /** Back to the initial cursors: the admitted sequence is a pure
@@ -177,8 +196,8 @@ class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
     val e = end.asInstanceOf[PagedOffset].served
     // restart orderings can acknowledge offsets and then re-request an
     // earlier range in one merged batch — regenerate from scratch
-    if (s < bufferBase) { resetPaging(); replayTo(e) }
-    else if (e > bufferBase + buffer.length) replayTo(e)
+    if (s < bufferBase) { resetPaging(); replayTo(e, floor = s) }
+    else if (e > bufferBase + buffer.length) replayTo(e, floor = bufferBase)
     if (e > bufferBase + buffer.length)
       throw new IllegalStateException(
         s"paged source: offset range [$s, $e) is not replayable " +
@@ -217,10 +236,12 @@ class PagedMicroBatchStream(options: CaseInsensitiveStringMap)
     // a FRESH instance (before any latestOffset call): fast-forward the
     // paging state to the committed point first, so bufferBase never
     // jumps past rows the replay hasn't produced yet — a blind jump
-    // would misattribute later replayed rows to wrong offsets.
-    if (e > admitted) replayTo(e)
-    val drop = math.toIntExact(math.min(e, admitted) - bufferBase)
-    if (drop > 0) { buffer.remove(0, drop); bufferBase += drop }
+    // would misattribute later replayed rows to wrong offsets. The floor
+    // is the committed point itself: every replayed row is already below
+    // it, so the fast-forward discards pages as it goes instead of
+    // buffering the whole committed history.
+    if (e > admitted) replayTo(e, floor = e)
+    trimBelow(e)
   }
 
   override def deserializeOffset(json: String): Offset = PagedOffset(json.toLong)

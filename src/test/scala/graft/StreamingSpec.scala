@@ -230,6 +230,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not replayable"))
   }
 
+  test("paged source: commit fast-forward holds at most one paging pass") {
+    import graft.io.PagedIngest.Candle
+    import graft.streaming.{PagedMicroBatchStream, PagedOffset, PagedStreamApi}
+    // 2 symbols × 200 rows, 5 rows/page, 1 page/symbol/pass ⇒ a paging
+    // pass admits at most 10 rows; the committed history is 400
+    val data = (for (sym <- Seq("a", "b"); i <- 0 until 200)
+      yield Candle(sym, i * 1000L, 1, 2, 0, 10.0 + i, 100.0 + i))
+      .groupBy(_.symbol)
+    PagedStreamApi.register("commit_trim_spec", (sym, since, limit) =>
+      data(sym).filter(_.ts >= since).take(limit).toSeq)
+    def mkStream() = new PagedMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("provider", "commit_trim_spec", "symbols", "a,b",
+          "pageLimit", "5", "pagesPerBatch", "1")))
+
+    // drive a live instance to exhaustion to learn the final offset
+    val live = mkStream()
+    var end = 0L
+    var prev = -1L
+    while (end != prev) {
+      prev = end
+      end = live.latestOffset().asInstanceOf[PagedOffset].served
+    }
+    assert(end == 400L)
+
+    // restart: the engine acknowledges the committed range on a FRESH
+    // instance; the fast-forward must replay without buffering the
+    // whole [0, end) history in the driver
+    val restarted = mkStream()
+    restarted.commit(PagedOffset(end))
+    assert(restarted.bufferedRowCount == 0,
+      s"committed history must be fully trimmed, ${restarted.bufferedRowCount} rows remain")
+    assert(restarted.peakReplayBuffered <= 10,
+      s"replay peak ${restarted.peakReplayBuffered} rows exceeds one paging pass (10)")
+  }
+
   test("paged source: stop mid-stream, restart from checkpoint, no loss") {
     import graft.io.PagedIngest.Candle
     import graft.streaming.PagedStreamApi
