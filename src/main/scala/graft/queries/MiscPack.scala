@@ -100,6 +100,92 @@ object MiscPack extends QueryPack {
              |  CAST(quarter(o_orderdate) AS INT) AS q
              |FROM orders""".stripMargin)),
 
+    // SQL-surface parity (SURVEY §4.2): the engine's registered
+    // functions (GraftExtensions) drive a query written ENTIRELY in
+    // spark.sql — a reference user's SQL notebook works verbatim. Each
+    // graft_* name lowers to the same native expression tree the Column
+    // API builds, so the oracle is the same SQL the Column-path queries
+    // t3/t4 verify.
+    Q("sql1_text_fns",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("sql1_docs")
+        s.sql("""SELECT doc_id,
+                |  graft_token_count(text) AS bpeish_tokens,
+                |  size(graft_tokens(text)) AS ws_tokens,
+                |  graft_fingerprint(text) AS fingerprint,
+                |  round(graft_clip(CAST(n_chars AS DOUBLE) / 1000.0, 0.1, 0.9)
+                |        + 1e-9, 6) AS len_clip
+                |FROM sql1_docs""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |       AS INT) AS bpeish_tokens,
+             |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    string_split_regex(trim(regexp_replace(lower(text),
+             |      '[^a-z0-9\s]', '', 'g')), '\s+'))), ' ')) AS fingerprint,
+             |  round(least(greatest(CAST(n_chars AS DOUBLE) / 1000.0, 0.1), 0.9)
+             |        + 1e-9, 6) AS len_clip
+             |FROM documents""".stripMargin)),
+
+    // SQL-surface parity for the vector family: graft_dot / graft_cosine
+    // resolve to the codegen'd DotProduct fold (left-to-right, same
+    // operand order as the DuckDB list_reduce mirror — see s1).
+    Q("sql2_vector_fns",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.embeddings(s, dir)
+          .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+          .createOrReplaceTempView("sql2_emb")
+        s.sql("""SELECT a.vec_id,
+                |  round(graft_dot(a.v, a.v) + 1e-9, 6) AS norm2,
+                |  round(graft_cosine(a.v, b.v) + 1e-9, 6) AS cos_next
+                |FROM sql2_emb a JOIN sql2_emb b ON b.vec_id = a.vec_id + 1""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |d AS (
+             |  SELECT a.vec_id,
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])),
+             |      (acc, x) -> acc + x) AS d_aa,
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])),
+             |      (acc, x) -> acc + x) AS d_bb,
+             |    list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+             |      (acc, x) -> acc + x) AS d_ab
+             |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+             |SELECT vec_id, round(d_aa + 1e-9, 6) AS norm2,
+             |  round((d_ab / nullif(sqrt(d_aa), 0)) / nullif(sqrt(d_bb), 0)
+             |        + 1e-9, 6) AS cos_next
+             |FROM d""".stripMargin)),
+
+    // SQL-surface parity for the custom window aggregate: `ewm(x, span)
+    // OVER w` — the EwmAgg DeclarativeAggregate reached through the SQL
+    // parser's window path (w9 verifies the same math via the Column
+    // API).
+    Q("sql3_window_agg",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("sql3_events")
+        s.sql("""SELECT user_id, event_id, unix_micros(ts) AS t,
+                |  round(ewm(value, 12.0) OVER (PARTITION BY user_id
+                |    ORDER BY unix_micros(ts), event_id) + 1e-9, 6) AS ewm12
+                |FROM sql3_events""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, t, list(value) OVER w AS xs
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, t,
+             |  round(list_reduce(xs,
+             |    (acc, x) -> 2.0/13.0 * x + (1.0 - 2.0/13.0) * acc) + 1e-9, 6)
+             |    AS ewm12
+             |FROM l""".stripMargin)),
+
     // §2.8 array family over tokenized text: sort/distinct/slice/
     // contains/position.
     Q("t7_arrays",
