@@ -167,6 +167,116 @@ object TextPack extends QueryPack {
              |    + 1e-9, 4) AS achieved
              |FROM k GROUP BY 1, 2, 3""".stripMargin)),
 
+    // T14 (beyond-reference, LLM pipeline): within-document repetition
+    // signals — the Gopher/RefinedWeb quality rules that catch boiler-
+    // plate and degenerate generations. Duplicate token / 2-gram
+    // fractions are per-row Column algebra (one scan, no shuffle); the
+    // most-frequent-2-gram share distributes as explode → count →
+    // per-doc top-1 (the grouped count is bounded by the doc's own
+    // 2-gram vocabulary, so the shuffle carries at most one row per
+    // distinct (doc, gram) — linear in the corpus).
+    Q("t14_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .withColumn("g2", TextOps.ngrams($"toks", 2))
+          .select($"doc_id",
+            size($"toks").as("n_tokens"),
+            size($"g2").as("n_2grams"),
+            r6(lit(1.0) - size(array_distinct($"toks")).cast("double")
+              / nullif(size($"toks"), lit(0))).as("dup_token_frac"),
+            r6(lit(1.0) - size(array_distinct($"g2")).cast("double")
+              / nullif(size($"g2"), lit(0))).as("dup_2gram_frac"))
+        val gramCounts = Tables.documents(s, dir)
+          .select($"doc_id",
+            explode(TextOps.ngrams(TextOps.tokens($"text"), 2)).as("g"))
+          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        val top = graft.operators.TopK.perKey(
+          gramCounts.select($"doc_id", $"g",
+            (-$"c").as("neg_c"), $"c"),
+          Seq("doc_id"), Seq($"neg_c", $"g"), 1)
+          .select($"doc_id", $"g".as("top_2gram"), $"c".as("top_2gram_n"))
+        base.join(top, Seq("doc_id"), "left")
+          .withColumn("top_2gram_frac",
+            r6($"top_2gram_n".cast("double") / nullif($"n_2grams", lit(0))))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, ts,
+             |    CASE WHEN len(ts) >= 2
+             |      THEN list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])
+             |      ELSE CAST([] AS VARCHAR[]) END AS g2
+             |  FROM d),
+             |base AS (
+             |  SELECT doc_id, len(ts) AS n_tokens, len(g2) AS n_2grams,
+             |    round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE)
+             |      / nullif(len(ts), 0) + 1e-9, 6) AS dup_token_frac,
+             |    round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+             |      / nullif(len(g2), 0) + 1e-9, 6) AS dup_2gram_frac,
+             |    g2
+             |  FROM g),
+             |x AS (SELECT doc_id, unnest(g2) AS gr FROM g),
+             |c AS (SELECT doc_id, gr, count(*) AS c FROM x GROUP BY 1, 2),
+             |top AS (
+             |  SELECT doc_id, gr AS top_2gram, c AS top_2gram_n FROM c
+             |  QUALIFY row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY c DESC, gr) = 1)
+             |SELECT b.doc_id, n_tokens, n_2grams, dup_token_frac,
+             |  dup_2gram_frac, top_2gram, top_2gram_n,
+             |  round(CAST(top_2gram_n AS DOUBLE) / nullif(n_2grams, 0)
+             |    + 1e-9, 6) AS top_2gram_frac
+             |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin)),
+
+    // T15 (beyond-reference, LLM pipeline): temperature-scaled corpus
+    // mixing — per-language sampling weights w_i = sqrt(n_i) / Σ sqrt(n_j)
+    // (α = 0.5, the multilingual-pretraining upsampling rule), a 200-doc
+    // budget, and a DETERMINISTIC content-hash rank choosing which docs
+    // survive. The Σ is a fold over the lang-sorted count list so both
+    // engines add in the same order; the keep step is the t10 bounded-
+    // heap idiom (shuffle carries O(strata × kMax) rows, not the corpus).
+    Q("t15_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"text")
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+        val denom = counts.agg(
+          aggregate(array_sort(collect_list(struct($"lang", $"n"))), lit(0.0),
+            (acc, x) => acc + sqrt(x("n").cast("double"))).as("denom"))
+        val targets = counts.crossJoin(broadcast(denom))
+          .withColumn("n_target", least($"n",
+            ceil(lit(200.0) * sqrt($"n".cast("double")) / $"denom" + lit(Rx.EPS))
+              .cast("long")))
+          .select($"lang", $"n", $"n_target")
+        val kMax = targets.agg(max($"n_target")).first().getLong(0).toInt
+        val ranked = graft.operators.TopK.perKey(
+          docs.select($"doc_id", $"lang", md5($"text".cast("binary")).as("h")),
+          Seq("lang"), Seq($"h", $"doc_id"), kMax)
+        ranked.join(broadcast(targets), "lang")
+          .filter($"rank" <= $"n_target")
+          .select($"lang", $"doc_id", $"rank", $"n", $"n_target")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |den AS (
+             |  SELECT list_reduce(
+             |    list_prepend(0.0, list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+             |    (acc, x) -> acc + x) AS denom
+             |  FROM c),
+             |t AS (
+             |  SELECT lang, n, least(n,
+             |    CAST(ceil(200.0 * sqrt(CAST(n AS DOUBLE)) / denom + 1e-9)
+             |         AS BIGINT)) AS n_target
+             |  FROM c, den),
+             |r AS (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+             |      AS rank
+             |  FROM documents)
+             |SELECT r.lang, doc_id, rank, n, n_target
+             |FROM r JOIN t ON r.lang = t.lang WHERE rank <= n_target""".stripMargin)),
+
     // Token-budget sequence packing: per lang, docs in doc_id order are
     // assigned to 4096-token bins by cumulative token count (the
     // prefix-sum approximation of greedy packing — windowed cumsum, one

@@ -26,6 +26,16 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** All word n-grams in token order, duplicates KEPT — the
+    * within-document repetition signals (Gopher/RefinedWeb-style
+    * quality rules) need the multiset; [[shingles]] is the distinct
+    * variant for set-similarity. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Stable 60-bit hash of a string: first 15 hex chars of md5 as a
     * non-negative long (portable: DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`). */
   def hash60(c: Column): Column =

@@ -29,6 +29,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L).get == Seq(0))
   }
 
+  test("ngrams: keeps duplicates in order; short/null input yields empty") {
+    val df = Seq(
+      (1L, Some("a b a b c")),
+      (2L, Some("solo")),
+      (3L, None)).toDF("id", "text")
+    val out = df
+      .withColumn("toks",
+        when($"text".isNotNull, TextOps.tokens($"text")))
+      .select($"id", TextOps.ngrams($"toks", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)))
+      .toMap
+    // the multiset: "a b" appears twice (shingles would dedup it)
+    assert(out(1L).get == Seq("a b", "b a", "a b", "b c"))
+    assert(out(2L).get.isEmpty, "one token has no 2-grams")
+    assert(out(3L).isEmpty || out(3L).get.isEmpty,
+      "null text must not fabricate n-grams")
+  }
+
   test("redaction audit: phone-shaped email domain is not a masked phone") {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phoneRe = "\\b\\d{3}-\\d{4,}\\b"
