@@ -327,6 +327,71 @@ object RelationalPack extends QueryPack {
              |                    AND l3.l_returnflag = 'R')
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin)),
 
+    // TPC-H Q13 shape: outer-join count distribution. The per-customer
+    // count must KEEP zero-order customers (left join + count of the
+    // right key), then a second tiny aggregate histograms the counts.
+    // Scale: one fact-fact shuffle join on custkey + two hash aggs; the
+    // second agg's key space is the max order count — trivially small.
+    Q("q13_custdist",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Tables.orders(s, dir)
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select($"o_orderkey", $"o_custkey")
+        Tables.customer(s, dir).select($"c_custkey")
+          .join(ord, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""WITH c_orders AS (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |SELECT c_count, count(*) AS custdist
+             |FROM c_orders GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q20 shape: nested IN with a correlated HAVING — suppliers
+    // who moved > 60 units of some PROMO part in 1996. Decorrelated the
+    // way Catalyst would: broadcast-semi the part filter into the
+    // lineitem scan, aggregate (suppkey, partkey), then semi-join
+    // supplier — the fact table is touched once and never re-scanned
+    // per supplier.
+    Q("q20_potpromo",
+      (s, dir) => {
+        import s.implicits._
+        val promo = Tables.part(s, dir)
+          .filter($"p_type" === "PROMO").select($"p_partkey")
+        val qualified = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+                  $"l_shipdate" < to_timestamp(lit("1997-01-01")))
+          .select($"l_partkey", $"l_suppkey", $"l_quantity")
+          .join(broadcast(promo), $"l_partkey" === $"p_partkey", "left_semi")
+          .groupBy($"l_suppkey", $"l_partkey")
+          .agg(sum($"l_quantity").as("qty"))
+          .filter($"qty" > 60.0)
+          .select($"l_suppkey")
+        Tables.supplier(s, dir)
+          .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+          .select($"s_suppkey", $"s_name", r4($"s_acctbal").as("s_acctbal"))
+          .orderBy($"s_name")
+      },
+      Some("""SELECT s_suppkey, s_name, round(s_acctbal + 1e-9, 4) AS s_acctbal
+             |FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM part
+             |                      WHERE p_type = 'PROMO')
+             |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+             |  GROUP BY l_suppkey, l_partkey
+             |  HAVING sum(l_quantity) > 60)
+             |ORDER BY s_name""".stripMargin)),
+
     // Arbitrary GROUPING SETS (beyond q8's rollup / q9's cube): the
     // Dataset.groupingSets API plans ONE scan + Expand (each row fans out
     // to its grouping combinations before the partial aggregate) — no
