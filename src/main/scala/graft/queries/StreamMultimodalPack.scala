@@ -128,6 +128,45 @@ object StreamMultimodalPack extends QueryPack {
              |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
              |FROM rk WHERE rank <= 5""".stripMargin)),
 
+    // Streaming stream-stream JOIN: clicks and views arrive as two
+    // watermarked streams; each click joins the same user's views in
+    // the hour before it (the streaming form of the range/as-of
+    // family). Both sides' watermarks bound the join state store —
+    // rows older than the horizon are evicted, so state is
+    // O(rows-per-horizon) at any scale, which an un-watermarked
+    // stream-stream join cannot guarantee. Inner-join matches emit as
+    // they are found (append mode); the oracle is the equivalent batch
+    // interval self-join on epoch-µs.
+    Q("st9_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st9_out_${counter.incrementAndGet()}"
+        def stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        val clicks = stream.filter($"event_type" === "click").drop("event_type")
+        val views = stream.filter($"event_type" === "view").drop("event_type")
+        val joined = StreamOps.intervalJoinStream(clicks, views, "user_id",
+          "ts", lookback = "1 hour", watermark = "2 hours")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select($"l_user_id".as("user_id"),
+          $"l_event_id".as("click_id"), $"r_event_id".as("view_id"),
+          unix_micros($"l_ts").as("click_t"), unix_micros($"r_ts").as("view_t"),
+          r6($"l_value" - $"r_value").as("value_gap"))
+      },
+      Some("""SELECT l.user_id, l.event_id AS click_id, r.event_id AS view_id,
+             |  epoch_us(l.ts) AS click_t, epoch_us(r.ts) AS view_t,
+             |  round(l.value - r.value + 1e-9, 6) AS value_gap
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND l.event_type = 'click' AND r.event_type = 'view'
+             | AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
+             | AND epoch_us(r.ts) <= epoch_us(l.ts)""".stripMargin)),
+
     // Streaming W12: stateful gaps-and-islands transitions via
     // flatMapGroupsWithState — must emit exactly the batch islands
     // result (open final island never emitted).
