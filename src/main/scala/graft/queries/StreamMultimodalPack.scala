@@ -167,6 +167,50 @@ object StreamMultimodalPack extends QueryPack {
              | AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
              | AND epoch_us(r.ts) <= epoch_us(l.ts)""".stripMargin)),
 
+    // Streaming session windows (the streaming form of w19): native
+    // session_window aggregation with an event-time watermark. Append
+    // mode emits a session only once the watermark passes its end
+    // (last event + gap), so sessions still open at end-of-stream are
+    // withheld — the oracle applies the same finalization rule
+    // explicitly (watermark = global max event time with a 0s delay).
+    // State per key is one open session — bounded at any scale.
+    Q("st10_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st10_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "0 seconds")
+        val agg = stream
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), Rx.r4(sum($"value")).as("sum_value"))
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select($"user_id",
+          unix_micros($"sw.start").as("session_start"), $"n_events", $"sum_value")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+             |g AS (
+             |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+             |                   OR t - lag(t) OVER w >= 1800000000
+             |            THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sids AS (
+             |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, min(t) AS session_start,
+             |    max(t) + 1800000000 AS session_end,
+             |    count(*) AS n_events, round(sum(value) + 1e-9, 4) AS sum_value
+             |  FROM sids GROUP BY user_id, sid),
+             |wm AS (SELECT max(t) AS w FROM e)
+             |SELECT user_id, session_start, n_events, sum_value
+             |FROM sess, wm WHERE session_end <= w""".stripMargin)),
+
     // Streaming W12: stateful gaps-and-islands transitions via
     // flatMapGroupsWithState — must emit exactly the batch islands
     // result (open final island never emitted).
