@@ -188,9 +188,13 @@ object TextPack extends QueryPack {
               / nullif(size($"toks"), lit(0))).as("dup_token_frac"),
             r6(lit(1.0) - size(array_distinct($"g2")).cast("double")
               / nullif(size($"g2"), lit(0))).as("dup_2gram_frac"))
+        // tokens materialized as an attribute FIRST (the shingleRows
+        // idiom): exploding ngrams(tokens(text)) inline lets Catalyst
+        // re-inline the regex split into every element reference —
+        // ~15× slower at sf0.1
         val gramCounts = Tables.documents(s, dir)
-          .select($"doc_id",
-            explode(TextOps.ngrams(TextOps.tokens($"text"), 2)).as("g"))
+          .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+          .select($"doc_id", explode(TextOps.ngrams($"__toks", 2)).as("g"))
           .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
         val top = graft.operators.TopK.perKey(
           gramCounts.select($"doc_id", $"g",
