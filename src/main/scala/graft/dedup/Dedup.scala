@@ -63,20 +63,47 @@ object Dedup {
         col("n_sh"))
   }
 
-  /** LSH candidate pairs: band the signature array (bands × rowsPerBand =
-    * numPerm), bucket-join on (band, band-key md5), keep each pair once.
-    * Only colliding buckets generate pairs. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** (id, band, band_key) rows of a signature table — the LSH bucket
+    * index both the batch and the incremental candidate joins read. */
+  private def bandedKeys(sigs: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r =>
         element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*))
     }
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** LSH candidate pairs: band the signature array (bands × rowsPerBand =
+    * numPerm), bucket-join on (band, band-key md5), keep each pair once.
+    * Only colliding buckets generate pairs. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedKeys(sigs, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** Incremental near-dedup candidates: only pairs TOUCHING the new
+    * batch. The delta's band keys join the full signature index (existing
+    * ∪ new) on (band, band_key), so existing-vs-existing pairs are never
+    * generated — a 1% delta costs the delta's shingling plus its bucket
+    * fan-in against the index, not a corpus re-pass. Pairs come out
+    * normalized (id_a < id_b) and distinct; new–new pairs are found once.
+    * At scale the banded index is the thing a production pipeline keeps
+    * materialized (bucketed by band_key) between batches. */
+  def lshCandidatesAgainst(newSigs: DataFrame, indexSigs: DataFrame,
+                           bands: Int, rowsPerBand: Int): DataFrame = {
+    val bn = bandedKeys(newSigs, bands, rowsPerBand).as("n")
+    val bi = bandedKeys(indexSigs, bands, rowsPerBand).as("i")
+    bn.join(bi,
+        col("n.band") === col("i.band") && col("n.band_key") === col("i.band_key") &&
+          col("n.id") =!= col("i.id"))
+      .select(least(col("n.id"), col("i.id")).as("id_a"),
+              greatest(col("n.id"), col("i.id")).as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard verification of candidate pairs over distinct shingle

@@ -136,6 +136,47 @@ object DedupSimPack extends QueryPack {
               |JOIN sizes za ON za.id = c.id_a
               |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
 
+    // Incremental dedup: a NEW batch (doc_id >= 400, the most recent
+    // 20%) deduped against the standing corpus without re-pairing the
+    // existing docs among themselves — the delta's band keys probe the
+    // full signature index, then only the touched pairs get exact
+    // Jaccard verification. The production shape for continuous
+    // ingestion at 100 TB: per batch you pay the delta's shingling +
+    // its bucket fan-in, never a corpus re-pass.
+    Q("d9_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, sigs) = shingleSigs(s, dir)
+        val newSigs = sigs.filter($"id" >= 400)
+        val cands = Dedup.lshCandidatesAgainst(newSigs, sigs, Bands, RowsPerBand)
+        Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
+          .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b",
+            r6($"jaccard").as("jaccard"))
+      },
+      Some(s"""WITH $OracleSig,
+              |$OracleBand,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+              |  WHERE b.id >= 400),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
+
     // Dup-cluster formation: verified near-dup pairs (jaccard >= 0.5)
     // → connected components → canonical (min-id) cluster per doc with
     // its size. The step that turns pair lists into the keep/drop

@@ -130,4 +130,24 @@ class DedupFanoutSpec extends AnyFunSuite {
     // ratio denominator is the corpus doc's own distinct shingle count
     assert(out.head._4 == 9L) // 11 tokens → 9 trigrams, all distinct
   }
+
+  test("incremental candidates == full-batch candidates touching the delta") {
+    val docs = skewedDocs(32)
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3).persist()
+    val sigs = Dedup.minhashSignatures(sh, 16).persist()
+    try {
+      val deltaFrom = 24L // the last 8 docs are the new batch
+      val full = Dedup.lshCandidates(sigs, 4, 4)
+        .filter($"id_b" >= deltaFrom) // delta ids are the max range
+        .as[(Long, Long)].collect().toSet
+      val incr = Dedup.lshCandidatesAgainst(
+          sigs.filter($"id" >= deltaFrom), sigs, 4, 4)
+        .as[(Long, Long)].collect().toSet
+      assert(incr == full,
+        s"missing=${(full -- incr).take(3)} extra=${(incr -- full).take(3)}")
+      assert(incr.nonEmpty, "fixture must produce delta-touching pairs")
+      // never an existing-vs-existing pair
+      assert(incr.forall(_._2 >= deltaFrom))
+    } finally { sh.unpersist(); sigs.unpersist() }
+  }
 }
