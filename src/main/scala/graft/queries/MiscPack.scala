@@ -162,6 +162,30 @@ object MiscPack extends QueryPack {
              |        + 1e-9, 6) AS cos_next
              |FROM d""".stripMargin)),
 
+    // SQL-surface parity for the bounded-heap top-k aggregate:
+    // graft_topk(sort_key, payload, k) grouped and exploded entirely in
+    // SQL. Heap semantics (ascending struct sort key) mirror the o6
+    // Column-API path; the oracle is the row_number form.
+    Q("sql4_topk_agg",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("sql4_docs")
+        s.sql("""WITH t AS (
+                |  SELECT lang,
+                |    graft_topk(struct(-n_chars, doc_id),
+                |               struct(doc_id, n_chars), 3) AS tk
+                |  FROM sql4_docs GROUP BY lang)
+                |SELECT lang, pos + 1 AS rank,
+                |  kv.value.doc_id AS doc_id, kv.value.n_chars AS n_chars
+                |FROM t LATERAL VIEW posexplode(tk) AS pos, kv""".stripMargin)
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id) AS rank
+             |  FROM documents)
+             |SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 3""".stripMargin)),
+
     // SQL-surface parity for the custom window aggregate: `ewm(x, span)
     // OVER w` — the EwmAgg DeclarativeAggregate reached through the SQL
     // parser's window path (w9 verifies the same math via the Column
