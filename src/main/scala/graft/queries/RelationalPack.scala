@@ -392,6 +392,41 @@ object RelationalPack extends QueryPack {
              |  HAVING sum(l_quantity) > 60)
              |ORDER BY s_name""".stripMargin)),
 
+    // TPC-H Q22 shape: a global scalar subquery gating the input
+    // (balance above the positive-balance average), an anti-join
+    // (customers with no urgent order), and substring-derived grouping.
+    // The scalar is one aggregate broadcast as a 1-row frame (the J4
+    // idiom) — never a collected driver constant baked into the plan.
+    Q("q22_global_scalar",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val avgBal = cust.filter($"c_acctbal" > 0.0)
+          .agg(avg($"c_acctbal").as("ab"))
+        val eligible = cust.crossJoin(broadcast(avgBal))
+          .filter($"c_acctbal" > $"ab")
+          .select($"c_custkey", $"c_acctbal",
+            substring($"c_name", 16, 2).as("cc"))
+        val urgent = Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        eligible.join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"cc")
+          .agg(count(lit(1)).as("n_cust"), r4(sum($"c_acctbal")).as("total_bal"))
+          .orderBy($"cc")
+      },
+      Some("""WITH avg_bal AS (
+             |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+             |eligible AS (
+             |  SELECT c_custkey, c_acctbal, substr(c_name, 16, 2) AS cc
+             |  FROM customer, avg_bal WHERE c_acctbal > ab)
+             |SELECT cc, count(*) AS n_cust,
+             |  round(sum(c_acctbal) + 1e-9, 4) AS total_bal
+             |FROM eligible e
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = e.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY cc ORDER BY cc""".stripMargin)),
+
     // Arbitrary GROUPING SETS (beyond q8's rollup / q9's cube): the
     // Dataset.groupingSets API plans ONE scan + Expand (each row fans out
     // to its grouping combinations before the partial aggregate) — no
