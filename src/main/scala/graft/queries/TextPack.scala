@@ -281,6 +281,48 @@ object TextPack extends QueryPack {
              |SELECT r.lang, doc_id, rank, n, n_target
              |FROM r JOIN t ON r.lang = t.lang WHERE rank <= n_target""".stripMargin)),
 
+    // T16 (beyond-reference, LLM pipeline): unigram language-model
+    // scoring — the CCNet/perplexity-filter shape with the corpus's own
+    // unigram distribution as the model. Per-token log-prob is
+    // ln(cnt) − ln(N) (division-free: bit-identical across engines);
+    // per-doc average log-prob and a perplexity proxy rank docs by
+    // "typicality". Scale: token explode is linear, the vocabulary
+    // aggregate shuffles once on the token, the prob join is
+    // vocabulary-sized (broadcastable at any corpus scale), and the
+    // final agg shuffles on doc_id.
+    Q("t16_unigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+          .select($"doc_id", explode($"__toks").as("w"))
+        val counts = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum($"cnt").as("n_total"))
+        val probs = counts.crossJoin(broadcast(total))
+          .select($"w",
+            (log($"cnt".cast("double")) - log($"n_total".cast("double")))
+              .as("logp"))
+        toks.join(probs, "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), r6(avg($"logp")).as("avg_logp"))
+          .withColumn("ppl_proxy", r4(exp(-$"avg_logp")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |tk AS (SELECT doc_id, unnest(ts) AS w FROM d),
+             |c AS (SELECT w, count(*) AS cnt FROM tk GROUP BY w),
+             |n AS (SELECT sum(cnt) AS n_total FROM c),
+             |p AS (SELECT w,
+             |    ln(CAST(cnt AS DOUBLE)) - ln(CAST(n_total AS DOUBLE)) AS logp
+             |  FROM c, n),
+             |a AS (SELECT doc_id, count(*) AS n_tokens,
+             |    round(avg(logp) + 1e-9, 6) AS avg_logp
+             |  FROM tk JOIN p USING (w) GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, avg_logp,
+             |  round(exp(-avg_logp) + 1e-9, 4) AS ppl_proxy
+             |FROM a""".stripMargin)),
+
     // Token-budget sequence packing: per lang, docs in doc_id order are
     // assigned to 4096-token bins by cumulative token count (the
     // prefix-sum approximation of greedy packing — windowed cumsum, one
