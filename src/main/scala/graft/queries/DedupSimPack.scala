@@ -136,18 +136,22 @@ object DedupSimPack extends QueryPack {
               |JOIN sizes za ON za.id = c.id_a
               |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
 
-    // Incremental dedup: a NEW batch (doc_id >= 400, the most recent
-    // 20%) deduped against the standing corpus without re-pairing the
-    // existing docs among themselves — the delta's band keys probe the
-    // full signature index, then only the touched pairs get exact
-    // Jaccard verification. The production shape for continuous
-    // ingestion at 100 TB: per batch you pay the delta's shingling +
-    // its bucket fan-in, never a corpus re-pass.
+    // Incremental dedup: a NEW batch (the most recent 20% of the id
+    // range at EVERY scale factor — cutoff derived from max(doc_id),
+    // not a constant) deduped against the standing corpus without
+    // re-pairing the existing docs among themselves — the delta's band
+    // keys probe the full signature index, then only the touched pairs
+    // get exact Jaccard verification. The production shape for
+    // continuous ingestion at 100 TB: per batch you pay the delta's
+    // shingling + its bucket fan-in, never a corpus re-pass. The
+    // cutoff is one max() scalar (integer arithmetic both engines
+    // replicate exactly).
     Q("d9_incremental",
       (s, dir) => {
         import s.implicits._
         val (sh, sigs) = shingleSigs(s, dir)
-        val newSigs = sigs.filter($"id" >= 400)
+        val cutoff = (sigs.agg(max($"id")).first().getLong(0) + 1L) * 4L / 5L
+        val newSigs = sigs.filter($"id" >= cutoff)
         val cands = Dedup.lshCandidatesAgainst(newSigs, sigs, Bands, RowsPerBand)
         Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
           .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b",
@@ -155,11 +159,12 @@ object DedupSimPack extends QueryPack {
       },
       Some(s"""WITH $OracleSig,
               |$OracleBand,
+              |cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents),
               |cand AS (
               |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
               |  FROM band a JOIN band b
               |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
-              |  WHERE b.id >= 400),
+              |  WHERE b.id >= (SELECT c FROM cut)),
               |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
               |inter AS (
               |  SELECT c.id_a, c.id_b, count(*) AS n_inter

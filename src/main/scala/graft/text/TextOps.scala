@@ -19,12 +19,8 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct word n-gram shingles (n consecutive tokens joined by a
-    * single space). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+    * single space) — the set variant of [[ngrams]]. */
+  def shingles(toks: Column, n: Int): Column = array_distinct(ngrams(toks, n))
 
   /** All word n-grams in token order, duplicates KEPT — the
     * within-document repetition signals (Gopher/RefinedWeb-style
