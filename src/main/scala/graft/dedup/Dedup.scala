@@ -64,7 +64,15 @@ object Dedup {
   }
 
   /** (id, band, band_key) rows of a signature table — the LSH bucket
-    * index both the batch and the incremental candidate joins read. */
+    * index both the batch and the incremental candidate joins read.
+    * Incremental callers should materialize (persist / write bucketed
+    * by band_key) THIS frame for the standing corpus and reuse it
+    * across batches via [[lshCandidatesAgainstIndex]] — that is what
+    * makes a 1% delta cost the delta's shingling + bucket fan-in
+    * instead of a full-corpus re-band per batch. */
+  def bandIndex(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandedKeys(sigs, bands, rowsPerBand)
+
   private def bandedKeys(sigs: DataFrame, bands: Int,
                          rowsPerBand: Int): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
@@ -86,18 +94,30 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
   }
 
-  /** Incremental near-dedup candidates: only pairs TOUCHING the new
-    * batch. The delta's band keys join the full signature index (existing
-    * ∪ new) on (band, band_key), so existing-vs-existing pairs are never
-    * generated — a 1% delta costs the delta's shingling plus its bucket
-    * fan-in against the index, not a corpus re-pass. Pairs come out
-    * normalized (id_a < id_b) and distinct; new–new pairs are found once.
-    * At scale the banded index is the thing a production pipeline keeps
-    * materialized (bucketed by band_key) between batches. */
+  /** Incremental near-dedup candidates from SIGNATURE tables: bands both
+    * sides, then delegates to [[lshCandidatesAgainstIndex]]. NOTE the
+    * index side is re-banded on every call — callers running repeated
+    * batches should band once ([[bandIndex]]), materialize it, and call
+    * the index variant directly; only then does the "1% delta costs the
+    * delta's shingling + bucket fan-in" incremental claim hold. */
   def lshCandidatesAgainst(newSigs: DataFrame, indexSigs: DataFrame,
-                           bands: Int, rowsPerBand: Int): DataFrame = {
-    val bn = bandedKeys(newSigs, bands, rowsPerBand).as("n")
-    val bi = bandedKeys(indexSigs, bands, rowsPerBand).as("i")
+                           bands: Int, rowsPerBand: Int): DataFrame =
+    lshCandidatesAgainstIndex(
+      bandedKeys(newSigs, bands, rowsPerBand),
+      bandedKeys(indexSigs, bands, rowsPerBand))
+
+  /** Incremental near-dedup candidates: only pairs TOUCHING the new
+    * batch. The delta's band keys join the full banded index (existing
+    * ∪ new, [[bandIndex]] output), so existing-vs-existing pairs are
+    * never generated — a 1% delta costs the delta's shingling plus its
+    * bucket fan-in against the index, not a corpus re-pass. Pairs come
+    * out normalized (id_a < id_b) and distinct; new–new pairs are found
+    * once. At scale the banded index is the thing a production pipeline
+    * keeps materialized (bucketed by band_key) between batches. */
+  def lshCandidatesAgainstIndex(newBanded: DataFrame,
+                                indexBanded: DataFrame): DataFrame = {
+    val bn = newBanded.as("n")
+    val bi = indexBanded.as("i")
     bn.join(bi,
         col("n.band") === col("i.band") && col("n.band_key") === col("i.band_key") &&
           col("n.id") =!= col("i.id"))

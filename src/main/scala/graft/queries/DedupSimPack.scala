@@ -144,15 +144,21 @@ object DedupSimPack extends QueryPack {
     // get exact Jaccard verification. The production shape for
     // continuous ingestion at 100 TB: per batch you pay the delta's
     // shingling + its bucket fan-in, never a corpus re-pass. The
-    // cutoff is one max() scalar (integer arithmetic both engines
-    // replicate exactly).
+    // cutoff derives from max(doc_id) over DOCUMENTS (docs with <3
+    // tokens have no signature row, so a signature-side max could
+    // diverge from the oracle's), broadcast as a 1-row scalar join —
+    // the J4 idiom, integer arithmetic both engines replicate exactly.
     Q("d9_incremental",
       (s, dir) => {
         import s.implicits._
         val (sh, sigs) = shingleSigs(s, dir)
-        val cutoff = (sigs.agg(max($"id")).first().getLong(0) + 1L) * 4L / 5L
-        val newSigs = sigs.filter($"id" >= cutoff)
-        val cands = Dedup.lshCandidatesAgainst(newSigs, sigs, Bands, RowsPerBand)
+        val cut = Tables.documents(s, dir)
+          .agg(expr("(max(doc_id) + 1) * 4 div 5").as("__cut"))
+        val newSigs = sigs.crossJoin(broadcast(cut))
+          .filter($"id" >= $"__cut").drop("__cut")
+        val index = Dedup.bandIndex(sigs, Bands, RowsPerBand)
+        val cands = Dedup.lshCandidatesAgainstIndex(
+          Dedup.bandIndex(newSigs, Bands, RowsPerBand), index)
         Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
           .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b",
             r6($"jaccard").as("jaccard"))

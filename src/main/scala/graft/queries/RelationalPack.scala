@@ -397,12 +397,15 @@ object RelationalPack extends QueryPack {
     // (customers with no urgent order), and substring-derived grouping.
     // The scalar is one aggregate broadcast as a 1-row frame (the J4
     // idiom) — never a collected driver constant baked into the plan.
+    // The threshold is rounded (r4, mirrored in the oracle) so the
+    // filter gate is independent of double summation order: a balance
+    // within 1 ulp of the raw average cannot flip in/out per engine.
     Q("q22_global_scalar",
       (s, dir) => {
         import s.implicits._
         val cust = Tables.customer(s, dir)
         val avgBal = cust.filter($"c_acctbal" > 0.0)
-          .agg(avg($"c_acctbal").as("ab"))
+          .agg(r4(avg($"c_acctbal")).as("ab"))
         val eligible = cust.crossJoin(broadcast(avgBal))
           .filter($"c_acctbal" > $"ab")
           .select($"c_custkey", $"c_acctbal",
@@ -415,7 +418,8 @@ object RelationalPack extends QueryPack {
           .orderBy($"cc")
       },
       Some("""WITH avg_bal AS (
-             |  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+             |  SELECT round(avg(c_acctbal) + 1e-9, 4) AS ab
+             |  FROM customer WHERE c_acctbal > 0.0),
              |eligible AS (
              |  SELECT c_custkey, c_acctbal, substr(c_name, 16, 2) AS cc
              |  FROM customer, avg_bal WHERE c_acctbal > ab)

@@ -21,27 +21,27 @@ class ZOrderSpec extends AnyFunSuite {
       .select($"id",
         (($"id" * 48271L) % 1000L).as("x"),
         (($"id" * 16807L) % 1000L).as("y"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    TestDirs.withTempDir("graft_zorder") { dir =>
+      ZOrder.writeZOrdered(df, "x", "y", s"$dir/z", numFiles = 16)
+      df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$dir/xsort")
 
-    ZOrder.writeZOrdered(df, "x", "y", s"$dir/z", numFiles = 16)
-    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
-      .write.mode("overwrite").parquet(s"$dir/xsort")
+      val z = spark.read.parquet(s"$dir/z")
+      val xs = spark.read.parquet(s"$dir/xsort")
+      assert(z.count() == n && xs.count() == n)
 
-    val z = spark.read.parquet(s"$dir/z")
-    val xs = spark.read.parquet(s"$dir/xsort")
-    assert(z.count() == n && xs.count() == n)
+      // 5% y-range: unclustered under x-sort -> all 16 files overlap
+      val yTouchedXsort = ZOrder.filesTouched(xs, "y", 100, 150)
+      val yTouchedZ = ZOrder.filesTouched(z, "y", 100, 150)
+      assert(yTouchedXsort == 16, s"x-sorted layout: $yTouchedXsort")
+      assert(yTouchedZ <= 8, s"z-ordered layout must skip y-files: $yTouchedZ")
 
-    // 5% y-range: unclustered under x-sort -> all 16 files overlap
-    val yTouchedXsort = ZOrder.filesTouched(xs, "y", 100, 150)
-    val yTouchedZ = ZOrder.filesTouched(z, "y", 100, 150)
-    assert(yTouchedXsort == 16, s"x-sorted layout: $yTouchedXsort")
-    assert(yTouchedZ <= 8, s"z-ordered layout must skip y-files: $yTouchedZ")
-
-    // 5% x-range: prunable in both layouts
-    val xTouchedXsort = ZOrder.filesTouched(xs, "x", 100, 150)
-    val xTouchedZ = ZOrder.filesTouched(z, "x", 100, 150)
-    assert(xTouchedXsort <= 3, s"x-sorted layout: $xTouchedXsort")
-    assert(xTouchedZ <= 8, s"z-ordered layout must skip x-files: $xTouchedZ")
+      // 5% x-range: prunable in both layouts
+      val xTouchedXsort = ZOrder.filesTouched(xs, "x", 100, 150)
+      val xTouchedZ = ZOrder.filesTouched(z, "x", 100, 150)
+      assert(xTouchedXsort <= 3, s"x-sorted layout: $xTouchedXsort")
+      assert(xTouchedZ <= 8, s"z-ordered layout must skip x-files: $xTouchedZ")
+    }
   }
 
   test("interleave: known Morton values") {
