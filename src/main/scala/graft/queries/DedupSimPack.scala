@@ -445,6 +445,90 @@ object DedupSimPack extends QueryPack {
              |SELECT label, id_a, id_b, cos FROM p
              |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
+    // Bloom-prefiltered decontamination KEEP-LIST (the 100 TB form of
+    // d8's end product): the eval set's shingles aggregate into a
+    // fixed-size bloom sketch (Spark's own BloomFilterAggregate) that
+    // ships to every corpus task as a plan literal; corpus shingles
+    // failing the probe never reach the exact overlap join, and the
+    // join itself kills the sketch's false positives — result-identical
+    // to the plain exact pass (no false negatives), so the oracle is
+    // the exact SQL. Output: corpus docs NOT sharing >= 2 distinct
+    // 3-gram shingles with any benchmark doc.
+    Q("d10_bloom_keep",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val benchSh = Dedup.shingleRows(
+            docs.filter($"doc_id" < 20), "doc_id", "text", ShingleN)
+          .select($"id".as("bench_id"), $"sh")
+        val nBench = benchSh.count()
+        val bloom = graft.dedup.Bloom.buildBytes(benchSh, $"sh",
+          expectedItems = math.max(nBench, 64L), numBits = math.max(nBench, 64L) * 16L)
+        val corpus = docs.filter($"doc_id" >= 20)
+        val drop = Dedup.shingleRows(corpus, "doc_id", "text", ShingleN)
+          .filter(graft.dedup.Bloom.mightContain(bloom, $"sh"))
+          .join(broadcast(benchSh), Seq("sh"))
+          .groupBy($"id", $"bench_id").agg(count(lit(1)).as("n_overlap"))
+          .filter($"n_overlap" >= 2)
+          .select($"id".as("doc_id")).distinct()
+        // drop is bounded by eval-set contamination (tiny vs corpus):
+        // broadcast it so the kept corpus never shuffles for the anti
+        corpus.select($"doc_id", $"lang", $"source")
+          .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |s AS (SELECT doc_id,
+             |    CASE WHEN len(ts) >= 3
+             |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+             |                          for i in range(1, len(ts) - 1)])
+             |      ELSE [] END AS shs
+             |  FROM d),
+             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+             |ov AS (SELECT c.doc_id
+             |       FROM ex c JOIN ex b ON c.sh = b.sh
+             |       WHERE c.doc_id >= 20 AND b.doc_id < 20
+             |       GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id >= 20
+             |  AND doc_id NOT IN (SELECT doc_id FROM ov)""".stripMargin)),
+
+    // BM25 top-k retrieval (graft.text.Bm25): lexical search over the
+    // corpus for a bag-of-terms query. Query terms are pushed into the
+    // token explode (hit rows only), df/N/avgdl broadcast, top-k is
+    // TakeOrderedAndProject. avgdl enters the score pre-rounded so the
+    // per-row arithmetic is engine-identical; k1=1.5 / b=0.75 are exact
+    // binary64 constants mirrored literally in the oracle.
+    Q("s4_bm25",
+      (s, dir) => graft.text.Bm25.topK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("spark", "join", "window", "hash"), k = 20),
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    round(avg(len(ts)) + 1e-9, 4) AS avgdl FROM d),
+             |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+             |             FROM d)
+             |       WHERE term IN ('spark', 'join', 'window', 'hash')
+             |       GROUP BY 1, 2, 3),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, count(*) AS n_terms,
+             |    round(sum(
+             |      ln(((st.n_docs - dfq.df) + CAST(0.5 AS DOUBLE))
+             |         / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |      * (tf.tf * (CAST(1.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             |      / (tf.tf + CAST(1.5 AS DOUBLE)
+             |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))
+             |    ) + 1e-9, 6) AS score
+             |  FROM tf JOIN dfq USING (term), st
+             |  GROUP BY tf.doc_id),
+             |rk AS (SELECT doc_id, n_terms, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+             |  FROM sc)
+             |SELECT doc_id, n_terms, score FROM rk
+             |WHERE rn <= 20""".stripMargin)),
+
     // Brute-force cosine top-k (exact ANN baseline): queries broadcast,
     // corpus scanned once, per-query heap top-k.
     Q("s1_cosine_topk",

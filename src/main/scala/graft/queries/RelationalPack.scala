@@ -431,6 +431,155 @@ object RelationalPack extends QueryPack {
              |                    AND o.o_orderpriority = '1-URGENT')
              |GROUP BY cc ORDER BY cc""".stripMargin)),
 
+    // TPC-H Q2 shape: the correlated min-equality subquery ("cheapest
+    // supplier per part"), decorrelated the way Catalyst plans it — one
+    // per-(part, supplier) cost aggregate, a window-min per part, an
+    // equality filter — never a per-part re-scan. Cost is min() of
+    // per-row doubles (no summation-order dependence), so the argmin
+    // equality is engine-exact; dims broadcast.
+    Q("q2_argmin",
+      (s, dir) => {
+        import s.implicits._
+        val cost = Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_suppkey",
+            ($"l_extendedprice" / $"l_quantity").as("unit"))
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(min($"unit").as("supply_cost"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+        val best = cost
+          .withColumn("__mc", min($"supply_cost").over(w))
+          .filter($"supply_cost" === $"__mc")
+        best
+          .join(broadcast(Tables.part(s, dir).filter($"p_size" === 5)
+            .select($"p_partkey", $"p_name")), $"l_partkey" === $"p_partkey")
+          .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+          .select($"p_partkey", $"p_name", $"s_suppkey", $"s_name",
+            r4($"s_acctbal").as("s_acctbal"), r6($"supply_cost").as("supply_cost"))
+          .orderBy(desc("s_acctbal"), $"p_partkey", $"s_suppkey")
+          .limit(100)
+      },
+      Some("""WITH cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(l_extendedprice / l_quantity) AS supply_cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |best AS (
+             |  SELECT * FROM (
+             |    SELECT c.*, min(supply_cost) OVER (PARTITION BY l_partkey) AS mc
+             |    FROM cost c)
+             |  WHERE supply_cost = mc)
+             |SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+             |  round(s.s_acctbal + 1e-9, 4) AS s_acctbal,
+             |  round(b.supply_cost + 1e-9, 6) AS supply_cost
+             |FROM best b
+             |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size = 5
+             |JOIN supplier s ON s.s_suppkey = b.l_suppkey
+             |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q11 shape: grouped value vs a fraction of the global total
+    // (HAVING sum > f × Σ). The global side reuses the grouped
+    // aggregate (rounded group values summed once more — no second
+    // fact-table pass) and broadcasts as a 1-row threshold; both the
+    // group values and the threshold are rounded so the gate is
+    // independent of double summation order. Q11's fixed fraction is
+    // scale-DEpendent (more parts → smaller shares), so the fraction
+    // here is 1.5/num_groups — "1.5× the mean share", a tail that
+    // exists at every SF.
+    Q("q11_share",
+      (s, dir) => {
+        import s.implicits._
+        val grouped = Tables.lineitem(s, dir)
+          .select($"l_partkey",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("v"))
+          .groupBy($"l_partkey").agg(r4(sum($"v")).as("value"))
+        val threshold = grouped
+          .agg(r4(avg($"value") * lit(1.5)).as("threshold"))
+        grouped.crossJoin(broadcast(threshold))
+          .filter($"value" > $"threshold")
+          .select($"l_partkey", $"value")
+          .orderBy(desc("value"), $"l_partkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_partkey,
+             |    round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS value
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT round(avg(value) * CAST(1.5 AS DOUBLE) + 1e-9, 4)
+             |        AS threshold FROM g)
+             |SELECT l_partkey, value FROM g, t
+             |WHERE value > threshold
+             |ORDER BY value DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — a revenue
+    // aggregate reused by BOTH the max scalar and the equality filter
+    // (the "view" of Q15), max broadcast as a 1-row frame. Revenue is
+    // rounded before max/equality so ties and the gate are
+    // engine-stable; returns every supplier achieving the max.
+    Q("q15_top_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val rev = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+                  $"l_shipdate" < to_timestamp(lit("1996-04-01")))
+          .select($"l_suppkey",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("v"))
+          .groupBy($"l_suppkey").agg(r4(sum($"v")).as("total_revenue"))
+        val mx = rev.agg(max($"total_revenue").as("__mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter($"total_revenue" === $"__mx")
+          .join(broadcast(Tables.supplier(s, dir)),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name", $"total_revenue")
+          .orderBy($"s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+             |      AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s.s_suppkey, s.s_name, r.total_revenue
+             |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+             |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s.s_suppkey""".stripMargin)),
+
+    // TPC-H Q16 shape: count-DISTINCT suppliers per part attribute
+    // group, with a NOT IN supplier exclusion (negative-balance
+    // suppliers as the "complaints" stand-in). The part↔supplier
+    // relation derives from lineitem (no partsupp table in the driver
+    // data): distinct pairs first (map-side pre-aggregation), then the
+    // anti-join against the (tiny, broadcast) excluded suppliers, then
+    // one count-distinct aggregate. All-integer: engine-exact.
+    Q("q16_partcount",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_suppkey").distinct()
+        val excluded = Tables.supplier(s, dir)
+          .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+        val parts = Tables.part(s, dir)
+          .filter($"p_brand" =!= "Brand#15" &&
+            $"p_size".isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+        pairs
+          .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+          .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), $"p_brand", $"p_type", $"p_size")
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#15'
+             |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             |                        WHERE s_acctbal < 0.0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
     // Arbitrary GROUPING SETS (beyond q8's rollup / q9's cube): the
     // Dataset.groupingSets API plans ONE scan + Expand (each row fans out
     // to its grouping combinations before the partial aggregate) — no
