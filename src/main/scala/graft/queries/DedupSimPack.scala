@@ -581,6 +581,70 @@ object DedupSimPack extends QueryPack {
       },
       None),
 
+    // Semantic dedup KEEP-LIST (the SemDeDup end product, and the
+    // embedding analog of d7): near-dup pairs from bounded (label,
+    // sign-LSH cell) candidates with Hamming-1 probes, thresholded on
+    // ROUNDED cosine (engine-stable gate), connected components, keep
+    // the min-id representative per component. At scale this is the
+    // pass that prunes semantically redundant training data without an
+    // all-pairs join — pair work stays inside LSH cells, components
+    // run on the (tiny) above-threshold edge set.
+    Q("s5_semantic_keep",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Similarity.nearDupPairs(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v")),
+            "label", "vec_id", "v", nBits = 4)
+          .filter(r6($"cos") >= 0.35)
+          .select($"id_a", $"id_b")
+        val drop = Dedup.components(pairs)
+          .filter($"id" =!= $"cluster").select($"id".as("vec_id"))
+        Tables.embeddings(s, dir).select($"vec_id", $"label")
+          .join(broadcast(drop), Seq("vec_id"), "left_anti")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, label,
+             |          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |nm AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |bk AS (SELECT vec_id, label,
+             |    list_transform(v, x -> x / nrm) AS nv,
+             |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) +
+             |    (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             |  FROM nm),
+             |q AS (SELECT vec_id, label, nv,
+             |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+             |            xor(bucket, 4), xor(bucket, 8)]) AS probe
+             |  FROM bk),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(a.nv) + 1), i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) AS cos
+             |  FROM q a JOIN bk b ON a.label = b.label AND a.probe = b.bucket
+             |    AND a.vec_id < b.vec_id),
+             |ed AS (SELECT DISTINCT id_a, id_b FROM p
+             |       WHERE round(cos + 1e-9, 6) >= CAST(0.35 AS DOUBLE)),
+             |sym AS (
+             |  SELECT id_a AS a, id_b AS b FROM ed
+             |  UNION SELECT id_b, id_a FROM ed
+             |  UNION SELECT id_a, id_a FROM ed
+             |  UNION SELECT id_b, id_b FROM ed),
+             |reach(a, b) AS (
+             |  SELECT a, b FROM sym
+             |  UNION
+             |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+             |comp AS (SELECT a AS vec_id, min(b) AS cluster
+             |         FROM reach GROUP BY a)
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN
+             |  (SELECT vec_id FROM comp WHERE vec_id <> cluster)""".stripMargin)),
+
     // LSH-bucketed ANN: sign-hyperplane bucket on the first 4 dims with
     // Hamming-1 MULTI-PROBE (query probes its own + 4 bit-flip buckets =
     // 5/16 of the corpus; recall ~3× the single-bucket variant on these

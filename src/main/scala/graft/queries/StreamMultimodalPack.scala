@@ -211,6 +211,38 @@ object StreamMultimodalPack extends QueryPack {
              |SELECT user_id, session_start, n_events, sum_value
              |FROM sess, wm WHERE session_end <= w""".stripMargin)),
 
+    // Stream-STATIC enrichment join: the events stream joins a batch
+    // dimension (customer) before a windowed aggregate — the canonical
+    // streaming-ETL shape Structured Streaming plans STATELESSLY (the
+    // static side broadcasts into every micro-batch; no join state, no
+    // watermark needed on the join itself, unlike st9's stream-stream
+    // interval join). Daily totals per market segment × event type.
+    Q("st11_stream_enrich",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st11_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select($"user_id", $"ts", $"event_type", $"value")
+        val dim = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        val agg = stream
+          .join(broadcast(dim), $"user_id" === $"c_custkey")
+          .groupBy(window($"ts", "1 day").as("w"), $"c_mktsegment", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select(unix_micros($"w.start").as("day"),
+          $"c_mktsegment", $"event_type", $"n", Rx.r4($"sum_value").as("sum_value"))
+      },
+      Some("""SELECT epoch_us(date_trunc('day', e.ts)) AS day,
+             |  c.c_mktsegment, e.event_type,
+             |  count(*) AS n, round(sum(e.value) + 1e-9, 4) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // Streaming W12: stateful gaps-and-islands transitions via
     // flatMapGroupsWithState — must emit exactly the batch islands
     // result (open final island never emitted).
