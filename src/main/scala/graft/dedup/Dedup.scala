@@ -245,13 +245,18 @@ object Dedup {
         TextOps.tokens(col(textCol)).as("__toks"): _*)
       .select((bc :+ col("doc_id")) :+
         explode(TextOps.shingles(col("__toks"), shingleN)).as("sh"): _*)
-    val dfreq = ex.groupBy(bc :+ col("sh"): _*).agg(count(lit(1)).as("__df"))
+    // df-cap via a count window over (block, sh): ONE shuffle of the
+    // shingle rows (vs the groupBy+join form's agg shuffle + shuffle
+    // join of the same rows — measured ~2× slower building this frame)
+    val dfw = org.apache.spark.sql.expressions.Window
+      .partitionBy(bc :+ col("sh"): _*)
     // persisted: feeds sizes + both sides of the co-shingle join, and
     // Catalyst does not CSE identical subplans across self-joins;
     // tracked so PersistRegistry.clear can release it (the caller never
     // sees this frame)
     val fx = graft.io.PersistRegistry.trackPersist(
-      ex.join(dfreq.filter(col("__df") <= maxDf), blockCols :+ "sh").drop("__df"))
+      ex.withColumn("__df", count(lit(1)).over(dfw))
+        .filter(col("__df") <= maxDf).drop("__df"))
     val sizes = fx.groupBy(bc :+ col("doc_id"): _*).agg(count(lit(1)).as("__n"))
     val inter = fx
       .join(fx.select((bc :+ col("doc_id").as("id_b")) :+ col("sh"): _*),
