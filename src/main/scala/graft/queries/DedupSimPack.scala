@@ -581,6 +581,50 @@ object DedupSimPack extends QueryPack {
       },
       None),
 
+    // Batch BM25: a query SET scored in one corpus pass — df computed
+    // once per distinct term, query table broadcast, per-query top-k
+    // via the bounded-heap TopKAgg (O(queries × k) shuffled, no
+    // per-query sort). Single-query equivalence to s4 is spec-pinned.
+    Q("s4b_bm25_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          (1L, "spark"), (1L, "join"),
+          (2L, "window"), (2L, "hash"), (2L, "sort")).toDF("qid", "term")
+        graft.text.Bm25.topKBatch(Tables.documents(s, dir), "doc_id", "text",
+            queries, "qid", "term", k = 10)
+          .select($"query_id", $"doc_id", $"n_terms", $"score", $"rank")
+      },
+      Some("""WITH q(query_id, term) AS (
+             |  VALUES (1, 'spark'), (1, 'join'),
+             |         (2, 'window'), (2, 'hash'), (2, 'sort')),
+             |d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    round(avg(len(ts)) + 1e-9, 4) AS avgdl FROM d),
+             |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+             |             FROM d)
+             |       WHERE term IN (SELECT term FROM q)
+             |       GROUP BY 1, 2, 3),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT q.query_id, tf.doc_id, count(*) AS n_terms,
+             |    round(sum(
+             |      ln(((st.n_docs - dfq.df) + CAST(0.5 AS DOUBLE))
+             |         / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |      * (tf.tf * (CAST(1.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             |      / (tf.tf + CAST(1.5 AS DOUBLE)
+             |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))
+             |    ) + 1e-9, 6) AS score
+             |  FROM tf JOIN dfq USING (term) JOIN q USING (term), st
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, doc_id) AS rank
+             |  FROM sc)
+             |SELECT query_id, doc_id, n_terms, score, rank
+             |FROM rk WHERE rank <= 10""".stripMargin)),
+
     // Semantic dedup KEEP-LIST (the SemDeDup end product, and the
     // embedding analog of d7): near-dup pairs from bounded (label,
     // sign-LSH cell) candidates with Hamming-1 probes, thresholded on

@@ -63,4 +63,53 @@ object Bm25 {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** Batch retrieval: per-query top-k for a (query_id, term) table —
+    * the production shape (a query SET scores in one corpus pass).
+    *
+    * Same plan skeleton as [[topK]] with the term membership test
+    * replaced by a broadcast join against the query table: the token
+    * explode still emits only rows whose term appears in SOME query,
+    * df is computed once per distinct term (not per query), and the
+    * per-query top-k is the bounded-heap
+    * [[graft.operators.TopK.perKey]] — O(queries × k) shuffled, never
+    * a per-query sort. Scoring arithmetic is identical to [[topK]],
+    * so a single-query batch returns exactly topK's rows (spec-pinned).
+    *
+    * Output: query_id, doc_id, n_terms, score, rank (1..k). */
+  def topKBatch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, queryIdCol: String, termCol: String,
+                k: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    // distinct: a repeated term inside one query must not double its
+    // contribution (bag-of-terms ⇒ set semantics, matching topK's IN)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(termCol).as("term")).distinct()
+    val allTerms = q.select(col("term")).distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val hits = toks.select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .join(broadcast(allTerms), "term")
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      round(avg(size(col("__toks"))) + lit(1e-9), 4).as("avgdl"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0)))
+          / (col("tf") + lit(k1)
+            * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(q), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("w")) + lit(1e-9), 6).as("score"))
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+      Seq(graft.operators.TopK.descNullsLast(col("score")), col("doc_id")),
+      k, "rank")
+  }
 }

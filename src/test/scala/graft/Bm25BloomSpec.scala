@@ -43,6 +43,57 @@ class Bm25BloomSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("bm25 batch: single-query batch == topK; per-query isolation") {
+    val docs = Seq(
+      (1L, "spark spark join sort"),
+      (2L, "spark sort sort sort"),
+      (3L, "join join join join"),
+      (4L, "sort sort sort sort")).toDF("doc_id", "text")
+    // duplicate term row must not double-count (set semantics)
+    val queries = Seq(
+      (10L, "spark"), (10L, "join"), (10L, "join"),
+      (20L, "sort")).toDF("qid", "term")
+    // perKey output order: rank first, then the payload columns
+    val batch = Bm25.topKBatch(docs, "doc_id", "text",
+        queries, "qid", "term", k = 3)
+      .select($"query_id", $"doc_id", $"n_terms", $"score", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+
+    val single = Bm25.topK(docs, "doc_id", "text", Seq("spark", "join"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q10 = batch.filter(_._1 == 10L).sortBy(_._5)
+      .map(t => (t._2, t._3, t._4))
+    assert(q10.sameElements(single),
+      s"batch ${q10.toSeq} != single ${single.toSeq}")
+
+    // query 20 ("sort") must rank pure-sort docs and not see q10 terms
+    val q20 = batch.filter(_._1 == 20L).sortBy(_._5).map(_._2)
+    assert(q20.head == 4L, s"got ${q20.toSeq}")
+    assert(batch.filter(_._1 == 20L).forall(_._3 == 1L))
+  }
+
+  test("banded-index variant == lshCandidatesAgainst") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g x"),
+      (2L, "p q r s t u v w"),
+      (3L, "p q r s t u v y"),
+      (4L, "m n o m n o m n")).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, 16).persist()
+    val delta = sigs.filter($"id" >= 3)
+    val direct = Dedup.lshCandidatesAgainst(delta, sigs, 4, 4)
+      .as[(Long, Long)].collect().toSet
+    val viaIndex = Dedup.lshCandidatesAgainstIndex(
+        Dedup.bandIndex(delta, 4, 4), Dedup.bandIndex(sigs, 4, 4))
+      .as[(Long, Long)].collect().toSet
+    sigs.unpersist()
+    assert(direct == viaIndex)
+    // every pair touches the delta; no existing-vs-existing pair
+    assert(viaIndex.forall { case (a, bb) => a >= 3 || bb >= 3 })
+  }
+
   test("bloom: no false negatives; prefilter+exact == exact") {
     val keys = spark.range(0, 2000).select(concat(lit("k"), $"id").as("sh"))
     // deliberately undersized sketch -> false positives guaranteed
