@@ -458,9 +458,12 @@ object DedupSimPack extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val benchSh = Dedup.shingleRows(
-            docs.filter($"doc_id" < 20), "doc_id", "text", ShingleN)
-          .select($"id".as("bench_id"), $"sh")
+        // persisted: read 3× (sizing count, sketch aggregate, exact
+        // verify join) — eval-set sized, released by PersistRegistry
+        val benchSh = graft.io.PersistRegistry.trackPersist(
+          Dedup.shingleRows(
+              docs.filter($"doc_id" < 20), "doc_id", "text", ShingleN)
+            .select($"id".as("bench_id"), $"sh"))
         val nBench = benchSh.count()
         val bloom = graft.dedup.Bloom.buildBytes(benchSh, $"sh",
           expectedItems = math.max(nBench, 64L), numBits = math.max(nBench, 64L) * 16L)
