@@ -27,7 +27,10 @@ object Bloom {
   /** Aggregate `keyCol` of `df` into a serialized bloom filter.
     * The result is a bounded sketch (numBits/8 bytes + header) — safe
     * to hold on the driver and embed as a literal regardless of the
-    * input's row count. */
+    * input's row count. An EMPTY input yields null, and
+    * [[mightContain]] over a null sketch evaluates null (filter-false)
+    * — "nothing matches an empty set", the correct prefilter
+    * semantics (spec-pinned). */
   def buildBytes(df: DataFrame, keyCol: Column,
                  expectedItems: Long, numBits: Long): Array[Byte] = {
     val agg = new BloomFilterAggregate(

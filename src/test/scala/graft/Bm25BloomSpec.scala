@@ -114,6 +114,23 @@ class Bm25BloomSpec extends AnyFunSuite {
     assert(exact.length == 1000)
   }
 
+  test("edge cases: no-hit query, empty query set, empty bloom build") {
+    val docs = Seq((1L, "spark join"), (2L, "sort scan")).toDF("doc_id", "text")
+    // query terms absent from every doc -> empty result, no error
+    assert(Bm25.topK(docs, "doc_id", "text", Seq("zzz"), 5).count() == 0)
+    // empty query table -> empty batch result
+    val noQ = spark.emptyDataset[(Long, String)].toDF("qid", "term")
+    assert(Bm25.topKBatch(docs, "doc_id", "text", noQ, "qid", "term", 5)
+      .count() == 0)
+    // bloom built over zero rows: might_contain must not match anything
+    // (null sketch -> null predicate -> filter drops every row), so an
+    // empty exclusion set keeps the whole corpus in d10's shape
+    val empty = spark.emptyDataset[String].toDF("sh")
+    val bytes = Bloom.buildBytes(empty, $"sh", 64, 512)
+    val probes = Seq("a", "b").toDF("sh")
+    assert(probes.filter(Bloom.mightContain(bytes, $"sh")).count() == 0)
+  }
+
   test("bloom decontamination drops the planted near-copy only") {
     val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
