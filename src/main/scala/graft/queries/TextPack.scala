@@ -283,6 +283,30 @@ object TextPack extends QueryPack {
 
     // T16 (beyond-reference, LLM pipeline): unigram language-model
     // scoring — the CCNet/perplexity-filter shape with the corpus's own
+    // Vocabulary induction table — the tokenizer-training input: the
+    // top-100 corpus terms with term frequency AND document frequency
+    // in ONE aggregate (countDistinct plans as a two-phase expand —
+    // still a single shuffle keyed by token), then TakeOrderedAndProject
+    // for the cut. All-integer: engine-exact.
+    Q("t17_vocab",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+          .select($"doc_id", explode($"__toks").as("tok"))
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("n_tok"), countDistinct($"doc_id").as("n_docs"))
+          .orderBy(desc("n_tok"), $"tok")
+          .limit(100)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |tk AS (SELECT doc_id, unnest(ts) AS tok FROM d)
+             |SELECT tok, count(*) AS n_tok,
+             |  count(DISTINCT doc_id) AS n_docs
+             |FROM tk GROUP BY tok
+             |ORDER BY n_tok DESC, tok LIMIT 100""".stripMargin)),
+
     // unigram distribution as the model. Per-token log-prob is
     // ln(cnt) − ln(N) (division-free: bit-identical across engines);
     // per-doc average log-prob and a perplexity proxy rank docs by
