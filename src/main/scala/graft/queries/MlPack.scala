@@ -92,20 +92,17 @@ object MlPack extends QueryPack {
   def queries: Seq[Q] = Seq(
 
     // J6/M8: exact k-NN (k=2) by Euclidean distance in standardized
-    // feature space — cross join + per-point window top-k.
+    // feature space. Candidate pairs come from grid-cell neighborhoods
+    // with certified ring expansion (GridKnn) — identical output to the
+    // all-pairs + window form, without the N² pair generation the naive
+    // self-join would do at scale (GridKnnSpec pins both exactness and
+    // the pair-count bound on a clustered fixture).
     Q("j6_knn",
       (s, dir) => {
         import s.implicits._
-        val f = userFeatures(s, dir)
-        val a = f.select($"user_id".as("uid"), $"mu".as("mua"), $"sd".as("sda"))
-        val b = f.select($"user_id".as("nid"), $"mu".as("mub"), $"sd".as("sdb"))
-        val pairs = a.join(b, $"uid" =!= $"nid")
-          .withColumn("dist", sqrt(pow($"mua" - $"mub", 2) + pow($"sda" - $"sdb", 2)))
-          .select($"uid", $"nid", $"dist")
-        // bounded per-key heaps instead of a row_number window: the
-        // all-pairs candidate set never transits the shuffle (TopKAgg)
-        graft.operators.TopK.perKey(pairs, Seq("uid"), Seq($"dist", $"nid"), 2)
-          .select($"uid".as("user_id"), $"nid".as("neighbor_id"),
+        graft.cluster.GridKnn.exactKnn(userFeatures(s, dir),
+            "user_id", "mu", "sd", 2)
+          .select($"user_id", $"nid".as("neighbor_id"),
             r4($"dist").as("dist"), $"rank")
       },
       Some("""WITH f AS (
