@@ -1,0 +1,68 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StructType}
+
+/** S2 at query time: the events panel re-laid-out date-partitioned
+  * (`day=YYYY-MM-DD/` hive directories), so period predicates (P2,
+  * reference period slicing `market_analysis.py:674-678`) become
+  * directory-level partition PRUNING — at 100 TB the scan never even
+  * lists the files outside the window, which row-group skipping on a
+  * flat layout cannot do (SURVEY §4.2).
+  *
+  * The layout is materialized ONCE per (session, source dir) into a
+  * process-lifetime temp dir and memoized — the write is the one-time
+  * ingest cost a real deployment pays when it lands data, billed in
+  * Bench as its own `setup_events_part` line (the shared-stage
+  * convention). Rows are byte-identical to the source (`ts` stays the
+  * raw nanosecond long); `day` is derived with pure integer arithmetic
+  * (`ts` ns → days since epoch), so the layout is independent of the
+  * session timezone.
+  */
+object EventsLayout {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Partitioned-layout schema: source schema + the `day` DATE
+    * partition column (declared, not inferred — partition discovery
+    * only parses directory names against it). */
+  val schema: StructType = Tables.eventsSchema.add("day", DateType)
+
+  private lazy val baseDir: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-events-byday-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p.toFile)))
+    p
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
+
+  /** Materialize (memoized) and return the partitioned layout path. */
+  def path(spark: SparkSession, dir: String): String =
+    cache.computeIfAbsent((spark, dir), _ => {
+      val target = baseDir.resolve(
+        java.lang.Integer.toHexString(dir.hashCode)).toString
+      // integer `div`, not `/`: ns epochs ≈ 1.7e18 exceed 2^53 and a
+      // double division would round the day boundary
+      val withDay = Tables.eventsRaw(spark, dir).withColumn("day",
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          expr("CAST((ts div 1000000000) div 86400 AS INT)")))
+      Sinks.parquet(withDay, target, partitionBy = Seq("day"))
+      target
+    })
+
+  /** Read the partitioned layout. `ts` is the raw nanosecond long (as
+    * [[Tables.eventsRaw]]); filters on `day` prune directories. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).parquet(path(spark, dir))
+
+  /** Event-time day boundary (UTC) as a DATE literal for pruning
+    * predicates, from a ns epoch: ns → days since epoch, integer-exact. */
+  def dayOfNs(ns: Long): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+      ns / 1000000000L / 86400L))
+}

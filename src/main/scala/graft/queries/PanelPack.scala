@@ -405,9 +405,14 @@ object PanelPack extends QueryPack {
     Q("p2_filtered_agg",
       (s, dir) => {
         import s.implicits._
-        // filter on the RAW ns column so the range predicate pushes into
-        // the parquet scan (row-group pruning); 2024-01-10..20 UTC
-        Tables.eventsRaw(s, dir)
+        import graft.io.EventsLayout
+        // date-partitioned layout: the `day` predicate prunes whole
+        // directories (PartitionFilters — the scan never lists files
+        // outside the window), and the RAW ns predicate still prunes
+        // row groups inside the boundary days; 2024-01-10..20 UTC
+        EventsLayout.read(s, dir)
+          .filter($"day" >= lit(EventsLayout.dayOfNs(1704844800000000000L)) &&
+                  $"day" < lit(EventsLayout.dayOfNs(1705708800000000000L)))
           .filter($"ts" >= 1704844800000000000L && $"ts" < 1705708800000000000L)
           .filter(!$"event_type".isin("error"))
           .groupBy($"event_type")

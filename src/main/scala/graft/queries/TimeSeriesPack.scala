@@ -401,12 +401,17 @@ object TimeSeriesPack extends QueryPack {
     Q("w14_daily",
       (s, dir) => {
         import s.implicits._
-        val daily = ev(s, dir)
-          .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        // read the date-partitioned layout: the tumbling-day key is the
+        // partition column itself — no per-row date_trunc, and the same
+        // layout P2 prunes (EventsLayout). Day surfaces as µs since
+        // epoch via integer day arithmetic (timezone-independent).
+        val daily = graft.io.EventsLayout.read(s, dir)
+          .groupBy($"day", $"event_type")
           .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
         val wDay = Window.partitionBy($"day")
         daily.withColumn("share", r6($"n" / sum($"n").over(wDay)))
-          .withColumn("day", unix_micros($"day"))
+          .withColumn("day",
+            datediff($"day", lit("1970-01-01")).cast("long") * 86400000000L)
       },
       Some("""WITH d AS (
              |  SELECT epoch_us(date_trunc('day', ts)) AS day, event_type,
