@@ -13,6 +13,47 @@ object MiscPack extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Skew-safe path as a DECLARED query: event_type is the panel's
+    // genuinely hot key (a handful of values over every row), the exact
+    // shape AQE's sort-merge skew split does NOT cover when the
+    // aggregation itself is the skew. Both Salting primitives run:
+    // two-phase (key, salt) aggregation, then the salted join of the
+    // full panel against the per-type stats (small side replicated
+    // n×, hot rows spread over n reducers). Semantics are
+    // salt-invariant, so a plain oracle checks the result; the float
+    // gate (value > avg) is rounded identically on both engines.
+    Q("j8_salted_skew",
+      (s, dir) => {
+        import s.implicits._
+        import graft.joins.Salting
+        val e = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        val stats = Salting
+          .saltedSumCount(e, Seq("event_type"), "value", "event_id", 32)
+          .withColumn("avg_value", r6($"sum_value" / $"cnt"))
+        val above = Salting.saltedJoin(e,
+            stats.select($"event_type", $"avg_value"),
+            "event_type", "event_id", 32)
+          .filter($"value" > $"avg_value")
+          .groupBy($"event_type").agg(count(lit(1)).as("n_above"))
+        stats.join(above, Seq("event_type"), "left")
+          .select($"event_type", $"cnt", r4($"sum_value").as("sum_value"),
+            $"avg_value", coalesce($"n_above", lit(0L)).as("n_above"))
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type, count(*) AS cnt, sum(value) AS sv
+             |  FROM events GROUP BY 1),
+             |sta AS (
+             |  SELECT event_type, cnt, round(sv + 1e-9, 4) AS sum_value,
+             |    round(sv / cnt + 1e-9, 6) AS avg_value FROM st),
+             |ab AS (
+             |  SELECT e.event_type, count(*) AS n_above
+             |  FROM events e JOIN sta ON e.event_type = sta.event_type
+             |  WHERE e.value > sta.avg_value GROUP BY 1)
+             |SELECT sta.event_type, sta.cnt, sta.sum_value, sta.avg_value,
+             |  COALESCE(ab.n_above, 0) AS n_above
+             |FROM sta LEFT JOIN ab ON sta.event_type = ab.event_type""".stripMargin)),
+
     // CUBE (full grouping-sets completeness beyond q8's ROLLUP).
     Q("q9_cube",
       (s, dir) => {
