@@ -307,6 +307,15 @@ object TextPack extends QueryPack {
              |FROM tk GROUP BY tok
              |ORDER BY n_tok DESC, tok LIMIT 100""".stripMargin)),
 
+    // T18: BPE pair-merge vocabulary induction on top of t17's word
+    // table — K=6 merge rounds, each one pair-count aggregate plus one
+    // (word, pos) window cascade over the VOCAB-sized symbol table
+    // (text.Bpe; oracle = the same construction as 6 chained CTE
+    // blocks, generated by Bpe.oracleSql).
+    Q("t18_bpe",
+      (s, dir) => graft.text.Bpe.merges(Tables.documents(s, dir), "text", 6),
+      Some(graft.text.Bpe.oracleSql(6))),
+
     // unigram distribution as the model. Per-token log-prob is
     // ln(cnt) − ln(N) (division-free: bit-identical across engines);
     // per-doc average log-prob and a perplexity proxy rank docs by

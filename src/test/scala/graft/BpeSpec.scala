@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+/** BPE merge semantics pins — especially left-greedy NON-OVERLAPPING
+  * application of a self-pair (a,a), the one case where naive
+  * pair-matching over-merges (classic Sennrich merge_vocab behavior:
+  * "aaaa" + rule (a,a) → "aa aa", never three overlapping merges). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(texts: Seq[String], k: Int) =
+    Bpe.merges(texts.toDF("text"), "text", k)
+      .select($"step", $"lhs", $"rhs", $"merged", $"pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+
+  test("self-pair merges non-overlapping, then merged symbols pair up") {
+    // words: "aaaa" freq 2, "ab" freq 1
+    // round 1: (a,a) count 3·2 = 6 beats (a,b) 1 → "aaaa" = [aa, aa]
+    // round 2: (aa,aa) count 2 beats (a,b) 1 → merged "aaaa"
+    val got = run(Seq("aaaa aaaa", "ab"), 2)
+    assert(got == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("odd-length run leaves the trailing singleton; ties break lexicographically") {
+    // "aaaaa" → round 1 (a,a) count 4 → [aa, aa, a]
+    // round 2: (aa,aa) and (aa,a) both count 1 → rhs "a" < "aa" wins
+    val got = run(Seq("aaaaa"), 2)
+    assert(got == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("frequencies weight pairs across repeated words") {
+    // "lo" ×3 vs "hi" ×2 → (l,o) wins with count 3, then (h,i) with 2
+    val got = run(Seq("lo lo", "lo hi", "hi"), 2)
+    assert(got == Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "h", "i", "hi", 2L)))
+  }
+}
