@@ -21,6 +21,26 @@ object PanelPack extends QueryPack {
   private val OracleEv =
     "SELECT event_id, epoch_us(ts) AS t, user_id, event_type, value, props FROM events"
 
+  /** g15's aggregate, factored so GoldenPinSpec pins the SAME code path
+    * on a frozen fixture (sketch internals have no second engine; the
+    * sketches are deterministic for fixed input + partitioning).
+    *
+    * Two hash aggregates + a 5-row join, NOT one agg: mixing
+    * countDistinct (Expand plan) with the TypedImperative percentile
+    * aggregates forces the whole aggregation onto the sort-based
+    * interpreted path (~2.5s); split, each side stays a codegen'd
+    * hash aggregate (~0.5s combined). */
+  private[graft] def g15Agg(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val cds = e.groupBy($"event_type").agg(
+      countDistinct($"user_id").as("exact_users"),
+      approx_count_distinct($"user_id", 0.02).as("approx_users"))
+    val pcts = e.groupBy($"event_type").agg(
+      Rx.r4(percentile($"value", lit(0.5))).as("exact_p50"),
+      Rx.r4(percentile_approx($"value", lit(0.5), lit(10000))).as("approx_p50"))
+    cds.join(pcts, "event_type")
+  }
+
   def queries: Seq[Q] = Seq(
 
     // G1: the 13-feature per-symbol aggregate as ONE groupBy over a
@@ -431,22 +451,7 @@ object PanelPack extends QueryPack {
     // internals differ across engines → rows-only check; the accuracy
     // contract vs exact values is asserted in ApproxSpec.
     Q("g15_approx",
-      (s, dir) => {
-        import s.implicits._
-        // Two hash aggregates + a 5-row join, NOT one agg: mixing
-        // countDistinct (Expand plan) with the TypedImperative percentile
-        // aggregates forces the whole aggregation onto the sort-based
-        // interpreted path (~2.5s); split, each side stays a codegen'd
-        // hash aggregate (~0.5s combined).
-        val e = Tables.events(s, dir)
-        val cds = e.groupBy($"event_type").agg(
-          countDistinct($"user_id").as("exact_users"),
-          approx_count_distinct($"user_id", 0.02).as("approx_users"))
-        val pcts = e.groupBy($"event_type").agg(
-          Rx.r4(percentile($"value", lit(0.5))).as("exact_p50"),
-          Rx.r4(percentile_approx($"value", lit(0.5), lit(10000))).as("approx_p50"))
-        cds.join(pcts, "event_type")
-      },
+      (s, dir) => g15Agg(Tables.events(s, dir)),
       None),
 
     // §2.7 set ops: INTERSECT / EXCEPT over per-type user sets.

@@ -49,6 +49,18 @@ object GoldenPinCompute {
     rows.toDF("vec_id", "v").repartition(4, col("vec_id"))
   }
 
+  def g15Fixture(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    // 6000 rows, 3 types, deterministic integer mixing — enough
+    // distinct users (~700 per type) that the HLL estimate differs from
+    // exact, so the pin actually covers the sketch path
+    val rows = (0 until 6000).map { i =>
+      (s"t${i % 3}", ((i * 7919 + 13) % 2100).toLong,
+        ((i * 104729) % 10007) / 100.0)
+    }
+    rows.toDF("event_type", "user_id", "value").coalesce(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkTestSession.spark
     import spark.implicits._
@@ -91,6 +103,15 @@ object GoldenPinCompute {
       (n, math.round(lpos(n)._1 * 1e4) / 1e4, math.round(lpos(n)._2 * 1e4) / 1e4)
     }
     println(s"PIN m10 $lp")
+
+    // g15 pin: approx aggregates (HLL++ distinct + KLL-ish percentile)
+    // on the frozen integer-mixed fixture, single partition so sketch
+    // merge order is fixed
+    val g15 = graft.queries.PanelPack.g15Agg(g15Fixture(spark))
+      .select($"event_type", $"exact_users", $"approx_users",
+        $"exact_p50", $"approx_p50")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    println(s"PIN g15 $g15")
 
     // s3 pin: IVF topK with the bounded sampled quantizer fit
     val ivf = graft.sim.IvfAnn.topK(ivfFixture(spark), "vec_id", "v",

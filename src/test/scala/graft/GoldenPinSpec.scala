@@ -18,6 +18,20 @@ class GoldenPinSpec extends AnyFunSuite {
   private def r4(x: Double): Double = math.round(x * 1e4) / 1e4
   private def r6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("g15 pin: approx aggregates on the frozen fixture — HLL and percentile sketches") {
+    // exact columns double as sanity (700 users per type by
+    // construction); approx columns pin the sketch outputs themselves —
+    // deterministic for fixed input + single-partition merge order
+    val got = graft.queries.PanelPack.g15Agg(GoldenPinCompute.g15Fixture(spark))
+      .select($"event_type", $"exact_users", $"approx_users",
+        $"exact_p50", $"approx_p50")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("t0", 700L, 692L, 49.985, 49.97),
+      ("t1", 700L, 705L, 50.005, 49.99),
+      ("t2", 700L, 703L, 49.935, 49.92)))
+  }
+
   test("m2 pin: KMeans(3, seed 42) on the blob fixture — sizes and inertia") {
     val df = GoldenPinCompute.blobs.toDF("x", "y").coalesce(1)
     val (assigned, inertia, _) = Clustering.kmeansAssign(df, Seq("x", "y"), 3, 42L)
