@@ -240,7 +240,15 @@ object Dedup {
                           blockCols: Seq[String], shingleN: Int,
                           maxDf: Int, perDocK: Int): DataFrame = {
     val bc = blockCols.map(col)
+    // null block keys are excluded EXPLICITLY: the old groupBy+join
+    // df-cap dropped them via equi-join null semantics, the count
+    // window would group them together — filtering up front makes the
+    // contract (block cols must be non-null to participate) independent
+    // of the build path. The co-shingle equi-join below would drop
+    // their pairs anyway; this also keeps them out of the persisted
+    // capped frame and the sizes aggregate.
     val ex = docs
+      .filter(bc.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
       .select((bc :+ col(idCol).as("doc_id")) :+
         TextOps.tokens(col(textCol)).as("__toks"): _*)
       .select((bc :+ col("doc_id")) :+

@@ -31,10 +31,16 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Top-k docs for a bag-of-terms query. Output: doc_id, n_terms
-    * (distinct query terms matched), score (rounded, 6dp). */
+    * (distinct query terms matched), score (rounded, 6dp). An empty
+    * query returns an empty frame (matching [[topKBatch]]'s pinned
+    * empty-query-set behavior — an empty `array()` literal would be
+    * NullType and fail analysis in the membership lambda). */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k: Int,
            k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    if (queryTerms.isEmpty)
+      return docs.select(col(idCol).as("doc_id")).limit(0)
+        .withColumn("n_terms", lit(0L)).withColumn("score", lit(0.0))
     val qs = array(queryTerms.map(lit): _*)
     // Two-step projection (the shingleRows idiom): materialize the
     // token array as an attribute first, so the explode's filter
@@ -68,9 +74,13 @@ object Bm25 {
     * the production shape (a query SET scores in one corpus pass).
     *
     * Same plan skeleton as [[topK]] with the term membership test
-    * replaced by a broadcast join against the query table: the token
-    * explode still emits only rows whose term appears in SOME query,
-    * df is computed once per distinct term (not per query), and the
+    * replaced by a broadcast join against the query table: the explode
+    * emits every corpus token, but the SAME-STAGE broadcast hash join
+    * discards non-query terms before anything shuffles — pair volume on
+    * the wire is bounded by query-term occurrences, token-proportional
+    * work is pipelined CPU only (unlike topK, whose filter sits inside
+    * the explode). df is computed once per distinct term (not per query),
+    * and the
     * per-query top-k is the bounded-heap
     * [[graft.operators.TopK.perKey]] — O(queries × k) shuffled, never
     * a per-query sort. Scoring arithmetic is identical to [[topK]],

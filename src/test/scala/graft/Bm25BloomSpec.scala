@@ -118,6 +118,11 @@ class Bm25BloomSpec extends AnyFunSuite {
     val docs = Seq((1L, "spark join"), (2L, "sort scan")).toDF("doc_id", "text")
     // query terms absent from every doc -> empty result, no error
     assert(Bm25.topK(docs, "doc_id", "text", Seq("zzz"), 5).count() == 0)
+    // EMPTY query terms -> empty frame with the normal schema (an
+    // empty array() literal would be NullType and fail analysis)
+    val emptyQ = Bm25.topK(docs, "doc_id", "text", Nil, 5)
+    assert(emptyQ.columns.toSeq == Seq("doc_id", "n_terms", "score"))
+    assert(emptyQ.count() == 0)
     // empty query table -> empty batch result
     val noQ = spark.emptyDataset[(Long, String)].toDF("qid", "term")
     assert(Bm25.topKBatch(docs, "doc_id", "text", noQ, "qid", "term", 5)

@@ -47,6 +47,19 @@ class DedupFanoutSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("d4 generator: null block keys are excluded regardless of build path") {
+    // two identical docs under a NULL lang must produce no pairs — the
+    // old groupBy+join cap dropped them via equi-join null semantics;
+    // the count-window build keeps that contract via the explicit filter
+    val docs = skewedDocs(8).unionByName(Seq(
+      (100L, null.asInstanceOf[String], "cc", "same text marker alpha beta gamma delta epsilon"),
+      (101L, null.asInstanceOf[String], "cc", "same text marker alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "lang", "source", "text"))
+    val out = Dedup.blockedNgramNearDup(docs, "doc_id", "text",
+      Seq("lang", "source"), 3, MaxDf, K)
+    assert(out.filter($"id_a" >= 100L || $"id_b" >= 100L).count() == 0)
+  }
+
   test("d4 generator: matches the brute-force top-k over capped shingle sets") {
     val docs = skewedDocs(24)
     val actual = Dedup.blockedNgramNearDup(docs, "doc_id", "text",
