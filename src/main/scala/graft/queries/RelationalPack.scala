@@ -247,6 +247,95 @@ object RelationalPack extends QueryPack {
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
 
+    // TPC-H q6 shape: fully-pushed filtered aggregate, no join — every
+    // predicate lands in PushedFilters and the scan reads 4 columns.
+    Q("q6_forecast",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+                  $"l_shipdate" < to_timestamp(lit("1998-01-01")) &&
+                  $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+                  $"l_quantity" < 24.0)
+          .agg(r4(sum($"l_extendedprice" * $"l_discount")).as("revenue"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 4) AS revenue,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H q10 shape: returned-item revenue per customer, top 20 —
+    // fact-fact shuffle join (lineitem×orders), customer joined on the
+    // shuffled key (AQE picks broadcast when it fits), nation broadcast,
+    // TakeOrderedAndProject for the cut. Rank by the ROUNDED revenue
+    // with a custkey tie-break (cross-engine float ordering contract).
+    Q("q10_returns",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+          .select($"l_orderkey",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= to_timestamp(lit("1997-01-01")) &&
+                  $"o_orderdate" < to_timestamp(lit("1997-07-01")))
+          .select($"o_orderkey", $"o_custkey")
+        val c = Tables.customer(s, dir)
+          .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+        val n = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          .agg(r4(sum($"rev")).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), $"c_custkey").limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-07-01'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H q12 shape: case-conditional counts per line status (the
+    // testdata schema has no l_shipmode; l_linestatus stands in) — one
+    // fact-fact join, all-integer outputs.
+    Q("q12_priority",
+      (s, dir) => {
+        import s.implicits._
+        val hi = Seq("1-URGENT", "2-HIGH")
+        val li = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01")) &&
+                  $"l_shipdate" < to_timestamp(lit("1998-01-01")))
+          .select($"l_orderkey", $"l_linestatus")
+        val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
+              .as("low_line_count"))
+      },
+      Some("""SELECT l_linestatus,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS high_line_count,
+             |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY l_linestatus""".stripMargin)),
+
     // HAVING-subquery join (TPC-H Q18 shape): orders whose lines sum past
     // a quantity threshold, decorated with the customer. The IN-subquery
     // decorrelates to aggregate → filter → fact-fact equi-join: at 100 TB
