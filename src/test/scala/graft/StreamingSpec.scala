@@ -315,4 +315,55 @@ class StreamingSpec extends AnyFunSuite {
       .map(c => (c.symbol, c.ts, c.close, c.volume)).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
+
+  test("full query restart: stateful dedup over checkpoint + file sink matches batch") {
+    // End-to-end proof ON A WHOLE QUERY (st3's transform), not just the
+    // source: stream the events panel as 12 files one-per-trigger
+    // through dropDuplicatesWithinWatermark into the exactly-once
+    // parquet sink with a real checkpoint, kill the query mid-stream,
+    // restart, and require the merged output to equal batch DISTINCT
+    // with no duplicates across the restart boundary (the dedup state
+    // store must recover, and replayed batches must not double-emit).
+    TestDirs.withTempDir("graft_full_ckpt") { dir =>
+    graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"user_id", $"event_type")
+      .repartition(12).write.parquet(s"$dir/in")
+
+    def start() = {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      graft.streaming.StreamOps.dedupWithinWatermark(
+          stream, "ts", Seq("user_id", "event_type"), "365 days")
+        .select($"user_id", $"event_type")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+    }
+    def sunk(): Seq[(Long, String)] =
+      try spark.read.parquet(s"$dir/out")
+        .as[(Long, String)].collect().toSeq
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sunk().isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+    } finally q1.stop()
+    val run1 = sunk()
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = sunk()
+    assert(got.size >= run1.size, "restart must keep prior committed output")
+
+    val want = spark.read.parquet(s"$dir/in")
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+    assert(got.size == got.distinct.size,
+      s"${got.size - got.distinct.size} duplicate keys crossed the restart boundary")
+    }
+  }
 }
