@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   *    log2(diameter/w0) rounds — in practice 1-2 rounds resolve the
   *    dense mass and later rounds run on a shrinking outlier tail.
   *
+  * Small inputs take a probed direct path instead (the
+  * [[graft.dedup.Dedup.components]] count-probe idiom): n is already
+  * known from the width probe, and when n ≤ `smallN` the exact
+  * all-pairs broadcast top-k — ≤ smallN² bounded distance evals, zero
+  * shuffle on the pair side — costs less than ONE grid round's fixed
+  * overhead (each round is several jobs: candidate join, heap agg,
+  * certificate, checkpoint, emptiness probe). The cutover is a probed
+  * count, never a guess, so the quadratic shape is entered only under
+  * an explicit bound; above it the grid rounds keep pair compute
+  * neighborhood-local. Output is identical on both paths.
+  *
   * Per round the work is ONE equi-join on the cell key (probe side =
   * still-unresolved points exploded to their 9 neighbor cells, build
   * side = all points bucketed once) — pair compute is bounded by
@@ -41,13 +52,22 @@ object GridKnn {
     * (pow form: bit-parity with the DuckDB oracle).
     */
   def exactKnn(points: DataFrame, idCol: String, xCol: String, yCol: String,
-               k: Int, maxRounds: Int = 24): DataFrame =
-    exactKnnWithRounds(points, idCol, xCol, yCol, k, maxRounds)._1
+               k: Int, maxRounds: Int = 24,
+               smallN: Int = DefaultSmallN): DataFrame =
+    exactKnnWithRounds(points, idCol, xCol, yCol, k, maxRounds, smallN)._1
+
+  /** Probed direct-path cap: 4096² ≈ 1.7e7 bounded distance evals
+    * through a broadcast join — well under one grid round's fixed
+    * multi-job cost, and far below any executor memory concern (the
+    * broadcast side is ≤ 4096 × 3 doubles). */
+  val DefaultSmallN = 4096
 
   /** [[exactKnn]] plus the number of expansion rounds used (test hook
-    * for the ring-expansion path). */
+    * for the ring-expansion path; 0 = probed direct path). Pass
+    * `smallN = 0` to force the grid rounds regardless of input size. */
   def exactKnnWithRounds(points: DataFrame, idCol: String, xCol: String,
-                         yCol: String, k: Int, maxRounds: Int = 24)
+                         yCol: String, k: Int, maxRounds: Int = 24,
+                         smallN: Int = DefaultSmallN)
       : (DataFrame, Int) = {
     val spark = points.sparkSession
     import spark.implicits._
@@ -65,6 +85,19 @@ object GridKnn {
       return (out, 0)
     }
     val kEff = math.min(k.toLong, n - 1).toInt
+
+    if (n <= smallN) {
+      // probed direct path: exact all-pairs top-k with the small side
+      // broadcast — one stage, no grid machinery. n is a measured
+      // count, so the n² pair compute is bounded by smallN² up front.
+      val probe = pts.select($"id".as("pid"), $"x".as("px"), $"y".as("py"))
+      val pairs = probe.join(broadcast(pts), $"pid" =!= $"id")
+        .withColumn("dist", sqrt(pow($"px" - $"x", 2) + pow($"py" - $"y", 2)))
+        .select($"pid", $"id".as("nid"), $"dist")
+      val topk = graft.operators.TopK.perKey(pairs, Seq("pid"),
+        Seq($"dist", $"nid"), kEff)
+      return (topk.select($"pid".as(idCol), $"nid", $"dist", $"rank"), 0)
+    }
 
     var unresolved = pts
     var resolved: DataFrame = null

@@ -44,7 +44,10 @@ class GridKnnSpec extends AnyFunSuite {
 
   test("exactness: grid kNN equals brute-force all-pairs, outliers force expansion") {
     val df = fixture(8, 12, 3).persist()
-    val (out, rounds) = GridKnn.exactKnnWithRounds(df, "id", "x", "y", 2)
+    // smallN = 0 forces the grid rounds (the fixture would otherwise
+    // take the probed direct path)
+    val (out, rounds) = GridKnn.exactKnnWithRounds(df, "id", "x", "y", 2,
+      smallN = 0)
     val got = out.select($"id", $"nid", round($"dist", 9).as("d"), $"rank")
       .as[(String, String, Double, Int)].collect().toSet
     val want = brute(df, 2)
@@ -67,6 +70,20 @@ class GridKnnSpec extends AnyFunSuite {
     assert(pairCount <= n * n / 8,
       s"candidate fan-out $pairCount not bounded (N²=${n * n})")
     assert(pairCount >= n, "candidates suspiciously sparse")
+    df.unpersist()
+  }
+
+  test("probed direct path (n <= smallN) is identical to the grid rounds") {
+    val df = fixture(6, 9, 2).persist()
+    val (direct, dRounds) = GridKnn.exactKnnWithRounds(df, "id", "x", "y", 3)
+    val (grid, gRounds) = GridKnn.exactKnnWithRounds(df, "id", "x", "y", 3,
+      smallN = 0)
+    assert(dRounds == 0, "small fixture must take the probed direct path")
+    assert(gRounds >= 1)
+    def key(f: org.apache.spark.sql.DataFrame) =
+      f.select($"id", $"nid", round($"dist", 9).as("d"), $"rank")
+        .as[(String, String, Double, Int)].collect().toSet
+    assert(key(direct) == key(grid))
     df.unpersist()
   }
 
