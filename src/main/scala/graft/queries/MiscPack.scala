@@ -54,6 +54,37 @@ object MiscPack extends QueryPack {
              |  COALESCE(ab.n_above, 0) AS n_above
              |FROM sta LEFT JOIN ab ON sta.event_type = ab.event_type""".stripMargin)),
 
+    // Bucketed co-located fact-fact join as a DECLARED query: both
+    // sides read the BucketedLayout (lineitem + orders hash-bucketed on
+    // the order key), so the join needs no Exchange on either input and
+    // the per-order aggregate — grouping keys ⊇ bucket key — reuses the
+    // same distribution: scan → join → agg → top-k as ONE shuffle-free
+    // pipeline (BucketedLayoutSpec pins zero Exchange under disabled
+    // broadcast). At 100 TB this is the layout that turns the engine's
+    // largest shuffle (q12/q18's fact-fact order-key join) into a
+    // metadata decision. Bucketing is semantics-neutral, so a plain
+    // flat-scan oracle checks the result.
+    Q("j9_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        import graft.io.BucketedLayout
+        val li = BucketedLayout.lineitem(s, dir)
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        val o = BucketedLayout.orders(s, dir)
+          .select($"o_orderkey", $"o_orderpriority")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderkey", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+              .as("revenue"))
+          .orderBy(desc("revenue"), $"o_orderkey").limit(50)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2
+             |ORDER BY revenue DESC, o_orderkey LIMIT 50""".stripMargin)),
+
     // CUBE (full grouping-sets completeness beyond q8's ROLLUP).
     Q("q9_cube",
       (s, dir) => {
