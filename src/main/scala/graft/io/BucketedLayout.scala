@@ -53,7 +53,15 @@ object BucketedLayout {
       val ord = s"graft_orders_bkt_$suffix"
       def build(name: String, df: DataFrame, key: String): Unit =
         if (!spark.catalog.tableExists(name)) {
-          df.write
+          // Pre-partition on the bucket hash so each bucket is written by
+          // exactly ONE task → ONE file per bucket (repartition and
+          // bucketBy share Spark's murmur3 HashPartitioning). With at
+          // most one file per bucket the scan can report its sortBy
+          // order, so the sort-merge join needs neither Exchange NOR
+          // Sort. At cluster scale per-bucket volume is controlled by
+          // raising Buckets, never by letting buckets fragment.
+          df.repartition(Buckets, df.col(key))
+            .write
             .bucketBy(Buckets, key).sortBy(key)
             .option("path", baseDir.resolve(name).toString)
             .format("parquet").mode("overwrite")

@@ -39,6 +39,43 @@ class BucketedLayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("one-file-per-bucket + sortBy makes the merge join SORT-free under sorted-scan planning") {
+    // Spark ignores bucket sort order at planning time by default
+    // (listing files during planning costs; SPARK-28169's legacy flag
+    // keeps the old behavior available). With it on, the single-file
+    // buckets written by BucketedLayout report their sortBy order and
+    // the merge join drops BOTH its Exchanges and its Sorts — the full
+    // co-located-layout payoff. Default-config behavior (Exchange-free,
+    // Sort kept) is pinned by the previous test.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = joinAgg(BucketedLayout.lineitem(spark, sf),
+        BucketedLayout.orders(spark, sf))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no Exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+      assert(!plan.contains("- Sort "),
+        s"sorted-bucket scan should eliminate the join Sorts, got:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("each bucketed table has exactly one file per bucket") {
+    val (lin, orn) = BucketedLayout.tableNames(spark, sf)
+    for (t <- Seq(lin, orn)) {
+      val loc = spark.sql(s"DESCRIBE FORMATTED $t")
+        .filter($"col_name" === "Location").select("data_type")
+        .first.getString(0)
+      val files = new java.io.File(new java.net.URI(loc))
+        .listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == BucketedLayout.Buckets,
+        s"$t: expected ${BucketedLayout.Buckets} files (one per bucket), got ${files.length}")
+    }
+  }
+
   test("flat-scan sibling of the same query DOES shuffle (the layout's win)") {
     val df = joinAgg(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
