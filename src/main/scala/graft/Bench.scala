@@ -88,7 +88,11 @@ object Bench {
       // ingest cost, same convention)
       ("setup_bucketed",
         Set("j9_bucketed_join"),
-        () => { graft.io.BucketedLayout.tableNames(spark, sfDir); () }))
+        () => { graft.io.BucketedLayout.tableNames(spark, sfDir); () }),
+      // one-time z-order re-layout of lineitem (same convention)
+      ("setup_zorder",
+        Set("z1_zorder_range"),
+        () => { graft.io.ZOrderLayout.path(spark, sfDir); () }))
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
     def buildShared(name: String, build: () => Unit): Unit =
       try build()

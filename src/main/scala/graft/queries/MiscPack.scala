@@ -85,6 +85,34 @@ object MiscPack extends QueryPack {
              |GROUP BY 1, 2
              |ORDER BY revenue DESC, o_orderkey LIMIT 50""".stripMargin)),
 
+    // Z-ordered 2-D selective scan as a DECLARED query: the layout
+    // clusters BOTH l_extendedprice and l_quantity along the Morton
+    // curve, so this price-band × quantity-band predicate prunes most
+    // files from footer min/max stats alone (ZOrderLayoutSpec measures
+    // it; a single-column sort would cluster only one dimension). Both
+    // range predicates reach the scan as PushedFilters, so what the
+    // file-level curve doesn't skip, row-group stats do. The layout is
+    // semantics-neutral — a flat-scan oracle checks the result.
+    Q("z1_zorder_range",
+      (s, dir) => {
+        import s.implicits._
+        graft.io.ZOrderLayout.lineitem(s, dir)
+          .filter($"l_extendedprice".between(20000.0, 30000.0) &&
+            $"l_quantity".between(10.0, 20.0))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            r4(avg($"l_discount")).as("avg_disc"),
+            r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+              .as("revenue"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+             |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) AS revenue
+             |FROM lineitem
+             |WHERE l_extendedprice BETWEEN 20000 AND 30000
+             |  AND l_quantity BETWEEN 10 AND 20
+             |GROUP BY 1""".stripMargin)),
+
     // CUBE (full grouping-sets completeness beyond q8's ROLLUP).
     Q("q9_cube",
       (s, dir) => {
