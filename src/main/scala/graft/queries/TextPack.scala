@@ -316,6 +316,27 @@ object TextPack extends QueryPack {
       (s, dir) => graft.text.Bpe.merges(Tables.documents(s, dir), "text", 6),
       Some(graft.text.Bpe.oracleSql(6))),
 
+    // T19: ENCODE with t18's learned merges — the apply half of the
+    // tokenizer (train with t18, tokenize with t19). One left-greedy
+    // pass per rule in training order is exhaustive (a merge can't
+    // create a new occurrence of its own pair), so encoding is the
+    // final symbol table of the same vocab-sized cascade: per distinct
+    // word its piece count and segmentation, never a corpus rescan.
+    // Piece order is made deterministic for the hash by sorting the
+    // collected (pos, sym) structs, not by assuming collect order.
+    Q("t19_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        graft.text.Bpe.encoded(Tables.documents(s, dir), "text", 6)
+          .groupBy($"w", $"freq")
+          .agg(count(lit(1)).as("n_pieces"),
+            array_join(
+              transform(array_sort(collect_list(struct($"pos", $"sym"))),
+                x => x("sym")), " ").as("pieces"))
+          .orderBy(desc("freq"), $"w").limit(200)
+      },
+      Some(graft.text.Bpe.encodeOracleSql(6, 200))),
+
     // unigram distribution as the model. Per-token log-prob is
     // ln(cnt) − ln(N) (division-free: bit-identical across engines);
     // per-doc average log-prob and a perplexity proxy rank docs by

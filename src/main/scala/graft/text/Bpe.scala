@@ -36,7 +36,21 @@ object Bpe {
 
   /** @return (step, lhs, rhs, merged, pair_count) — the K merge rules
     *         in training order. */
-  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    run(docs, textCol, k)._2.reduce(_ unionByName _).orderBy(col("step"))
+
+  /** T19: the corpus ENCODED with the k learned merges — the symbol
+    * table after the final round, one row per (word, piece):
+    * (w, freq, pos, sym). Applying each rule once, left-greedy
+    * non-overlapping in training order, is exhaustive: a merge
+    * (x, y) → xy can never create a new (x, y) adjacency (that would
+    * need xy = x), so the training-side table IS the encoding — still
+    * vocab-sized, never a corpus rescan. */
+  def encoded(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    run(docs, textCol, k)._1
+
+  private def run(docs: DataFrame, textCol: String, k: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -79,12 +93,33 @@ object Bpe {
         concat($"lhs", $"rhs").as("merged"),
         $"c".cast("long").as("pair_count"))
     }
-    steps.reduce(_ unionByName _).orderBy($"step")
+    (tok, steps)
   }
 
   /** The DuckDB oracle for [[merges]]: the identical construction as K
     * chained CTE blocks over the `documents` view. */
   def oracleSql(k: Int): String = {
+    val union = (0 until k).map { i =>
+      s"SELECT ${i + 1} AS step, lhs, rhs, lhs || rhs AS merged, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM top_$i"
+    }.mkString("\nUNION ALL ")
+    s"""${ctePrefix(k)}
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The DuckDB oracle for the ENCODE query built on [[encoded]]:
+    * same CTE chain, final select reads the last symbol table. */
+  def encodeOracleSql(k: Int, limit: Int): String =
+    s"""${ctePrefix(k)}
+       |SELECT w, CAST(freq AS BIGINT) AS freq,
+       |  count(*) AS n_pieces,
+       |  string_agg(sym, ' ' ORDER BY pos) AS pieces
+       |FROM tok_$k GROUP BY w, freq
+       |ORDER BY freq DESC, w LIMIT $limit""".stripMargin
+
+  /** Shared WITH-clause: char-split word table `tok_0` plus K merge
+    * rounds ending at `tok_K`. */
+  private def ctePrefix(k: Int): String = {
     val rounds = (0 until k).map { i =>
       s"""pc_$i AS (
          |  SELECT sym AS lhs, nxt AS rhs, sum(freq) AS c FROM (
@@ -114,10 +149,6 @@ object Bpe {
          |    CASE WHEN do_merge = 1 THEN sym || nxt ELSE sym END AS sym
          |  FROM mg_$i WHERE prev_m IS NULL OR prev_m = 0)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until k).map { i =>
-      s"SELECT ${i + 1} AS step, lhs, rhs, lhs || rhs AS merged, " +
-        s"CAST(c AS BIGINT) AS pair_count FROM top_$i"
-    }.mkString("\nUNION ALL ")
     s"""WITH w0 AS (
        |  SELECT tok AS w, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -127,7 +158,6 @@ object Bpe {
        |  SELECT w, freq, unnest(range(1, length(w) + 1)) AS pos FROM w0),
        |tok_0 AS (
        |  SELECT w, freq, pos, substr(w, CAST(pos AS INT), 1) AS sym FROM p0),
-       |$rounds
-       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+       |$rounds""".stripMargin
   }
 }

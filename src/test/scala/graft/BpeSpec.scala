@@ -42,4 +42,23 @@ class BpeSpec extends AnyFunSuite {
       (1, "l", "o", "lo", 3L),
       (2, "h", "i", "hi", 2L)))
   }
+
+  private def segment(texts: Seq[String], k: Int): Map[String, Seq[String]] =
+    Bpe.encoded(texts.toDF("text"), "text", k)
+      .select($"w", $"pos", $"sym")
+      .as[(String, Int, String)].collect().toSeq
+      .groupBy(_._1).map { case (w, rows) =>
+        w -> rows.sortBy(_._2).map(_._3) }
+
+  test("encoded: final symbol table is the left-greedy application of all merges") {
+    // merges learned above: (a,a) then (aa,aa)
+    val seg = segment(Seq("aaaa aaaa", "ab"), 2)
+    assert(seg("aaaa") == Seq("aaaa")) // [aa,aa] round 1, [aaaa] round 2
+    assert(seg("ab") == Seq("a", "b")) // (a,b) never won a round
+  }
+
+  test("encoded: odd runs keep the trailing singleton through encoding") {
+    val seg = segment(Seq("aaaaa"), 1) // one round: (a,a) → [aa, aa, a]
+    assert(seg("aaaaa") == Seq("aa", "aa", "a"))
+  }
 }
