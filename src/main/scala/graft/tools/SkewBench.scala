@@ -29,10 +29,14 @@ object SkewBench {
     val dim = spark.range(1001).select($"id".as("k"), (rand(7) * 50).as("thr"))
       .localCheckpoint()
 
+    // report the second (warm) run: arms execute in sequence, so a
+    // single-run report would flatter whichever arm runs last (page
+    // cache, JIT); the skew effect itself is stable across runs
     def time(name: String)(f: => Unit): Unit = {
+      f
       val t0 = System.nanoTime()
       f
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
     time("agg_naive") {
@@ -53,6 +57,35 @@ object SkewBench {
         .filter($"v" > $"thr").groupBy($"k").count()
         .write.format("noop").mode("overwrite").save()
     }
+
+    // Third arm: AQE's runtime skew split (thresholds lowered so the
+    // optimizer sees this fixture's hot partition the way it would see
+    // a multi-GB one at cluster scale). Two sub-shapes, because AQE's
+    // coverage boundary is the point of the measurement:
+    //  - plain join (global agg above it): OptimizeSkewedJoin fires —
+    //    the hot partition is split from runtime stats, no code change.
+    //    The engine's FIRST resort for skewed joins.
+    //  - groupBy on the JOIN KEY above the join: AQE refuses the split
+    //    (it would break the co-partitioning the agg requires), so the
+    //    hot partition serializes — the shape where manual salting (or
+    //    forceOptimizeSkewedJoin's extra shuffle) is the only fix.
+    // collect()-based actions so each Dataset's own AdaptiveSparkPlan
+    // is the one executed and its final plan is inspectable.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    val aqePlain = df.join(dim, Seq("k")).filter($"v" > $"thr")
+      .agg(count(lit(1)))
+    time("join_aqe_plain") { aqePlain.collect(): Unit }
+    println("  skew split applied: " +
+      aqePlain.queryExecution.executedPlan.toString.contains("skew=true"))
+    val aqeGrouped = df.join(dim, Seq("k")).filter($"v" > $"thr")
+      .groupBy($"k").count()
+    time("join_aqe_groupby_on_key") { aqeGrouped.collect(): Unit }
+    println("  skew split applied: " +
+      aqeGrouped.queryExecution.executedPlan.toString.contains("skew=true"))
     spark.stop()
   }
 }
