@@ -61,4 +61,37 @@ class BpeSpec extends AnyFunSuite {
     val seg = segment(Seq("aaaaa"), 1) // one round: (a,a) → [aa, aa, a]
     assert(seg("aaaaa") == Seq("aa", "aa", "a"))
   }
+
+  test("property: pieces always reconcatenate to the word; merges shrink piece counts") {
+    // random small-alphabet corpora (repetition makes merges fire);
+    // fixed seeds — deterministic across runs, PropertySpec convention
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = (0 until 6).flatMap(i =>
+      Gen.listOfN(4, corpus).apply(Gen.Parameters.default, Seed(7L + i)))
+    docs.zipWithIndex.foreach { case (texts, i) =>
+      val k = 1 + i % 4
+      val seg = segment(texts, k)
+      val words = texts.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty).toSet
+      assert(seg.keySet == words, s"seed $i: vocab mismatch")
+      seg.foreach { case (w, pieces) =>
+        assert(pieces.mkString == w,
+          s"seed $i k=$k: pieces ${pieces} don't rebuild '$w'")
+        assert(pieces.size <= w.length)
+        assert(pieces.forall(_.nonEmpty))
+      }
+      // more merge rounds never increase any word's piece count
+      if (k > 1) {
+        val prev = segment(texts, k - 1)
+        seg.foreach { case (w, pieces) =>
+          assert(pieces.size <= prev(w).size,
+            s"seed $i: piece count grew for '$w' at k=$k")
+        }
+      }
+    }
+  }
 }
