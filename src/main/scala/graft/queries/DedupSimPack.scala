@@ -584,6 +584,32 @@ object DedupSimPack extends QueryPack {
       },
       None),
 
+    // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
+    // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per
+    // vector (16× compression); queries scan CODES via per-query ADC
+    // lookup tables (O(m) reads per pair instead of O(D) multiplies),
+    // keep a 50-candidate shortlist, and re-rank only those with true
+    // L2 (the standard IVF-PQ deployment; PqSpec pins recall ≥ 0.8 —
+    // measured 0.94 — vs 0.4 without the re-rank). Centroids are a
+    // portable md5-hash-order sample — NOT seeded KMeans — precisely so
+    // the full pipeline (codebook → codes → ADC shortlist → re-rank) is
+    // reproducible in SQL and hash-checked. All distances are
+    // fixed-order folds; the subspace terms are summed in subspace
+    // order on both engines.
+    Q("s7_pq_topk",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.Pq.rerankTopK(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", queryPred = col("vec_id") < 10,
+            k = 5, kShort = 50, m = 16, nCentroids = 64, dims = 64)
+          .select($"query_id", $"corpus_id", r6($"d2").as("d2"), $"rank")
+      },
+      Some(graft.sim.Pq.rerankOracleSql(
+        k = 5, kShort = 50, m = 16, nCentroids = 64, dims = 64,
+        queryPredSql = "vec_id < 10"))),
+
     // Batch BM25: a query SET scored in one corpus pass — df computed
     // once per distinct term, query table broadcast, per-query top-k
     // via the bounded-heap TopKAgg (O(queries × k) shuffled, no

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.Pq
+
+/** PQ accuracy/shape contract at the declared query's operating point
+  * (m=16 subspaces × 64 centroids over 64 dims, shortlist 50, k=5 on
+  * the sf0.01 embeddings). The md5-hash-order codebook trades recall
+  * for SQL reproducibility; measured on this fixture: ADC-only
+  * recall@5 = 0.4, shortlist-50 + exact re-rank = 0.94 — floors pinned
+  * with margin so a silent regression of either stage fails. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val emb = graft.io.Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+  private lazy val exactTop5: Set[(Long, Long)] = {
+    val q = emb.select($"vec_id".as("query_id"), $"v".as("qv"))
+      .filter($"query_id" < 10)
+    val scored = emb.join(broadcast(q), $"query_id" =!= $"vec_id")
+      .withColumn("d2", Pq.dist2($"qv", $"v"))
+    graft.operators.TopK.perKey(
+        scored.select($"query_id", $"vec_id".as("corpus_id"), $"d2"),
+        Seq("query_id"),
+        Seq(graft.operators.TopK.ascNullsLast($"d2"), $"corpus_id"), 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("shortlist + exact re-rank recall@5 >= 0.8 (declared query)") {
+    val pq = SparkEntry.queries("s7_pq_topk")(spark, sf)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(exactTop5.size == 50 && pq.size == 50)
+    val recall = (exactTop5 & pq).size.toDouble / exactTop5.size
+    assert(recall >= 0.8, s"PQ re-rank recall@5 = $recall")
+    info(s"PQ re-rank recall@5 = $recall")
+  }
+
+  test("ADC-only recall@5 >= 0.3 at the same code budget") {
+    val adc = Pq.adcTopK(emb, "vec_id", "v", col("vec_id") < 10,
+        k = 5, m = 16, nCentroids = 64, dims = 64)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exactTop5 & adc).size.toDouble / exactTop5.size
+    assert(recall >= 0.3, s"PQ ADC recall@5 = $recall")
+    info(s"PQ ADC recall@5 = $recall")
+  }
+
+  test("codes: length m, every code within [0, nCentroids)") {
+    val cb = Pq.codebook(emb, "vec_id", "v", m = 16, subLen = 4,
+      nCentroids = 64)
+    assert(cb.count() == 16 * 64)
+    val codes = Pq.encode(emb, "vec_id", "v", cb, m = 16, subLen = 4)
+    val stats = codes.select(
+        size($"codes").as("len"),
+        array_min($"codes").as("mn"), array_max($"codes").as("mx"))
+      .agg(min($"len"), max($"len"), min($"mn"), max($"mx"))
+      .as[(Int, Int, Int, Int)].head()
+    assert(stats._1 == 16 && stats._2 == 16, s"code length: $stats")
+    assert(stats._3 >= 0 && stats._4 <= 63, s"code range: $stats")
+  }
+
+  test("declared query: deterministic across runs, no self-pairs, k per query") {
+    val a = SparkEntry.queries("s7_pq_topk")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("s7_pq_topk")(spark, sf).collect().toSeq
+    assert(a == b)
+    a.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id"))
+    }
+    val perQuery = a.groupBy(_.getAs[Long]("query_id")).values.map(_.size)
+    assert(perQuery.toSet == Set(5))
+  }
+}
