@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank with a FIXED iteration count — the iterative
+  * graph-centrality op (Brin & Page 1998) in its oracle-expressible
+  * form: K rounds, each ONE join of the normalized edge list against
+  * the current rank vector plus one destination-keyed aggregate, so a
+  * second engine can replay it as K chained CTE blocks
+  * ([[oracleSqlSuffix]]) and the whole pipeline stays hash-checkable.
+  *
+  * Scale shape: the edge list is normalized once (out-weight join,
+  * checkpointed); each round shuffles edge-count rows for the
+  * contribution aggregate and node-count rows for the rank update —
+  * PageRank's canonical Pregel cost — and the rank frame is
+  * localCheckpoint'ed per round (the Bpe reuse idiom: without it every
+  * round re-executes the whole prefix). The node count enters as a
+  * broadcast 1-row aggregate (the J4 scalar idiom — no driver
+  * round-trip). No dangling-mass term: callers feed symmetric
+  * (both-direction) edge lists, where every node has out-edges.
+  */
+object PageRank {
+
+  /** edges: (src, dst, w), w > 0, both directions present for
+    * undirected graphs. @return (node, pr) after `k` rounds. */
+  def run(edges: DataFrame, k: Int, damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val norm = edges.join(outw, "src")
+      .select($"src", $"dst", ($"w" / $"outw").as("wn"))
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct()
+      .localCheckpoint() // symmetric edges: src set IS the node set
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nn))
+      .select($"node", (lit(1.0) / $"n").as("pr"))
+      .localCheckpoint()
+    (1 to k).foreach { _ =>
+      val contrib = norm.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum($"pr" * $"wn").as("c"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nn))
+        .select($"node",
+          (lit(1.0 - damping) / $"n"
+            + lit(damping) * coalesce($"c", lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  /** DuckDB CTE chain replaying [[run]] on an `edges(src, dst, w)` CTE
+    * the caller prepends: emits `ow, en, nodes, nn, pr_0 … pr_K`; the
+    * caller selects from `pr_$k`. */
+  def oracleSqlSuffix(k: Int, damping: Double): String = {
+    val rounds = (0 until k).map { i =>
+      s"""pr_${i + 1} AS (
+         |  SELECT n.node,
+         |    (1 - $damping) / (SELECT n FROM nn)
+         |      + $damping * COALESCE(c.c, 0.0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr * e.wn) AS c
+         |    FROM en e JOIN pr_$i p ON p.node = e.src GROUP BY 1) c
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+       |en AS (SELECT e.src, e.dst, e.w / ow.outw AS wn
+       |  FROM edges e JOIN ow USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr_0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+       |$rounds""".stripMargin
+  }
+}

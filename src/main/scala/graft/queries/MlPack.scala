@@ -288,6 +288,47 @@ object MlPack extends QueryPack {
     // (market_analysis.py:309-337): edges from pairwise correlation of
     // daily value sums (the distributed part), communities + modularity
     // driver-side.
+    // M11 (beyond-reference): weighted PageRank over the SAME user
+    // correlation graph m6 partitions — but fully distributed AND fully
+    // oracle-checked: K=10 fixed rounds replayed as chained CTEs
+    // (graph.PageRank.oracleSqlSuffix). Edge parity rides on the
+    // engine-proven r4 corr agreement (g10): threshold and weight both
+    // use the r4-rounded value so the edge SET is identical in both
+    // engines; the rank arithmetic is raw doubles with one r6 at the
+    // end (drift across sum orders ~1e-13 << the rounding grain).
+    Q("m11_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .select($"key_a".cast("long").as("ka"),
+            $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
+          .filter(abs($"r") > 0.3)
+          .select($"ka", $"kb", abs($"r").as("w"))
+        val edges = corr.select($"ka".as("src"), $"kb".as("dst"), $"w")
+          .unionByName(corr.select($"kb".as("src"), $"ka".as("dst"), $"w"))
+        graft.graph.PageRank.run(edges, k = 10, damping = 0.85)
+          .select($"node", r6($"pr").as("pr"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS (SELECT ka, kb, abs(r) AS w FROM c WHERE abs(r) > 0.3),
+              |edges AS (
+              |  SELECT ka AS src, kb AS dst, w FROM e0
+              |  UNION ALL SELECT kb, ka, w FROM e0),
+              |${graft.graph.PageRank.oracleSqlSuffix(10, 0.85)}
+              |SELECT node, round(pr + 1e-9, 6) AS pr FROM pr_10""".stripMargin)),
+
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PageRank
+
+/** PageRank semantics pins on closed-form graphs: uniform rank on a
+  * symmetric ring, center dominance on a star, and conservation of
+  * total mass (symmetric edge lists have no dangling nodes, so ranks
+  * must sum to exactly the teleport+damping budget = 1). */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def both(e: Seq[(Long, Long, Double)]) =
+    (e ++ e.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+
+  test("symmetric ring: uniform rank 1/N") {
+    val n = 6L
+    val ring = both((0L until n).map(i => (i, (i + 1) % n, 1.0)))
+    val pr = PageRank.run(ring, k = 10, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.size == n)
+    pr.values.foreach(p => assert(math.abs(p - 1.0 / n) < 1e-12, pr))
+  }
+
+  test("star: center outranks every leaf; mass sums to 1") {
+    val leaves = 1L to 8L
+    val star = both(leaves.map(l => (0L, l, 1.0)))
+    // convergence is geometric at rate d: 0.85^100 ≈ 4e-8 < the 1e-6
+    // tolerance on the fixed-point comparison
+    val pr = PageRank.run(star, k = 100, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val center = pr(0L)
+    leaves.foreach(l => assert(center > pr(l) * 2, pr))
+    // closed form at the fixed point: pr_c = (1-d)(1+dL) / (N(1-d^2))
+    val (d, nN, lL) = (0.85, 9.0, 8.0)
+    val expected = (1 - d) * (1 + d * lL) / (nN * (1 - d * d))
+    assert(math.abs(center - expected) < 1e-6, s"center=$center expected=$expected")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
+  test("weights matter: heavier edge pulls more rank") {
+    // two leaves, one edge 3x the weight of the other
+    val g = both(Seq((0L, 1L, 3.0), (0L, 2L, 1.0)))
+    val pr = PageRank.run(g, k = 15, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(1L) > pr(2L), pr)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+}
