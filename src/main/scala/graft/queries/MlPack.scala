@@ -329,6 +329,54 @@ object MlPack extends QueryPack {
               |${graft.graph.PageRank.oracleSqlSuffix(10, 0.85)}
               |SELECT node, round(pr + 1e-9, 6) AS pr FROM pr_10""".stripMargin)),
 
+    // M12 (beyond-reference): per-node triangle counts on the same
+    // graph — the standard two-join enumeration over the id-oriented
+    // (ka < kb) edge list, so each triangle is generated exactly once
+    // as a < b < c and a node's count is its corner appearances. Edge
+    // parity rides on r4 corr agreement as in m11. At scale the wedge
+    // join is bounded by Σ deg² and the classic refinement (orient
+    // edges low-degree → high-degree) drops in without changing the
+    // count semantics; the id orientation here keeps the oracle
+    // byte-identical.
+    Q("m12_triangles",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val und = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .select($"key_a".cast("long").as("ka"),
+            $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
+          .filter(abs($"r") > 0.3)
+          .select($"ka", $"kb")
+        daily.select($"user_id".as("node")).distinct()
+          .join(graft.graph.Triangles.perNode(und), Seq("node"), "left")
+          .select($"node", coalesce($"n_tri", lit(0L)).as("n_tri"))
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+             |    sum(value) AS v
+             |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+             |c AS (
+             |  SELECT a.user_id AS ka, b.user_id AS kb,
+             |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+             |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+             |  GROUP BY 1, 2),
+             |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+             |tri AS (
+             |  SELECT ab.ka AS a, ab.kb AS b, bc.kb AS c
+             |  FROM e0 ab JOIN e0 bc ON ab.kb = bc.ka
+             |  JOIN e0 ac ON ac.ka = ab.ka AND ac.kb = bc.kb),
+             |corners AS (
+             |  SELECT node, count(*) AS n_tri FROM (
+             |    SELECT a AS node FROM tri
+             |    UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+             |SELECT n.node, COALESCE(corners.n_tri, 0) AS n_tri
+             |FROM (SELECT DISTINCT user_id AS node FROM d) n
+             |LEFT JOIN corners USING (node)""".stripMargin)),
+
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._
