@@ -137,6 +137,46 @@ object TextPack extends QueryPack {
     // engine, so mixtures are reproducible). Config is a broadcast
     // rates table with a default; one scan, one broadcast join, one
     // aggregate.
+    // T20 (beyond-reference, LLM pipeline): weighted reservoir sampling
+    // (Efraimidis–Spirakis A-Res) — per language, keep the k docs with
+    // the largest u^(1/w), which samples WITHOUT replacement with
+    // probability proportional to weight w (here the token count: a
+    // token-budget-proportional corpus draw). u is the stable content
+    // hash mapped to (0,1) — reproducible across engines and
+    // re-ingestions, the t8/t13 idiom, instead of an RNG. The rank key
+    // is r6-rounded on BOTH engines before comparison (pow differs in
+    // ulps between libm and the JVM; ties under rounding break by
+    // doc_id), and the per-group top-k is the bounded-heap TopK — one
+    // shuffle of k rows per group at any corpus size.
+    Q("t20_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, dir)
+          .select($"lang", $"doc_id",
+            TextOps.bpeishCount($"text").cast("double").as("w"),
+            ((pmod(TextOps.hash60($"text"), lit(1000000L)).cast("double")
+              + 0.5) / 1e6).as("u"))
+          .withColumn("akey", r6(pow($"u", lit(1.0) / $"w")))
+        graft.operators.TopK.perKey(keyed, Seq("lang"),
+            Seq(graft.operators.TopK.descNullsLast($"akey"), $"doc_id"), 20)
+          .select($"lang", $"doc_id", $"w", $"akey", $"rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE) AS w,
+             |    (CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+             |       % 1000000 AS DOUBLE) + 0.5) / 1e6 AS u
+             |  FROM documents),
+             |k AS (SELECT lang, doc_id, w,
+             |    round(pow(u, 1.0 / w) + 1e-9, 6) AS akey FROM d),
+             |rk AS (SELECT lang, doc_id, w, akey,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY akey DESC, doc_id) AS rank
+             |  FROM k)
+             |SELECT lang, doc_id, w, akey, rank FROM rk
+             |WHERE rank <= 20""".stripMargin)),
+
     Q("t13_stratified",
       (s, dir) => {
         import s.implicits._
