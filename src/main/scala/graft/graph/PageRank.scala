@@ -37,7 +37,7 @@ object PageRank {
     var pr = nodes.crossJoin(broadcast(nn))
       .select($"node", (lit(1.0) / $"n").as("pr"))
       .localCheckpoint()
-    (1 to k).foreach { _ =>
+    (1 to k).foreach { i =>
       val contrib = norm.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy($"dst".as("node"))
         .agg(sum($"pr" * $"wn").as("c"))
@@ -46,7 +46,12 @@ object PageRank {
         .select($"node",
           (lit(1.0 - damping) / $"n"
             + lit(damping) * coalesce($"c", lit(0.0))).as("pr"))
-        .localCheckpoint()
+      // checkpoint every OTHER round (and the last): each round is used
+      // once by the next, so a depth-2 lineage stays linear while
+      // halving the eager materializations that dominate small-graph
+      // wall time; at cluster scale the cadence trades job-launch
+      // overhead against recompute depth, not correctness
+      if (i % 2 == 0 || i == k) pr = pr.localCheckpoint()
     }
     pr
   }
