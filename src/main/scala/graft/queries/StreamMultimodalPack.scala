@@ -167,6 +167,58 @@ object StreamMultimodalPack extends QueryPack {
              | AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
              | AND epoch_us(r.ts) <= epoch_us(l.ts)""".stripMargin)),
 
+    // Streaming LEFT OUTER interval join — the append-mode outer-join
+    // finalization semantics on top of st9's inner shape: matches emit
+    // on arrival; a click with no view in its lookback emits its
+    // null-padded row only when the min-across-inputs watermark passes
+    // the last instant a match could arrive (r_ts ≤ l_ts ⇒ watermark >
+    // l_ts), so clicks the final watermark never reaches are withheld.
+    // The oracle applies the identical rule: matched pairs UNION
+    // unmatched clicks with l_ts < min(max click ts, max view ts) − 2h.
+    Q("st12_stream_left_join",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"st12_out_${counter.incrementAndGet()}"
+        def stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+        val clicks = stream.filter($"event_type" === "click").drop("event_type")
+        val views = stream.filter($"event_type" === "view").drop("event_type")
+        val joined = StreamOps.intervalLeftJoinStream(clicks, views,
+          "user_id", "ts", lookback = "1 hour", watermark = "2 hours")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select($"l_user_id".as("user_id"),
+          $"l_event_id".as("click_id"), $"r_event_id".as("view_id"),
+          unix_micros($"l_ts").as("click_t"),
+          unix_micros($"r_ts").as("view_t"),
+          r6($"l_value" - $"r_value").as("value_gap"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+             |          FROM events WHERE event_type = 'click'),
+             |v AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+             |      FROM events WHERE event_type = 'view'),
+             |m AS (SELECT c.user_id, c.event_id AS click_id,
+             |    v.event_id AS view_id, c.t AS click_t, v.t AS view_t,
+             |    round(c.value - v.value + 1e-9, 6) AS value_gap
+             |  FROM c JOIN v ON c.user_id = v.user_id
+             |   AND v.t >= c.t - 3600000000 AND v.t <= c.t),
+             |wm AS (SELECT least((SELECT max(t) FROM c),
+             |    (SELECT max(t) FROM v)) - 7200000000 AS w),
+             |um AS (SELECT c.user_id, c.event_id AS click_id,
+             |    CAST(NULL AS BIGINT) AS view_id, c.t AS click_t,
+             |    CAST(NULL AS BIGINT) AS view_t,
+             |    CAST(NULL AS DOUBLE) AS value_gap
+             |  FROM c
+             |  WHERE NOT EXISTS (SELECT 1 FROM v
+             |      WHERE v.user_id = c.user_id
+             |        AND v.t >= c.t - 3600000000 AND v.t <= c.t)
+             |    AND c.t < (SELECT w FROM wm))
+             |SELECT * FROM m UNION ALL SELECT * FROM um""".stripMargin)),
+
     // Streaming session windows (the streaming form of w19): native
     // session_window aggregation with an event-time watermark. Append
     // mode emits a session only once the watermark passes its end

@@ -130,6 +130,28 @@ object StreamOps {
         s"r_$tsCol >= l_$tsCol - INTERVAL $lookback AND r_$tsCol <= l_$tsCol"))
   }
 
+  /** LEFT OUTER form of [[intervalJoinStream]]: matches emit as they
+    * arrive; an unmatched left row emits its null-padded row only when
+    * the (min-across-inputs) watermark passes the last instant a match
+    * could still arrive — r_ts ≤ l_ts here, so once watermark > l_ts
+    * the row is finalized and its state evicted. Left rows the final
+    * watermark never passes are withheld, exactly like st10's open
+    * sessions; the batch oracle applies the same finalization rule
+    * explicitly. State stays O(rows per lookback+delay horizon). */
+  def intervalLeftJoinStream(left: DataFrame, right: DataFrame,
+                             keyCol: String, tsCol: String = "ts",
+                             lookback: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r, expr(
+      s"l_$keyCol = r_$keyCol AND " +
+        s"r_$tsCol >= l_$tsCol - INTERVAL $lookback AND r_$tsCol <= l_$tsCol"),
+      "leftOuter")
+  }
+
   /** Stateful island transitions: one output row per label change per
     * key, carrying O(1) state across micro-batches.
     *
