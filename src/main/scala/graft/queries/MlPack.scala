@@ -350,9 +350,20 @@ object MlPack extends QueryPack {
             $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
           .filter(abs($"r") > 0.3)
           .select($"ka", $"kb")
+        val deg = und.select($"ka".as("node"))
+          .unionAll(und.select($"kb".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("deg"))
         daily.select($"user_id".as("node")).distinct()
           .join(graft.graph.Triangles.perNode(und), Seq("node"), "left")
-          .select($"node", coalesce($"n_tri", lit(0L)).as("n_tri"))
+          .join(deg, Seq("node"), "left")
+          .select($"node",
+            coalesce($"n_tri", lit(0L)).as("n_tri"),
+            coalesce($"deg", lit(0L)).as("deg"),
+            // local clustering coefficient: closed wedges / possible
+            r6(when($"deg" >= 2,
+              coalesce($"n_tri", lit(0L)).cast("double")
+                / ($"deg" * ($"deg" - 1) / 2).cast("double"))
+              .otherwise(lit(0.0))).as("clust"))
       },
       Some("""WITH d AS (
              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
@@ -372,10 +383,20 @@ object MlPack extends QueryPack {
              |  SELECT node, count(*) AS n_tri FROM (
              |    SELECT a AS node FROM tri
              |    UNION ALL SELECT b FROM tri
-             |    UNION ALL SELECT c FROM tri) GROUP BY 1)
-             |SELECT n.node, COALESCE(corners.n_tri, 0) AS n_tri
+             |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+             |dg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT ka AS node FROM e0
+             |    UNION ALL SELECT kb FROM e0) GROUP BY 1)
+             |SELECT n.node, COALESCE(corners.n_tri, 0) AS n_tri,
+             |  COALESCE(dg.deg, 0) AS deg,
+             |  round(CASE WHEN dg.deg >= 2
+             |      THEN CAST(COALESCE(corners.n_tri, 0) AS DOUBLE)
+             |        / (dg.deg * (dg.deg - 1) / 2)
+             |      ELSE 0.0 END + 1e-9, 6) AS clust
              |FROM (SELECT DISTINCT user_id AS node FROM d) n
-             |LEFT JOIN corners USING (node)""".stripMargin)),
+             |LEFT JOIN corners USING (node)
+             |LEFT JOIN dg USING (node)""".stripMargin)),
 
     Q("m6_louvain",
       (s, dir) => {
