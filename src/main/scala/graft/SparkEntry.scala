@@ -44,9 +44,32 @@ object SparkEntry {
     r.regimeDistribution.orderBy(desc("n"))
   }
 
+  /** Deterministic presentation order: sort every partition by every
+    * output column. Applied to EVERY declared query (below) so no
+    * result can reach the driver's hash with scheduling-dependent row
+    * order — the round-9 q12_priority failure class, enforced
+    * structurally rather than per-query discipline
+    * (DeterministicOrderSpec gates it).
+    *
+    * Deliberately `sortWithinPartitions`, NOT `orderBy`: a terminal
+    * global Sort plans a RangePartitioning exchange whose boundary
+    * sampling RE-EXECUTES the whole child plan — measured at sf0.1 it
+    * doubled heavy lines (w20 2.9→6.1s, m11 3.4→6.7s) and inflated
+    * the full bench 115→206s. Exactly the terminal-orderBy trap a
+    * 100 TB pipeline avoids. The local variant appends a narrow
+    * per-partition sort (no shuffle, no sampling, no recompute) and is
+    * still byte-stable under any fixed session config: hash/AQE
+    * partition contents are a pure function of the data, and sorting
+    * by all columns makes within-partition order content-determined.
+    * Semantic orderings (top-k limits) have already been applied
+    * inside the query at this point. */
+  private def stable(df: DataFrame): DataFrame =
+    df.sortWithinPartitions(df.columns.map(c => col(s"`$c`")): _*)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    all.map(q => q.name ->
+      ((s: SparkSession, dir: String) => stable(q.run(s, dir)))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →

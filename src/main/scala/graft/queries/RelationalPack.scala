@@ -325,16 +325,18 @@ object RelationalPack extends QueryPack {
               .as("high_line_count"),
             sum(when(!$"o_orderpriority".isin(hi: _*), 1L).otherwise(0L))
               .as("low_line_count"))
+          .orderBy($"l_linestatus")
       },
       Some("""SELECT l_linestatus,
-             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-             |      THEN 1 ELSE 0 END) AS high_line_count,
-             |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-             |      THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              |  AND l_shipdate < TIMESTAMP '1998-01-01'
-             |GROUP BY l_linestatus""".stripMargin)),
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
 
     // HAVING-subquery join (TPC-H Q18 shape): orders whose lines sum past
     // a quantity threshold, decorated with the customer. The IN-subquery
