@@ -88,6 +88,28 @@ object Pq {
         array_sort(collect_list(struct(col("sub"), col("mn.cid").as("c")))),
         x => x("c")).as("codes"))
 
+  /** Per-query ADC lookup table `(query_id, lut)` with
+    * lut(sub)(cid) = dist2(query subvector, centroid) — shared by
+    * [[adcTopK]] (full-corpus scan) and [[IvfPq]] (cell-shortlisted
+    * scan). */
+  private[sim] def queryLut(corpus: DataFrame, idCol: String,
+                            vecCol: String, queryPred: Column,
+                            cb: DataFrame, m: Int, subLen: Int): DataFrame =
+    corpus.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        posexplode(subvectors(col(vecCol), m, subLen)))
+      .select(col("query_id"), col("pos").as("sub"), col("col").as("qsubv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("qd2", dist2Unrolled(col("qsubv"), col("cvec"), subLen))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("cid"), col("qd2").as("d")))),
+        x => x("d")).as("row"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("row").as("r")))),
+        x => x("r")).as("lut"))
+
   /** ADC top-k: score every corpus CODE row against each query's
     * lookup table and keep the k nearest by approximate distance
     * (ascending, ties by corpus id), self-pairs excluded. `dims` is
@@ -107,20 +129,7 @@ object Pq {
     val codes = encode(corpus, idCol, vecCol, cb, m, subLen)
       .select(col(idCol).as("corpus_id"), col("codes"))
     // per-query LUT: lut(sub)(cid) = dist2(query subvector, centroid)
-    val lut = corpus.filter(queryPred)
-      .select(col(idCol).as("query_id"),
-        posexplode(subvectors(col(vecCol), m, subLen)))
-      .select(col("query_id"), col("pos").as("sub"), col("col").as("qsubv"))
-      .join(broadcast(cb), "sub")
-      .withColumn("qd2", dist2Unrolled(col("qsubv"), col("cvec"), subLen))
-      .groupBy(col("query_id"), col("sub"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("cid"), col("qd2").as("d")))),
-        x => x("d")).as("row"))
-      .groupBy(col("query_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("row").as("r")))),
-        x => x("r")).as("lut"))
+    val lut = queryLut(corpus, idCol, vecCol, queryPred, cb, m, subLen)
     // one codes scan × broadcast queries; O(m) lookups per pair,
     // summed in subspace order (bit-parity with the oracle's
     // fixed-order sum)
@@ -168,6 +177,9 @@ object Pq {
     * re-rank — parameterized to match the Spark call site. */
   def rerankOracleSql(k: Int, kShort: Int, m: Int, nCentroids: Int,
                       dims: Int, queryPredSql: String): String = {
+    // same guard as adcTopK: a caller pairing this oracle with
+    // mismatched params must fail fast, not silently truncate slices
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subLen = dims / m
     // left-assoc chain == Spark's fold order over sub = 0..m-1
     val adChain = (0 until m)

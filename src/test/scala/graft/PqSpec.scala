@@ -48,6 +48,26 @@ class PqSpec extends AnyFunSuite {
     info(s"PQ ADC recall@5 = $recall")
   }
 
+  test("IVF-PQ (s8): recall@5 >= 0.4 at nprobe=3, and nprobe raises it") {
+    // fully deterministic pipeline (md5 fit both tiers) → measured
+    // recall is a constant at fixed sf: 0.36 at nprobe=2, 0.56 at
+    // nprobe=3 on this fixture. The floor guards the declared
+    // operating point; the monotonicity check guards the probe knob
+    // actually widening the scanned cell set.
+    def s8At(np: Int): Set[(Long, Long)] =
+      graft.sim.IvfPq.topK(emb, "vec_id", "v", col("vec_id") < 10,
+          k = 5, kShort = 50, m = 16, nCentroids = 64, dims = 64,
+          nCells = 8, nprobe = np)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val declared = SparkEntry.queries("s8_ivfpq")(spark, sf)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val r3 = (exactTop5 & declared).size.toDouble / exactTop5.size
+    assert(r3 >= 0.4, s"IVF-PQ nprobe=3 recall@5 = $r3")
+    val r2 = (exactTop5 & s8At(2)).size.toDouble / exactTop5.size
+    assert(r3 >= r2, s"nprobe=3 recall $r3 < nprobe=2 recall $r2")
+    info(s"IVF-PQ recall@5: nprobe=2 $r2, nprobe=3 $r3")
+  }
+
   test("codes: length m, every code within [0, nCentroids)") {
     val cb = Pq.codebook(emb, "vec_id", "v", m = 16, subLen = 4,
       nCentroids = 64)
