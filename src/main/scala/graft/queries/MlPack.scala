@@ -330,14 +330,14 @@ object MlPack extends QueryPack {
               |SELECT node, round(pr + 1e-9, 6) AS pr FROM pr_10""".stripMargin)),
 
     // M12 (beyond-reference): per-node triangle counts on the same
-    // graph — the standard two-join enumeration over the id-oriented
-    // (ka < kb) edge list, so each triangle is generated exactly once
-    // as a < b < c and a node's count is its corner appearances. Edge
-    // parity rides on r4 corr agreement as in m11. At scale the wedge
-    // join is bounded by Σ deg² and the classic refinement (orient
-    // edges low-degree → high-degree) drops in without changing the
-    // count semantics; the id orientation here keeps the oracle
-    // byte-identical.
+    // graph. Enumeration is DEGREE-ORIENTED (Triangles.scala): edges
+    // point low-(degree,id) → high-(degree,id) before the wedge join,
+    // bounding wedge work at O(m^1.5) on skewed graphs where the old
+    // id orientation paid d² per hub (TrianglesSpec pins the
+    // hub-and-spoke separation). Orientation is count-invariant, so
+    // the oracle below keeps the simple id-oriented SQL enumeration —
+    // same triangles, different join cost. Edge parity rides on r4
+    // corr agreement as in m11.
     Q("m12_triangles",
       (s, dir) => {
         import s.implicits._

@@ -3,8 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.graph.Triangles
 
-/** Triangle-count pins on closed-form graphs. Edge lists are
-  * id-oriented (ka < kb) as the operator requires. */
+/** Triangle-count pins on closed-form graphs, plus the wedge-cost
+  * separation that motivates degree orientation. Edge lists are in
+  * canonical (ka < kb) form as the operator requires. */
 class TrianglesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -28,5 +29,23 @@ class TrianglesSpec extends AnyFunSuite {
   test("square with one diagonal: diagonal nodes in 2, others in 1") {
     val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
     assert(counts(g) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("hub-and-spoke: degree orientation pays 0 wedges where id " +
+    "orientation pays C(spokes, 2)") {
+    // hub id 0 < every spoke id → id orientation points all 100 edges
+    // OUT of the hub (4950 candidate wedges, the d² skew blow-up);
+    // degree orientation points them all IN (deg 1 < deg 100): zero
+    // wedges, zero triangles — the O(m^1.5) bound in action
+    val star = (1L to 100L).map(s => (0L, s))
+    val starDf = star.toDF("ka", "kb")
+    assert(Triangles.wedgeCount(starDf, byDegree = false) == 4950L)
+    assert(Triangles.wedgeCount(starDf, byDegree = true) == 0L)
+    assert(Triangles.enumerate(starDf).count() == 0L)
+    // adding one spoke-spoke edge closes exactly one triangle and
+    // costs exactly one degree-oriented wedge
+    val starPlus = starDf.unionAll(Seq((1L, 2L)).toDF("ka", "kb"))
+    assert(Triangles.wedgeCount(starPlus, byDegree = true) == 1L)
+    assert(counts(star :+ (1L, 2L)) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 }
