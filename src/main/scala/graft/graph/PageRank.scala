@@ -23,10 +23,24 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** edges: (src, dst, w), w > 0, both directions present for
-    * undirected graphs. @return (node, pr) after `k` rounds. */
-  def run(edges: DataFrame, k: Int, damping: Double): DataFrame = {
+    * undirected graphs — the node set is derived from edge SOURCES, so
+    * a sink-only node (dst never appearing as src) would be silently
+    * dropped and its inbound rank mass leaked. `validateSymmetry`
+    * turns that contract into a fast failure (one anti-join probe —
+    * a debug/spec switch, off on the hot path; PageRankSpec exercises
+    * both directions). @return (node, pr) after `k` rounds. */
+  def run(edges: DataFrame, k: Int, damping: Double,
+          validateSymmetry: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    if (validateSymmetry) {
+      val sinkOnly = edges.select($"dst".as("node"))
+        .except(edges.select($"src".as("node"))).limit(1).count()
+      require(sinkOnly == 0L,
+        "PageRank.run requires dst ⊆ src (symmetric or at least " +
+          "sink-free edges): a dst that never appears as src would be " +
+          "dropped from the node set and its rank mass leaked")
+    }
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
     val norm = edges.join(outw, "src")
       .select($"src", $"dst", ($"w" / $"outw").as("wn"))

@@ -48,7 +48,7 @@ object BucketedLayout {
     * different scale factors coexist in one catalog. */
   def tableNames(spark: SparkSession, dir: String): (String, String) =
     cache.computeIfAbsent((spark, dir), _ => {
-      val suffix = java.lang.Integer.toHexString(dir.hashCode)
+      val suffix = LayoutDigest(dir)
       val li = s"graft_lineitem_bkt_$suffix"
       val ord = s"graft_orders_bkt_$suffix"
       def build(name: String, df: DataFrame, key: String): Unit =

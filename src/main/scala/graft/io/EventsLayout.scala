@@ -44,10 +44,11 @@ object EventsLayout {
   /** Materialize (memoized) and return the partitioned layout path. */
   def path(spark: SparkSession, dir: String): String =
     cache.computeIfAbsent((spark, dir), _ => {
-      val target = baseDir.resolve(
-        java.lang.Integer.toHexString(dir.hashCode)).toString
+      val target = baseDir.resolve(LayoutDigest(dir)).toString
       // integer `div`, not `/`: ns epochs ≈ 1.7e18 exceed 2^53 and a
-      // double division would round the day boundary
+      // double division would round the day boundary. Truncating
+      // division requires ts >= 0 (see dayOfNs) — negative ns epochs
+      // would land on the wrong calendar day.
       val withDay = Tables.eventsRaw(spark, dir).withColumn("day",
         date_add(lit(java.sql.Date.valueOf("1970-01-01")),
           expr("CAST((ts div 1000000000) div 86400 AS INT)")))
@@ -61,8 +62,19 @@ object EventsLayout {
     spark.read.schema(schema).parquet(path(spark, dir))
 
   /** Event-time day boundary (UTC) as a DATE literal for pruning
-    * predicates, from a ns epoch: ns → days since epoch, integer-exact. */
-  def dayOfNs(ns: Long): java.sql.Date =
+    * predicates, from a ns epoch: ns → days since epoch, integer-exact.
+    *
+    * PRECONDITION ns >= 0: both this and the layout's `day` derivation
+    * truncate toward zero, so they stay mutually consistent for any
+    * input, but the 'UTC calendar day' reading is only true for
+    * non-negative epochs — a pre-1970 timestamp would label the wrong
+    * day on BOTH sides. The events schema contract (TIMESTAMP NANOS,
+    * driver-generated 2024+ data) guarantees it; enforced here because
+    * a silent contract is how the layout would rot. */
+  def dayOfNs(ns: Long): java.sql.Date = {
+    require(ns >= 0, s"negative ns epoch $ns: truncating day derivation" +
+      " only matches the UTC calendar for ts >= 0")
     java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
       ns / 1000000000L / 86400L))
+  }
 }

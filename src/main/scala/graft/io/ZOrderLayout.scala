@@ -43,8 +43,7 @@ object ZOrderLayout {
   /** Materialize (memoized) and return the z-ordered layout path. */
   def path(spark: SparkSession, dir: String): String =
     cache.computeIfAbsent((spark, dir), _ => {
-      val target = baseDir.resolve(
-        java.lang.Integer.toHexString(dir.hashCode)).toString
+      val target = baseDir.resolve(LayoutDigest(dir)).toString
       ZOrder.writeZOrdered(Tables.lineitem(spark, dir),
         "l_extendedprice", "l_quantity", target, Files)
       target

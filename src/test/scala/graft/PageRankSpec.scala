@@ -47,4 +47,19 @@ class PageRankSpec extends AnyFunSuite {
     assert(pr(1L) > pr(2L), pr)
     assert(math.abs(pr.values.sum - 1.0) < 1e-9)
   }
+
+  test("validateSymmetry: sink-only node fails fast, symmetric passes") {
+    // 0→1 with no back edge: node 1 would silently drop from the node
+    // set and leak its rank mass — the round-9 ADVICE contract gap
+    val dangling = Seq((0L, 1L, 1.0)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(dangling, k = 2, damping = 0.85,
+        validateSymmetry = true)
+    }
+    assert(e.getMessage.contains("dst"))
+    val ok = PageRank.run(both(Seq((0L, 1L, 1.0))), k = 2,
+        damping = 0.85, validateSymmetry = true)
+      .as[(Long, Double)].collect().toMap
+    assert(ok.size == 2)
+  }
 }
