@@ -118,24 +118,49 @@ object TimeSeriesPack extends QueryPack {
     // Time-RANGE frame (engine completeness): trailing 24 h by actual
     // event time, not row count — the correct frame for irregular
     // series (the reference's hourly grid lets it use row frames;
-    // events are irregular, so both variants matter).
+    // events are irregular, so both variants matter). Since round 10
+    // the query computes the feature for a DATE SLICE the way a
+    // backfill job would: read slice + 24 h lookback from the
+    // date-partitioned layout (the `day` predicate is directory-level
+    // PartitionFilters pruning — with p2 the second query proving the
+    // layout; the raw ns predicate still prunes row groups inside
+    // boundary days), window over that bounded input, keep only the
+    // slice. Every kept row's trailing frame lies inside the lookback,
+    // so results equal the unbounded computation restricted to the
+    // slice — which is exactly what the oracle replays.
     Q("w4b_time_range",
       (s, dir) => {
         import s.implicits._
+        import graft.io.EventsLayout
+        val loNs = 1704844800000000000L // 2024-01-10 UTC
+        val hiNs = 1705708800000000000L // 2024-01-20 UTC
+        val lbNs = loNs - 86400000000000L // slice minus the 24 h frame
         val w = Window.partitionBy($"user_id").orderBy($"t")
           .rangeBetween(-86400000000L, 0) // 24 h in µs
-        ev(s, dir)
+        EventsLayout.read(s, dir)
+          .filter($"day" >= lit(EventsLayout.dayOfNs(lbNs)) &&
+                  $"day" < lit(EventsLayout.dayOfNs(hiNs)))
+          .filter($"ts" >= lbNs && $"ts" < hiNs)
+          .withColumn("t", expr("ts div 1000"))
           .withColumn("ma_24h", r4(avg($"value").over(w)))
           .withColumn("n_24h", count(lit(1)).over(w))
+          .filter($"t" >= loNs / 1000)
           .select($"user_id", $"event_id", $"t", $"ma_24h", $"n_24h")
       },
-      Some(s"""WITH e AS ($OracleEv)
-              |SELECT user_id, event_id, t,
-              |  round(avg(value) OVER w24 + 1e-9, 4) AS ma_24h,
-              |  count(*) OVER w24 AS n_24h
-              |FROM e
-              |WINDOW w24 AS (PARTITION BY user_id ORDER BY t
-              |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin)),
+      Some("""WITH e AS (
+              |  SELECT event_id, epoch_us(ts) AS t, user_id, value
+              |  FROM events
+              |  WHERE epoch_us(ts) >= 1704844800000000 - 86400000000
+              |    AND epoch_us(ts) < 1705708800000000),
+              |win AS (
+              |  SELECT user_id, event_id, t,
+              |    round(avg(value) OVER w24 + 1e-9, 4) AS ma_24h,
+              |    count(*) OVER w24 AS n_24h
+              |  FROM e
+              |  WINDOW w24 AS (PARTITION BY user_id ORDER BY t
+              |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, event_id, t, ma_24h, n_24h
+              |FROM win WHERE t >= 1704844800000000""".stripMargin)),
 
     // W17: forward/backward fill through engineered nulls
     // (lstm_forecasting.py:108 ffill().bfill()).
