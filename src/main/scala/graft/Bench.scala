@@ -203,11 +203,18 @@ object Bench {
     if (out.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
     // genuinely-full copy for local history: 4-decimal values, every
-    // entry, every retimed measurement, no length cap
+    // entry, every retimed measurement, no length cap. Carries the
+    // stream_state_rows sideline — peak state-store rows per stream
+    // query from the MEASURED runs (StateMetrics), so the
+    // watermark-bounded-state claims are numbers, not assertions.
     def f4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val stateRows = graft.streaming.StateMetrics.snapshot.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      line(f4, Int.MaxValue, 0.0) + "\n")
+      line(f4, Int.MaxValue, 0.0).dropRight(1) +
+        s""","stream_state_rows":$stateRows}""" + "\n")
     catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON

@@ -14,6 +14,16 @@ object StreamMultimodalPack extends QueryPack {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Drain a started stream, recording its peak state-store rows under
+    * the query's stable prefix ("st9_out_17" → "st9") so Bench can
+    * emit the measured state sizes (StateMetrics sideline). */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                    sinkName: String): Unit =
+    try {
+      q.processAllAvailable()
+      graft.streaming.StateMetrics.record(sinkName.split("_out_")(0), q)
+    } finally q.stop()
+
   def queries: Seq[Q] = Seq(
 
     // Streaming W14: tumbling daily windows + watermark over a parquet
@@ -29,7 +39,7 @@ object StreamMultimodalPack extends QueryPack {
         val q = StreamOps.dailyCounts(stream)
           .writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name)
           .select(unix_micros($"day").as("day"), $"event_type", $"n",
             Rx.r4($"sum_value").as("sum_value"))
@@ -57,7 +67,7 @@ object StreamMultimodalPack extends QueryPack {
             struct($"event_id", $"value"), 3).as("tk"))
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name)
           .select($"user_id", posexplode($"tk").as(Seq("pos", "kv")))
           .select($"user_id", $"kv.value.event_id".as("event_id"),
@@ -99,7 +109,7 @@ object StreamMultimodalPack extends QueryPack {
             struct($"vec_id", $"cos"), 5).as("tk"))
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name)
           .select($"query_id", posexplode($"tk").as(Seq("pos", "kv")))
           .select($"query_id", $"kv.value.vec_id".as("corpus_id"),
@@ -152,7 +162,7 @@ object StreamMultimodalPack extends QueryPack {
           "ts", lookback = "1 hour", watermark = "2 hours")
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name).select($"l_user_id".as("user_id"),
           $"l_event_id".as("click_id"), $"r_event_id".as("view_id"),
           unix_micros($"l_ts").as("click_t"), unix_micros($"r_ts").as("view_t"),
@@ -190,7 +200,7 @@ object StreamMultimodalPack extends QueryPack {
           "user_id", "ts", lookback = "1 hour", watermark = "2 hours")
         val q = joined.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name).select($"l_user_id".as("user_id"),
           $"l_event_id".as("click_id"), $"r_event_id".as("view_id"),
           unix_micros($"l_ts").as("click_t"),
@@ -240,7 +250,7 @@ object StreamMultimodalPack extends QueryPack {
           .agg(count(lit(1)).as("n_events"), Rx.r4(sum($"value")).as("sum_value"))
         val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name).select($"user_id",
           unix_micros($"sw.start").as("session_start"), $"n_events", $"sum_value")
       },
@@ -285,7 +295,7 @@ object StreamMultimodalPack extends QueryPack {
           .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name).select(unix_micros($"w.start").as("day"),
           $"c_mktsegment", $"event_type", $"n", Rx.r4($"sum_value").as("sum_value"))
       },
@@ -311,7 +321,7 @@ object StreamMultimodalPack extends QueryPack {
         val q = StreamOps.transitionsStream(stream)
           .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name)
       },
       Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
@@ -352,7 +362,7 @@ object StreamMultimodalPack extends QueryPack {
         val q = StreamOps.rollingFeaturesStream(stream, 24)
           .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name).select($"user_id", $"event_id", $"t",
           Rx.r6($"ret").as("ret"), Rx.r4($"ma").as("ma"), Rx.r4($"sd").as("sd"))
       },
@@ -384,7 +394,7 @@ object StreamMultimodalPack extends QueryPack {
         val q = StreamOps.ewmStream(stream, span = 12.0)
           .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name).select($"user_id", $"event_id", $"t",
           Rx.r6($"ewm").as("ewm"))
       },
@@ -421,7 +431,7 @@ object StreamMultimodalPack extends QueryPack {
           .select($"user_id", $"event_type")
           .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name)
       },
       Some("SELECT DISTINCT user_id, event_type FROM events")),
@@ -476,7 +486,7 @@ object StreamMultimodalPack extends QueryPack {
             min($"ts").as("first_ts"), max($"ts").as("last_ts"))
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        drain(q, name)
         s.table(name)
       },
       Some("""SELECT CAST(user_id AS VARCHAR) AS symbol, count(*) AS n,
