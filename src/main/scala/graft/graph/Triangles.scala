@@ -4,24 +4,68 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Triangle enumeration over an undirected edge list in canonical
-  * `ka < kb` form, via the DEGREE-ORIENTED wedge join (Chiba–Nishizeki
-  * orientation, the Schank–Wagner forward algorithm): each edge is
-  * directed from its lower-(degree, id) endpoint to its
-  * higher-(degree, id) endpoint, wedges are generated only from a
-  * node's OUT-neighbors, and the closing edge is probed in the same
-  * orientation. Every triangle's three nodes are totally ordered by
-  * (degree, id), so it is generated exactly once — counts are
-  * identical to the naive id-oriented join (orientation is
-  * count-invariant, which is why the m12 SQL oracle is unchanged).
+  * `ka < kb` form — count-probed hybrid of the two standard wedge
+  * joins (the GridKnn / DBSCAN probe idiom):
   *
-  * Why orientation matters at scale: wedge work is Σ out-deg², and
-  * degree orientation bounds every out-degree by O(√m), giving
-  * O(m^1.5) total — on a skewed graph a single id-oriented hub of
-  * degree d generates d²/2 wedges where degree orientation generates
-  * ZERO from the hub (all its edges point inward). TrianglesSpec pins
-  * exactly that hub-and-spoke separation via [[wedgeCount]].
-  */
+  *  - PROBE: one edge-list aggregate computes the id-oriented wedge
+  *    count Σ C(out-deg, 2) — the exact work the naive join would pay.
+  *  - Below [[DirectWedgeCap]], run the simple id-oriented join
+  *    (a < b < c): no degree attach, fewest stages — the right plan
+  *    for small or degree-benign graphs.
+  *  - Above it, DEGREE-ORIENT first (Chiba–Nishizeki orientation, the
+  *    Schank–Wagner forward algorithm): direct each edge from its
+  *    lower-(degree, id) endpoint to its higher one and generate
+  *    wedges only from out-neighbors. Out-degrees are bounded by
+  *    O(√m), so wedge work drops from Σ deg² to O(m^1.5) — on a
+  *    skewed graph one id-oriented hub of degree d pays d²/2 wedges
+  *    where degree orientation pays ZERO from the hub (all its edges
+  *    point inward; TrianglesSpec pins the hub-and-spoke separation).
+  *
+  * Orientation is count-invariant — both paths enumerate the same
+  * triangles (spec-pinned), which is also why the m12 SQL oracle keeps
+  * the simple id-oriented enumeration. */
 object Triangles {
+
+  /** Probe threshold: id-oriented candidate wedges a single benign
+    * join is allowed to generate (~4M ≈ sub-second on a handful of
+    * cores; a 100-TB-scale or hub-skewed graph blows past it and
+    * takes the oriented path). */
+  val DirectWedgeCap: Long = 1L << 22
+
+  /** Triangle corner rows (a, b, c), a < b < c (id order — the output
+    * contract is orientation-independent). */
+  def enumerate(und: DataFrame): DataFrame = {
+    val e = und.select(col("ka"), col("kb"))
+      .localCheckpoint() // read by the probe + three join branches
+    if (wedgeCount(e, byDegree = false) <= DirectWedgeCap) idOriented(e)
+    else degreeOriented(e)
+  }
+
+  /** Naive id-oriented enumeration: wedge work Σ out-deg² under id
+    * orientation — fine iff the probe bounded it. */
+  private[graft] def idOriented(e: DataFrame): DataFrame =
+    e.as("ab")
+      .join(e.as("bc"), col("ab.kb") === col("bc.ka"))
+      .join(e.as("ac"),
+        col("ac.ka") === col("ab.ka") && col("ac.kb") === col("bc.kb"))
+      .select(col("ab.ka").as("a"), col("ab.kb").as("b"),
+        col("bc.kb").as("c"))
+
+  /** Degree-oriented enumeration (see object doc): O(m^1.5) wedge
+    * bound, same triangle set as [[idOriented]]. */
+  private[graft] def degreeOriented(e: DataFrame): DataFrame = {
+    val o = orientByDegree(e)
+      .localCheckpoint() // read by both wedge branches + the closer
+    o.as("e1")
+      .join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
+      .join(o.as("cl"),
+        col("cl.src") === col("e1.dst") && col("cl.dst") === col("e2.dst"))
+      .select(array_sort(
+        array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"), element_at(col("t"), 3).as("c"))
+  }
 
   /** Direct each canonical edge from its smaller (degree, id) endpoint:
     * output (src, dst, dkey) with dkey = struct(deg(dst), dst) — the
@@ -45,22 +89,6 @@ object Triangles {
           .as("dkey"))
   }
 
-  /** Triangle corner rows (a, b, c), a < b < c (id order — the output
-    * contract is orientation-independent). */
-  def enumerate(und: DataFrame): DataFrame = {
-    val o = orientByDegree(und.select(col("ka"), col("kb")))
-      .localCheckpoint() // read by both wedge branches + the closer
-    o.as("e1")
-      .join(o.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dkey") < col("e2.dkey"))
-      .join(o.as("cl"),
-        col("cl.src") === col("e1.dst") && col("cl.dst") === col("e2.dst"))
-      .select(array_sort(
-        array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("t"))
-      .select(element_at(col("t"), 1).as("a"),
-        element_at(col("t"), 2).as("b"), element_at(col("t"), 3).as("c"))
-  }
-
   /** Per-node triangle participation counts (nodes in ≥ 1 triangle). */
   def perNode(und: DataFrame): DataFrame = {
     val tri = enumerate(und)
@@ -71,9 +99,10 @@ object Triangles {
   }
 
   /** Candidate-wedge count Σ C(out-deg, 2) under the chosen
-    * orientation — the cost the wedge join actually pays. Exposed for
-    * TrianglesSpec's skew pin: on a hub-and-spoke graph id orientation
-    * pays C(spokes, 2) from the hub, degree orientation pays 0. */
+    * orientation — the cost the wedge join actually pays, and (in id
+    * orientation) [[enumerate]]'s probe. On a hub-and-spoke graph id
+    * orientation pays C(spokes, 2) from the hub, degree orientation
+    * pays 0 (TrianglesSpec pins the separation). */
   private[graft] def wedgeCount(und: DataFrame, byDegree: Boolean): Long = {
     val e = und.select(col("ka"), col("kb"))
     val srcs =

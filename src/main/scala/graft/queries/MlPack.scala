@@ -330,14 +330,15 @@ object MlPack extends QueryPack {
               |SELECT node, round(pr + 1e-9, 6) AS pr FROM pr_10""".stripMargin)),
 
     // M12 (beyond-reference): per-node triangle counts on the same
-    // graph. Enumeration is DEGREE-ORIENTED (Triangles.scala): edges
-    // point low-(degree,id) → high-(degree,id) before the wedge join,
-    // bounding wedge work at O(m^1.5) on skewed graphs where the old
-    // id orientation paid d² per hub (TrianglesSpec pins the
-    // hub-and-spoke separation). Orientation is count-invariant, so
-    // the oracle below keeps the simple id-oriented SQL enumeration —
-    // same triangles, different join cost. Edge parity rides on r4
-    // corr agreement as in m11.
+    // graph. Enumeration is a count-probed hybrid (Triangles.scala):
+    // one aggregate prices the id-oriented wedge join; under the cap
+    // (this 150-node panel) the simple join runs, above it edges are
+    // DEGREE-ORIENTED — low-(degree,id) → high — bounding wedge work
+    // at O(m^1.5) where an id-oriented hub pays d² (TrianglesSpec
+    // pins both the hub separation and path equivalence). Orientation
+    // is count-invariant, so the oracle keeps the id-oriented SQL
+    // enumeration either way. Edge parity rides on r4 corr agreement
+    // as in m11.
     Q("m12_triangles",
       (s, dir) => {
         import s.implicits._

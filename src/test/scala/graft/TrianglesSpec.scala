@@ -48,4 +48,16 @@ class TrianglesSpec extends AnyFunSuite {
     assert(Triangles.wedgeCount(starPlus, byDegree = true) == 1L)
     assert(counts(star :+ (1L, 2L)) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("both orientations enumerate the same triangles (probe-path " +
+    "equivalence)") {
+    // K4 ∪ star-with-chord: triangles in both dense and skewed parts
+    val g = ((for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)) ++
+      (10L to 40L).map(s => (4L, s)) :+ (10L, 11L)).toDF("ka", "kb")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val id = set(Triangles.idOriented(g.localCheckpoint()))
+    val deg = set(Triangles.degreeOriented(g.localCheckpoint()))
+    assert(id == deg && id.size == 5, s"id=${id.size} deg=${deg.size}")
+  }
 }
