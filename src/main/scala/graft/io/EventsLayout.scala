@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.{DateType, StructType}
   * ingest cost a real deployment pays when it lands data, billed in
   * Bench as its own `setup_events_part` line (the shared-stage
   * convention). Rows are byte-identical to the source (`ts` stays the
-  * raw nanosecond long); `day` is derived with pure integer arithmetic
-  * (`ts` ns → days since epoch), so the layout is independent of the
+  * raw µs epoch long); `day` is derived with pure integer arithmetic
+  * (`ts` µs → days since epoch), so the layout is independent of the
   * session timezone.
   */
 object EventsLayout {
@@ -45,36 +45,36 @@ object EventsLayout {
   def path(spark: SparkSession, dir: String): String =
     cache.computeIfAbsent((spark, dir), _ => {
       val target = baseDir.resolve(LayoutDigest(dir)).toString
-      // integer `div`, not `/`: ns epochs ≈ 1.7e18 exceed 2^53 and a
-      // double division would round the day boundary. Truncating
-      // division requires ts >= 0 (see dayOfNs) — negative ns epochs
-      // would land on the wrong calendar day.
+      // integer `div`, not `/`: keeps the day boundary exact, and stays
+      // exact even for epochs past 2^53. Truncating division requires
+      // ts >= 0 (see dayOfUs) — negative µs epochs would land on the
+      // wrong calendar day.
       val withDay = Tables.eventsRaw(spark, dir).withColumn("day",
         date_add(lit(java.sql.Date.valueOf("1970-01-01")),
-          expr("CAST((ts div 1000000000) div 86400 AS INT)")))
+          expr("CAST((ts div 1000000) div 86400 AS INT)")))
       Sinks.parquet(withDay, target, partitionBy = Seq("day"))
       target
     })
 
-  /** Read the partitioned layout. `ts` is the raw nanosecond long (as
+  /** Read the partitioned layout. `ts` is the raw µs epoch long (as
     * [[Tables.eventsRaw]]); filters on `day` prune directories. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schema).parquet(path(spark, dir))
 
   /** Event-time day boundary (UTC) as a DATE literal for pruning
-    * predicates, from a ns epoch: ns → days since epoch, integer-exact.
+    * predicates, from a µs epoch: µs → days since epoch, integer-exact.
     *
-    * PRECONDITION ns >= 0: both this and the layout's `day` derivation
+    * PRECONDITION us >= 0: both this and the layout's `day` derivation
     * truncate toward zero, so they stay mutually consistent for any
     * input, but the 'UTC calendar day' reading is only true for
     * non-negative epochs — a pre-1970 timestamp would label the wrong
-    * day on BOTH sides. The events schema contract (TIMESTAMP NANOS,
+    * day on BOTH sides. The events schema contract (TIMESTAMP MICROS,
     * driver-generated 2024+ data) guarantees it; enforced here because
     * a silent contract is how the layout would rot. */
-  def dayOfNs(ns: Long): java.sql.Date = {
-    require(ns >= 0, s"negative ns epoch $ns: truncating day derivation" +
+  def dayOfUs(us: Long): java.sql.Date = {
+    require(us >= 0, s"negative µs epoch $us: truncating day derivation" +
       " only matches the UTC calendar for ts >= 0")
     java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-      ns / 1000000000L / 86400L))
+      us / 1000000L / 86400L))
   }
 }

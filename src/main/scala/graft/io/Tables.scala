@@ -64,11 +64,14 @@ object Tables {
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader only surfaces as a raw INT64 (`spark.sql.legacy.parquet.
-    * nanosAsLong`). We read it as ns-longs and rebuild a µs TimestampType
-    * column with integer division — `ns / 1000` through a double would
-    * lose precision (ns epochs ≈ 1.7e18 > 2^53). */
+  /** `events.ts` is parquet TIMESTAMP(MICROS) stored as INT64. We
+    * declare it LongType so the scan surfaces the RAW µs epoch — time
+    * predicates and day derivations then stay pure integer arithmetic
+    * on the stored value (pushdown-friendly, timezone-free), and the
+    * TimestampType view is rebuilt with `timestamp_micros` only where
+    * the query needs calendar semantics. (Earlier driver rounds wrote
+    * TIMESTAMP(NANOS); the unit is asserted by EventsLayoutSpec, so a
+    * regenerated-testdata unit flip fails loudly, not silently.) */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -97,13 +100,11 @@ object Tables {
     "embeddings" -> embeddingsSchema)
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // ns → µs (floor) → TimestampType, matching DuckDB's epoch_us(ts).
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      // raw µs long → TimestampType, matching DuckDB's epoch_us(ts).
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(df("ts")))
     else df
   }
 
@@ -119,14 +120,12 @@ object Tables {
         regexp_extract(input_file_name(), "([^/]+)_data\\.parquet", 1))
   }
 
-  /** events with `ts` left as the RAW nanosecond long — use when a
+  /** events with `ts` as the RAW µs epoch long — use when a
     * time-range predicate must push into the parquet scan (a filter on
-    * the converted µs column is arithmetic over `ts` and will not be
-    * pushed; a filter on the raw attribute will). */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * the converted TimestampType column is an expression over `ts` and
+    * will not be pushed; a filter on the raw attribute will). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schemas("events")).parquet(s"$dir/events.parquet")
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

@@ -428,12 +428,12 @@ object PanelPack extends QueryPack {
         import graft.io.EventsLayout
         // date-partitioned layout: the `day` predicate prunes whole
         // directories (PartitionFilters — the scan never lists files
-        // outside the window), and the RAW ns predicate still prunes
+        // outside the window), and the RAW µs predicate still prunes
         // row groups inside the boundary days; 2024-01-10..20 UTC
         EventsLayout.read(s, dir)
-          .filter($"day" >= lit(EventsLayout.dayOfNs(1704844800000000000L)) &&
-                  $"day" < lit(EventsLayout.dayOfNs(1705708800000000000L)))
-          .filter($"ts" >= 1704844800000000000L && $"ts" < 1705708800000000000L)
+          .filter($"day" >= lit(EventsLayout.dayOfUs(1704844800000000L)) &&
+                  $"day" < lit(EventsLayout.dayOfUs(1705708800000000L)))
+          .filter($"ts" >= 1704844800000000L && $"ts" < 1705708800000000L)
           .filter(!$"event_type".isin("error"))
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))

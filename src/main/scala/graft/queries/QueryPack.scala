@@ -10,9 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every double output is `round(_, 4)` when it aggregates many rows
   *    (summation order differs between engines) and `round(_, 6)` when it
   *    is per-row arithmetic (bit-identical IEEE ops);
-  *  - `events.ts` is nanosecond-precision parquet that Spark truncates to
-  *    µs on read, so event time is always surfaced as `unix_micros` /
-  *    `epoch_us` bigints, and window orderings tie-break on `event_id`;
+  *  - `events.ts` is µs-precision parquet (TIMESTAMP MICROS int64) read
+  *    as the raw epoch long, so event time is always surfaced as
+  *    `unix_micros` / `epoch_us` bigints, and window orderings
+  *    tie-break on `event_id`;
   *  - every query output is fully deterministic (explicit ORDER BY +
   *    key tie-breaks ahead of any LIMIT).
   */

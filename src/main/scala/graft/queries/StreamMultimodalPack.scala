@@ -31,11 +31,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st1_stream_daily",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st1_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros($"ts"))
         val q = StreamOps.dailyCounts(stream)
           .writeStream.outputMode("complete")
           .format("memory").queryName(name).start()
@@ -57,7 +56,6 @@ object StreamMultimodalPack extends QueryPack {
     Q("st6_stream_topk",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st6_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -150,11 +148,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st9_stream_join",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st9_out_${counter.incrementAndGet()}"
         def stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros($"ts"))
           .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
         val clicks = stream.filter($"event_type" === "click").drop("event_type")
         val views = stream.filter($"event_type" === "view").drop("event_type")
@@ -188,11 +185,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st12_stream_left_join",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st12_out_${counter.incrementAndGet()}"
         def stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros($"ts"))
           .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
         val clicks = stream.filter($"event_type" === "click").drop("event_type")
         val views = stream.filter($"event_type" === "view").drop("event_type")
@@ -239,11 +235,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st10_stream_sessions",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st10_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros($"ts"))
           .withWatermark("ts", "0 seconds")
         val agg = stream
           .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
@@ -282,11 +277,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st11_stream_enrich",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st11_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros($"ts"))
           .select($"user_id", $"ts", $"event_type", $"value")
         val dim = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
         val agg = stream
@@ -311,12 +305,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st2_stream_transitions",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st2_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .select($"user_id", $"ts".as("t_ns"), $"event_id", $"event_type")
-          .withColumn("t", expr("t_ns div 1000")).drop("t_ns")
+          .select($"user_id", $"ts".as("t"), $"event_id", $"event_type")
           .as[StreamOps.KeyedEvent]
         val q = StreamOps.transitionsStream(stream)
           .writeStream.outputMode("append")
@@ -353,11 +345,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st4_stream_rolling",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st4_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .select($"user_id", expr("ts div 1000").as("t"), $"event_id", $"value")
+          .select($"user_id", $"ts".as("t"), $"event_id", $"value")
           .as[StreamOps.ValueEvent]
         val q = StreamOps.rollingFeaturesStream(stream, 24)
           .writeStream.outputMode("append")
@@ -385,11 +376,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st5_stream_ewm",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st5_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .select($"user_id", expr("ts div 1000").as("t"), $"event_id", $"value")
+          .select($"user_id", $"ts".as("t"), $"event_id", $"value")
           .as[StreamOps.ValueEvent]
         val q = StreamOps.ewmStream(stream, span = 12.0)
           .writeStream.outputMode("append")
@@ -420,11 +410,10 @@ object StreamMultimodalPack extends QueryPack {
     Q("st3_stream_dedup",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val name = s"st3_out_${counter.incrementAndGet()}"
         val stream = s.readStream.schema(Tables.eventsSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros($"ts"))
           .select($"ts", $"user_id", $"event_type")
         val q = StreamOps.dedupWithinWatermark(
             stream, "ts", Seq("user_id", "event_type"), "365 days")

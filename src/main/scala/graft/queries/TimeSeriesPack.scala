@@ -123,7 +123,7 @@ object TimeSeriesPack extends QueryPack {
     // backfill job would: read slice + 24 h lookback from the
     // date-partitioned layout (the `day` predicate is directory-level
     // PartitionFilters pruning — with p2 the second query proving the
-    // layout; the raw ns predicate still prunes row groups inside
+    // layout; the raw µs predicate still prunes row groups inside
     // boundary days), window over that bounded input, keep only the
     // slice. Every kept row's trailing frame lies inside the lookback,
     // so results equal the unbounded computation restricted to the
@@ -132,19 +132,19 @@ object TimeSeriesPack extends QueryPack {
       (s, dir) => {
         import s.implicits._
         import graft.io.EventsLayout
-        val loNs = 1704844800000000000L // 2024-01-10 UTC
-        val hiNs = 1705708800000000000L // 2024-01-20 UTC
-        val lbNs = loNs - 86400000000000L // slice minus the 24 h frame
+        val loUs = 1704844800000000L // 2024-01-10 UTC
+        val hiUs = 1705708800000000L // 2024-01-20 UTC
+        val lbUs = loUs - 86400000000L // slice minus the 24 h frame
         val w = Window.partitionBy($"user_id").orderBy($"t")
           .rangeBetween(-86400000000L, 0) // 24 h in µs
         EventsLayout.read(s, dir)
-          .filter($"day" >= lit(EventsLayout.dayOfNs(lbNs)) &&
-                  $"day" < lit(EventsLayout.dayOfNs(hiNs)))
-          .filter($"ts" >= lbNs && $"ts" < hiNs)
-          .withColumn("t", expr("ts div 1000"))
+          .filter($"day" >= lit(EventsLayout.dayOfUs(lbUs)) &&
+                  $"day" < lit(EventsLayout.dayOfUs(hiUs)))
+          .filter($"ts" >= lbUs && $"ts" < hiUs)
+          .withColumn("t", $"ts")
           .withColumn("ma_24h", r4(avg($"value").over(w)))
           .withColumn("n_24h", count(lit(1)).over(w))
-          .filter($"t" >= loNs / 1000)
+          .filter($"t" >= loUs)
           .select($"user_id", $"event_id", $"t", $"ma_24h", $"n_24h")
       },
       Some("""WITH e AS (
