@@ -23,7 +23,8 @@ object SparkEntry {
     DedupSimPack,
     MlPack,
     StreamMultimodalPack,
-    MiscPack)
+    MiscPack,
+    PipelinePack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

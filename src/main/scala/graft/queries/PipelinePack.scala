@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.cdc.Cdc
+import graft.io.Tables
+import graft.quality.DataQuality
+import graft.queries.Rx.{r4, r6}
+import graft.sketch.CountMin
+import graft.text.TextOps
+
+/** Pipeline-operations pack (beyond-reference, 100 TB completeness):
+  * the maintenance operators a production lakehouse runs around the
+  * analytical queries — sketch-based heavy hitters, CDC/SCD2
+  * compaction, and continuous data-quality validation. Each is
+  * oracle-checked end to end; the approximate middle of hh1 is
+  * engineered so the FINAL output is exact (sketch shortlist is a
+  * guaranteed superset + exact recount), keeping the hash gate
+  * applicable. */
+object PipelinePack extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // Count-min heavy hitters over document word bigrams: the sketch
+    // pass bounds shuffle AND combine state by d·w cells instead of
+    // the vocabulary (the thing that explodes at web scale), the
+    // shortlist pass is d broadcast joins (no shuffle), and the exact
+    // recount touches only shortlisted occurrences — so the output is
+    // EXACTLY the true heavy-hitter set despite the sketch middle
+    // (CountMin.scala scaladoc has the superset argument). Support
+    // 1500 ppm ≈ bigrams covering ≥0.15% of the corpus.
+    Q("hh1_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        // tokens materialized as an attribute first (the t14 idiom:
+        // exploding ngrams(tokens(text)) inline re-inlines the regex
+        // split into every element reference)
+        val grams = Tables.documents(s, dir)
+          .select(TextOps.tokens($"text").as("__toks"))
+          .select(explode(TextOps.ngrams($"__toks", 2)).as("gram"))
+        CountMin.heavyHitters(grams, "gram",
+            depth = 4, width = 1024, supportPpm = 1500L)
+          .orderBy($"gram")
+      },
+      Some("""WITH d AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(CASE WHEN len(ts) >= 2
+             |    THEN list_transform(range(1, len(ts)),
+             |                        i -> ts[i] || ' ' || ts[i+1])
+             |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+             |  FROM d),
+             |tot AS (SELECT count(*) AS n FROM g),
+             |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+             |SELECT gram, cnt FROM c, tot
+             |WHERE cnt * 1000000 >= n * 1500
+             |ORDER BY gram""".stripMargin)),
+
+    // Changelog → SCD2 dimension history: events as per-user change
+    // records, consecutive same-state changes collapsed (a no-op
+    // update opens no version), validity intervals chained by lead().
+    // One key-shuffle end to end (Cdc.scala scaladoc).
+    Q("cdc1_scd2",
+      (s, dir) => {
+        import s.implicits._
+        val log = Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("t"),
+            $"event_id", $"event_type")
+        Cdc.scd2(log, Seq("user_id"), "t", "event_id", "event_type")
+          .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+            $"version", $"is_current")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+             |  FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |r AS (
+             |  SELECT user_id, event_type, island, min(t) AS valid_from
+             |  FROM i GROUP BY 1, 2, 3),
+             |v AS (
+             |  SELECT user_id, event_type, valid_from,
+             |    lead(valid_from) OVER w2 AS valid_to,
+             |    CAST(row_number() OVER w2 AS INT) AS version
+             |  FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from))
+             |SELECT user_id, event_type, valid_from, valid_to, version,
+             |  valid_to IS NULL AS is_current
+             |FROM v""".stripMargin)),
+
+    // MERGE (latest-wins upsert): a pre-cutoff compacted snapshot +
+    // a post-cutoff change batch (purchases only), merged so the
+    // newest (t, event_id) per user wins — union + one keyed window,
+    // never snapshot×updates. `src` tags which side survived, so the
+    // check verifies upsert/keep/insert placement, not just values.
+    Q("cdc2_merge",
+      (s, dir) => {
+        import s.implicits._
+        val cut = 1705276800000000L // 2024-01-15 UTC
+        val ev = Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("t"),
+            $"event_id", $"event_type", $"value")
+        val snapshot = Cdc.compactLatest(
+            ev.filter($"t" < cut), Seq("user_id"), "t", "event_id")
+          .withColumn("src", lit("snapshot"))
+        val updates = ev
+          .filter($"t" >= cut && $"event_type" === "purchase")
+          .withColumn("src", lit("update"))
+        Cdc.merge(snapshot, updates, Seq("user_id"), "t", "event_id")
+          .select($"user_id", $"t", $"event_id", $"event_type",
+            r6($"value").as("value"), $"src")
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type, value
+             |  FROM events),
+             |snap AS (
+             |  SELECT user_id, t, event_id, event_type, value,
+             |    'snapshot' AS src
+             |  FROM e WHERE t < 1705276800000000
+             |  QUALIFY row_number() OVER (PARTITION BY user_id
+             |    ORDER BY t DESC, event_id DESC) = 1),
+             |up AS (
+             |  SELECT user_id, t, event_id, event_type, value,
+             |    'update' AS src
+             |  FROM e
+             |  WHERE t >= 1705276800000000 AND event_type = 'purchase'),
+             |u AS (SELECT * FROM snap UNION ALL SELECT * FROM up)
+             |SELECT user_id, t, event_id, event_type,
+             |  round(value + 1e-9, 6) AS value, src
+             |FROM u
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY t DESC, event_id DESC) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // Deequ-style data-quality suite: per-table metric batches (ONE
+    // Aggregate per table evaluates every completeness / distinctness
+    // / bounds metric in a single scan) + referential integrity as
+    // anti-join counts. Long-format output keeps a suite of any width
+    // one tiny frame.
+    Q("dq1_profile",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.orders(s, dir)
+        val lineitem = Tables.lineitem(s, dir)
+        val om = DataQuality.profile(orders, Seq(
+          "orders.rows" -> count(lit(1)),
+          "orders.o_custkey.nulls" -> count(when($"o_custkey".isNull, 1)),
+          "orders.o_custkey.distinct" -> countDistinct($"o_custkey"),
+          "orders.o_totalprice.min" -> min($"o_totalprice"),
+          "orders.o_totalprice.max" -> max($"o_totalprice")))
+        val lm = DataQuality.profile(lineitem, Seq(
+          "lineitem.rows" -> count(lit(1)),
+          "lineitem.l_quantity.nonpositive" ->
+            count(when($"l_quantity" <= 0, 1))))
+        val em = DataQuality.profile(Tables.events(s, dir), Seq(
+          "events.event_id.duplicates" ->
+            (count(lit(1)) - countDistinct($"event_id"))))
+        val dm = DataQuality.profile(Tables.documents(s, dir), Seq(
+          "documents.text.blank" ->
+            count(when($"text".isNull || length(trim($"text")) === 0, 1))))
+        val ri1 = DataQuality.orphanCount("orders.o_custkey.orphans",
+          orders, "o_custkey", Tables.customer(s, dir), "c_custkey")
+        val ri2 = DataQuality.orphanCount("lineitem.l_orderkey.orphans",
+          lineitem, "l_orderkey", orders, "o_orderkey")
+        om.unionByName(lm).unionByName(em).unionByName(dm)
+          .unionByName(ri1).unionByName(ri2)
+          .withColumn("value", r6($"value"))
+          .orderBy($"metric")
+      },
+      Some("""SELECT metric, round(value + 1e-9, 6) AS value FROM (
+             |  SELECT 'orders.rows' AS metric,
+             |    CAST(count(*) AS DOUBLE) AS value FROM orders
+             |  UNION ALL SELECT 'orders.o_custkey.nulls',
+             |    CAST(count(*) FILTER (o_custkey IS NULL) AS DOUBLE)
+             |  FROM orders
+             |  UNION ALL SELECT 'orders.o_custkey.distinct',
+             |    CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_totalprice.min',
+             |    min(o_totalprice) FROM orders
+             |  UNION ALL SELECT 'orders.o_totalprice.max',
+             |    max(o_totalprice) FROM orders
+             |  UNION ALL SELECT 'lineitem.rows',
+             |    CAST(count(*) AS DOUBLE) FROM lineitem
+             |  UNION ALL SELECT 'lineitem.l_quantity.nonpositive',
+             |    CAST(count(*) FILTER (l_quantity <= 0) AS DOUBLE)
+             |  FROM lineitem
+             |  UNION ALL SELECT 'events.event_id.duplicates',
+             |    CAST(count(*) - count(DISTINCT event_id) AS DOUBLE)
+             |  FROM events
+             |  UNION ALL SELECT 'documents.text.blank',
+             |    CAST(count(*) FILTER (text IS NULL
+             |      OR length(trim(text)) = 0) AS DOUBLE) FROM documents
+             |  UNION ALL SELECT 'orders.o_custkey.orphans',
+             |    CAST(count(*) AS DOUBLE) FROM orders o
+             |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |                    WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL SELECT 'lineitem.l_orderkey.orphans',
+             |    CAST(count(*) AS DOUBLE) FROM lineitem l
+             |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                    WHERE o.o_orderkey = l.l_orderkey)
+             |) ORDER BY metric""".stripMargin)))
+}
