@@ -37,9 +37,11 @@ object PipelinePack extends QueryPack {
         val grams = Tables.documents(s, dir)
           .select(TextOps.tokens($"text").as("__toks"))
           .select(explode(TextOps.ngrams($"__toks", 2)).as("gram"))
+        // no terminal orderBy: SparkEntry.stable provides the
+        // deterministic artifact without a RangePartitioning exchange
+        // (whose boundary sampling re-executes the child plan)
         CountMin.heavyHitters(grams, "gram",
             depth = 4, width = 1024, supportPpm = 1500L)
-          .orderBy($"gram")
       },
       Some("""WITH d AS (
              |  SELECT string_split_regex(trim(text), '\s+') AS ts
@@ -115,7 +117,6 @@ object PipelinePack extends QueryPack {
         Cdc.merge(snapshot, updates, Seq("user_id"), "t", "event_id")
           .select($"user_id", $"t", $"event_id", $"event_type",
             r6($"value").as("value"), $"src")
-          .orderBy($"user_id")
       },
       Some("""WITH e AS (
              |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type, value
@@ -172,7 +173,6 @@ object PipelinePack extends QueryPack {
         om.unionByName(lm).unionByName(em).unionByName(dm)
           .unionByName(ri1).unionByName(ri2)
           .withColumn("value", r6($"value"))
-          .orderBy($"metric")
       },
       Some("""SELECT metric, round(value + 1e-9, 6) AS value FROM (
              |  SELECT 'orders.rows' AS metric,
