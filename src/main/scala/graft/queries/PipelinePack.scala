@@ -205,5 +205,38 @@ object PipelinePack extends QueryPack {
              |    CAST(count(*) AS DOUBLE) FROM lineitem l
              |  WHERE NOT EXISTS (SELECT 1 FROM orders o
              |                    WHERE o.o_orderkey = l.l_orderkey)
-             |) ORDER BY metric""".stripMargin)))
+             |) ORDER BY metric""".stripMargin)),
+
+    // Incremental view maintenance: the nightly-batch contract that a
+    // materialized aggregate + a delta batch merge ALGEBRAICALLY into
+    // the full-data aggregate — partial states (n, Σv) are mergeable
+    // by summation, while avg is NOT mergeable and must be re-derived
+    // from the merged partials. At 100 TB this is the difference
+    // between re-scanning the whole history nightly and scanning only
+    // the delta: the query computes the two partials separately
+    // (pre-/post-cutoff), merges the states, and the oracle checks the
+    // result equals a single pass over everything.
+    Q("iv1_incremental_agg",
+      (s, dir) => {
+        import s.implicits._
+        val cut = 1705276800000000L // 2024-01-15 UTC
+        val ev = Tables.events(s, dir)
+          .select($"event_type", unix_micros($"ts").as("t"), $"value")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"event_type")
+            .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+        val snapshot = partial(ev.filter($"t" < cut))
+        val delta = partial(ev.filter($"t" >= cut))
+        snapshot.unionByName(delta)
+          .groupBy($"event_type")
+          .agg(sum($"n").as("n2"), sum($"sv").as("sv2"))
+          .select($"event_type", $"n2".as("n"),
+            r4($"sv2").as("sum_value"),
+            r6($"sv2" / $"n2").as("avg_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(sum(value) + 1e-9, 4) AS sum_value,
+             |  round(sum(value) / count(*) + 1e-9, 6) AS avg_value
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)))
 }

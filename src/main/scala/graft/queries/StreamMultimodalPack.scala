@@ -401,6 +401,43 @@ object StreamMultimodalPack extends QueryPack {
              |    AS ewm
              |FROM l""".stripMargin)),
 
+    // Streaming CDC upsert view (cdc2's compaction as a stream): the
+    // changelog arrives as a stream and a complete-mode max(struct)
+    // aggregate maintains the latest (t, event_id)-winning row per key
+    // — the continuously-maintained materialized view a lakehouse
+    // otherwise rebuilds by batch MERGE. State is ONE struct per key
+    // (150 here), bounded at any stream length; the (t, event_id)
+    // prefix of the struct is a unique total order, so which row wins
+    // is arrival-order-independent and the batch row_number oracle
+    // applies exactly.
+    Q("st13_stream_upsert",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st13_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", $"ts".as("t"), $"event_id",
+            $"event_type", $"value")
+        val agg = stream.groupBy($"user_id")
+          .agg(max(struct($"t", $"event_id", $"event_type", $"value"))
+            .as("last"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).select($"user_id", $"last.t".as("t"),
+          $"last.event_id".as("event_id"),
+          $"last.event_type".as("event_type"),
+          r6($"last.value").as("value"))
+      },
+      Some("""SELECT user_id, t, event_id, event_type,
+             |  round(value + 1e-9, 6) AS value
+             |FROM (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             |    value, row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             |  FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
     // Streaming exact dedup (d1 as a stream): dropDuplicatesWithinWatermark
     // over a REAL streaming run. Output projects to the dedup KEY — the
     // kept row is whichever arrived first (partition-order-dependent),
