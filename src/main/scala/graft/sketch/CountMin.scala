@@ -69,7 +69,11 @@ object CountMin {
                    depth: Int, width: Int, supportPpm: Long): DataFrame = {
     val sk = graft.io.PersistRegistry.trackPersist(
       sketch(items, itemCol, depth, width))
-    val total = items.agg(count(lit(1)).as("__total"))
+    // total occurrence count from the SKETCH, not a third corpus scan:
+    // every depth row's cells sum to the occurrence count (mass
+    // conservation, pinned in PipelineOpsSpec), and the sketch is
+    // already persisted — this aggregate reads d·w cached rows.
+    val total = sk.filter(col("j") === 0).agg(sum(col("cnt")).as("__total"))
     var occ = items.crossJoin(broadcast(total))
     (0 until depth).foreach { j =>
       // inner join is total by construction: this occurrence's (j,

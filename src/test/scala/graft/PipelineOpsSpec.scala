@@ -77,6 +77,52 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "Q", 50L, -1L, 2, true)))
   }
 
+  test("scd2 property: random changelogs — intervals tile the " +
+    "timeline and replay to the changelog's state function") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong * 10, i.toLong,
+        ("ABC")(rnd.nextInt(3)).toString)
+    }
+    val out = Cdc.scd2(rows.toDF("k", "t", "eid", "state"),
+        Seq("k"), "t", "eid", "state")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getInt(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+    // ground truth: the state at time t is the state of the last
+    // change with (t', eid') <= (t, eid) in the declared total order
+    val truth = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (r._2, r._3))).toMap
+    truth.foreach { case (k, changes) =>
+      val ivs = out(k)
+      // versions 1..n, contiguous interval chaining, open tail
+      assert(ivs.map(_._5).toSeq == (1 to ivs.length))
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"gap in key $k")
+        case _ =>
+      }
+      assert(ivs.last._4 == Long.MaxValue)
+      // no-op compression: adjacent intervals change state
+      ivs.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2, s"uncompressed $k")
+        case _ =>
+      }
+      // replay: every change timestamp is covered by exactly one
+      // interval, and where the state at t is unambiguous (all
+      // changes at t agree — equal-t runs collapse into one
+      // interval), the covering interval carries that state
+      changes.foreach { case (_, t, _, _) =>
+        val covering = ivs.filter(iv => iv._3 <= t && t < iv._4)
+        assert(covering.length == 1, s"cover count ${covering.length}" +
+          s" at t=$t key=$k")
+        val sameT = changes.filter(_._2 == t)
+        if (sameT.map(_._4).distinct.size == 1)
+          assert(covering.head._2 == sameT.last._4,
+            s"state mismatch at t=$t key=$k")
+      }
+    }
+  }
+
   test("merge: update wins, stale loses, insert appears, keep passes") {
     val snap = Seq((1L, 10L, 100L, "old1"), (2L, 20L, 101L, "old2"))
       .toDF("k", "t", "eid", "v")
