@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -56,15 +57,40 @@ class DeterministicOrderSpec extends AnyFunSuite {
   }
 
   test("every declared query's optimized plan ends in a global Sort " +
-    "or a single-row aggregate") {
+    "or a single-row aggregate; no unbounded cross join anywhere") {
+    // Two structural gates in ONE pass over the optimized plans
+    // (building a plan executes the streaming queries' drains, so a
+    // second loop would double the spec's cost):
+    //  1. the determinism wrapper is in place (above);
+    //  2. every condition-free / Cross join has a ≤1-row side (the
+    //     crossJoin(broadcast(1-row agg)) scalar idiom) or an
+    //     explicitly broadcast-hinted side (the queries×centroids
+    //     small-dimension idiom — a broadcast side is driver-memory-
+    //     bounded by construction, so the product can't be the
+    //     |A|×|B| blowup). This turns the per-round manual sweep for
+    //     quadratic plans ("zero CartesianProduct; every
+    //     BroadcastNestedLoopJoin Cross is a bounded idiom") into a
+    //     permanent gate: an UNHINTED unbounded cross join — the one
+    //     plan shape that cannot survive 100 TB — fails here by
+    //     query name.
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
-        if (deterministic(plan)) None
-        else Some(s"$name: ${plan.nodeName}")
+        val order =
+          if (deterministic(plan)) None
+          else Some(s"$name: no deterministic terminal order " +
+            s"(${plan.nodeName})")
+        val boundedSide = (j: Join) =>
+          j.left.maxRows.exists(_ <= 1) || j.right.maxRows.exists(_ <= 1) ||
+            j.hint.toString.toLowerCase.contains("broadcast")
+        val crosses = plan.collect {
+          case j: Join if (j.joinType == Cross || j.condition.isEmpty) &&
+            !boundedSide(j) =>
+            s"$name: unbounded ${j.joinType} join without condition"
+        }
+        order.toSeq ++ crosses
     }
     assert(violations.isEmpty,
-      s"queries without a deterministic terminal order:\n  " +
-        violations.mkString("\n  "))
+      s"plan-gate violations:\n  " + violations.mkString("\n  "))
   }
 }
