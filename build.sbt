@@ -38,5 +38,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] runs 32 concurrent tasks in ONE JVM — at 8g the
+  // 142-query bench pays measurable GC/spill overhead (measured round
+  // 10: full bench 174.7s at 8g vs 167.2s at 24g, m4b 7.1→3.8s).
+  // The box has 128 GiB; sizing the single local JVM like the sum of
+  // a few executors is the correct local[k] translation of per-
+  // executor memory sizing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
