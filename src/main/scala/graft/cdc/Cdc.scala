@@ -36,8 +36,12 @@ object Cdc {
       .orderBy(col(ordCol), col(tieCol))
     val prev = lag(col(attrCol), 1).over(w)
     val islands = changes
+      // null-SAFE change detection (<=>): with plain =!=, a change TO
+      // null compares null, the when() falls through to 0, and the
+      // null run silently merges into the previous version. The first
+      // row (prev null) opens version 1 either way.
       .withColumn("__chg",
-        when(prev.isNull || col(attrCol) =!= prev, 1).otherwise(0))
+        when(!(col(attrCol) <=> prev), 1).otherwise(0))
       .withColumn("__island", sum(col("__chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val runs = islands

@@ -77,6 +77,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "Q", 50L, -1L, 2, true)))
   }
 
+  test("scd2: a change TO null opens a version (null-safe detection)") {
+    val log = Seq((1L, 10L, 1L, Some("A")), (1L, 20L, 2L, None),
+        (1L, 30L, 3L, None), (1L, 40L, 4L, Some("A")))
+      .toDF("k", "t", "eid", "state")
+    val out = Cdc.scd2(log, Seq("k"), "t", "eid", "state")
+      .orderBy($"version")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getInt(4)))
+    // A@10 → null run 20..30 (ONE version) → A@40
+    assert(out.toSeq == Seq((Some("A"), 10L, 1), (None, 20L, 2),
+      (Some("A"), 40L, 3)))
+  }
+
   test("scd2 property: random changelogs — intervals tile the " +
     "timeline and replay to the changelog's state function") {
     val rnd = new scala.util.Random(42)
