@@ -40,6 +40,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS heavy hitters: empty input → empty output, no failure") {
+    val empty = grams.filter(lit(false))
+    assert(CountMin.heavyHitters(empty, "gram", 4, 64, 1500L).isEmpty)
+  }
+
   test("CMS sketch mass: every depth row sums to the occurrence count") {
     val total = grams.count()
     val perRow = CountMin.sketch(grams, "gram", 3, 64)
