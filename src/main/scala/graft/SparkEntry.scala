@@ -24,7 +24,8 @@ object SparkEntry {
     MlPack,
     StreamMultimodalPack,
     MiscPack,
-    PipelinePack)
+    PipelinePack,
+    EventAnalyticsPack)
 
   private lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.queries.Rx.{r4, r6}
+
+/** Event-analytics pack (beyond-reference completeness): the
+  * product-analytics operators a clickstream/event warehouse runs daily —
+  * ordered funnels, cohort retention, marketing attribution, OHLC/VWAP
+  * bars, robust outlier detection, and histograms. The reference's
+  * domain is financial event panels (SURVEY §2.4–§2.5); these are the
+  * same shapes generalized to the `events` table, each expressed as a
+  * shuffle-minimal Catalyst plan with a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - f1/f2 aggregate per-user state via `collect_list`/`collect_set`
+  *    bounded by per-user event counts (clickstream cardinality, not
+  *    corpus cardinality) — ONE user-keyed shuffle each, no self-join;
+  *  - f3 reuses [[graft.joins.AsOfJoin]] (union + one window, no range
+  *    cross-join) for last-touch and a min-struct aggregate for
+  *    first-touch;
+  *  - f5/f6 broadcast tiny per-group/global stats back instead of
+  *    re-shuffling the fact table (the crossJoin(broadcast(1-row))
+  *    scalar idiom used across the repo).
+  */
+object EventAnalyticsPack extends QueryPack {
+
+  private val DayUs = 86400000000L // µs per day
+
+  /** events with `t` = µs epoch (matches DuckDB `epoch_us(ts)`). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+
+  private val OracleEv =
+    "SELECT event_id, epoch_us(ts) AS t, user_id, event_type, value, props FROM events"
+
+  /** Funnel stage order for f1. */
+  private val Stages = Seq("signup", "view", "click", "purchase")
+
+  def queries: Seq[Q] = Seq(
+
+    // f1: ordered funnel — users reaching signup → view → click →
+    // purchase with strictly increasing event time. ONE user-keyed
+    // shuffle: per-user events are sorted as an array and scanned with
+    // a codegen'd `aggregate` fold (stage advances when the NEXT
+    // stage's type appears strictly later than the previous match) —
+    // no K self-joins, no per-stage shuffles. The fold state is
+    // (stage, ts) so ties at equal t cannot double-advance (matches
+    // the oracle's strict `t >` chaining).
+    Q("f1_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val stageArr = array(Stages.map(lit): _*)
+        val e = ev(s, dir)
+          .filter($"event_type".isin(Stages: _*))
+          .select($"user_id", $"t", $"event_type".as("et"))
+        val reached = e.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"t", $"et"))).as("evs"))
+          .select($"user_id",
+            aggregate($"evs",
+              struct(lit(0).as("stage"), lit(-1L).as("ts")),
+              (acc: Column, x: Column) =>
+                when(acc("stage") < lit(Stages.size) &&
+                     x("et") === element_at(stageArr, acc("stage") + lit(1)) &&
+                     x("t") > acc("ts"),
+                  struct((acc("stage") + lit(1)).as("stage"), x("t").as("ts")))
+                .otherwise(acc))("stage").as("reached"))
+        reached.filter($"reached" >= 1)
+          .select(explode(sequence(lit(1), $"reached")).as("stage_idx"))
+          .groupBy($"stage_idx".cast("long").as("stage_idx"))
+          .agg(count(lit(1)).as("users"))
+          .select($"stage_idx",
+            element_at(stageArr, $"stage_idx".cast("int")).as("stage"),
+            $"users")
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.t > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.t) AS t4 FROM e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.t > s3.t3 GROUP BY 1)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+             |       count(*) AS users FROM s1
+             |UNION ALL SELECT 2, 'view', count(*) FROM s2
+             |UNION ALL SELECT 3, 'click', count(*) FROM s3
+             |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin)),
+
+    // f2: cohort retention — distinct users active at each day-offset
+    // from their cohort (first-seen) day. ONE user-keyed shuffle: the
+    // per-user distinct-day set is collected and exploded with the
+    // cohort day read from the sorted set's head — no (user,day)
+    // pre-aggregate shuffle, no user⋈activity join. Each exploded row
+    // is a distinct (user, day), so the final count IS distinct users.
+    Q("f2_retention",
+      (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .select($"user_id", ($"t".cast("long") / lit(DayUs)).cast("long").as("day"))
+          .groupBy($"user_id")
+          .agg(array_sort(collect_set($"day")).as("days"))
+          .select(element_at($"days", 1).as("cohort_day"),
+            explode($"days").as("day"))
+          .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+          .agg(count(lit(1)).as("users"))
+      },
+      Some(s"""WITH ud AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+             |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+             |       count(*) AS users
+             |FROM ud JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // f3: marketing attribution — each purchase's value credited to a
+    // touch channel (view/click) under BOTH models: last-touch (most
+    // recent touch at-or-before the purchase; AsOfJoin's union+window
+    // rewrite, one shuffle) and first-touch (the user's earliest touch,
+    // if at-or-before the purchase; a min-struct aggregate + broadcast
+    // join). Touches are deduplicated to one per (user, t) with the
+    // max channel on BOTH engines, so as-of tie-breaks are identical.
+    Q("f3_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"t", $"value")
+        val touches = e.filter($"event_type".isin("view", "click"))
+          .groupBy($"user_id", $"t")
+          .agg(max($"event_type").as("channel"))
+        val last = graft.joins.AsOfJoin.backward(
+            purchases, touches, Seq("user_id"), "t", "t", Seq("channel"))
+          .select(coalesce($"asof_channel", lit("none")).as("channel"), $"value")
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("purchases"), r4(sum($"value")).as("revenue"))
+          .select(lit("last_touch").as("model"), $"channel", $"purchases", $"revenue")
+        val firstTouch = touches.groupBy($"user_id")
+          .agg(min(struct($"t", $"channel")).as("f"))
+        val first = purchases.join(broadcast(firstTouch), Seq("user_id"), "left")
+          .select(when($"f.t" <= $"t", $"f.channel").otherwise(lit("none")).as("channel"),
+            $"value")
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("purchases"), r4(sum($"value")).as("revenue"))
+          .select(lit("first_touch").as("model"), $"channel", $"purchases", $"revenue")
+        last.unionByName(first)
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |p AS (SELECT user_id, t, value FROM e WHERE event_type = 'purchase'),
+             |tch AS (SELECT user_id, t, max(event_type) AS channel FROM e
+             |        WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+             |lt AS (SELECT coalesce(x.channel, 'none') AS channel, p.value
+             |       FROM p ASOF LEFT JOIN tch x
+             |         ON p.user_id = x.user_id AND p.t >= x.t),
+             |fm AS (SELECT user_id, min(t) AS ft FROM tch GROUP BY 1),
+             |fc AS (SELECT fm.user_id, fm.ft, min(tch.channel) AS channel
+             |       FROM fm JOIN tch ON tch.user_id = fm.user_id AND tch.t = fm.ft
+             |       GROUP BY 1, 2),
+             |ft AS (SELECT CASE WHEN fc.ft <= p.t THEN fc.channel
+             |              ELSE 'none' END AS channel, p.value
+             |       FROM p LEFT JOIN fc ON p.user_id = fc.user_id)
+             |SELECT 'last_touch' AS model, channel, count(*) AS purchases,
+             |       round(sum(value) + 1e-9, 4) AS revenue FROM lt GROUP BY 1, 2
+             |UNION ALL
+             |SELECT 'first_touch', channel, count(*),
+             |       round(sum(value) + 1e-9, 4) FROM ft GROUP BY 1, 2""".stripMargin)),
+
+    // f4: per-user-day OHLC + VWAP bars — the canonical financial
+    // downsample (reference domain: per-symbol daily bars) over the
+    // event stream. Open/close are min/max-struct aggregates ordered
+    // by (t, event_id) — argmin/argmax without a window pass or
+    // self-join; one (user, day)-keyed shuffle total, map-side
+    // partials for every aggregate.
+    Q("f4_bars",
+      (s, dir) => {
+        import s.implicits._
+        ev(s, dir)
+          .select($"user_id", ($"t".cast("long") / lit(DayUs)).cast("long").as("day"),
+            $"t", $"event_id", $"value",
+            get_json_object($"props", "$.k").cast("double").as("vol"))
+          .groupBy($"user_id", $"day")
+          .agg(count(lit(1)).as("n"),
+            r6(min(struct($"t", $"event_id", $"value"))("value")).as("open"),
+            r6(max(struct($"t", $"event_id", $"value"))("value")).as("close"),
+            r6(max($"value")).as("high"),
+            r6(min($"value")).as("low"),
+            r4(sum($"vol")).as("volume"),
+            // try_divide: a zero-volume day yields NULL vwap — exactly
+            // DuckDB's x/0.0 → NULL semantics (13 such days at sf0.01)
+            r4(try_divide(sum($"value" * $"vol"), sum($"vol"))).as("vwap"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // $DayUs AS day, epoch_us(ts) AS t,
+             |    event_id, value,
+             |    CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS vol
+             |  FROM events)
+             |SELECT user_id, day, count(*) AS n,
+             |  round(first(value ORDER BY t, event_id) + 1e-9, 6) AS open,
+             |  round(last(value ORDER BY t, event_id) + 1e-9, 6) AS close,
+             |  round(max(value) + 1e-9, 6) AS high,
+             |  round(min(value) + 1e-9, 6) AS low,
+             |  round(sum(vol) + 1e-9, 4) AS volume,
+             |  round(sum(value * vol) / sum(vol) + 1e-9, 4) AS vwap
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // f5: robust outliers — per-type median/MAD with a 3σ-equivalent
+    // cutoff (3·1.4826·MAD). Two passes over the fact table with the
+    // 5-row stats broadcast back each time — no fact-table re-shuffle.
+    // med/mad are rounded to 6dp BEFORE the comparison on both engines
+    // so the cutoff is computed from identical doubles (percentile vs
+    // quantile_cont may differ in the last ulp).
+    Q("f5_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir).select($"event_type", $"value")
+        val med = base.groupBy($"event_type")
+          .agg(r6(percentile($"value", lit(0.5))).as("med"))
+        val dev = base.join(broadcast(med), "event_type")
+          .withColumn("adev", abs($"value" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(min($"med").as("med"),
+            r6(percentile($"adev", lit(0.5))).as("mad"))
+        dev.select($"event_type", $"adev")
+          .join(broadcast(mad), "event_type")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(($"adev" > lit(3.0 * 1.4826) * $"mad").cast("long")).as("n_outliers"),
+            min($"med").as("med"), min($"mad").as("mad"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, round(quantile_cont(value, 0.5) + 1e-9, 6) AS med
+             |  FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+             |      FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, round(quantile_cont(adev, 0.5) + 1e-9, 6) AS mad
+             |       FROM d GROUP BY 1)
+             |SELECT d.event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * md.mad
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  min(d.med) AS med, min(md.mad) AS mad
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY 1""".stripMargin)),
+
+    // f7: top session paths — the ClickHouse-style clickstream path
+    // report. Sessions are the repo's standard 30-min-gap islands (the
+    // rj2/w12 definition: lag + running flag-sum, ONE user-keyed
+    // window); the per-session path is the event-type sequence joined
+    // in (t, event_id) order — built by sorting the collected struct
+    // array, NOT a second window pass. Top 50 by (count desc, path) is
+    // a TakeOrderedAndProject: bounded driver result, full tie-break
+    // determinism.
+    Q("f7_paths",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val sid = ev(s, dir)
+          .select($"user_id", $"t", $"event_id", $"event_type")
+          .withColumn("ns",
+            when(lag($"t", 1).over(w).isNull ||
+              $"t" - lag($"t", 1).over(w) >= lit(1800000000L), 1).otherwise(0))
+          .withColumn("sid", sum($"ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sid.groupBy($"user_id", $"sid")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct($"t", $"event_id",
+              $"event_type".as("et")))), x => x("et")), ">").as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("path")).limit(50)
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |g AS (SELECT user_id, t, event_id, event_type,
+             |        CASE WHEN lag(t) OVER w IS NULL
+             |               OR t - lag(t) OVER w >= 1800000000
+             |        THEN 1 ELSE 0 END AS ns
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sids AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+             |           ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |         FROM g),
+             |p AS (SELECT user_id, sid,
+             |        string_agg(event_type, '>' ORDER BY t, event_id) AS path
+             |      FROM sids GROUP BY 1, 2)
+             |SELECT path, count(*) AS n FROM p GROUP BY 1
+             |ORDER BY n DESC, path LIMIT 50""".stripMargin)),
+
+    // f6: equi-width histogram (20 bins) of `value` — global min/max
+    // via a 1-row aggregate broadcast back (the scalar idiom), bucket
+    // arithmetic per-row in identical IEEE double ops on both engines,
+    // top edge closed via least(·, 19). Reports observed per-bucket
+    // bounds so the output is data-derived, not formula-derived.
+    Q("f6_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir).select($"value")
+        val stats = base.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+        base.crossJoin(broadcast(stats))
+          .select(least(floor(($"value" - $"vmin") /
+              (($"vmax" - $"vmin") / lit(20.0))), lit(19L)).as("bucket"),
+            $"value")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            r6(min($"value")).as("lo_obs"),
+            r6(max($"value")).as("hi_obs"))
+      },
+      Some("""WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+             |b AS (SELECT least(floor((value - vmin) / ((vmax - vmin) / 20)), 19)
+             |        AS bucket, value
+             |      FROM events, s)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+             |  round(min(value) + 1e-9, 6) AS lo_obs,
+             |  round(max(value) + 1e-9, 6) AS hi_obs
+             |FROM b GROUP BY 1""".stripMargin)))
+}

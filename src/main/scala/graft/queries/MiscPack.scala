@@ -113,6 +113,41 @@ object MiscPack extends QueryPack {
              |  AND l_quantity BETWEEN 10 AND 20
              |GROUP BY 1""".stripMargin)),
 
+    // Dynamic partition pruning as a DECLARED query: the
+    // date-partitioned events layout joined to a FILTERED calendar dim
+    // on the partition column itself. Catalyst can't fold the join
+    // into a static predicate, so the weekend filter reaches the scan
+    // as a DynamicPruningExpression — the fact side lists only the
+    // weekend day-directories at runtime (DppSpec pins the plan shape;
+    // at 100 TB this is the difference between scanning 2/7 of the
+    // table and all of it whenever the date predicate lives in a dim).
+    // The calendar is a static 120-day range around the data (a
+    // calendar dim is static by nature); dow via pure integer
+    // arithmetic — (epoch_day + 3) % 7, 0 = Monday — on both engines.
+    Q("dpp1_dynamic_pruning",
+      (s, dir) => {
+        import s.implicits._
+        val fact = graft.io.EventsLayout.read(s, dir)
+        val dim = s.range(19693L, 19813L) // 2023-12-02 .. 2024-03-30
+          .select($"id".as("day_num"),
+            date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+              $"id".cast("int")).as("day"),
+            (($"id" + 3) % 7).as("dow"))
+          .filter($"dow" >= 5) // weekend
+          .select($"day", $"day_num")
+        fact.join(dim, Seq("day"))
+          .groupBy($"day_num")
+          .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_us(ts) // 86400000000 AS day_num, value FROM events),
+             |dim AS (SELECT range AS day_num FROM range(19693, 19813)
+             |        WHERE (range + 3) % 7 >= 5)
+             |SELECT e.day_num, count(*) AS n,
+             |  round(sum(value) + 1e-9, 4) AS sum_value
+             |FROM e JOIN dim USING (day_num)
+             |GROUP BY 1""".stripMargin)),
+
     // CUBE (full grouping-sets completeness beyond q8's ROLLUP).
     Q("q9_cube",
       (s, dir) => {

@@ -399,6 +399,55 @@ object MlPack extends QueryPack {
              |LEFT JOIN corners USING (node)
              |LEFT JOIN dg USING (node)""".stripMargin)),
 
+    // G16 (beyond-reference): weakly connected components of the same
+    // correlation graph — K=8 rounds of min-label propagation
+    // (graph/Components.scala), each round one edge-keyed shuffle join
+    // + one destination min aggregate, replayed by the oracle as 8
+    // chained CTEs (the m11 convention). K=8 exceeds this graph's
+    // diameter; ComponentsSpec asserts the round-8 labels ARE the
+    // fixpoint (round 8 == round 7 on sf0.001), so the output is true
+    // WCC, not just 8-hop minima. Edge parity rides on r4 corr
+    // agreement as in m11/m12.
+    Q("g16_wcc",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val und = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .select($"key_a".cast("long").as("ka"),
+            $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
+          .filter(abs($"r") > 0.3)
+          .select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        val labels = graft.graph.Components.run(edges, k = 8)
+        val sizes = labels.groupBy($"label".as("component"))
+          .agg(count(lit(1)).as("size"))
+        labels.select($"node", $"label".as("component"))
+          .join(sizes, "component")
+          .select($"node", $"component", $"size")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+              |edges AS (
+              |  SELECT ka AS src, kb AS dst FROM e0
+              |  UNION ALL SELECT kb, ka FROM e0),
+              |${graft.graph.Components.oracleSqlSuffix(8)},
+              |sz AS (SELECT label AS component, count(*) AS size
+              |       FROM l_8 GROUP BY 1)
+              |SELECT l.node, l.label AS component, sz.size
+              |FROM l_8 l JOIN sz ON sz.component = l.label""".stripMargin)),
+
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Components
+
+/** Contracts for min-label-propagation connected components: exact
+  * component recovery on a fixture, k = diameter sufficiency on a path
+  * graph, and — the claim the g16 hash gate can't see — that the
+  * declared query's round count reaches the FIXPOINT on the panel
+  * graph (so the output is true WCC, not k-hop minima). */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("two components resolve to their min ids") {
+    val edges = sym((1L, 2L), (2L, 3L), (10L, 11L))
+    val got = Components.run(edges, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a path graph needs exactly diameter rounds") {
+    // 1-2-3-4-5: label 1 reaches node 5 only at round 4
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val at3 = Components.run(edges, k = 3)
+      .filter($"node" === 5L).head().getLong(1)
+    val at4 = Components.run(edges, k = 4)
+      .filter($"node" === 5L).head().getLong(1)
+    assert(at3 === 2L) // min id within 3 hops of node 5
+    assert(at4 === 1L) // converged
+  }
+
+  test("g16's round count is past the panel graph's fixpoint (sf0.001)") {
+    import graft.io.Tables
+    import graft.analytics.Analytics
+    import graft.queries.Rx.r4
+    val daily = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"user_id" < 200)
+      .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .agg(sum($"value").as("v"))
+    val und = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+      .select($"key_a".cast("long").as("ka"),
+        $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
+      .filter(abs($"r") > 0.3)
+      .select($"ka", $"kb")
+    val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+      .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+      .localCheckpoint()
+    val at7 = Components.run(edges, k = 7)
+    val at8 = Components.run(edges, k = 8)
+    assert(at7.exceptAll(at8).isEmpty && at8.exceptAll(at7).isEmpty,
+      "round 8 must equal round 7 — k=8 is claimed to be past the fixpoint")
+  }
+}
