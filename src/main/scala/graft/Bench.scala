@@ -79,6 +79,10 @@ object Bench {
         Set("j6_knn", "m2_kmeans", "m3_silhouette", "m4_dbscan",
           "m4b_dbscan_distributed", "m7_pca"),
         () => graft.queries.MlPack.buildSharedStage(spark, sfDir)),
+      // shared r4-rounded correlation graph feeding the graph tier
+      ("setup_corr_graph",
+        Set("m11_pagerank", "m12_triangles", "g16_wcc"),
+        () => graft.queries.MlPack.buildCorrStage(spark, sfDir)),
       // one-time date-partitioned re-layout of events (ingest cost a
       // real deployment pays at landing time, not per query)
       ("setup_events_part",

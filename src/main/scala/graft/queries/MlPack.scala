@@ -29,6 +29,34 @@ object MlPack extends QueryPack {
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (DataFrame, Double, Array[Array[Double]])]()
+  private val corrCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Shared r4-rounded correlation edge list (ka < kb, |r| > 0.3) — the
+    * graph m11/m12/g16 all read; memoized+persisted like the feature
+    * frame so each graph query's cost is its algorithm, not a repeated
+    * pairwise-corr build. (m6/m10 keep their own UNROUNDED edge build:
+    * their golden pins predate the r4 contract, and rounding can flip
+    * |r|-boundary edges.) */
+  def corrGraph(s: SparkSession, dir: String): DataFrame =
+    corrCache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .filter($"user_id" < 200)
+        .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+        .agg(sum($"value").as("v"))
+      Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+        .select($"key_a".cast("long").as("ka"),
+          $"key_b".cast("long").as("kb"), Rx.r4($"corr").as("r"))
+        .filter(abs($"r") > 0.3)
+        .persist()
+    })
+
+  /** Materialize the shared correlation graph (Bench times it as its
+    * own "setup_corr_graph" line, the shared-stage convention). */
+  def buildCorrStage(s: SparkSession, dir: String): Unit = {
+    corrGraph(s, dir).count(); ()
+  }
 
   /** Materialize the shared standardized feature frame for (session,
     * dir) — the stage j6/m2/m3/m4/m4b/m7 all read. Bench times this as
@@ -48,6 +76,9 @@ object MlPack extends QueryPack {
     featCache.asScala.toList.foreach { case (k, df) =>
       if (k._1 eq session) { df.unpersist(); featCache.remove(k) }
     }
+    corrCache.asScala.toList.foreach { case (k, df) =>
+      if (k._1 eq session) { df.unpersist(); corrCache.remove(k) }
+    }
     kmeansCache.asScala.keys.toList.filter(_._1 eq session)
       .foreach(kmeansCache.remove)
   }
@@ -57,6 +88,8 @@ object MlPack extends QueryPack {
     import scala.jdk.CollectionConverters._
     featCache.values.asScala.foreach(_.unpersist())
     featCache.clear()
+    corrCache.values.asScala.foreach(_.unpersist())
+    corrCache.clear()
     kmeansCache.clear()
   }
 
@@ -299,14 +332,7 @@ object MlPack extends QueryPack {
     Q("m11_pagerank",
       (s, dir) => {
         import s.implicits._
-        val daily = Tables.events(s, dir)
-          .filter($"user_id" < 200)
-          .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
-          .agg(sum($"value").as("v"))
-        val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
-          .select($"key_a".cast("long").as("ka"),
-            $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
-          .filter(abs($"r") > 0.3)
+        val corr = corrGraph(s, dir)
           .select($"ka", $"kb", abs($"r").as("w"))
         val edges = corr.select($"ka".as("src"), $"kb".as("dst"), $"w")
           .unionByName(corr.select($"kb".as("src"), $"ka".as("dst"), $"w"))
@@ -346,11 +372,7 @@ object MlPack extends QueryPack {
           .filter($"user_id" < 200)
           .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
           .agg(sum($"value").as("v"))
-        val und = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
-          .select($"key_a".cast("long").as("ka"),
-            $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
-          .filter(abs($"r") > 0.3)
-          .select($"ka", $"kb")
+        val und = corrGraph(s, dir).select($"ka", $"kb")
         val deg = und.select($"ka".as("node"))
           .unionAll(und.select($"kb".as("node")))
           .groupBy($"node").agg(count(lit(1)).as("deg"))
@@ -411,15 +433,7 @@ object MlPack extends QueryPack {
     Q("g16_wcc",
       (s, dir) => {
         import s.implicits._
-        val daily = Tables.events(s, dir)
-          .filter($"user_id" < 200)
-          .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
-          .agg(sum($"value").as("v"))
-        val und = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
-          .select($"key_a".cast("long").as("ka"),
-            $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
-          .filter(abs($"r") > 0.3)
-          .select($"ka", $"kb")
+        val und = corrGraph(s, dir).select($"ka", $"kb")
         val edges = und.select($"ka".as("src"), $"kb".as("dst"))
           .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
         val labels = graft.graph.Components.run(edges, k = 8)

@@ -444,5 +444,57 @@ object TimeSeriesPack extends QueryPack {
              |  FROM events GROUP BY 1, 2)
              |SELECT day, event_type, n, sum_value,
              |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) + 1e-9, 6) AS share
-             |FROM d""".stripMargin)))
+             |FROM d""".stripMargin)),
+
+    // Holt linear-trend exponential smoothing (α=0.5, β=0.3) per user
+    // over the daily series — the forecasting step beyond q6's linear
+    // fit. The coupled (level, trend) recurrence runs as a codegen'd
+    // `aggregate` fold over the per-user sorted day array (the f1
+    // idiom): ONE user-keyed shuffle total, state is two doubles, no
+    // per-step window or self-join. The oracle replays the identical
+    // recurrence as a recursive CTE. Daily sums are r6-rounded BEFORE
+    // the fold on both engines, so every fold step computes from
+    // identical doubles and the recurrence stays bit-equal end to end.
+    Q("h1_holt",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        daily.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"day", $"y"))).as("ys"))
+          .select($"user_id", size($"ys").cast("long").as("n_days"),
+            aggregate($"ys",
+              struct(lit(0).as("n"), lit(0.0).as("l"), lit(0.0).as("b")),
+              (acc, x) => {
+                val nl = lit(0.5) * x("y") + lit(0.5) * (acc("l") + acc("b"))
+                when(acc("n") === 0,
+                  struct(lit(1).as("n"), x("y").as("l"), lit(0.0).as("b")))
+                .otherwise(struct((acc("n") + lit(1)).as("n"), nl.as("l"),
+                  (lit(0.3) * (nl - acc("l")) + lit(0.7) * acc("b")).as("b")))
+              }).as("st"))
+          .select($"user_id", $"n_days",
+            r6($"st.l").as("level"), r6($"st.b").as("trend"),
+            r6($"st.l" + $"st.b").as("forecast"))
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    round(sum(value) + 1e-9, 6) AS y
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY day) AS rn FROM d),
+             |h AS (
+             |  SELECT user_id, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.rn,
+             |    0.5 * o.y + 0.5 * (h.l + h.b) AS l,
+             |    0.3 * ((0.5 * o.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b AS b
+             |  FROM h JOIN o ON o.user_id = h.user_id AND o.rn = h.rn + 1)
+             |SELECT user_id, rn AS n_days,
+             |  round(l + 1e-9, 6) AS level, round(b + 1e-9, 6) AS trend,
+             |  round(l + b + 1e-9, 6) AS forecast
+             |FROM h
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)))
 }
