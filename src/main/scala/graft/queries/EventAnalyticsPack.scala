@@ -243,6 +243,58 @@ object EventAnalyticsPack extends QueryPack {
              |FROM d JOIN md USING (event_type)
              |GROUP BY 1""".stripMargin)),
 
+    // f8: time-to-convert — latency distribution from the FIRST funnel
+    // stage to full conversion, over the same strict-time fold as f1
+    // (state additionally carries the signup time). Quantiles are
+    // exact `percentile` over the converting users (bounded output);
+    // the oracle replays the s1..s4 chain and takes quantile_cont of
+    // (t4 − t1). Sums of µs epochs stay exact in doubles at any
+    // plausible converted-user count (< 2^53), so avg is cross-engine
+    // exact before rounding.
+    Q("f8_time_to_convert",
+      (s, dir) => {
+        import s.implicits._
+        val stageArr = array(Stages.map(lit): _*)
+        val e = ev(s, dir)
+          .filter($"event_type".isin(Stages: _*))
+          .select($"user_id", $"t", $"event_type".as("et"))
+        e.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"t", $"et"))).as("evs"))
+          .select($"user_id",
+            aggregate($"evs",
+              struct(lit(0).as("stage"), lit(-1L).as("ts"), lit(-1L).as("t0")),
+              (acc: Column, x: Column) =>
+                when(acc("stage") < lit(Stages.size) &&
+                     x("et") === element_at(stageArr, acc("stage") + lit(1)) &&
+                     x("t") > acc("ts"),
+                  struct((acc("stage") + lit(1)).as("stage"), x("t").as("ts"),
+                    when(acc("stage") === 0, x("t"))
+                      .otherwise(acc("t0")).as("t0")))
+                .otherwise(acc)).as("st"))
+          .filter($"st.stage" === Stages.size)
+          .select(($"st.ts" - $"st.t0").as("dt"))
+          .agg(count(lit(1)).as("n_converted"),
+            r6(percentile($"dt", lit(0.5))).as("p50_us"),
+            r6(percentile($"dt", lit(0.9))).as("p90_us"),
+            r4(avg($"dt")).as("avg_us"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.t > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.t) AS t4 FROM e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.t > s3.t3 GROUP BY 1),
+             |c AS (SELECT s4.user_id, s4.t4 - s1.t1 AS dt
+             |      FROM s4 JOIN s1 USING (user_id))
+             |SELECT count(*) AS n_converted,
+             |  round(quantile_cont(dt, 0.5) + 1e-9, 6) AS p50_us,
+             |  round(quantile_cont(dt, 0.9) + 1e-9, 6) AS p90_us,
+             |  round(avg(dt) + 1e-9, 4) AS avg_us
+             |FROM c""".stripMargin)),
+
     // f7: top session paths — the ClickHouse-style clickstream path
     // report. Sessions are the repo's standard 30-min-gap islands (the
     // rj2/w12 definition: lag + running flag-sum, ONE user-keyed

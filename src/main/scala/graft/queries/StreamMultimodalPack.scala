@@ -342,6 +342,48 @@ object StreamMultimodalPack extends QueryPack {
     // flatMapGroupsWithState carrying a ring buffer — rolling window
     // features computed under Structured Streaming with O(window) state,
     // hash-matched against the batch window-frame SQL.
+    // Streaming ordered funnel: the f1_funnel semantics as per-user
+    // O(1) flatMapGroupsWithState state (stage, last-advance time) —
+    // each advance emits one row, so count-per-stage == "users
+    // reaching ≥ stage", hash-checked against the SAME oracle as the
+    // batch f1 (streaming ≡ batch, the st2 convention).
+    Q("st14_stream_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val stages = Seq("signup", "view", "click", "purchase")
+        val name = s"st14_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter($"event_type".isin(stages: _*))
+          .select($"user_id", $"ts".as("t"), $"event_id", $"event_type")
+          .as[StreamOps.KeyedEvent]
+        val q = StreamOps.funnelStream(stream, stages)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name)
+          .groupBy($"stage_idx".cast("long").as("stage_idx"))
+          .agg(count(lit(1)).as("users"))
+          .select($"stage_idx",
+            element_at(array(stages.map(lit): _*),
+              $"stage_idx".cast("int")).as("stage"),
+            $"users")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+             |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.t > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.t) AS t4 FROM e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.t > s3.t3 GROUP BY 1)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+             |       count(*) AS users FROM s1
+             |UNION ALL SELECT 2, 'view', count(*) FROM s2
+             |UNION ALL SELECT 3, 'click', count(*) FROM s3
+             |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin)),
+
     Q("st4_stream_rolling",
       (s, dir) => {
         import s.implicits._

@@ -182,4 +182,40 @@ object StreamOps {
           out.iterator
       }
   }
+
+  case class FunnelState(stage: Int, ts: Long)
+  case class StageReach(user_id: Long, stage_idx: Int)
+
+  /** Streaming ordered funnel (the f1_funnel semantics under
+    * Structured Streaming): per-user O(1) state — (stage reached,
+    * event time of the last advance) — updated as events arrive; one
+    * StageReach row is emitted per advance, so a downstream
+    * count-per-stage equals "users reaching ≥ stage" exactly as in the
+    * batch query, and BOTH are checked against the SAME oracle. Stage
+    * k advances only on a strictly LATER event of the k-th type
+    * (same-µs ties cannot double-advance — the batch fold's contract).
+    *
+    * Same cross-batch ordering note as [[transitionsStream]]: rows are
+    * sorted (t, event_id) within a micro-batch; cross-batch order
+    * relies on the source replaying in event-time order. */
+  def funnelStream(events: Dataset[KeyedEvent],
+                   stages: Seq[String]): Dataset[StageReach] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[KeyedEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageReach]
+          sorted.foreach { r =>
+            if (st.stage < stages.size && r.event_type == stages(st.stage)
+                && r.t > st.ts) {
+              st = FunnelState(st.stage + 1, r.t)
+              out += StageReach(uid, st.stage)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

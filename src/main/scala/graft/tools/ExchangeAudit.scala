@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev utility: count shuffle Exchanges in every declared query's
+  * physical plan (sf0.001) — the generator for ShuffleBudgetSpec's
+  * checked-in budget. A shuffle is THE unit of distributed cost; a
+  * query whose Exchange count silently grows has regressed at 100 TB
+  * even if its local wall time hasn't moved.
+  *
+  * Counting is textual over the printed plan: AQE's
+  * `AdaptiveSparkPlanExec` exposes no public pre-execution child tree
+  * (`inputPlan` predates EnsureRequirements, so it carries no Exchange
+  * nodes yet), but its toString IS the initial plan with every
+  * `Exchange hashpartitioning/rangepartitioning/SinglePartition` line.
+  * `BroadcastExchange` (not a shuffle) and `ReusedExchange` (no second
+  * shuffle) deliberately do not match the pattern. */
+object ExchangeAudit {
+
+  private val Shuffle = java.util.regex.Pattern.compile("- Exchange ")
+
+  def countShuffles(planString: String): Int = {
+    val m = Shuffle.matcher(planString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        println(s"[shuffles] $name " +
+          countShuffles(df.queryExecution.executedPlan.toString))
+      } catch {
+        case e: Throwable => println(s"[shuffles] $name FAILED ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
