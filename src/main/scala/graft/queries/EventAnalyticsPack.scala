@@ -337,6 +337,48 @@ object EventAnalyticsPack extends QueryPack {
              |SELECT path, count(*) AS n FROM p GROUP BY 1
              |ORDER BY n DESC, path LIMIT 50""".stripMargin)),
 
+    // f9: RFM segmentation — recency/frequency/monetary per purchasing
+    // user, quartiled with ntile(4). The base aggregate is one
+    // user-keyed shuffle over purchases; the global reference time is
+    // a 1-row broadcast scalar. The three ntile windows are GLOBAL
+    // (empty partitionBy) — acceptable because they run over the USER
+    // dimension (already aggregated), not the fact table; monetary is
+    // r4-rounded BEFORE ordering and every window tie-breaks on
+    // user_id, so bucket boundaries are cross-engine deterministic.
+    Q("f9_rfm",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val p = ev(s, dir).filter($"event_type" === "purchase")
+          .select($"user_id", $"t", $"value")
+        val tmax = p.agg(max($"t").as("tmax"))
+        val base = p.groupBy($"user_id")
+          .agg(max($"t").as("last_t"), count(lit(1)).as("frequency"),
+            r4(sum($"value")).as("monetary"))
+          .crossJoin(broadcast(tmax))
+          .select($"user_id", ($"tmax" - $"last_t").as("recency_us"),
+            $"frequency", $"monetary")
+        base
+          .withColumn("r_q", ntile(4).over(
+            Window.orderBy($"recency_us", $"user_id")))
+          .withColumn("f_q", ntile(4).over(
+            Window.orderBy($"frequency".desc, $"user_id")))
+          .withColumn("m_q", ntile(4).over(
+            Window.orderBy($"monetary".desc, $"user_id")))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |p AS (SELECT user_id, t, value FROM e WHERE event_type = 'purchase'),
+             |mx AS (SELECT max(t) AS tmax FROM p),
+             |b AS (SELECT user_id, mx.tmax - max(t) AS recency_us,
+             |        count(*) AS frequency,
+             |        round(sum(value) + 1e-9, 4) AS monetary
+             |      FROM p, mx GROUP BY user_id, mx.tmax)
+             |SELECT user_id, recency_us, frequency, monetary,
+             |  ntile(4) OVER (ORDER BY recency_us, user_id) AS r_q,
+             |  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+             |FROM b""".stripMargin)),
+
     // f6: equi-width histogram (20 bins) of `value` — global min/max
     // via a 1-row aggregate broadcast back (the scalar idiom), bucket
     // arithmetic per-row in identical IEEE double ops on both engines,

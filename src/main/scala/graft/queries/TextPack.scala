@@ -417,6 +417,54 @@ object TextPack extends QueryPack {
              |  round(exp(-avg_logp) + 1e-9, 4) AS ppl_proxy
              |FROM a""".stripMargin)),
 
+    // Bigram LM with add-k smoothing (k=0.5): p(w2|w1) =
+    // (c(w1w2)+k)/(c(w1)+k·V), scored as avg log-prob per document —
+    // the t16 unigram scorer upgraded to conditional context, the
+    // quality signal a pretraining pipeline uses for fluency filtering.
+    // Counts are token-keyed aggregates (two shuffles), V is a 1-row
+    // broadcast scalar, and the per-doc score is one gram-keyed join +
+    // doc agg — no per-doc vocabulary state anywhere.
+    Q("t21_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+        val grams = docs.select($"doc_id",
+          explode(TextOps.ngrams($"__toks", 2)).as("g"))
+        val uni = docs.select(explode($"__toks").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cw"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val probs = grams.groupBy($"g").agg(count(lit(1)).as("cg"))
+          .select($"g", substring_index($"g", " ", 1).as("w"), $"cg")
+          .join(uni, "w")
+          .crossJoin(broadcast(vocab))
+          .select($"g",
+            (log($"cg" + lit(0.5)) - log($"cw" + lit(0.5) * $"v")).as("logp"))
+        grams.join(probs, "g")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), r6(avg($"logp")).as("avg_logp"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+             |    THEN list_transform(range(1, len(ts)),
+             |                        i -> ts[i] || ' ' || ts[i+1])
+             |    ELSE CAST([] AS VARCHAR[]) END) AS g
+             |  FROM d),
+             |u AS (SELECT unnest(ts) AS w FROM d),
+             |uc AS (SELECT w, count(*) AS cw FROM u GROUP BY 1),
+             |v AS (SELECT count(*) AS v FROM uc),
+             |bc AS (SELECT g, count(*) AS cg FROM g GROUP BY 1),
+             |p AS (SELECT bc.g,
+             |    ln(bc.cg + 0.5) - ln(uc.cw + 0.5 * v.v) AS logp
+             |  FROM bc JOIN uc ON uc.w = split_part(bc.g, ' ', 1), v)
+             |SELECT g.doc_id, count(*) AS n_bigrams,
+             |  round(avg(p.logp) + 1e-9, 6) AS avg_logp
+             |FROM g JOIN p USING (g)
+             |GROUP BY 1""".stripMargin)),
+
     // Token-budget sequence packing: per lang, docs in doc_id order are
     // assigned to 4096-token bins by cumulative token count (the
     // prefix-sum approximation of greedy packing — windowed cumsum, one

@@ -29,12 +29,18 @@ object ExchangeAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    // optional args(1): comma-separated name filter (incremental budget
+    // lines for new queries; counts must still be taken cold — see
+    // ShuffleBudgetSpec's cache-clearing preamble)
+    val only = if (args.length > 1) Some(args(1).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         println(s"[shuffles] $name " +
