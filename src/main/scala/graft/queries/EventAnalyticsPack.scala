@@ -379,6 +379,44 @@ object EventAnalyticsPack extends QueryPack {
              |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
              |FROM b""".stripMargin)),
 
+    // a2: seasonal anomaly counts — per (event_type, hour-of-day)
+    // baseline (mean, sample std) with a 3σ gate. The f5 broadcast
+    // pattern: the ≤120-row baseline is r6-rounded BEFORE the
+    // comparison on both engines and broadcast back to the fact scan,
+    // so anomaly classification computes from identical doubles with
+    // no second fact shuffle.
+    Q("a2_seasonal",
+      (s, dir) => {
+        import s.implicits._
+        val base = ev(s, dir)
+          .select($"event_type",
+            (($"t" % lit(86400000000L)) / lit(3600000000L)).cast("long").as("hour"),
+            $"value")
+        val stats = base.groupBy($"event_type", $"hour")
+          .agg(r6(avg($"value")).as("mu"),
+            r6(stddev_samp($"value")).as("sd"))
+        base.join(broadcast(stats), Seq("event_type", "hour"))
+          .groupBy($"event_type", $"hour")
+          .agg(count(lit(1)).as("n"),
+            sum((abs($"value" - $"mu") > lit(3.0) * $"sd").cast("long"))
+              .as("n_anomalies"),
+            min($"mu").as("mu"), min($"sd").as("sd"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour, value
+             |  FROM events),
+             |s AS (SELECT event_type, hour,
+             |        round(avg(value) + 1e-9, 6) AS mu,
+             |        round(stddev_samp(value) + 1e-9, 6) AS sd
+             |      FROM e GROUP BY 1, 2)
+             |SELECT e.event_type, e.hour, count(*) AS n,
+             |  CAST(sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sd
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+             |  min(s.mu) AS mu, min(s.sd) AS sd
+             |FROM e JOIN s USING (event_type, hour)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // f6: equi-width histogram (20 bins) of `value` — global min/max
     // via a 1-row aggregate broadcast back (the scalar idiom), bucket
     // arithmetic per-row in identical IEEE double ops on both engines,

@@ -446,6 +446,61 @@ object TimeSeriesPack extends QueryPack {
              |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) + 1e-9, 6) AS share
              |FROM d""".stripMargin)),
 
+    // W21 (beyond-reference): maximum drawdown per user — the classic
+    // risk statistic: running peak via an expanding-window max, then
+    // the largest peak-to-trough gap. Pure window algebra over the one
+    // user-keyed shuffle every W-operator shares.
+    Q("w21_drawdown",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select($"user_id", $"t", $"event_id", $"value")
+          .withColumn("peak", max($"value").over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            r6(max($"peak" - $"value")).as("max_drawdown"),
+            r6(max($"value")).as("peak_value"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |p AS (SELECT user_id, value,
+             |        max(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS peak
+             |      FROM e)
+             |SELECT user_id, count(*) AS n,
+             |  round(max(peak - value) + 1e-9, 6) AS max_drawdown,
+             |  round(max(value) + 1e-9, 6) AS peak_value
+             |FROM p GROUP BY 1""".stripMargin)),
+
+    // W22 (beyond-reference): lag-1 autocorrelation of value per user
+    // — the serial-dependence statistic (is the panel mean-reverting or
+    // trending?). One lag window + one corr aggregate on the shared
+    // user-keyed partitioning; per-row (value, lag) pairs are exact, so
+    // only the corr aggregate needs the r4 cross-engine rounding.
+    Q("w22_autocorr",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        ev(s, dir)
+          .select($"user_id", $"t", $"event_id", $"value")
+          .withColumn("prev", lag($"value", 1).over(w))
+          .filter($"prev".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            r4(corr($"value", $"prev")).as("autocorr_1"))
+          .filter($"n_pairs" >= 2)
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |l AS (SELECT user_id, value,
+             |        lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             |          AS prev
+             |      FROM e)
+             |SELECT user_id, count(*) AS n_pairs,
+             |  round(corr(value, prev) + 1e-9, 4) AS autocorr_1
+             |FROM l WHERE prev IS NOT NULL
+             |GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
+
     // Holt linear-trend exponential smoothing (α=0.5, β=0.3) per user
     // over the daily series — the forecasting step beyond q6's linear
     // fit. The coupled (level, trend) recurrence runs as a codegen'd
