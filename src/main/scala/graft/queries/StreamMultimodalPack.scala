@@ -384,6 +384,52 @@ object StreamMultimodalPack extends QueryPack {
              |UNION ALL SELECT 3, 'click', count(*) FROM s3
              |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin)),
 
+    // Streaming Holt trend smoothing (the st5-EWM convention applied to
+    // the h1 recurrence, over the RAW per-user value series): per-key
+    // state is three scalars; each micro-batch emits the post-batch
+    // state, and the declared result takes the max-n row per key (the
+    // final state a forecast consumer reads). Oracle replays the same
+    // recurrence as a recursive CTE over the (t, event_id)-ordered
+    // series — raw values are untouched doubles on both engines, so the
+    // recurrence is bit-equal without any pre-rounding.
+    Q("st15_stream_holt",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st15_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", $"ts".as("t"), $"event_id", $"value")
+          .as[StreamOps.ValueEvent]
+        val q = StreamOps.holtStream(stream, alpha = 0.5, beta = 0.3)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name)
+          .groupBy($"user_id")
+          .agg(max(struct($"n_obs", $"level", $"trend")).as("f"))
+          .select($"user_id", $"f.n_obs".as("n_obs"),
+            r6($"f.level").as("level"), r6($"f.trend").as("trend"),
+            r6($"f.level" + $"f.trend").as("forecast"))
+      },
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events),
+             |h AS (
+             |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.rn,
+             |    0.5 * o.value + 0.5 * (h.l + h.b) AS l,
+             |    0.3 * ((0.5 * o.value + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b AS b
+             |  FROM h JOIN o ON o.user_id = h.user_id AND o.rn = h.rn + 1)
+             |SELECT user_id, rn AS n_obs,
+             |  round(l + 1e-9, 6) AS level, round(b + 1e-9, 6) AS trend,
+             |  round(l + b + 1e-9, 6) AS forecast
+             |FROM h
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
+
     Q("st4_stream_rolling",
       (s, dir) => {
         import s.implicits._

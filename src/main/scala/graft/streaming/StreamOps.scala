@@ -183,6 +183,39 @@ object StreamOps {
       }
   }
 
+  case class HoltState(n: Long, l: Double, b: Double)
+  case class HoltPoint(user_id: Long, n_obs: Long, level: Double, trend: Double)
+
+  /** Streaming Holt linear-trend smoothing (the h1_holt recurrence over
+    * the raw per-user value series): state is (count, level, trend) —
+    * three scalars per key — updated per event in (t, event_id) order;
+    * one HoltPoint row is emitted per key per micro-batch carrying the
+    * state AFTER that batch, so the final state per key is the row with
+    * max n_obs (what a forecast consumer reads). Operand order matches
+    * the batch fold exactly: l' = α·y + (1−α)(l+b);
+    * b' = β(l'−l) + (1−β)b — bit-identical batch ≡ stream.
+    *
+    * Same cross-batch ordering note as [[transitionsStream]]. */
+  def holtStream(events: Dataset[ValueEvent], alpha: Double,
+                 beta: Double): Dataset[HoltPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
+          var st = state.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
+          sorted.foreach { r =>
+            st = if (st.n == 0L) HoltState(1L, r.value, 0.0)
+            else {
+              val nl = alpha * r.value + (1.0 - alpha) * (st.l + st.b)
+              HoltState(st.n + 1L, nl, beta * (nl - st.l) + (1.0 - beta) * st.b)
+            }
+          }
+          state.update(st)
+          Iterator.single(HoltPoint(uid, st.n, st.l, st.b))
+      }
+  }
+
   case class FunnelState(stage: Int, ts: Long)
   case class StageReach(user_id: Long, stage_idx: Int)
 

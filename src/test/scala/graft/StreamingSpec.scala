@@ -366,4 +366,56 @@ class StreamingSpec extends AnyFunSuite {
       s"${got.size - got.distinct.size} duplicate keys crossed the restart boundary")
     }
   }
+
+  test("stateful Holt across two micro-batches == single-pass recurrence") {
+    // state (n, level, trend) must carry over the batch boundary: the
+    // second file's first event continues the recurrence, not restart it
+    val rows = for (k <- 0L until 4L; i <- 0 until 30)
+      yield (k, i.toLong * 1000L, (k * 100 + i).toLong, (i % 7 + k).toDouble)
+    val df = rows.toDF("user_id", "t", "event_id", "value")
+
+    // ground truth: the batch fold over the full series
+    def fold(ys: Seq[Double]): (Long, Double, Double) =
+      ys.foldLeft((0L, 0.0, 0.0)) { case ((n, l, b), y) =>
+        if (n == 0L) (1L, y, 0.0)
+        else {
+          val nl = 0.5 * y + 0.5 * (l + b)
+          (n + 1L, nl, 0.3 * (nl - l) + 0.7 * b)
+        }
+      }
+    val want = rows.groupBy(_._1).view.mapValues(g =>
+      fold(g.sortBy(r => (r._2, r._3)).map(_._4))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_holt_stream").toString
+    df.filter($"t" < 15000L).coalesce(1).write.parquet(s"$dir/p1")
+    df.filter($"t" >= 15000L).coalesce(1).write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.ValueEvent]
+    val q = StreamOps.holtStream(stream, alpha = 0.5, beta = 0.3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_holt_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_holt_test")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_obs", $"level", $"trend")).as("f"))
+      .select($"user_id", $"f.n_obs", $"f.level", $"f.trend")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want) // bit-equal: same operand order, carried state
+  }
 }
