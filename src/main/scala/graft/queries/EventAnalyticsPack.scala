@@ -379,6 +379,68 @@ object EventAnalyticsPack extends QueryPack {
              |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
              |FROM b""".stripMargin)),
 
+    // f10: funnel × segment — the f1 fold's per-user stage joined to
+    // the user's monetary quartile (the f9 RFM axis), counted per
+    // (segment, stage). Composition stays shuffle-minimal: the fold is
+    // the same ONE user-keyed shuffle; the segment map is a user-dim
+    // aggregate broadcast into the join; non-purchasers land in
+    // segment 0. The oracle replays the s1..s4 chain against the same
+    // ntile CTE.
+    Q("f10_funnel_by_segment",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val stageArr = array(Stages.map(lit): _*)
+        val e = ev(s, dir)
+        val reached = e.filter($"event_type".isin(Stages: _*))
+          .select($"user_id", $"t", $"event_type".as("et"))
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"t", $"et"))).as("evs"))
+          .select($"user_id",
+            aggregate($"evs",
+              struct(lit(0).as("stage"), lit(-1L).as("ts")),
+              (acc: Column, x: Column) =>
+                when(acc("stage") < lit(Stages.size) &&
+                     x("et") === element_at(stageArr, acc("stage") + lit(1)) &&
+                     x("t") > acc("ts"),
+                  struct((acc("stage") + lit(1)).as("stage"), x("t").as("ts")))
+                .otherwise(acc))("stage").as("reached"))
+        val seg = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(r4(sum($"value")).as("monetary"))
+          .withColumn("m_q", ntile(4).over(
+            Window.orderBy($"monetary".desc, $"user_id")))
+          .select($"user_id", $"m_q")
+        reached.join(broadcast(seg), Seq("user_id"), "left")
+          .select(coalesce($"m_q", lit(0)).cast("long").as("segment"), $"reached")
+          .filter($"reached" >= 1)
+          .select($"segment", explode(sequence(lit(1), $"reached")).as("stage_idx"))
+          .groupBy($"segment", $"stage_idx".cast("long").as("stage_idx"))
+          .agg(count(lit(1)).as("users"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.t > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.t) AS t4 FROM e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.t > s3.t3 GROUP BY 1),
+             |r AS (SELECT user_id, 1 AS stage_idx FROM s1
+             |      UNION ALL SELECT user_id, 2 FROM s2
+             |      UNION ALL SELECT user_id, 3 FROM s3
+             |      UNION ALL SELECT user_id, 4 FROM s4),
+             |m AS (SELECT user_id, round(sum(value) + 1e-9, 4) AS monetary
+             |      FROM e WHERE event_type = 'purchase' GROUP BY 1),
+             |q AS (SELECT user_id,
+             |        ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+             |      FROM m)
+             |SELECT CAST(coalesce(q.m_q, 0) AS BIGINT) AS segment,
+             |  CAST(r.stage_idx AS BIGINT) AS stage_idx,
+             |  count(*) AS users
+             |FROM r LEFT JOIN q USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // a2: seasonal anomaly counts — per (event_type, hour-of-day)
     // baseline (mean, sample std) with a 3σ gate. The f5 broadcast
     // pattern: the ≤120-row baseline is r6-rounded BEFORE the
