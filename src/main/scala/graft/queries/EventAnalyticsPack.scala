@@ -358,13 +358,16 @@ object EventAnalyticsPack extends QueryPack {
           .crossJoin(broadcast(tmax))
           .select($"user_id", ($"tmax" - $"last_t").as("recency_us"),
             $"frequency", $"monetary")
-        base
-          .withColumn("r_q", ntile(4).over(
-            Window.orderBy($"recency_us", $"user_id")))
-          .withColumn("f_q", ntile(4).over(
-            Window.orderBy($"frequency".desc, $"user_id")))
-          .withColumn("m_q", ntile(4).over(
-            Window.orderBy($"monetary".desc, $"user_id")))
+        // GlobalRank.withNtile: bit-identical to the ntile window
+        // (GlobalRankSpec) but range-partitioned — no single-partition
+        // funnel even when the user dimension itself is huge
+        import graft.operators.GlobalRank
+        val r1 = GlobalRank.withNtile(base,
+          Seq($"recency_us", $"user_id"), 4, "r_q")
+        val r2 = GlobalRank.withNtile(r1,
+          Seq($"frequency".desc, $"user_id"), 4, "f_q")
+        GlobalRank.withNtile(r2,
+          Seq($"monetary".desc, $"user_id"), 4, "m_q")
       },
       Some(s"""WITH e AS ($OracleEv),
              |p AS (SELECT user_id, t, value FROM e WHERE event_type = 'purchase'),
@@ -405,10 +408,10 @@ object EventAnalyticsPack extends QueryPack {
                      x("t") > acc("ts"),
                   struct((acc("stage") + lit(1)).as("stage"), x("t").as("ts")))
                 .otherwise(acc))("stage").as("reached"))
-        val seg = e.filter($"event_type" === "purchase")
-          .groupBy($"user_id").agg(r4(sum($"value")).as("monetary"))
-          .withColumn("m_q", ntile(4).over(
-            Window.orderBy($"monetary".desc, $"user_id")))
+        val seg = graft.operators.GlobalRank.withNtile(
+            e.filter($"event_type" === "purchase")
+              .groupBy($"user_id").agg(r4(sum($"value")).as("monetary")),
+            Seq($"monetary".desc, $"user_id"), 4, "m_q")
           .select($"user_id", $"m_q")
         reached.join(broadcast(seg), Seq("user_id"), "left")
           .select(coalesce($"m_q", lit(0)).cast("long").as("segment"), $"reached")

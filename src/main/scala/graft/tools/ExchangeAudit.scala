@@ -15,15 +15,26 @@ import graft.SparkEntry
   * nodes yet), but its toString IS the initial plan with every
   * `Exchange hashpartitioning/rangepartitioning/SinglePartition` line.
   * `BroadcastExchange` (not a shuffle) and `ReusedExchange` (no second
-  * shuffle) deliberately do not match the pattern. */
+  * shuffle) deliberately do not match the pattern, and everything
+  * under an `InMemoryRelation` is skipped: a cached frame prints its
+  * BUILD plan at every reference, but those shuffles run once, at
+  * materialization — charging them to every reader would make any
+  * query over a persisted frame look quadratic in references. */
 object ExchangeAudit {
 
-  private val Shuffle = java.util.regex.Pattern.compile("- Exchange ")
-
   def countShuffles(planString: String): Int = {
-    val m = Shuffle.matcher(planString)
     var n = 0
-    while (m.find()) n += 1
+    var skipIndent = -1 // inside an InMemoryRelation subtree when >= 0
+    planString.split("\n").foreach { line =>
+      val indent = line.indexWhere(c => c != ' ' && c != ':' && c != '+'
+        && c != '-' && c != '*' && c != '(')
+      val depth = if (indent < 0) 0 else indent
+      if (skipIndent >= 0 && depth <= skipIndent) skipIndent = -1
+      if (skipIndent < 0) {
+        if (line.contains("InMemoryRelation")) skipIndent = depth
+        else if (line.contains("- Exchange ")) n += 1
+      }
+    }
     n
   }
 
