@@ -465,6 +465,46 @@ object TextPack extends QueryPack {
              |FROM g JOIN p USING (g)
              |GROUP BY 1""".stripMargin)),
 
+    // Zipf-law fit over the corpus vocabulary: frequency-rank every
+    // term (GlobalRank — the range-partitioned global row_number, used
+    // here on a dimension that GROWS with the corpus, exactly the
+    // place a single-partition window would die at scale) and OLS-fit
+    // ln(freq) ~ ln(rank). The slope is the Zipf exponent (~ −1 for
+    // natural text) — the corpus-health diagnostic a pretraining
+    // pipeline tracks across dumps.
+    Q("t22_zipf",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val (ranked, _) = graft.operators.GlobalRank.withRowNumber(
+          counts, Seq($"cnt".desc, $"w"), "rank")
+        ranked
+          .select(log($"rank".cast("double")).as("lr"),
+            log($"cnt".cast("double")).as("lf"))
+          .agg(count(lit(1)).as("n_terms"),
+            r4(regr_slope($"lf", $"lr")).as("zipf_slope"),
+            r4(regr_intercept($"lf", $"lr")).as("zipf_intercept"),
+            r4(corr($"lf", $"lr")).as("loglog_corr"))
+      },
+      Some("""WITH d AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |tk AS (SELECT unnest(ts) AS w FROM d),
+             |c AS (SELECT w, count(*) AS cnt FROM tk GROUP BY 1),
+             |r AS (SELECT cnt,
+             |        row_number() OVER (ORDER BY cnt DESC, w) AS rank
+             |      FROM c),
+             |l AS (SELECT ln(CAST(rank AS DOUBLE)) AS lr,
+             |        ln(CAST(cnt AS DOUBLE)) AS lf
+             |      FROM r)
+             |SELECT count(*) AS n_terms,
+             |  round(regr_slope(lf, lr) + 1e-9, 4) AS zipf_slope,
+             |  round(regr_intercept(lf, lr) + 1e-9, 4) AS zipf_intercept,
+             |  round(corr(lf, lr) + 1e-9, 4) AS loglog_corr
+             |FROM l""".stripMargin)),
+
     // Token-budget sequence packing: per lang, docs in doc_id order are
     // assigned to 4096-token bins by cumulative token count (the
     // prefix-sum approximation of greedy packing — windowed cumsum, one
