@@ -677,6 +677,94 @@ object DedupSimPack extends QueryPack {
              |SELECT query_id, doc_id, n_terms, score, rank
              |FROM rk WHERE rank <= 10""".stripMargin)),
 
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    // 2009) — the standard RAG-stack fusion of a lexical arm (s4's
+    // BM25 top-50 for the term bag) and a dense arm (s1's cosine
+    // top-50 for query vector 0): rrf = Σ 1/(60 + rank), absent arm
+    // contributes 0. Fusion is rank-only — cross-engine float parity
+    // needs just the rank parity the two arm queries already prove
+    // (BM25 ranks on the 6dp-rounded score; cosine on bit-equal
+    // fixed-order dot products). Both arms are top-k-BOUNDED before
+    // fusion, so the full-outer join and re-rank touch ≤ 2k rows no
+    // matter the corpus size — the single-partition window is over a
+    // ≤50-row frame, not a corpus sort.
+    Q("s9_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val lex = graft.text.Bm25.topK(Tables.documents(s, dir),
+            "doc_id", "text", Seq("spark", "join", "window", "hash"), k = 50)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(desc("score"), asc("doc_id"))))
+          .select($"doc_id", $"lex_rank")
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val den = Similarity.cosineTopK(e, e.filter($"vec_id" === 0),
+            "vec_id", "v", 50)
+          .select($"corpus_id".as("doc_id"), $"rank".as("dense_rank"))
+        lex.join(den, Seq("doc_id"), "full")
+          .select($"doc_id",
+            r6(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + $"dense_rank"), lit(0.0)))
+              .as("rrf"),
+            coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
+            coalesce($"dense_rank", lit(0)).cast("long").as("dense_rank"))
+          .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    round(avg(len(ts)) + 1e-9, 4) AS avgdl FROM d),
+             |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+             |             FROM d)
+             |       WHERE term IN ('spark', 'join', 'window', 'hash')
+             |       GROUP BY 1, 2, 3),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |    round(sum(
+             |      ln(((st.n_docs - dfq.df) + CAST(0.5 AS DOUBLE))
+             |         / (dfq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |      * (tf.tf * (CAST(1.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             |      / (tf.tf + CAST(1.5 AS DOUBLE)
+             |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl))
+             |    ) + 1e-9, 6) AS score
+             |  FROM tf JOIN dfq USING (term), st
+             |  GROUP BY tf.doc_id),
+             |lex AS (SELECT doc_id, rn AS lex_rank FROM
+             |    (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+             |       AS rn FROM sc)
+             |  WHERE rn <= 50),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings),
+             |nm AS (SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nm),
+             |q AS (SELECT nv AS qv FROM nv WHERE vec_id = 0),
+             |scd AS (
+             |  SELECT nv.vec_id AS doc_id,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * nv.nv[i])),
+             |        (acc, x) -> acc + x) AS cos
+             |  FROM q, nv WHERE nv.vec_id <> 0),
+             |den AS (SELECT doc_id, rn AS dense_rank FROM
+             |    (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+             |       AS rn FROM scd)
+             |  WHERE rn <= 50),
+             |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+             |        lex.lex_rank, den.dense_rank
+             |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+             |SELECT doc_id,
+             |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+             |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0)
+             |    + 1e-9, 6) AS rrf,
+             |  CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+             |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Semantic dedup KEEP-LIST (the SemDeDup end product, and the
     // embedding analog of d7): near-dup pairs from bounded (label,
     // sign-LSH cell) candidates with Hamming-1 probes, thresholded on

@@ -482,6 +482,110 @@ object EventAnalyticsPack extends QueryPack {
              |FROM e JOIN s USING (event_type, hour)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // a3: two-sided CUSUM changepoint detection (Page 1954) per user
+    // over the r6-rounded daily series — k = 0.5σ drift allowance,
+    // h = 4σ decision interval, reset-on-alarm. The coupled
+    // (s⁺, s⁻, alarms) recurrence runs as the h1 fold: ONE user-keyed
+    // shuffle, state is two doubles + a counter; the oracle replays
+    // the identical recurrence as a recursive CTE. μ/σ are computed in
+    // the SAME aggregate that collects the series and enter the fold
+    // r6-rounded through the fold's INITIAL state, so every step
+    // computes from identical doubles on both engines (each operand
+    // tree below is written in the exact shape the oracle repeats).
+    Q("a3_cusum",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(DayUs))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        daily.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"day", $"y"))).as("ys"),
+            r6(avg($"y")).as("mu"), r6(stddev_samp($"y")).as("sd"))
+          .filter($"sd".isNotNull && $"sd" > 0)
+          .select($"user_id", size($"ys").cast("long").as("n_days"),
+            aggregate($"ys",
+              struct(lit(0.0).as("sp"), lit(0.0).as("sn"), lit(0).as("al"),
+                $"mu".as("mu"), $"sd".as("sd")),
+              (acc: Column, x: Column) => {
+                val sp1 = greatest(lit(0.0),
+                  acc("sp") + (x("y") - acc("mu")) - lit(0.5) * acc("sd"))
+                val sn1 = greatest(lit(0.0),
+                  acc("sn") - (x("y") - acc("mu")) - lit(0.5) * acc("sd"))
+                val alarm = sp1 > lit(4.0) * acc("sd") ||
+                  sn1 > lit(4.0) * acc("sd")
+                when(alarm,
+                  struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+                    (acc("al") + lit(1)).as("al"),
+                    acc("mu").as("mu"), acc("sd").as("sd")))
+                .otherwise(
+                  struct(sp1.as("sp"), sn1.as("sn"), acc("al").as("al"),
+                    acc("mu").as("mu"), acc("sd").as("sd")))
+              }).as("st"))
+          .select($"user_id", $"n_days", $"st.al".cast("long").as("n_alarms"),
+            r6($"st.sp").as("sp_end"), r6($"st.sn").as("sn_end"))
+      },
+      Some(s"""WITH RECURSIVE e AS ($OracleEv),
+             |d AS (SELECT user_id, t // $DayUs AS day,
+             |        round(sum(value) + 1e-9, 6) AS y
+             |      FROM e GROUP BY 1, 2),
+             |st AS (SELECT user_id, round(avg(y) + 1e-9, 6) AS mu,
+             |        round(stddev_samp(y) + 1e-9, 6) AS sd
+             |      FROM d GROUP BY 1),
+             |o AS (SELECT d.user_id, d.y, st.mu, st.sd,
+             |        row_number() OVER (PARTITION BY d.user_id
+             |          ORDER BY day) AS rn
+             |      FROM d JOIN st USING (user_id)
+             |      WHERE st.sd IS NOT NULL AND st.sd > 0),
+             |c AS (
+             |  SELECT user_id, rn, mu, sd,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) > 4.0 * sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) > 4.0 * sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) END AS sp,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) > 4.0 * sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) > 4.0 * sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) END AS sn,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) > 4.0 * sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) > 4.0 * sd
+             |         THEN 1 ELSE 0 END AS al
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.rn, o.mu, o.sd,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             c.sp + (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             c.sn - (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           c.sp + (o.y - o.mu) - 0.5 * o.sd) END,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             c.sp + (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             c.sn - (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           c.sn - (o.y - o.mu) - 0.5 * o.sd) END,
+             |    c.al + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             c.sp + (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             c.sn - (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |         THEN 1 ELSE 0 END
+             |  FROM c JOIN o ON o.user_id = c.user_id AND o.rn = c.rn + 1)
+             |SELECT user_id, rn AS n_days, CAST(al AS BIGINT) AS n_alarms,
+             |  round(sp + 1e-9, 6) AS sp_end, round(sn + 1e-9, 6) AS sn_end
+             |FROM c
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
+
     // f6: equi-width histogram (20 bins) of `value` — global min/max
     // via a 1-row aggregate broadcast back (the scalar idiom), bucket
     // arithmetic per-row in identical IEEE double ops on both engines,

@@ -462,6 +462,57 @@ object MlPack extends QueryPack {
               |SELECT l.node, l.label AS component, sz.size
               |FROM l_8 l JOIN sz ON sz.component = l.label""".stripMargin)),
 
+    // M13 (beyond-reference): k-core peeling (graph/KCore.scala) on
+    // the part co-occurrence graph — parts are adjacent when they
+    // appear in the same order (the per-order pair fanout is bounded
+    // by order size, so the edge build is scale-safe). k is
+    // DATA-RELATIVE — floor(p25 of initial degree) + 1, computed by
+    // both engines from identical integer degrees — because a fixed k
+    // is meaningless across scale factors when degree grows with the
+    // data. The declared output is the peeling TRAJECTORY (round,
+    // n_nodes, n_edges): on this near-uniform synthetic graph the
+    // above-p25 core is all-or-nothing (the cascade collapses it —
+    // i.e. the graph degeneracy sits below p25+1), and the trajectory
+    // is exactly the diagnostic that shows it; nonempty stable cores
+    // are pinned on structured fixtures in KCoreSpec. Per round: one
+    // degree aggregate + two endpoint semi-joins over the SHRINKING
+    // edge set, replayed as 5 chained oracle CTEs (the g16
+    // convention). Integer-only output, no float rounding anywhere.
+    Q("m13_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+        val pairs = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+          .distinct()
+        val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+          .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+          .localCheckpoint() // 5 peel rounds re-read it; don't re-join
+        val k = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .agg((floor(percentile($"deg", lit(0.25))) + 1).cast("long"))
+          .head().getLong(0)
+        graft.graph.KCore.profile(edges, k, rounds = 5)
+      },
+      Some(s"""WITH p AS (
+              |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+              |  FROM lineitem a JOIN lineitem b
+              |    ON a.l_orderkey = b.l_orderkey
+              |   AND a.l_partkey < b.l_partkey),
+              |edges AS (
+              |  SELECT pa AS src, pb AS dst FROM p
+              |  UNION ALL SELECT pb, pa FROM p),
+              |kv AS (
+              |  SELECT CAST(floor(quantile_cont(deg, 0.25)) AS BIGINT) + 1 AS k
+              |  FROM (SELECT src, count(*) AS deg FROM edges GROUP BY 1)),
+              |${graft.graph.KCore.oracleSqlSuffix("kv", 5)}
+              |${(1 to 5).map(i =>
+                   s"SELECT CAST($i AS BIGINT) AS round, " +
+                   s"count(DISTINCT src) AS n_nodes, " +
+                   s"count(*) // 2 AS n_edges FROM e_$i")
+                 .mkString("\n|UNION ALL ")}""".stripMargin)),
+
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._

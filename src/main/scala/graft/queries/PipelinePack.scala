@@ -58,6 +58,22 @@ object PipelinePack extends QueryPack {
              |WHERE cnt * 1000000 >= n * 1500
              |ORDER BY gram""".stripMargin)),
 
+    // HyperLogLog distinct-count estimate of lineitem's order keys —
+    // the engine-portable HLL (sketch.Hll scaladoc): md5-derived
+    // registers, string-keyed buckets, EXACT integer-scaled harmonic
+    // sum — so the driver hash-gates the estimate itself, where the
+    // built-in HLL++ (g15_approx) can only be rows-checked. ONE scan;
+    // combine state ≤ 4096 registers per partition regardless of key
+    // cardinality (the CMS argument, for distinct counting).
+    // HllSpec pins the accuracy contract (≤3 % on this data;
+    // theoretical RSE 1.04/√4096 ≈ 1.6 %) and the linear-counting
+    // branch at low cardinality.
+    Q("hll1_distinct",
+      (s, dir) => graft.sketch.Hll.estimate(
+        Tables.lineitem(s, dir).select(col("l_orderkey")),
+        "l_orderkey", p = 12),
+      Some(graft.sketch.Hll.oracleSql("lineitem", "l_orderkey", p = 12))),
+
     // Changelog → SCD2 dimension history: events as per-user change
     // records, consecutive same-state changes collapsed (a no-op
     // update opens no version), validity intervals chained by lead().

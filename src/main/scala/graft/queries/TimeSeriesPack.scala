@@ -551,5 +551,93 @@ object TimeSeriesPack extends QueryPack {
              |  round(l + 1e-9, 6) AS level, round(b + 1e-9, 6) AS trend,
              |  round(l + b + 1e-9, 6) AS forecast
              |FROM h
-             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)))
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
+
+    // CAPM-style beta/alpha/R² per user vs the cross-sectional market
+    // factor: per-user daily closes (the f4 argmax idiom — min/max
+    // struct, no window pass), the market = r6-rounded equal-weight
+    // mean close per day broadcast back to the panel, then the
+    // regr_slope/regr_intercept/regr_r2 aggregate family per user.
+    // Two keyed shuffles total ((user, day) bars + user regression);
+    // the day-level factor frame is calendar-bounded, hence broadcast.
+    // Closes and factor are r6-rounded BEFORE the regression so both
+    // engines regress identical doubles; the regression outputs are
+    // r4 (summation order differs inside the covariance sums).
+    Q("w24_beta",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .select($"user_id",
+            ($"t".cast("long") / lit(86400000000L)).cast("long").as("day"),
+            $"t", $"event_id", $"value")
+          .groupBy($"user_id", $"day")
+          .agg(r6(max(struct($"t", $"event_id", $"value"))("value")).as("close"))
+        val mkt = daily.groupBy($"day").agg(r6(avg($"close")).as("mkt"))
+        daily.join(broadcast(mkt), "day")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_days"),
+            r4(regr_slope($"close", $"mkt")).as("beta"),
+            r4(regr_intercept($"close", $"mkt")).as("alpha"),
+            r4(regr_r2($"close", $"mkt")).as("r2"))
+          .filter($"n_days" >= 2)
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(last(value ORDER BY t, event_id) + 1e-9, 6) AS close
+             |      FROM e GROUP BY 1, 2),
+             |m AS (SELECT day, round(avg(close) + 1e-9, 6) AS mkt
+             |      FROM d GROUP BY 1)
+             |SELECT d.user_id, count(*) AS n_days,
+             |  round(regr_slope(d.close, m.mkt) + 1e-9, 4) AS beta,
+             |  round(regr_intercept(d.close, m.mkt) + 1e-9, 4) AS alpha,
+             |  round(regr_r2(d.close, m.mkt) + 1e-9, 4) AS r2
+             |FROM d JOIN m USING (day)
+             |GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
+
+    // Spearman rank correlation (value vs volume) per user — the
+    // robust complement to g9's Pearson. Average ranks for ties come
+    // from the rank-asc/rank-desc identity
+    //   avg_rank = (rank_asc + (n + 1 - rank_desc)) / 2
+    // instead of a tie-count window keyed by (user, value): every
+    // window here partitions by user_id ALONE, so Catalyst plans ONE
+    // Exchange with per-partition sorts — a (user, value)-keyed count
+    // window would have added a second full shuffle just to resolve
+    // ties. Ranks are integers (cross-engine exact; halves are exact
+    // doubles), so only the final corr needs the r4 rounding.
+    Q("w23_spearman",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        val base = ev(s, dir)
+          .select($"user_id", $"value",
+            get_json_object($"props", "$.k").cast("double").as("vol"))
+          .filter($"vol".isNotNull)
+        val n = count(lit(1)).over(w)
+        def avgRank(c: org.apache.spark.sql.Column) =
+          (rank().over(w.orderBy(c)) +
+            (n + lit(1) - rank().over(w.orderBy(c.desc)))) / lit(2.0)
+        base
+          .withColumn("rv", avgRank($"value"))
+          .withColumn("rq", avgRank($"vol"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), r4(corr($"rv", $"rq")).as("spearman"))
+          .filter($"n" >= 2)
+      },
+      Some("""WITH e AS (SELECT user_id, value,
+             |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol
+             |  FROM events),
+             |f AS (SELECT * FROM e WHERE vol IS NOT NULL),
+             |r AS (SELECT user_id,
+             |    (rank() OVER (PARTITION BY user_id ORDER BY value)
+             |     + (count(*) OVER (PARTITION BY user_id) + 1
+             |        - rank() OVER (PARTITION BY user_id ORDER BY value DESC)))
+             |      / CAST(2.0 AS DOUBLE) AS rv,
+             |    (rank() OVER (PARTITION BY user_id ORDER BY vol)
+             |     + (count(*) OVER (PARTITION BY user_id) + 1
+             |        - rank() OVER (PARTITION BY user_id ORDER BY vol DESC)))
+             |      / CAST(2.0 AS DOUBLE) AS rq
+             |  FROM f)
+             |SELECT user_id, count(*) AS n,
+             |  round(corr(rv, rq) + 1e-9, 4) AS spearman
+             |FROM r GROUP BY 1 HAVING count(*) >= 2""".stripMargin)))
 }
