@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * localCheckpoint'ed on a depth-2 cadence so lineage stays linear.
   * No driver-side iteration state; the only driver decision is the
   * fixed round count. (Production WCC uses large-star/small-star to
-  * converge in O(log n) rounds; fixed-K min-propagation is chosen
-  * here because a second engine can replay it exactly as K chained
-  * CTEs, keeping the output hash-checkable end to end.)
+  * converge in O(log n) rounds — implemented here as [[runStars]],
+  * spec-pinned equivalent; fixed-K min-propagation remains the
+  * DECLARED form because a second engine can replay it exactly as K
+  * chained CTEs, keeping the output hash-checkable end to end.)
   */
 object Components {
 
@@ -44,6 +45,62 @@ object Components {
       if (i % 2 == 0 || i == k) labels = labels.localCheckpoint()
     }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al. 2014) — the O(log n)-round PRODUCTION
+    * path [[run]]'s scaladoc promises: min-propagation needs
+    * diameter-many rounds (a 1000-hop chain in 100 TB of web graph =
+    * 1000 shuffles), star contraction collapses the same chain in
+    * ~log² n rounds because every round re-points whole neighborhoods
+    * at their minimum, not just adjacent nodes.
+    *
+    * Round = large-star (every strictly-larger neighbor of u re-points
+    * to m = min(Γ(u) ∪ {u})) then small-star (grouped by the LARGER
+    * endpoint u, its smaller neighbors and u itself re-point to their
+    * minimum). Both are one groupBy + one join over the current edge
+    * set, which only ever shrinks toward the star forest. At the
+    * fixpoint every non-root carries exactly one edge to its component
+    * minimum.
+    *
+    * Not SQL-replayable in bounded CTEs (per-round DISTINCT over a
+    * mutating pair set), so the declared WCC query stays on [[run]] —
+    * this is the scale path, pinned equivalent to [[run]]'s fixpoint in
+    * ComponentsSpec (chain fixture where min-propagation at the same
+    * round budget is provably NOT converged, plus the real panel
+    * graph).
+    *
+    * @param edges (src, dst), both directions present (the [[run]]
+    *              contract); self-loops ignored.
+    * @return (node, label), label = component min id at the fixpoint. */
+  def runStars(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
+    var e = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val sym = e.select($"a".as("u"), $"b".as("v"))
+        .unionByName(e.select($"b".as("u"), $"a".as("v")))
+      val lm = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val ls = sym.join(lm, "u").filter($"v" > $"u")
+        .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
+        .filter($"a" =!= $"b").distinct()
+      val sm = ls.groupBy($"b").agg(min($"a").as("m"))
+        .select($"b".as("u"), $"m")
+      val ss = ls.select($"b".as("u"), $"a".as("v")).join(sm, "u")
+      e = ss.filter($"v" =!= $"m").select($"v".as("x"), $"m")
+        .unionByName(ss.select($"u".as("x"), $"m"))
+        .select(least($"x", $"m").as("a"), greatest($"x", $"m").as("b"))
+        .filter($"a" =!= $"b").distinct()
+        .localCheckpoint()
+    }
+    val parent = e.select($"b".as("node"), $"a".as("label"))
+      .groupBy($"node").agg(min($"label").as("label"))
+    nodes.join(parent, Seq("node"), "left")
+      .select($"node", coalesce($"label", $"node").as("label"))
   }
 
   /** DuckDB CTE chain replaying [[run]] on an `edges(src, dst)` CTE the

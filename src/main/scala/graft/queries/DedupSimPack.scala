@@ -677,6 +677,79 @@ object DedupSimPack extends QueryPack {
              |SELECT query_id, doc_id, n_terms, score, rank
              |FROM rk WHERE rank <= 10""".stripMargin)),
 
+    // TF-IDF cosine document-pair similarity via a df-capped inverted
+    // index — the sparse-vector complement to d5's dense-embedding
+    // near-dup. Pair enumeration joins per-term postings with
+    // df ≤ 10% of the corpus (high-df terms are pruned from the DOT
+    // only — the standard stop-term cut that bounds candidate work at
+    // Σ df² over rare terms; norms keep every term, so pruning only
+    // ever LOWERS a pair's cosine, never invents one). Weights tf·ln(N/df) are
+    // exact on both engines (integer inputs, one ln); the
+    // order-sensitive sums (norms, dots) are r6-rounded before the
+    // division and the threshold compares the rounded cosine (the d5
+    // contract). At broadcast-hostile vocabulary scale the dfq join
+    // flips to a term-keyed shuffle co-partitioned with the posting
+    // self-join.
+    Q("d11_tfidf_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+        // tf feeds dfq AND the weight join; w feeds norms AND the
+        // pair join — pin both (PersistRegistry) or each branch
+        // re-runs the tokenize+count subtree (measured: 19 Exchanges
+        // unpinned vs 3 pinned)
+        val tf = graft.io.PersistRegistry.trackPersist(
+          toks.select($"doc_id", explode($"__toks").as("term"))
+            .groupBy($"doc_id", $"term")
+            .agg(count(lit(1)).cast("double").as("tf")))
+        val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val nDocs = toks.agg(count(lit(1)).as("n_docs"))
+        val w = graft.io.PersistRegistry.trackPersist(
+          tf.join(broadcast(dfq), "term").crossJoin(broadcast(nDocs))
+            .withColumn("w", $"tf" * log($"n_docs".cast("double") / $"df")))
+        val nm = w.groupBy($"doc_id").agg(r6(sqrt(sum($"w" * $"w"))).as("nrm"))
+        // stop-term cut as a CORPUS FRACTION (df ≤ 10% of docs), not a
+        // fixed count — a fixed cap silently tightens as the corpus
+        // grows; integer predicate, so engine parity is trivial
+        val wc = w.filter($"df" * 10 <= $"n_docs")
+          .select($"doc_id", $"term", $"w")
+        val dot = wc.as("a").join(wc.as("b"),
+            $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .agg(r6(sum($"a.w" * $"b.w")).as("dot"))
+        dot
+          .join(broadcast(nm.select($"doc_id".as("id_a"), $"nrm".as("na"))),
+            "id_a")
+          .join(broadcast(nm.select($"doc_id".as("id_b"), $"nrm".as("nb"))),
+            "id_b")
+          .select($"id_a", $"id_b", r6($"dot" / ($"na" * $"nb")).as("cos"))
+          .filter($"cos" >= 0.5)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |n AS (SELECT count(*) AS n_docs FROM d),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, unnest(ts) AS term FROM d)
+             |       GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |w AS (SELECT tf.doc_id, tf.term, dfq.df, n.n_docs,
+             |        tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS w
+             |      FROM tf JOIN dfq USING (term), n),
+             |nm AS (SELECT doc_id, round(sqrt(sum(w * w)) + 1e-9, 6) AS nrm
+             |       FROM w GROUP BY 1),
+             |wc AS (SELECT doc_id, term, w FROM w WHERE df * 10 <= n_docs),
+             |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |        round(sum(a.w * b.w) + 1e-9, 6) AS dot
+             |      FROM wc a JOIN wc b
+             |        ON a.term = b.term AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |c AS (SELECT id_a, id_b,
+             |        round(p.dot / (na.nrm * nb.nrm) + 1e-9, 6) AS cos
+             |      FROM p JOIN nm na ON na.doc_id = p.id_a
+             |             JOIN nm nb ON nb.doc_id = p.id_b)
+             |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.5""".stripMargin)),
+
     // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
     // 2009) — the standard RAG-stack fusion of a lexical arm (s4's
     // BM25 top-50 for the term bag) and a dense arm (s1's cosine

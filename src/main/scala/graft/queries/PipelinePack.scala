@@ -74,6 +74,20 @@ object PipelinePack extends QueryPack {
         "l_orderkey", p = 12),
       Some(graft.sketch.Hll.oracleSql("lineitem", "l_orderkey", p = 12))),
 
+    // Grouped portable HLL — distinct users per event type, the
+    // production shape of approx-distinct (per-day/segment uniques).
+    // Register state is bounded by groups·4096 rows; ONE scan + one
+    // (group, bucket) aggregate + one group aggregate, vs the exact
+    // form's per-group key-cardinality combine state. These group
+    // cardinalities sit in the linear-counting regime (hll1 covers
+    // the raw-HLL branch); the oracle replays both branches.
+    Q("hll2_grouped",
+      (s, dir) => graft.sketch.Hll.groupedEstimate(
+        Tables.events(s, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id", p = 12),
+      Some(graft.sketch.Hll.groupedOracleSql(
+        "events", "event_type", "event_type", "user_id", p = 12))),
+
     // Changelog → SCD2 dimension history: events as per-user change
     // records, consecutive same-state changes collapsed (a no-op
     // update opens no version), validity intervals chained by lead().

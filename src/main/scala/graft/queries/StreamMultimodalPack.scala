@@ -430,6 +430,97 @@ object StreamMultimodalPack extends QueryPack {
              |FROM h
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Streaming two-sided CUSUM (the a3 recurrence over the RAW
+    // per-event series): μ/σ are calibrated per user on history (a
+    // batch aggregate, r6-rounded, shipped in the closure — the
+    // standard calibrate-then-monitor deployment), stream state is
+    // (n, s⁺, s⁻, alarms) per key. Hash-checked against a
+    // recursive-CTE replay of the identical recurrence; StreamingSpec
+    // pins cross-micro-batch state carry for the fold family.
+    Q("st16_stream_cusum",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st16_out_${counter.incrementAndGet()}"
+        val prior = Tables.events(s, dir).groupBy($"user_id")
+          .agg(r6(avg($"value")).as("mu"),
+            r6(stddev_samp($"value")).as("sd"))
+          .filter($"sd".isNotNull && $"sd" > 0)
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+          .toMap
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", $"ts".as("t"), $"event_id", $"value")
+          .as[StreamOps.ValueEvent]
+        val q = StreamOps.cusumStream(stream, prior)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name)
+          .groupBy($"user_id")
+          .agg(max(struct($"n_obs", $"n_alarms", $"sp", $"sn")).as("f"))
+          .select($"user_id", $"f.n_obs".as("n_obs"),
+            $"f.n_alarms".as("n_alarms"),
+            r6($"f.sp").as("sp_end"), r6($"f.sn").as("sn_end"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
+             |st AS (SELECT user_id, round(avg(value) + 1e-9, 6) AS mu,
+             |        round(stddev_samp(value) + 1e-9, 6) AS sd
+             |      FROM e GROUP BY 1),
+             |o AS (SELECT e.user_id, e.value AS y, st.mu, st.sd,
+             |        row_number() OVER (PARTITION BY e.user_id
+             |          ORDER BY t, event_id) AS rn
+             |      FROM e JOIN st USING (user_id)
+             |      WHERE st.sd IS NOT NULL AND st.sd > 0),
+             |c AS (
+             |  SELECT user_id, rn, mu, sd,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) > 4.0 * sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) > 4.0 * sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) END AS sp,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) > 4.0 * sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) > 4.0 * sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) END AS sn,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) + (y - mu) - 0.5 * sd) > 4.0 * sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             CAST(0.0 AS DOUBLE) - (y - mu) - 0.5 * sd) > 4.0 * sd
+             |         THEN 1 ELSE 0 END AS al
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.rn, o.mu, o.sd,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             c.sp + (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             c.sn - (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           c.sp + (o.y - o.mu) - 0.5 * o.sd) END,
+             |    CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             c.sp + (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             c.sn - (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |         THEN CAST(0.0 AS DOUBLE)
+             |         ELSE greatest(CAST(0.0 AS DOUBLE),
+             |           c.sn - (o.y - o.mu) - 0.5 * o.sd) END,
+             |    c.al + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+             |             c.sp + (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |           OR greatest(CAST(0.0 AS DOUBLE),
+             |             c.sn - (o.y - o.mu) - 0.5 * o.sd) > 4.0 * o.sd
+             |         THEN 1 ELSE 0 END
+             |  FROM c JOIN o ON o.user_id = c.user_id AND o.rn = c.rn + 1)
+             |SELECT user_id, rn AS n_obs, CAST(al AS BIGINT) AS n_alarms,
+             |  round(sp + 1e-9, 6) AS sp_end, round(sn + 1e-9, 6) AS sn_end
+             |FROM c
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
+
     Q("st4_stream_rolling",
       (s, dir) => {
         import s.implicits._

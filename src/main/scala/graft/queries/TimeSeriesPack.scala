@@ -639,5 +639,54 @@ object TimeSeriesPack extends QueryPack {
              |  FROM f)
              |SELECT user_id, count(*) AS n,
              |  round(corr(rv, rq) + 1e-9, 4) AS spearman
-             |FROM r GROUP BY 1 HAVING count(*) >= 2""".stripMargin)))
+             |FROM r GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
+
+    // Historical VaR(95) + Expected Shortfall per user over daily
+    // close returns — the canonical tail-risk pair. ES is the mean of
+    // returns at or below the VaR cutoff, with the cutoff r6-rounded
+    // BEFORE the comparison on both engines (the f5 med/mad pattern),
+    // so tail membership is decided on identical doubles. Shuffle
+    // story: daily bars (1), returns window + percentile on the same
+    // user partitioning, then the per-user cutoff frame (user-dim
+    // sized) broadcast back for the tail scan — no fact re-shuffle.
+    Q("w25_var_es",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .select($"user_id",
+            ($"t".cast("long") / lit(86400000000L)).cast("long").as("day"),
+            $"t", $"event_id", $"value")
+          .groupBy($"user_id", $"day")
+          .agg(r6(max(struct($"t", $"event_id", $"value"))("value")).as("close"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val rets = daily
+          .withColumn("prev", lag($"close", 1).over(w))
+          .filter($"prev".isNotNull && $"prev" =!= 0.0)
+          .select($"user_id", r6($"close" / $"prev" - lit(1.0)).as("ret"))
+        val cut = rets.groupBy($"user_id")
+          .agg(r6(percentile($"ret", lit(0.05))).as("var95"))
+        rets.join(broadcast(cut), "user_id")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            min($"var95").as("var95"),
+            r4(avg(when($"ret" <= $"var95", $"ret"))).as("es95"))
+          .filter($"n" >= 20)
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(last(value ORDER BY t, event_id) + 1e-9, 6) AS close
+             |      FROM e GROUP BY 1, 2),
+             |r AS (SELECT user_id,
+             |        round(close / lag(close) OVER w - 1.0 + 1e-9, 6) AS ret,
+             |        lag(close) OVER w AS prev
+             |      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+             |f AS (SELECT user_id, ret FROM r
+             |      WHERE prev IS NOT NULL AND prev <> 0),
+             |v AS (SELECT user_id,
+             |        round(quantile_cont(ret, 0.05) + 1e-9, 6) AS var95
+             |      FROM f GROUP BY 1)
+             |SELECT f.user_id, count(*) AS n, min(v.var95) AS var95,
+             |  round(avg(ret) FILTER (ret <= v.var95) + 1e-9, 4) AS es95
+             |FROM f JOIN v USING (user_id)
+             |GROUP BY 1 HAVING count(*) >= 20""".stripMargin)))
 }

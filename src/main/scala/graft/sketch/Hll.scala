@@ -48,6 +48,15 @@ object Hll {
   /** (bucket, r) register frame: one row per NON-EMPTY register.
     * `keyCol` is hashed as its string rendering. */
   def registers(items: DataFrame, keyCol: String, p: Int): DataFrame = {
+    val (bucket, rank) = hashCols(keyCol, p)
+    items.select(bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** (bucket, rank) expressions for one key — the portable register
+    * derivation shared by the global and grouped estimators. */
+  private def hashCols(keyCol: String, p: Int): (Column, Column) = {
     require(p % 4 == 0 && p >= 4 && p <= 24, s"p=$p must be a multiple of 4 in [4,24]")
     val h = md5(col(keyCol).cast("string"))
     val tail = substring(h, p / 4 + 1, 16)
@@ -57,11 +66,7 @@ object Hll {
       .when(firstNz.isin("4", "5", "6", "7"), 1)
       .when(firstNz.isin("2", "3"), 2)
       .otherwise(3) // '1', or the 2^-64-probability all-zero tail
-    items
-      .select(substring(h, 1, p / 4).as("bucket"),
-        (zhex * lit(4) + extra + lit(1)).as("rank"))
-      .groupBy(col("bucket"))
-      .agg(max(col("rank")).as("r"))
+    (substring(h, 1, p / 4), zhex * lit(4) + extra + lit(1))
   }
 
   /** One-row estimate frame: (m, v_nonzero, zsum40, estimate).
@@ -79,6 +84,30 @@ object Hll {
           + lit(1e-9), 4).as("estimate"))
   }
 
+  /** Per-group estimates: one row per distinct `groupCol` value —
+    * (group, m, v_nonzero, zsum40, estimate). The production shape
+    * (distinct users per day/segment/shard): register state is ≤ m
+    * rows PER GROUP, so combine state is bounded by groups·m — still
+    * key-cardinality-independent — and the whole thing is ONE scan +
+    * one (group, bucket)-keyed aggregate + one group aggregate. */
+  def groupedEstimate(items: DataFrame, groupCol: String, keyCol: String,
+                      p: Int = 12): DataFrame = {
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val (bucket, rank) = hashCols(keyCol, p)
+    items
+      .select(col(groupCol), bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("v_nonzero"),
+        sum(floor(pow(lit(2.0), lit(40) - col("r"))).cast("long")).as("zsum40"))
+      .select(col(groupCol), lit(1L << p).as("m"), col("v_nonzero"),
+        col("zsum40"),
+        round(estimateExpr(col("zsum40"), col("v_nonzero"), m, alpha)
+          + lit(1e-9), 4).as("estimate"))
+  }
+
   private def estimateExpr(zsum40: Column, vNonzero: Column,
                            m: Double, alpha: Double): Column = {
     val z = zsum40.cast("double") / pow(lit(2.0), lit(40)) +
@@ -87,6 +116,49 @@ object Hll {
     val vEmpty = lit(m) - vNonzero.cast("double")
     when(raw <= lit(2.5) * lit(m) && vEmpty > 0,
       lit(m) * log(lit(m) / vEmpty)).otherwise(raw)
+  }
+
+  /** DuckDB SQL computing the identical per-group estimates; the
+    * group output column is named `groupAlias` (match the Spark
+    * frame's group column). */
+  def groupedOracleSql(from: String, groupExpr: String, groupAlias: String,
+                       keyExpr: String, p: Int = 12): String = {
+    require(p % 4 == 0 && p >= 4 && p <= 24)
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val pre = p / 4
+    s"""WITH h AS (SELECT $groupExpr AS g,
+       |    md5(CAST($keyExpr AS VARCHAR)) AS h FROM $from),
+       |rk AS (SELECT g, substring(h, 1, $pre) AS bucket,
+       |    4 * length(regexp_extract(substring(h, $pre + 1, 16), '^0*'))
+       |    + (CASE WHEN substring(regexp_replace(substring(h, $pre + 1, 16),
+       |                 '^0+', ''), 1, 1)
+       |              IN ('8','9','a','b','c','d','e','f') THEN 0
+       |            WHEN substring(regexp_replace(substring(h, $pre + 1, 16),
+       |                 '^0+', ''), 1, 1) IN ('4','5','6','7') THEN 1
+       |            WHEN substring(regexp_replace(substring(h, $pre + 1, 16),
+       |                 '^0+', ''), 1, 1) IN ('2','3') THEN 2
+       |            ELSE 3 END) + 1 AS rank
+       |  FROM h),
+       |regs AS (SELECT g, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+       |agg AS (SELECT g, count(*) AS v_nonzero,
+       |    CAST(sum(CAST(floor(power(2.0, 40 - r)) AS BIGINT)) AS BIGINT)
+       |      AS zsum40
+       |  FROM regs GROUP BY 1),
+       |est AS (SELECT g, v_nonzero, zsum40,
+       |    CAST($alpha AS DOUBLE) * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
+       |      / (CAST(zsum40 AS DOUBLE) / power(2.0, 40)
+       |         + (CAST($m AS DOUBLE) - CAST(v_nonzero AS DOUBLE))) AS raw,
+       |    CAST($m AS DOUBLE) - CAST(v_nonzero AS DOUBLE) AS v_empty
+       |  FROM agg)
+       |SELECT g AS $groupAlias, CAST(${1L << p} AS BIGINT) AS m,
+       |  v_nonzero, zsum40,
+       |  round((CASE WHEN raw <= CAST(2.5 AS DOUBLE) * CAST($m AS DOUBLE)
+       |           AND v_empty > 0
+       |         THEN CAST($m AS DOUBLE)
+       |           * ln(CAST($m AS DOUBLE) / v_empty) ELSE raw END) + 1e-9, 4)
+       |    AS estimate
+       |FROM est""".stripMargin
   }
 
   /** DuckDB SQL computing the identical one-row estimate over

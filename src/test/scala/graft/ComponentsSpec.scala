@@ -54,5 +54,35 @@ class ComponentsSpec extends AnyFunSuite {
     val at8 = Components.run(edges, k = 8)
     assert(at7.exceptAll(at8).isEmpty && at8.exceptAll(at7).isEmpty,
       "round 8 must equal round 7 — k=8 is claimed to be past the fixpoint")
+    // the star-contraction scale path lands on the same fixpoint
+    val stars = Components.runStars(edges, rounds = 6)
+    assert(stars.exceptAll(at8).isEmpty && at8.exceptAll(stars).isEmpty,
+      "runStars must match min-propagation's fixpoint on the panel graph")
+  }
+
+  test("star contraction collapses a 64-chain in O(log n) rounds, " +
+      "where min-propagation at the same budget provably has not converged") {
+    val chain = sym((1L to 63L).map(i => (i, i + 1)): _*)
+    val stars = Components.runStars(chain, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(stars === (1L to 64L).map(_ -> 1L).toMap,
+      "6 star rounds must fully collapse the 64-chain")
+    // min-propagation moves the min label one hop per round: node 64
+    // still carries label 64-6=58 after 6 rounds, and needs all 63
+    val prop6 = Components.run(chain, k = 6)
+      .filter($"node" === 64L).head().getLong(1)
+    assert(prop6 === 58L,
+      "min-propagation at 6 rounds must NOT have converged on the chain")
+  }
+
+  test("star contraction handles forests, isolated-star inputs, and min roots") {
+    // two components with interleaved ids + a pre-collapsed star
+    val g = sym((5L, 9L), (9L, 2L), (7L, 3L), (3L, 11L), (20L, 21L),
+      (20L, 22L), (20L, 23L))
+    val got = Components.runStars(g, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(5L -> 2L, 9L -> 2L, 2L -> 2L,
+      7L -> 3L, 3L -> 3L, 11L -> 3L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 }

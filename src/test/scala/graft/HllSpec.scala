@@ -52,6 +52,18 @@ class HllSpec extends AnyFunSuite {
     assert(a == b, s"layout changed the sketch: $a vs $b")
   }
 
+  test("grouped estimate == the global estimate of each group alone") {
+    val df = spark.range(0, 3000)
+      .select(($"id" % 3).cast("string").as("g"), ($"id" * 31 + 7).as("k"))
+    val grouped = Hll.groupedEstimate(df, "g", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for (g <- Seq("0", "1", "2")) {
+      val solo = Hll.estimate(df.filter($"g" === g), "k")
+        .select($"estimate").head().getDouble(0)
+      assert(grouped(g) == solo, s"group $g diverged from its solo estimate")
+    }
+  }
+
   test("register contract: rank derives from hex leading zeros") {
     // the md5 of "0" is cfcd208495d565ef66e7dff9f98764da: with p=12 the
     // bucket is "cfc" and the 64-bit tail starts at 'd' (no leading
