@@ -88,6 +88,21 @@ object PipelinePack extends QueryPack {
       Some(graft.sketch.Hll.groupedOracleSql(
         "events", "event_type", "event_type", "user_id", p = 12))),
 
+    // Histogram-sketch quantiles (p50/p90/p99 of lineitem's extended
+    // price): two bounded-state aggregates instead of the full sort
+    // exact `percentile` needs — combine state ≤ 2048 cells per
+    // partition, error deterministically ≤ one bucket width
+    // (HistQuantile scaladoc; HistQuantileSpec pins the bound against
+    // exact percentiles). Like hll1, the ESTIMATE hash-checks —
+    // `approx_percentile` can't cross an engine boundary.
+    Q("g17_approx_quantile",
+      (s, dir) => graft.sketch.HistQuantile.quantiles(
+        Tables.lineitem(s, dir).select(col("l_extendedprice")),
+        "l_extendedprice", nBins = 2048, qs = Seq(0.5, 0.9, 0.99)),
+      Some(graft.sketch.HistQuantile.oracleSql(
+        "lineitem", "l_extendedprice", nBins = 2048,
+        qs = Seq(0.5, 0.9, 0.99)))),
+
     // Changelog → SCD2 dimension history: events as per-user change
     // records, consecutive same-state changes collapsed (a no-op
     // update opens no version), validity intervals chained by lead().

@@ -521,6 +521,31 @@ object StreamMultimodalPack extends QueryPack {
              |FROM c
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Streaming HyperLogLog: the portable HLL with the STREAM keyed by
+    // register bucket — per-key state is ONE int (max rank), key count
+    // capped at 4096, and because max is order-insensitive the
+    // streaming estimate replays the unchanged batch oracle with no
+    // event-time caveat (StreamOps.hllRegisterStream scaladoc). The
+    // distinct-counted key is event_id: a replay/dedup counter over
+    // the stream.
+    Q("st17_stream_hll",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st17_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val regs = graft.sketch.Hll.withRegisterCols(stream, "event_id", 12)
+          .select($"bucket", $"rank".cast("int").as("rank"))
+          .as[StreamOps.RegisterRow]
+        val q = StreamOps.hllRegisterStream(regs)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        graft.sketch.Hll.estimateFromRegisters(
+          s.table(name).groupBy($"bucket").agg(max($"r").as("r")), 12)
+      },
+      Some(graft.sketch.Hll.oracleSql("events", "event_id", p = 12))),
+
     Q("st4_stream_rolling",
       (s, dir) => {
         import s.implicits._

@@ -1,0 +1,80 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate quantiles from an equi-width histogram sketch — the
+  * one-pass-aggregate answer to "p99 of a column over 100 TB".
+  *
+  * Exact `percentile` materializes and sorts every value per group;
+  * at fact-table scale that sort IS the job. The histogram sketch is
+  * two ordinary aggregates: a (min, max, n) scalar pass, then a
+  * bucket-count pass whose combine state is ≤ nBins cells per
+  * partition (the CMS/HLL bounded-state argument, for quantiles).
+  * The quantile is then read off the ≤ nBins cumulative histogram
+  * with linear interpolation inside the straddling bucket:
+  *
+  *   est(q) = vmin + width · (bucket + (q·n − cumBefore) / cnt)
+  *
+  * Error is bounded by ONE BUCKET WIDTH (= (max−min)/nBins) in value
+  * space — a deterministic bound, unlike sampled sketches
+  * (HistQuantileSpec pins it against exact percentiles). Determinism:
+  * bucket assignment and interpolation are identical IEEE expressions
+  * on exact integer counts in both engines, so the estimate itself
+  * hash-checks (the Hll/CountMin portability contract; Spark's
+  * `approx_percentile` is rows-only checkable for the same reason
+  * HLL++ is). Degenerate input (vmax == vmin) is the caller's guard.
+  */
+object HistQuantile {
+
+  /** (q, est) rows, one per requested quantile, qs ∈ (0, 1). */
+  def quantiles(df: DataFrame, valueCol: String, nBins: Int,
+                qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol)
+    val stats = df.agg(min(v).as("vmin"), max(v).as("vmax"),
+      count(lit(1)).as("n"))
+    val cnts = df.crossJoin(broadcast(stats))
+      .select(least(floor((v - $"vmin") / (($"vmax" - $"vmin") / lit(nBins))),
+        lit((nBins - 1).toLong)).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+    // the cumulative walk runs over the ≤ nBins-row histogram, never
+    // the data — the single-partition window is sketch-sized
+    val cum = cnts
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"bucket")))
+      .crossJoin(broadcast(stats))
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter($"cum" >= $"q" * $"n" && ($"cum" - $"cnt") < $"q" * $"n")
+      .select($"q",
+        round($"vmin" + (($"vmax" - $"vmin") / lit(nBins))
+          * ($"bucket" + ($"q" * $"n" - ($"cum" - $"cnt")) / $"cnt")
+          + lit(1e-9), 6).as("est"))
+  }
+
+  /** DuckDB SQL replaying the identical sketch + interpolation over
+    * `SELECT <valueExpr> AS v FROM <from>`. */
+  def oracleSql(from: String, valueExpr: String, nBins: Int,
+                qs: Seq[Double]): String = {
+    val qRows = qs.map(q => s"SELECT CAST($q AS DOUBLE) AS q")
+      .mkString(" UNION ALL ")
+    s"""WITH src AS (SELECT $valueExpr AS v FROM $from),
+       |s AS (SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM src),
+       |b AS (SELECT least(floor((v - vmin) / ((vmax - vmin) / $nBins)),
+       |        $nBins - 1) AS bucket
+       |      FROM src, s),
+       |c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+       |cum AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum
+       |        FROM c),
+       |qv AS ($qRows)
+       |SELECT qv.q,
+       |  round(s.vmin + ((s.vmax - s.vmin) / $nBins)
+       |    * (cum.bucket + (qv.q * s.n - (cum.cum - cum.cnt)) / cum.cnt)
+       |    + 1e-9, 6) AS est
+       |FROM qv, cum, s
+       |WHERE cum.cum >= qv.q * s.n
+       |  AND (cum.cum - cum.cnt) < qv.q * s.n""".stripMargin
+  }
+}

@@ -73,15 +73,31 @@ object Hll {
     * `zsum40` is the exact integer-scaled harmonic sum (×2^40) — part
     * of the output so the oracle checks the sketch state, not just the
     * rounded estimate. */
-  def estimate(items: DataFrame, keyCol: String, p: Int = 12): DataFrame = {
+  def estimate(items: DataFrame, keyCol: String, p: Int = 12): DataFrame =
+    estimateFromRegisters(registers(items, keyCol, p), p)
+
+  /** The register→estimate reduction alone, for callers that maintain
+    * the (bucket, r) register table themselves — e.g. the STREAMING
+    * form, where each register is one stateful key holding a single
+    * int (see st17): HLL registers are a max-merge CRDT, so a
+    * streaming max per bucket IS the batch sketch of everything seen. */
+  def estimateFromRegisters(regs: DataFrame, p: Int = 12): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 24, s"p=$p")
     val m = (1 << p).toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m) // standard for m >= 128
-    registers(items, keyCol, p)
+    regs
       .agg(count(lit(1)).as("v_nonzero"),
         sum(floor(pow(lit(2.0), lit(40) - col("r"))).cast("long")).as("zsum40"))
       .select(lit(1L << p).as("m"), col("v_nonzero"), col("zsum40"),
         round(estimateExpr(col("zsum40"), col("v_nonzero"), m, alpha)
           + lit(1e-9), 4).as("estimate"))
+  }
+
+  /** (bucket, rank) columns appended for one key column — the
+    * streaming entry point ([[registers]] without the aggregate). */
+  def withRegisterCols(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    val (bucket, rank) = hashCols(keyCol, p)
+    df.select(bucket.as("bucket"), rank.as("rank"))
   }
 
   /** Per-group estimates: one row per distinct `groupCol` value —

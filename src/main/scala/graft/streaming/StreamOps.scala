@@ -216,6 +216,30 @@ object StreamOps {
       }
   }
 
+  case class RegisterRow(bucket: String, rank: Int)
+  case class RegisterOut(bucket: String, r: Int)
+
+  /** Streaming HyperLogLog registers: HLL register state is a
+    * max-merge CRDT, so keying the stream BY REGISTER BUCKET and
+    * keeping a running max rank per bucket IS the batch sketch of
+    * everything ever seen — state per key is a single int, key
+    * cardinality is capped at m = 2^p, and the emitted per-batch
+    * register values dedupe downstream with a plain max. The batch
+    * hll1 oracle checks the streaming estimate unchanged (st17):
+    * streaming ≡ batch for free because max is order-insensitive —
+    * no event-time ordering caveat at all, unlike the fold family. */
+  def hllRegisterStream(regs: Dataset[RegisterRow]): Dataset[RegisterOut] = {
+    import regs.sparkSession.implicits._
+    regs.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[RegisterRow], state: GroupState[Int]) =>
+          var mx = state.getOption.getOrElse(0)
+          rows.foreach(r => if (r.rank > mx) mx = r.rank)
+          state.update(mx)
+          Iterator.single(RegisterOut(bucket, mx))
+      }
+  }
+
   case class CusumState(n: Long, sp: Double, sn: Double, al: Long)
   case class CusumPoint(user_id: Long, n_obs: Long, n_alarms: Long,
                         sp: Double, sn: Double)
