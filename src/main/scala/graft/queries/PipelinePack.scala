@@ -88,6 +88,29 @@ object PipelinePack extends QueryPack {
       Some(graft.sketch.Hll.groupedOracleSql(
         "events", "event_type", "event_type", "user_id", p = 12))),
 
+    // HLL MERGE — the property that makes sketches the 100 TB answer:
+    // registers from independently-sketched sources (lineitem's order
+    // keys, orders' order keys) max-merge into the sketch OF THE
+    // UNION without touching raw data again — partial sketches per
+    // partition/day/shard combine associatively, so distinct-count
+    // rollups need no re-scan. The oracle replays both register sets
+    // and the same max-merge in SQL; HllSpec pins merge == sketch of
+    // concatenation exactly (register-level equality).
+    Q("hll3_union",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.max
+        val a = graft.sketch.Hll.registers(
+          Tables.lineitem(s, dir).select(col("l_orderkey").as("k")), "k", 12)
+        val b = graft.sketch.Hll.registers(
+          Tables.orders(s, dir).select(col("o_orderkey").as("k")), "k", 12)
+        graft.sketch.Hll.estimateFromRegisters(
+          a.unionByName(b).groupBy(col("bucket"))
+            .agg(max(col("r")).as("r")), 12)
+      },
+      Some(graft.sketch.Hll.oracleSql(
+        "(SELECT l_orderkey AS k FROM lineitem " +
+          "UNION ALL SELECT o_orderkey FROM orders)", "k", p = 12))),
+
     // Histogram-sketch quantiles (p50/p90/p99 of lineitem's extended
     // price): two bounded-state aggregates instead of the full sort
     // exact `percentile` needs — combine state ≤ 2048 cells per

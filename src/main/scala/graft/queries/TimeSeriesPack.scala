@@ -688,5 +688,56 @@ object TimeSeriesPack extends QueryPack {
              |SELECT f.user_id, count(*) AS n, min(v.var95) AS var95,
              |  round(avg(ret) FILTER (ret <= v.var95) + 1e-9, 4) AS es95
              |FROM f JOIN v USING (user_id)
-             |GROUP BY 1 HAVING count(*) >= 20""".stripMargin)))
+             |GROUP BY 1 HAVING count(*) >= 20""".stripMargin)),
+
+    // Classic additive decomposition y = trend + seasonal + residual
+    // per user over the daily series: trend = centered 7-day moving
+    // average (full windows only), weekly seasonal = mean of the
+    // detrended values per day-of-week, residual = the rest. Trend
+    // and seasonal are r4-rounded BEFORE entering downstream
+    // arithmetic — window/group aggregates sum in engine-specific
+    // order (DuckDB's segment-tree window vs Spark's sliding
+    // aggregator), so each tier re-canonicalizes; the residual is
+    // then per-row arithmetic on identical doubles. Two shuffles
+    // (user for the daily bars + trend window; (user, dow) for the
+    // seasonal window).
+    Q("w26_decompose",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        val wt = Window.partitionBy($"user_id").orderBy($"day")
+          .rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("trend",
+            when(count($"y").over(wt) === 7, r4(avg($"y").over(wt))))
+          .withColumn("detr", $"y" - $"trend")
+        val ws = Window.partitionBy($"user_id", ($"day" % 7).as("dow"))
+        trended
+          .withColumn("seasonal",
+            when($"detr".isNotNull, r4(avg($"detr").over(ws))))
+          .select($"user_id", $"day", $"y", $"trend", $"seasonal",
+            r6($"detr" - $"seasonal").as("residual"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(sum(value) + 1e-9, 6) AS y
+             |      FROM e GROUP BY 1, 2),
+             |tr AS (SELECT user_id, day, y,
+             |        CASE WHEN count(y) OVER w7 = 7
+             |          THEN round(avg(y) OVER w7 + 1e-9, 4) END AS trend
+             |      FROM d
+             |      WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+             |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |dt AS (SELECT *, y - trend AS detr FROM tr),
+             |se AS (SELECT *,
+             |        CASE WHEN detr IS NOT NULL THEN
+             |          round(avg(detr) OVER (PARTITION BY user_id, day % 7)
+             |            + 1e-9, 4) END AS seasonal
+             |      FROM dt)
+             |SELECT user_id, day, y, trend, seasonal,
+             |  round(detr - seasonal + 1e-9, 6) AS residual
+             |FROM se""".stripMargin)))
 }

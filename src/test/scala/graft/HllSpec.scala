@@ -64,6 +64,17 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("max-merge of partial sketches == the sketch of the concatenation") {
+    import org.apache.spark.sql.functions.max
+    val a = spark.range(0, 4000).select(($"id" * 13 + 1).as("k"))
+    val b = spark.range(0, 4000).select(($"id" * 17 + 5).as("k"))
+    val merged = Hll.registers(a, "k", 12).unionByName(Hll.registers(b, "k", 12))
+      .groupBy($"bucket").agg(max($"r").as("r"))
+    val whole = Hll.registers(a.unionByName(b), "k", 12)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged registers must equal the union's registers exactly")
+  }
+
   test("register contract: rank derives from hex leading zeros") {
     // the md5 of "0" is cfcd208495d565ef66e7dff9f98764da: with p=12 the
     // bucket is "cfc" and the 64-bit tail starts at 'd' (no leading
