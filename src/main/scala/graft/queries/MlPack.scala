@@ -513,6 +513,56 @@ object MlPack extends QueryPack {
                    s"count(*) // 2 AS n_edges FROM e_$i")
                  .mkString("\n|UNION ALL ")}""".stripMargin)),
 
+    // M14 (beyond-reference): degree assortativity of the correlation
+    // graph — Pearson r of (deg(src), deg(dst)) over the directed edge
+    // list (each undirected edge counted both ways, the standard
+    // Newman 2002 estimator) — positive = hub-hub mixing, negative =
+    // hub-leaf. One degree aggregate broadcast onto the edge list +
+    // one global aggregate; rides the shared memoized corrGraph like
+    // m11/m12/g16.
+    Q("m14_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        val dstats = deg.agg(count(lit(1)).as("n_nodes"),
+          r4(avg($"deg")).as("avg_deg"))
+        edges
+          .join(broadcast(deg.select($"node".as("src"), $"deg".as("ds"))),
+            "src")
+          .join(broadcast(deg.select($"node".as("dst"), $"deg".as("dd"))),
+            "dst")
+          .agg(count(lit(1)).as("n_dir_edges"),
+            r4(corr($"ds", $"dd")).as("assortativity"))
+          .crossJoin(broadcast(dstats))
+          .select($"n_nodes", $"n_dir_edges", $"avg_deg", $"assortativity")
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+             |    sum(value) AS v
+             |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+             |c AS (
+             |  SELECT a.user_id AS ka, b.user_id AS kb,
+             |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+             |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+             |  GROUP BY 1, 2),
+             |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+             |edges AS (
+             |  SELECT ka AS src, kb AS dst FROM e0
+             |  UNION ALL SELECT kb, ka FROM e0),
+             |deg AS (SELECT src AS node, count(*) AS deg
+             |        FROM edges GROUP BY 1),
+             |ds AS (SELECT count(*) AS n_nodes,
+             |         round(avg(deg) + 1e-9, 4) AS avg_deg FROM deg)
+             |SELECT ds.n_nodes, count(*) AS n_dir_edges, ds.avg_deg,
+             |  round(corr(sd.deg, dd.deg) + 1e-9, 4) AS assortativity
+             |FROM edges e
+             |JOIN deg sd ON sd.node = e.src
+             |JOIN deg dd ON dd.node = e.dst, ds
+             |GROUP BY ds.n_nodes, ds.avg_deg""".stripMargin)),
+
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._

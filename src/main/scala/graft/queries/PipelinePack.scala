@@ -126,6 +126,18 @@ object PipelinePack extends QueryPack {
         "lineitem", "l_extendedprice", nBins = 2048,
         qs = Seq(0.5, 0.9, 0.99)))),
 
+    // Per-group histogram quantiles — p50/p99 of `value` per event
+    // type, the per-key latency-percentile shape every observability
+    // pipeline runs. Same bounded-state sketch as g17 with group-dim
+    // stats broadcast back; combine state ≤ groups·1024 cells.
+    Q("g18_grouped_quantile",
+      (s, dir) => graft.sketch.HistQuantile.groupedQuantiles(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", nBins = 1024, qs = Seq(0.5, 0.99)),
+      Some(graft.sketch.HistQuantile.groupedOracleSql(
+        "events", "event_type", "event_type", "value",
+        nBins = 1024, qs = Seq(0.5, 0.99)))),
+
     // Changelog → SCD2 dimension history: events as per-user change
     // records, consecutive same-state changes collapsed (a no-op
     // update opens no version), validity intervals chained by lead().

@@ -739,5 +739,58 @@ object TimeSeriesPack extends QueryPack {
              |      FROM dt)
              |SELECT user_id, day, y, trend, seasonal,
              |  round(detr - seasonal + 1e-9, 6) AS residual
-             |FROM se""".stripMargin)))
+             |FROM se""".stripMargin)),
+
+    // AR(1) mean-reversion per user: φ = regr_slope(y_t, y_{t-1}) on
+    // daily closes, half-life = −ln 2 / ln φ (defined only for
+    // 0 < φ < 1 — a non-mean-reverting series reports NULL), and the
+    // equilibrium level intercept / (1 − φ) — the Ornstein–Uhlenbeck
+    // discretization pairs-trading screens run. One user-keyed
+    // shuffle: the lag window and the regression aggregate share the
+    // partitioning. φ/intercept are r4 (covariance-sum order);
+    // half-life and equilibrium derive from the ROUNDED φ on both
+    // engines, so the nonlinear ln/division amplification stays
+    // cross-engine exact.
+    Q("w27_halflife",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        daily
+          .withColumn("prev", lag($"y", 1).over(w))
+          .filter($"prev".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            r4(regr_slope($"y", $"prev")).as("phi"),
+            r4(regr_intercept($"y", $"prev")).as("c0"))
+          .filter($"n_pairs" >= 10)
+          .select($"user_id", $"n_pairs", $"phi", $"c0",
+            r6(when($"phi" > 0 && $"phi" < 1,
+              -log(lit(2.0)) / log($"phi"))).as("halflife_days"),
+            r6(when($"phi" =!= 1.0, $"c0" / (lit(1.0) - $"phi")))
+              .as("equilibrium"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(sum(value) + 1e-9, 6) AS y
+             |      FROM e GROUP BY 1, 2),
+             |l AS (SELECT user_id, y,
+             |        lag(y) OVER (PARTITION BY user_id ORDER BY day) AS prev
+             |      FROM d),
+             |r AS (SELECT user_id, count(*) AS n_pairs,
+             |        round(regr_slope(y, prev) + 1e-9, 4) AS phi,
+             |        round(regr_intercept(y, prev) + 1e-9, 4) AS c0
+             |      FROM l WHERE prev IS NOT NULL
+             |      GROUP BY 1 HAVING count(*) >= 10)
+             |SELECT user_id, n_pairs, phi, c0,
+             |  round(CASE WHEN phi > 0 AND phi < 1
+             |        THEN -ln(CAST(2.0 AS DOUBLE)) / ln(phi) END + 1e-9, 6)
+             |    AS halflife_days,
+             |  round(CASE WHEN phi <> 1.0
+             |        THEN c0 / (CAST(1.0 AS DOUBLE) - phi) END + 1e-9, 6)
+             |    AS equilibrium
+             |FROM r""".stripMargin)))
 }

@@ -54,6 +54,64 @@ object HistQuantile {
           + lit(1e-9), 6).as("est"))
   }
 
+  /** Per-group quantiles: (group, q, est) — the per-key p99 shape
+    * (latency by endpoint, price by segment). Group stats are a
+    * group-dimension aggregate broadcast back to the scan; bucket
+    * counts carry ≤ groups·nBins combine state; the cumulative walk
+    * and interpolation run on the sketch-sized histogram frame. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val stats = df.groupBy(g).agg(min(v).as("vmin"), max(v).as("vmax"),
+      count(lit(1)).as("n"))
+    val cnts = df.join(broadcast(stats), Seq(groupCol))
+      .select(g, least(floor((v - $"vmin") / (($"vmax" - $"vmin") / lit(nBins))),
+        lit((nBins - 1).toLong)).as("bucket"))
+      .groupBy(g, $"bucket").agg(count(lit(1)).as("cnt"))
+    val cum = cnts
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy(g).orderBy($"bucket")))
+      .join(broadcast(stats), Seq(groupCol))
+    cum.crossJoin(broadcast(qs.toDF("q")))
+      .filter($"cum" >= $"q" * $"n" && ($"cum" - $"cnt") < $"q" * $"n")
+      .select(g, $"q",
+        round($"vmin" + (($"vmax" - $"vmin") / lit(nBins))
+          * ($"bucket" + ($"q" * $"n" - ($"cum" - $"cnt")) / $"cnt")
+          + lit(1e-9), 6).as("est"))
+  }
+
+  /** DuckDB SQL replaying [[groupedQuantiles]]; the group output
+    * column is named `groupAlias`. */
+  def groupedOracleSql(from: String, groupExpr: String, groupAlias: String,
+                       valueExpr: String, nBins: Int,
+                       qs: Seq[Double]): String = {
+    val qRows = qs.map(q => s"SELECT CAST($q AS DOUBLE) AS q")
+      .mkString(" UNION ALL ")
+    s"""WITH src AS (SELECT $groupExpr AS g, $valueExpr AS v FROM $from),
+       |s AS (SELECT g, min(v) AS vmin, max(v) AS vmax, count(*) AS n
+       |      FROM src GROUP BY 1),
+       |b AS (SELECT src.g,
+       |        least(floor((v - vmin) / ((vmax - vmin) / $nBins)),
+       |          $nBins - 1) AS bucket
+       |      FROM src JOIN s USING (g)),
+       |c AS (SELECT g, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (SELECT g, bucket, cnt,
+       |          sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum
+       |        FROM c),
+       |qv AS ($qRows)
+       |SELECT cum.g AS $groupAlias, qv.q,
+       |  round(s.vmin + ((s.vmax - s.vmin) / $nBins)
+       |    * (cum.bucket + (qv.q * s.n - (cum.cum - cum.cnt)) / cum.cnt)
+       |    + 1e-9, 6) AS est
+       |FROM qv, cum JOIN s USING (g)
+       |WHERE cum.cum >= qv.q * s.n
+       |  AND (cum.cum - cum.cnt) < qv.q * s.n""".stripMargin
+  }
+
   /** DuckDB SQL replaying the identical sketch + interpolation over
     * `SELECT <valueExpr> AS v FROM <from>`. */
   def oracleSql(from: String, valueExpr: String, nBins: Int,
