@@ -633,6 +633,29 @@ object DedupSimPack extends QueryPack {
         k = 5, kShort = 50, m = 16, nCentroids = 64, dims = 64,
         nCells = 8, nprobe = 3, queryPredSql = "vec_id < 10"))),
 
+    // Scalar quantization (sim.Sq): the "int8 embeddings" tier — each
+    // dimension uniformly quantized to 256 cells between the corpus
+    // per-dimension min/max (fit = ONE dims-keyed aggregate, no
+    // codebook), corpus stored as 64 one-byte codes (4× scan bandwidth
+    // vs float32), queries scored asymmetrically against reconstructed
+    // cell centers in one codes scan, then the shortlist exactly
+    // re-ranked (the s7 deployment shape). Every cell assignment and
+    // distance is identical IEEE arithmetic on both engines, so the
+    // whole fit→encode→score→re-rank pipeline is hash-checked.
+    Q("s10_sq_topk",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.Sq.rerankTopK(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", queryPred = col("vec_id") < 10,
+            k = 5, kShort = 50, dims = 64, levels = 256)
+          .select($"query_id", $"corpus_id", r6($"d2").as("d2"), $"rank")
+      },
+      Some(graft.sim.Sq.oracleSql(
+        k = 5, kShort = 50, dims = 64, levels = 256,
+        queryPredSql = "vec_id < 10"))),
+
     // Batch BM25: a query SET scored in one corpus pass — df computed
     // once per distinct term, query table broadcast, per-query top-k
     // via the bounded-heap TopKAgg (O(queries × k) shuffled, no

@@ -92,4 +92,24 @@ class PqSpec extends AnyFunSuite {
     val perQuery = a.groupBy(_.getAs[Long]("query_id")).values.map(_.size)
     assert(perQuery.toSet == Set(5))
   }
+
+  test("SQ (s10): 256-level codes in range, re-rank recall@5 >= 0.9") {
+    // 256 uniform cells per dimension keep the asymmetric distance so
+    // close to exact that the 50-candidate shortlist virtually always
+    // contains the true top-5 (measured 1.0 on this fixture); floor at
+    // 0.9 so a quantization regression (fewer effective levels, broken
+    // cell math) fails loudly.
+    val codes = graft.sim.Sq.encode(emb, "vec_id", "v",
+        graft.sim.Sq.fit(emb, "v", dims = 64, levels = 256),
+        dims = 64, levels = 256)
+      .select(explode($"codes").as("c"))
+      .agg(min($"c"), max($"c")).as[(Int, Int)].head()
+    assert(codes._1 >= 0 && codes._2 <= 255, s"code range: $codes")
+    val sq = SparkEntry.queries("s10_sq_topk")(spark, sf)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(sq.size == 50)
+    val recall = (exactTop5 & sq).size.toDouble / exactTop5.size
+    assert(recall >= 0.9, s"SQ re-rank recall@5 = $recall")
+    info(s"SQ re-rank recall@5 = $recall")
+  }
 }
