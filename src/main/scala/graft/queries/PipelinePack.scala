@@ -318,5 +318,140 @@ object PipelinePack extends QueryPack {
              |  round(sum(value) + 1e-9, 4) AS sum_value,
              |  round(sum(value) / count(*) + 1e-9, 6) AS avg_value
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Mutual information between a categorical and a binned numeric
+    // column (event_type × 8 equal-width value bins) — the
+    // feature-relevance screen a training pipeline runs before
+    // committing a column to the feature set, plus both marginal
+    // entropies and the normalized MI. Scale shape: ONE fact shuffle
+    // (the joint (x, y) count); marginals, entropies, and the MI sum
+    // all run on the sketch-sized joint frame (|x|·bins rows,
+    // localCheckpointed so its four readers don't re-scan the fact
+    // table); min/max bin stats ride the 1-row broadcast idiom.
+    // Integer products n_xy·n stay < 2^53 at any declared SF so the
+    // doubles fed to ln are exact on both engines; the ln-term sums
+    // are r4 (summation order) and nmi derives from the ROUNDED
+    // aggregates (the w27 convention for nonlinear amplification).
+    Q("mi1_mutual_info",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir).select($"event_type".as("x"), $"value")
+        val st = e.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+        val joint = e.crossJoin(broadcast(st))
+          .select($"x", least(floor(($"value" - $"vmin")
+              / (($"vmax" - $"vmin") / lit(8))), lit(7L)).cast("int").as("y"))
+          .groupBy($"x", $"y").agg(count(lit(1)).as("n_xy"))
+          .localCheckpoint()
+        val nx = joint.groupBy($"x").agg(sum($"n_xy").as("n_x"))
+        val ny = joint.groupBy($"y").agg(sum($"n_xy").as("n_y"))
+        val tot = joint.agg(sum($"n_xy").as("n"))
+        val mi = joint.join(broadcast(nx), "x").join(broadcast(ny), "y")
+          .crossJoin(broadcast(tot))
+          .select((($"n_xy".cast("double") / $"n")
+            * log(($"n_xy" * $"n").cast("double") / ($"n_x" * $"n_y")))
+            .as("term"))
+          .agg(r4(sum($"term")).as("mi"))
+        def entropy(m: org.apache.spark.sql.DataFrame, c: String,
+                    out: String) =
+          m.crossJoin(broadcast(tot))
+            .select((-(col(c).cast("double") / $"n")
+              * log(col(c).cast("double") / $"n")).as("t"))
+            .agg(r4(sum($"t")).as(out))
+        tot.crossJoin(broadcast(entropy(nx, "n_x", "h_x")))
+          .crossJoin(broadcast(entropy(ny, "n_y", "h_y")))
+          .crossJoin(broadcast(mi))
+          .select($"n", $"h_x", $"h_y", $"mi",
+            r6($"mi" / sqrt($"h_x" * $"h_y")).as("nmi"))
+      },
+      Some("""WITH e AS (SELECT event_type AS x, value AS v FROM events),
+             |st AS (SELECT min(v) AS vmin, max(v) AS vmax FROM e),
+             |j AS (
+             |  SELECT x, CAST(least(floor((v - vmin) / ((vmax - vmin) / 8)),
+             |    7) AS INT) AS y, count(*) AS n_xy
+             |  FROM e, st GROUP BY 1, 2),
+             |nx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+             |       FROM j GROUP BY 1),
+             |ny AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+             |       FROM j GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j),
+             |mi AS (
+             |  SELECT round(sum((CAST(n_xy AS DOUBLE) / n)
+             |      * ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y)))
+             |    + 1e-9, 4) AS mi
+             |  FROM j JOIN nx USING (x) JOIN ny USING (y), t),
+             |hx AS (
+             |  SELECT round(sum(-(CAST(n_x AS DOUBLE) / n)
+             |      * ln(CAST(n_x AS DOUBLE) / n)) + 1e-9, 4) AS h_x
+             |  FROM nx, t),
+             |hy AS (
+             |  SELECT round(sum(-(CAST(n_y AS DOUBLE) / n)
+             |      * ln(CAST(n_y AS DOUBLE) / n)) + 1e-9, 4) AS h_y
+             |  FROM ny, t)
+             |SELECT t.n, hx.h_x, hy.h_y, mi.mi,
+             |  round(mi.mi / sqrt(hx.h_x * hy.h_y) + 1e-9, 6) AS nmi
+             |FROM t, hx, hy, mi""".stripMargin)),
+
+    // Key-skew diagnostic — the profile you run BEFORE choosing a
+    // partitioning/salting strategy (SCALING.md's broadcast > AQE >
+    // salting decision needs exactly these numbers): per-key counts of
+    // the hot dimension, exact count percentiles, hot-key shares, and
+    // the Gini concentration index. The global total order over keys
+    // comes from operators.GlobalRank (one range shuffle, no
+    // single-partition funnel — keys are the dimension that GROWS with
+    // the data), and every rank-derived stat (percentile-by-rank,
+    // top-10 share, Σ rank·count) reads the SAME ranked frame: two
+    // shuffles total. All integers until the final share/Gini
+    // divisions (Σ rank·count < 2^63 at any declared SF).
+    Q("dq2_skew",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.events(s, dir)
+          .groupBy($"user_id").agg(count(lit(1)).as("c"))
+        val (ranked, nKeys) = graft.operators.GlobalRank.withRowNumber(
+          c, Seq($"c", $"user_id"), "rk")
+        def cutoff(q: Double): Long = math.ceil(q * nKeys).toLong
+        ranked.agg(
+            count(lit(1)).as("n_keys"),
+            sum($"c").as("n_rows"),
+            max($"c").as("max_cnt"),
+            min(when($"rk" >= cutoff(0.50), $"c")).as("p50_cnt"),
+            min(when($"rk" >= cutoff(0.90), $"c")).as("p90_cnt"),
+            min(when($"rk" >= cutoff(0.99), $"c")).as("p99_cnt"),
+            sum(when($"rk" > nKeys - 10, $"c").otherwise(0L)).as("top10"),
+            sum($"rk" * $"c").as("src"))
+          .select($"n_keys", $"n_rows", $"max_cnt",
+            $"p50_cnt", $"p90_cnt", $"p99_cnt",
+            r6($"max_cnt".cast("double") / $"n_rows").as("top1_share"),
+            r6($"top10".cast("double") / $"n_rows").as("top10_share"),
+            r6(lit(2.0) * $"src" / ($"n_keys" * $"n_rows")
+              - ($"n_keys" + lit(1)).cast("double") / $"n_keys").as("gini"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+             |r AS (
+             |  SELECT user_id, c,
+             |    row_number() OVER (ORDER BY c, user_id) AS rk
+             |  FROM c),
+             |s AS (
+             |  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+             |    max(c) AS max_cnt, CAST(sum(rk * c) AS BIGINT) AS src
+             |  FROM r)
+             |SELECT s.n_keys, s.n_rows, s.max_cnt,
+             |  min(CASE WHEN r.rk >= ceil(0.50 * s.n_keys) THEN r.c END)
+             |    AS p50_cnt,
+             |  min(CASE WHEN r.rk >= ceil(0.90 * s.n_keys) THEN r.c END)
+             |    AS p90_cnt,
+             |  min(CASE WHEN r.rk >= ceil(0.99 * s.n_keys) THEN r.c END)
+             |    AS p99_cnt,
+             |  round(CAST(s.max_cnt AS DOUBLE) / s.n_rows + 1e-9, 6)
+             |    AS top1_share,
+             |  round(CAST(sum(CASE WHEN r.rk > s.n_keys - 10 THEN r.c
+             |      ELSE 0 END) AS DOUBLE) / s.n_rows + 1e-9, 6)
+             |    AS top10_share,
+             |  round(2.0 * s.src / (s.n_keys * s.n_rows)
+             |    - CAST(s.n_keys + 1 AS DOUBLE) / s.n_keys + 1e-9, 6)
+             |    AS gini
+             |FROM r, s
+             |GROUP BY s.n_keys, s.n_rows, s.max_cnt, s.src""".stripMargin)))
 }

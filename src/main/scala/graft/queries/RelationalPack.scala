@@ -806,5 +806,63 @@ object RelationalPack extends QueryPack {
              |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
              |  coalesce(n_with_urgent, 0) AS n_with_urgent,
              |  coalesce(n_without_urgent, 0) AS n_without_urgent
-             |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin)))
+             |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""".stripMargin)),
+
+    // Market-basket association rules (beyond-reference): co-purchase
+    // pairs with support ≥ 3 co-orders, scored by lift
+    // P(ab)/(P(a)P(b)) and confidence P(b|a) — the item-to-item
+    // recommendation primitive. Scale shape: the pair generator
+    // self-joins WITHIN the order key only, so pair instances are
+    // bounded by Σ per-order fanout² (~6 pairs per ~4-line order, i.e.
+    // linear in orders, never all item pairs); the item-support side
+    // is the part DIMENSION (≪ facts) and broadcasts; the order count
+    // rides the 1-row scalar idiom. All counts stay integers until the
+    // final lift/confidence divisions (products < 2^53, so the doubles
+    // are exact on both engines before r6).
+    Q("r1_item_pairs",
+      (s, dir) => {
+        import s.implicits._
+        // the deduped basket frame feeds FOUR consumers (order count,
+        // item support, both self-join sides) — persist so the
+        // distinct's shuffle is paid once, not per reference (at
+        // deployment scale this is the materialized basket table)
+        val li = graft.io.PersistRegistry.trackPersist(
+          Tables.lineitem(s, dir)
+            .select($"l_orderkey", $"l_partkey").distinct())
+        val nOrders = li.agg(
+          countDistinct($"l_orderkey").as("n_orders"))
+        val supp = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+        li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 3)
+          .join(broadcast(supp.select($"l_partkey".as("pa"),
+            $"n_item".as("n_a"))), "pa")
+          .join(broadcast(supp.select($"l_partkey".as("pb"),
+            $"n_item".as("n_b"))), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b",
+            r6(($"n_ab" * $"n_orders").cast("double") / ($"n_a" * $"n_b"))
+              .as("lift"),
+            r6($"n_ab".cast("double") / $"n_a").as("conf_ab"))
+          .orderBy(desc("lift"), $"pa", $"pb")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+             |s AS (SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1),
+             |p AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+             |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pa, pb, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+             |  round(CAST(n_ab * n_orders AS DOUBLE)
+             |    / (sa.n_item * sb.n_item) + 1e-9, 6) AS lift,
+             |  round(CAST(n_ab AS DOUBLE) / sa.n_item + 1e-9, 6) AS conf_ab
+             |FROM p JOIN s sa ON sa.l_partkey = pa
+             |JOIN s sb ON sb.l_partkey = pb, no
+             |ORDER BY lift DESC, pa, pb""".stripMargin)))
 }
