@@ -563,6 +563,38 @@ object MlPack extends QueryPack {
              |JOIN deg dd ON dd.node = e.dst, ds
              |GROUP BY ds.n_nodes, ds.avg_deg""".stripMargin)),
 
+    // M15 (beyond-reference): deterministic label propagation over the
+    // correlation graph — the near-linear community detector next to
+    // m6's Louvain (which is modularity-greedy and driver-side): K=5
+    // synchronous rounds, most-frequent neighbor label, ties to the
+    // smallest label. Fully distributed AND fully oracle-checked as 5
+    // chained reference-linear CTEs (graph/LabelProp.scala). Edge
+    // parity rides on r4 corr agreement as in m11/m12.
+    Q("m15_lpa",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        graft.graph.LabelProp.run(edges, k = 5)
+          .orderBy($"node")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+              |edges AS (
+              |  SELECT ka AS src, kb AS dst FROM e0
+              |  UNION ALL SELECT kb, ka FROM e0),
+              |${graft.graph.LabelProp.oracleSqlSuffix(5)}
+              |SELECT node, label FROM l_5 ORDER BY node""".stripMargin)),
+
     Q("m6_louvain",
       (s, dir) => {
         import s.implicits._

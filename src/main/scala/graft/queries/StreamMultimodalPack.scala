@@ -546,6 +546,41 @@ object StreamMultimodalPack extends QueryPack {
       },
       Some(graft.sketch.Hll.oracleSql("events", "event_id", p = 12))),
 
+    // Streaming histogram quantiles: the g17 sketch under Structured
+    // Streaming — histogram BOUNDS calibrated batch-side and shipped
+    // in the closure (the st16 two-phase monitoring deployment), the
+    // stream keyed BY BUCKET with a running per-bucket count (state =
+    // one long × ≤ nBins keys; running counts are monotone, so
+    // per-batch emissions dedupe with a plain max — the st17 CRDT
+    // argument, for counters), and the cumulative walk + interpolation
+    // run batch-side on the drained ≤ nBins-row histogram. Counting is
+    // order-insensitive → streaming ≡ batch against the UNCHANGED g17
+    // oracle, no event-time caveat.
+    Q("st18_stream_quantile",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st18_out_${counter.incrementAndGet()}"
+        val nBins = 1024
+        val st = Tables.events(s, dir)
+          .agg(min($"value"), max($"value"), count(lit(1))).head()
+        val (vmin, vmax, n) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(graft.sketch.HistQuantile.bucketOf(
+            $"value", lit(vmin), lit(vmax), nBins).as("bucket"))
+          .as[StreamOps.BucketRow]
+        val q = StreamOps.bucketCountStream(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        val cnts = s.table(name).groupBy($"bucket").agg(max($"c").as("cnt"))
+        val stats = Seq((vmin, vmax, n)).toDF("vmin", "vmax", "n")
+        graft.sketch.HistQuantile.fromHistogram(cnts, stats, nBins,
+          Seq(0.5, 0.9, 0.99))
+      },
+      Some(graft.sketch.HistQuantile.oracleSql("events", "value",
+        nBins = 1024, qs = Seq(0.5, 0.9, 0.99)))),
+
     Q("st4_stream_rolling",
       (s, dir) => {
         import s.implicits._

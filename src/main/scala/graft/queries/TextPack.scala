@@ -716,5 +716,44 @@ object TextPack extends QueryPack {
              |  FROM t WINDOW w AS (PARTITION BY lang ORDER BY doc_id))
              |SELECT lang, bin, count(*) AS n_docs,
              |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-             |FROM p GROUP BY 1, 2""".stripMargin)))
+             |FROM p GROUP BY 1, 2""".stripMargin)),
+
+    // Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    // tokens → a FIXED 64-dim signed feature vector per document, with
+    // the index from the portable 60-bit md5 hash and the sign from
+    // its parity (the unbiasing trick — colliding tokens cancel in
+    // expectation instead of inflating). This is how a training
+    // pipeline vectorizes unbounded vocabulary with bounded state: no
+    // vocab table, no fit pass, combine state ≤ docs·64. One
+    // (doc, feature)-keyed shuffle, map-side combined; sparse rows
+    // (zero weights dropped) so the output is the nnz set.
+    Q("t23_feature_hash",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 100)
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+          .select($"doc_id",
+            (TextOps.hash60($"tok") % 64).as("f"),
+            when(TextOps.hash60($"tok") % 2 === 0, 1L).otherwise(-1L)
+              .as("sgn"))
+          .groupBy($"doc_id", $"f").agg(sum($"sgn").as("w"))
+          .filter($"w" =!= 0)
+          .orderBy($"doc_id", $"f")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents WHERE doc_id < 100),
+             |t AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+             |  FROM t),
+             |f AS (
+             |  SELECT doc_id, hv % 64 AS f,
+             |    CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |  FROM h)
+             |SELECT doc_id, f, CAST(sum(sgn) AS BIGINT) AS w
+             |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0
+             |ORDER BY doc_id, f""".stripMargin)))
 }

@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,19 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object HistQuantile {
 
-  /** (q, est) rows, one per requested quantile, qs ∈ (0, 1). */
-  def quantiles(df: DataFrame, valueCol: String, nBins: Int,
-                qs: Seq[Double]): DataFrame = {
-    require(nBins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
-    val spark = df.sparkSession
+  /** The bucket assignment used by every path (and by the oracle):
+    * least(floor((v − vmin)/width), nBins − 1). */
+  def bucketOf(v: Column, vmin: Column, vmax: Column, nBins: Int): Column =
+    least(floor((v - vmin) / ((vmax - vmin) / lit(nBins))),
+      lit((nBins - 1).toLong))
+
+  /** The cumulative walk + interpolation over an ALREADY-BUILT
+    * histogram `(bucket, cnt)` and 1-row `(vmin, vmax, n)` stats frame
+    * — shared by the batch path and the streaming sketch (st18), which
+    * builds the same histogram incrementally. Sketch-sized input only.
+    */
+  def fromHistogram(cnts: DataFrame, stats: DataFrame, nBins: Int,
+                    qs: Seq[Double]): DataFrame = {
+    val spark = cnts.sparkSession
     import spark.implicits._
-    val v = col(valueCol)
-    val stats = df.agg(min(v).as("vmin"), max(v).as("vmax"),
-      count(lit(1)).as("n"))
-    val cnts = df.crossJoin(broadcast(stats))
-      .select(least(floor((v - $"vmin") / (($"vmax" - $"vmin") / lit(nBins))),
-        lit((nBins - 1).toLong)).as("bucket"))
-      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
     // the cumulative walk runs over the ≤ nBins-row histogram, never
     // the data — the single-partition window is sketch-sized
     val cum = cnts
@@ -52,6 +54,21 @@ object HistQuantile {
         round($"vmin" + (($"vmax" - $"vmin") / lit(nBins))
           * ($"bucket" + ($"q" * $"n" - ($"cum" - $"cnt")) / $"cnt")
           + lit(1e-9), 6).as("est"))
+  }
+
+  /** (q, est) rows, one per requested quantile, qs ∈ (0, 1). */
+  def quantiles(df: DataFrame, valueCol: String, nBins: Int,
+                qs: Seq[Double]): DataFrame = {
+    require(nBins >= 2 && qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol)
+    val stats = df.agg(min(v).as("vmin"), max(v).as("vmax"),
+      count(lit(1)).as("n"))
+    val cnts = df.crossJoin(broadcast(stats))
+      .select(bucketOf(v, $"vmin", $"vmax", nBins).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+    fromHistogram(cnts, stats, nBins, qs)
   }
 
   /** Per-group quantiles: (group, q, est) — the per-key p99 shape

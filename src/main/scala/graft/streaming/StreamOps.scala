@@ -240,6 +240,30 @@ object StreamOps {
       }
   }
 
+  case class BucketRow(bucket: Long)
+  case class BucketCount(bucket: Long, c: Long)
+
+  /** Streaming histogram counts: per-bucket RUNNING count — a
+    * monotone-increasing per-key long, so the emitted per-batch values
+    * dedupe downstream with a plain max (the [[hllRegisterStream]]
+    * CRDT argument, for counters: the latest running count is the
+    * largest). Keyed by histogram bucket, so state and key cardinality
+    * are both capped at nBins regardless of stream volume; each
+    * micro-batch emits the post-batch count per TOUCHED bucket. Counts
+    * are order-insensitive — streaming ≡ batch with no event-time
+    * caveat (st18 hash-checks against the unchanged batch oracle). */
+  def bucketCountStream(rows: Dataset[BucketRow]): Dataset[BucketCount] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, it: Iterator[BucketRow], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          it.foreach(_ => n += 1)
+          state.update(n)
+          Iterator.single(BucketCount(bucket, n))
+      }
+  }
+
   case class CusumState(n: Long, sp: Double, sn: Double, al: Long)
   case class CusumPoint(user_id: Long, n_obs: Long, n_alarms: Long,
                         sp: Double, sn: Double)
