@@ -969,5 +969,51 @@ object DedupSimPack extends QueryPack {
              |      ORDER BY cos DESC, corpus_id) AS rank
              |  FROM sc)
              |SELECT query_id, bucket, corpus_id, round(cos + 1e-9, 6) AS cos, rank
+             |FROM rk WHERE rank <= 5""".stripMargin)),
+
+    // Hard-negative mining (Similarity.hardNegatives): the contrastive
+    // -training data op — per anchor, the most-similar same-LSH-bucket
+    // vectors BELOW the positive band (cos < 0.8): hard enough to
+    // carry gradient, far enough to not be unlabeled positives. Same
+    // bounded candidate set as s2 (no all-pairs), band filter before
+    // the per-query heap.
+    Q("s11_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        Similarity.hardNegatives(e, e.filter($"vec_id" < 10),
+            "vec_id", "v", k = 5, nBits = 4, maxCos = 0.8)
+          .select($"query_id", $"corpus_id", r6($"cos").as("cos"), $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |nm AS (SELECT vec_id, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |bk AS (
+             |  SELECT vec_id, list_transform(v, x -> x / nrm) AS nv,
+             |    (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) +
+             |    (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) +
+             |    (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             |  FROM nm),
+             |q AS (SELECT vec_id AS query_id, nv AS qv, bucket
+             |      FROM bk WHERE vec_id < 10),
+             |sc AS (
+             |  SELECT q.query_id, b.vec_id AS corpus_id,
+             |    list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(qv) + 1), i -> qv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) AS cos
+             |  FROM q JOIN bk b ON q.bucket = b.bucket
+             |    AND q.query_id <> b.vec_id),
+             |rk AS (
+             |  SELECT query_id, corpus_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, corpus_id) AS rank
+             |  FROM sc WHERE cos < 0.8)
+             |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
              |FROM rk WHERE rank <= 5""".stripMargin)))
 }

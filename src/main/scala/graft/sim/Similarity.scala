@@ -117,6 +117,34 @@ object Similarity {
     * of the corpus instead of 1/2^nBits, still a bounded candidate set).
     * The probe fan-out happens on the (small, broadcast) QUERY side; the
     * corpus is still bucketed once. */
+  /** Hard-negative mining for contrastive training: per query, the
+    * MOST similar same-LSH-bucket vectors that are still below the
+    * positive/near-dup band (`cos < maxCos`) — exactly the negatives
+    * an embedding trainer wants (easy negatives teach nothing;
+    * above-band candidates are probable positives and would poison
+    * the loss). Same bounded candidate generation as [[annTopK]]
+    * (one corpus bucketing, broadcast queries, per-query bounded
+    * heap); the band filter runs before the heap so k survivors are
+    * all valid negatives. Output: (query_id, corpus_id, cos, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nBits: Int,
+                    maxCos: Double): DataFrame = {
+    val c = withNormalized(corpus, vecCol, "__cv")
+      .select(col(idCol).as("corpus_id"), col("__cv"),
+        signBucket(col(vecCol), nBits).as("__bucket"))
+    val q = withNormalized(queries, vecCol, "__qv")
+      .select(col(idCol).as("query_id"), col("__qv"),
+        signBucket(col(vecCol), nBits).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", dot(col("__qv"), col("__cv")))
+      .filter(col("cos") < lit(maxCos))
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(graft.operators.TopK.descNullsLast(col("cos")), col("corpus_id")), k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nBits: Int,
               probeHamming1: Boolean = false): DataFrame = {
