@@ -172,6 +172,31 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // M2 companion (beyond-reference): distributed Lloyd's k-means
+    // with an ENGINE-PORTABLE fit — md5-order init (the Pq codebook
+    // idiom), 3 fixed rounds, centroids re-canonicalized r6 after
+    // every update (the w26 tiered-rounding idiom) — so unlike m2's
+    // MLlib KMeans (seeded parallel init, rows-only checkable) the
+    // ENTIRE trajectory is replayed as chained reference-linear CTEs
+    // and the final per-cluster sizes AND within-cluster squared error
+    // are hash-checked cross-engine.
+    Q("m16_kmeans_portable",
+      (s, dir) => {
+        import s.implicits._
+        graft.cluster.PortableKMeans.assign(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", k = 8, rounds = 3, dims = 64)
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("n"), r4(sum($"d2")).as("wss"))
+          .orderBy($"cid")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |          FROM embeddings),
+              |${graft.cluster.PortableKMeans.oracleSqlSuffix(8, 3, 64)}
+              |SELECT cid, count(*) AS n, round(sum(d2) + 1e-9, 4) AS wss
+              |FROM a_4 GROUP BY cid ORDER BY cid""".stripMargin)),
+
     // M3: silhouette of the M2 clustering — both variants: Spark ML's
     // squared-Euclidean evaluator AND the sklearn plain-Euclidean exact
     // value (driver over the collected aggregate; SURVEY M3 ±ε note).

@@ -392,6 +392,75 @@ object PipelinePack extends QueryPack {
              |  round(mi.mi / sqrt(hx.h_x * hy.h_y) + 1e-9, 6) AS nmi
              |FROM t, hx, hy, mi""".stripMargin)),
 
+    // Population stability index — the drift monitor every deployed
+    // model runs between a reference window and the current one:
+    // value distribution binned on the REFERENCE window's range (10
+    // equal-width bins, out-of-range current values clamped into the
+    // edge bins), Laplace-smoothed shares on both sides (the standard
+    // zero-bin guard, and deterministic unlike an ε), PSI =
+    // Σ (q−p)·ln(q/p). Scale shape: ONE fact shuffle (per-bin
+    // conditional counts); shares, contributions, and the PSI total
+    // all run on the ≤10-row histogram. PSI ≥ 0.2 is the classic
+    // "investigate the feature" alarm; the per-bin contributions say
+    // WHERE the mass moved.
+    Q("dq3_psi",
+      (s, dir) => {
+        import s.implicits._
+        val cut = 1705276800000000L // 2024-01-15 UTC, the iv1 split
+        val e = Tables.events(s, dir)
+          .select(unix_micros($"ts").as("t"), $"value")
+        val st = e.filter($"t" < cut)
+          .agg(min($"value").as("vmin"), max($"value").as("vmax"))
+        val cnt = e.crossJoin(broadcast(st))
+          .select(least(greatest(floor(($"value" - $"vmin")
+              / (($"vmax" - $"vmin") / lit(10))), lit(0L)), lit(9L))
+            .as("bin"), ($"t" < cut).as("is_ref"))
+          .groupBy($"bin")
+          .agg(sum(when($"is_ref", 1L).otherwise(0L)).as("n_ref"),
+            sum(when(!$"is_ref", 1L).otherwise(0L)).as("n_cur"))
+          .localCheckpoint()
+        val tot = cnt.agg(sum($"n_ref").as("t_ref"),
+          sum($"n_cur").as("t_cur"))
+        val contrib = cnt.crossJoin(broadcast(tot))
+          .withColumn("p_ref",
+            ($"n_ref" + lit(1)).cast("double") / ($"t_ref" + lit(10)))
+          .withColumn("p_cur",
+            ($"n_cur" + lit(1)).cast("double") / ($"t_cur" + lit(10)))
+          .withColumn("contrib",
+            ($"p_cur" - $"p_ref") * log($"p_cur" / $"p_ref"))
+        val psi = contrib.agg(r4(sum($"contrib")).as("psi"))
+        contrib.crossJoin(broadcast(psi))
+          .select($"bin", $"n_ref", $"n_cur",
+            r6($"p_ref").as("p_ref"), r6($"p_cur").as("p_cur"),
+            r6($"contrib").as("contrib"), $"psi")
+          .orderBy($"bin")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t, value AS v FROM events),
+             |st AS (SELECT min(v) AS vmin, max(v) AS vmax FROM e
+             |       WHERE t < 1705276800000000),
+             |c AS (
+             |  SELECT CAST(least(greatest(floor((v - vmin)
+             |      / ((vmax - vmin) / 10)), 0), 9) AS BIGINT) AS bin,
+             |    CAST(sum(CASE WHEN t < 1705276800000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_ref,
+             |    CAST(sum(CASE WHEN t < 1705276800000000 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS n_cur
+             |  FROM e, st GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             |         CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c),
+             |co AS (
+             |  SELECT bin, n_ref, n_cur,
+             |    CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10) AS p_ref,
+             |    CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10) AS p_cur
+             |  FROM c, tt),
+             |cc AS (SELECT *, (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib
+             |       FROM co),
+             |ps AS (SELECT round(sum(contrib) + 1e-9, 4) AS psi FROM cc)
+             |SELECT bin, n_ref, n_cur, round(p_ref + 1e-9, 6) AS p_ref,
+             |  round(p_cur + 1e-9, 6) AS p_cur,
+             |  round(contrib + 1e-9, 6) AS contrib, ps.psi
+             |FROM cc, ps ORDER BY bin""".stripMargin)),
+
     // Key-skew diagnostic — the profile you run BEFORE choosing a
     // partitioning/salting strategy (SCALING.md's broadcast > AQE >
     // salting decision needs exactly these numbers): per-key counts of
