@@ -430,6 +430,54 @@ object StreamMultimodalPack extends QueryPack {
              |FROM h
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Streaming Kalman (the w28 local-level recurrence over the RAW
+    // per-event series, the st15 convention): per-key state is four
+    // scalars, each micro-batch emits the post-batch state, the
+    // declared result takes the max-n row per key. Bit-identical
+    // batch ≡ stream (operand order matches the fold exactly);
+    // hash-checked against a recursive-CTE oracle over the raw
+    // (t, event_id)-ordered series.
+    Q("st19_stream_kalman",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st19_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select($"user_id", $"ts".as("t"), $"event_id", $"value")
+          .as[StreamOps.ValueEvent]
+        val q = StreamOps.kalmanStream(stream, q = 0.1, r = 1.0)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name)
+          .groupBy($"user_id")
+          .agg(max(struct($"n_obs", $"level", $"pvar", $"gain")).as("f"))
+          .select($"user_id", $"f.n_obs".as("n_obs"),
+            r6($"f.level").as("level"), r6($"f.pvar").as("pvar"),
+            r6($"f.gain").as("gain"))
+      },
+      Some("""WITH RECURSIVE o AS (
+             |  SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events),
+             |h AS (
+             |  SELECT user_id, rn, value AS l, CAST(1.0 AS DOUBLE) AS p,
+             |    CAST(0.0 AS DOUBLE) AS k
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.rn,
+             |    h.l + ((h.p + 0.1) / ((h.p + 0.1) + 1.0))
+             |      * (o.value - h.l) AS l,
+             |    (1.0 - (h.p + 0.1) / ((h.p + 0.1) + 1.0)) * (h.p + 0.1) AS p,
+             |    (h.p + 0.1) / ((h.p + 0.1) + 1.0) AS k
+             |  FROM h JOIN o ON o.user_id = h.user_id AND o.rn = h.rn + 1)
+             |SELECT user_id, rn AS n_obs,
+             |  round(l + 1e-9, 6) AS level, round(p + 1e-9, 6) AS pvar,
+             |  round(k + 1e-9, 6) AS gain
+             |FROM h
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
+
     // Streaming two-sided CUSUM (the a3 recurrence over the RAW
     // per-event series): μ/σ are calibrated per user on history (a
     // batch aggregate, r6-rounded, shipped in the closure — the

@@ -553,6 +553,66 @@ object TimeSeriesPack extends QueryPack {
              |FROM h
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Kalman filter, local-level model (the h1 idiom with an ADAPTIVE
+    // gain): per-key state is (level, posterior variance) and each
+    // step computes predict variance p+Q, gain k = (p+Q)/(p+Q+R),
+    // level update l + k·(y−l) — the optimal linear filter for
+    // level-plus-noise series, converging to a steady-state gain
+    // instead of h1's fixed smoothing constants (Q=0.1, R=1 in noise
+    // units). Same scale shape as h1: ONE user-keyed fold over the
+    // sorted day array, state three doubles; the oracle replays the
+    // identical recurrence as a recursive CTE, daily sums r6-rounded
+    // BEFORE the fold on both engines so every step is bit-equal.
+    Q("w28_kalman",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        daily.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"day", $"y"))).as("ys"))
+          .select($"user_id", size($"ys").cast("long").as("n_days"),
+            aggregate($"ys",
+              struct(lit(0).as("n"), lit(0.0).as("l"), lit(0.0).as("p"),
+                lit(0.0).as("k")),
+              (acc, x) => {
+                val pp = acc("p") + lit(0.1)
+                val k = pp / (pp + lit(1.0))
+                when(acc("n") === 0,
+                  struct(lit(1).as("n"), x("y").as("l"), lit(1.0).as("p"),
+                    lit(0.0).as("k")))
+                .otherwise(struct((acc("n") + lit(1)).as("n"),
+                  (acc("l") + k * (x("y") - acc("l"))).as("l"),
+                  ((lit(1.0) - k) * pp).as("p"),
+                  k.as("k")))
+              }).as("st"))
+          .select($"user_id", $"n_days",
+            r6($"st.l").as("level"), r6($"st.p").as("pvar"),
+            r6($"st.k").as("gain"))
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    round(sum(value) + 1e-9, 6) AS y
+             |  FROM events GROUP BY 1, 2),
+             |o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY day) AS rn FROM d),
+             |h AS (
+             |  SELECT user_id, rn, y AS l, CAST(1.0 AS DOUBLE) AS p,
+             |    CAST(0.0 AS DOUBLE) AS k
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.user_id, o.rn,
+             |    h.l + ((h.p + 0.1) / ((h.p + 0.1) + 1.0)) * (o.y - h.l) AS l,
+             |    (1.0 - (h.p + 0.1) / ((h.p + 0.1) + 1.0)) * (h.p + 0.1) AS p,
+             |    (h.p + 0.1) / ((h.p + 0.1) + 1.0) AS k
+             |  FROM h JOIN o ON o.user_id = h.user_id AND o.rn = h.rn + 1)
+             |SELECT user_id, rn AS n_days,
+             |  round(l + 1e-9, 6) AS level, round(p + 1e-9, 6) AS pvar,
+             |  round(k + 1e-9, 6) AS gain
+             |FROM h
+             |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
+
     // CAPM-style beta/alpha/R² per user vs the cross-sectional market
     // factor: per-user daily closes (the f4 argmax idiom — min/max
     // struct, no window pass), the market = r6-rounded equal-weight

@@ -216,6 +216,40 @@ object StreamOps {
       }
   }
 
+  case class KalmanState(n: Long, l: Double, p: Double, k: Double)
+  case class KalmanPoint(user_id: Long, n_obs: Long, level: Double,
+                         pvar: Double, gain: Double)
+
+  /** Streaming Kalman filter, local-level model (the w28_kalman
+    * recurrence over the raw per-user value series): state is (count,
+    * level, posterior variance, last gain) — four scalars per key —
+    * updated per event in (t, event_id) order. Operand order matches
+    * the batch fold exactly: pp = p + Q; k = pp/(pp + R);
+    * l' = l + k·(y − l); p' = (1 − k)·pp — bit-identical
+    * batch ≡ stream. Same cross-batch ordering note as
+    * [[transitionsStream]]. */
+  def kalmanStream(events: Dataset[ValueEvent], q: Double,
+                   r: Double): Dataset[KalmanPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[KalmanState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.t, e.event_id))
+          var st = state.getOption.getOrElse(KalmanState(0L, 0.0, 0.0, 0.0))
+          sorted.foreach { e =>
+            st = if (st.n == 0L) KalmanState(1L, e.value, 1.0, 0.0)
+            else {
+              val pp = st.p + q
+              val k = pp / (pp + r)
+              KalmanState(st.n + 1L, st.l + k * (e.value - st.l),
+                (1.0 - k) * pp, k)
+            }
+          }
+          state.update(st)
+          Iterator.single(KalmanPoint(uid, st.n, st.l, st.p, st.k))
+      }
+  }
+
   case class RegisterRow(bucket: String, rank: Int)
   case class RegisterOut(bucket: String, r: Int)
 
