@@ -418,4 +418,93 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got === want) // bit-equal: same operand order, carried state
   }
+
+  test("stateful Kalman across two micro-batches == single-pass recurrence") {
+    val rows = for (k <- 0L until 4L; i <- 0 until 30)
+      yield (k, i.toLong * 1000L, (k * 100 + i).toLong, (i % 7 + k).toDouble)
+    val df = rows.toDF("user_id", "t", "event_id", "value")
+
+    def fold(ys: Seq[Double]): (Long, Double, Double, Double) =
+      ys.foldLeft((0L, 0.0, 0.0, 0.0)) { case ((n, l, p, _), y) =>
+        if (n == 0L) (1L, y, 1.0, 0.0)
+        else {
+          val pp = p + 0.1
+          val k = pp / (pp + 1.0)
+          (n + 1L, l + k * (y - l), (1.0 - k) * pp, k)
+        }
+      }
+    val want = rows.groupBy(_._1).view.mapValues(g =>
+      fold(g.sortBy(r => (r._2, r._3)).map(_._4))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_kal_stream").toString
+    df.filter($"t" < 15000L).coalesce(1).write.parquet(s"$dir/p1")
+    df.filter($"t" >= 15000L).coalesce(1).write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.ValueEvent]
+    val q = StreamOps.kalmanStream(stream, q = 0.1, r = 1.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_kalman_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_kalman_test")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_obs", $"level", $"pvar", $"gain")).as("f"))
+      .select($"user_id", $"f.n_obs", $"f.level", $"f.pvar", $"f.gain")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === want) // bit-equal: same operand order, carried state
+  }
+
+  test("bucket-count stream across two micro-batches == batch histogram") {
+    // running counts must CONTINUE over the batch boundary (monotone
+    // counter CRDT): max-merged emissions equal the batch counts
+    val all = (0 until 200).map(i => (i % 13).toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bc_stream").toString
+    // deterministic split: first 90 rows of the sequence vs the rest
+    all.take(90).map(Tuple1(_)).toDF("bucket").coalesce(1)
+      .write.parquet(s"$dir/p1")
+    all.drop(90).map(Tuple1(_)).toDF("bucket").coalesce(1)
+      .write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.BucketRow]
+    val q = StreamOps.bucketCountStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_bc_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_bc_test")
+      .groupBy($"bucket").agg(max($"c").as("c"))
+      .as[(Long, Long)].collect().toMap
+    val want = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+  }
 }
