@@ -117,7 +117,16 @@ object GraftExtensions {
           s"graft_topk k must be a positive integer literal, got $other")
       }
       require(k > 0, s"graft_topk k must be positive, got $k")
-      graft.operators.TopKAgg(exprs(0), exprs(1), k) })
+      graft.operators.TopKAgg(exprs(0), exprs(1), k) },
+    "graft_hll" -> { exprs =>
+      require(exprs.length == 2, "graft_hll(key, p) takes 2 arguments")
+      val p = exprs(1) match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) if v > 0 && v <= 24 => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_hll p must be an integer literal, got $other")
+      }
+      graft.sketch.HllAgg(exprs.head, p) })
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

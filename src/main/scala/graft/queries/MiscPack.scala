@@ -321,6 +321,23 @@ object MiscPack extends QueryPack {
              |  FROM documents)
              |SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 3""".stripMargin)),
 
+    // SQL-surface parity for the sketch tier: graft_hll(key, p) — the
+    // portable HLL as a NATIVE TypedImperativeAggregate whose buffer IS
+    // the m-byte register array (true CRDT merge → map-side combine
+    // ships one m-byte buffer per partition, vs the Column path's ≤m
+    // register rows). HllAggSpec pins struct-equality against the
+    // hll1 Column path; the oracle is hll1's unchanged.
+    Q("sql5_hll_agg",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("sql5_events")
+        s.sql("""SELECT h.m, h.v_nonzero, h.zsum40,
+                |  round(h.estimate + 1e-9, 4) AS estimate
+                |FROM (SELECT graft_hll(event_id, 12) AS h
+                |      FROM sql5_events)""".stripMargin)
+      },
+      Some(graft.sketch.Hll.oracleSql("events", "event_id", p = 12))),
+
     // SQL-surface parity for the custom window aggregate: `ewm(x, span)
     // OVER w` — the EwmAgg DeclarativeAggregate reached through the SQL
     // parser's window path (w9 verifies the same math via the Column
