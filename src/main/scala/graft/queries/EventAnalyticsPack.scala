@@ -612,5 +612,196 @@ object EventAnalyticsPack extends QueryPack {
              |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
              |  round(min(value) + 1e-9, 6) AS lo_obs,
              |  round(max(value) + 1e-9, 6) AS hi_obs
-             |FROM b GROUP BY 1""".stripMargin)))
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    // Welch two-sample t-test — the A/B-experiment readout: does
+    // `value` differ between the click and view arms? ONE fact shuffle
+    // (per-arm n/mean/variance), then the t statistic and
+    // Welch–Satterthwaite df on the 1-row frame. Means/variances are
+    // rounded (r6) BEFORE the nonlinear t/df arithmetic on both
+    // engines (the w27 amplification convention), so the statistic is
+    // hash-exact.
+    Q("ab1_welch_ttest",
+      (s, dir) => {
+        import s.implicits._
+        val st = ev(s, dir)
+          .filter($"event_type".isin("click", "view"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), r6(avg($"value")).as("m"),
+            r6(var_samp($"value")).as("v"))
+        val row = st.agg(
+          max(when($"event_type" === "click", $"n")).as("n_a"),
+          max(when($"event_type" === "click", $"m")).as("mean_a"),
+          max(when($"event_type" === "click", $"v")).as("var_a"),
+          max(when($"event_type" === "view", $"n")).as("n_b"),
+          max(when($"event_type" === "view", $"m")).as("mean_b"),
+          max(when($"event_type" === "view", $"v")).as("var_b"))
+        val sa = $"var_a" / $"n_a"
+        val sb = $"var_b" / $"n_b"
+        row.select($"n_a", $"mean_a", $"var_a", $"n_b", $"mean_b", $"var_b",
+          r6(($"mean_a" - $"mean_b") / sqrt(sa + sb)).as("t_stat"),
+          r6((sa + sb) * (sa + sb)
+            / (sa * sa / ($"n_a" - 1) + sb * sb / ($"n_b" - 1))).as("df"))
+      },
+      Some("""WITH st AS (
+             |  SELECT event_type, count(*) AS n,
+             |    round(avg(value) + 1e-9, 6) AS m,
+             |    round(var_samp(value) + 1e-9, 6) AS v
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1),
+             |w AS (
+             |  SELECT
+             |    max(CASE WHEN event_type = 'click' THEN n END) AS n_a,
+             |    max(CASE WHEN event_type = 'click' THEN m END) AS mean_a,
+             |    max(CASE WHEN event_type = 'click' THEN v END) AS var_a,
+             |    max(CASE WHEN event_type = 'view' THEN n END) AS n_b,
+             |    max(CASE WHEN event_type = 'view' THEN m END) AS mean_b,
+             |    max(CASE WHEN event_type = 'view' THEN v END) AS var_b
+             |  FROM st)
+             |SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
+             |  round((mean_a - mean_b)
+             |    / sqrt(var_a / n_a + var_b / n_b) + 1e-9, 6) AS t_stat,
+             |  round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+             |       + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) + 1e-9, 6)
+             |    AS df
+             |FROM w""".stripMargin)),
+
+    // Chi-square test of independence on the 2×2 (cohort × converted)
+    // table — the conversion-significance readout: cohort = a
+    // deterministic 50/50 split (user_id parity, the hash-bucket
+    // assignment an experimentation platform makes), converted = the
+    // user ever purchased. One user-keyed aggregate then a 4-cell
+    // contingency reduction; all counts stay integers until the
+    // expected-count division.
+    Q("ab2_chi2",
+      (s, dir) => {
+        import s.implicits._
+        val u = ev(s, dir)
+          .groupBy($"user_id")
+          .agg(max(($"event_type" === "purchase").cast("long")).as("conv"))
+          .select(($"user_id" % 2).as("cohort"), $"conv")
+        val cells = u.groupBy($"cohort", $"conv")
+          .agg(count(lit(1)).as("o")).localCheckpoint()
+        val tot = cells.agg(sum($"o").as("n"))
+        val rowt = cells.groupBy($"cohort").agg(sum($"o").as("rt"))
+        val colt = cells.groupBy($"conv").agg(sum($"o").as("ct"))
+        val chi = cells
+          .join(broadcast(rowt), "cohort").join(broadcast(colt), "conv")
+          .crossJoin(broadcast(tot))
+          .select((($"o" - $"rt" * $"ct" / $"n".cast("double"))
+            * ($"o" - $"rt" * $"ct" / $"n".cast("double"))
+            / ($"rt" * $"ct" / $"n".cast("double"))).as("term"))
+          .agg(r6(sum($"term")).as("chi2"))
+        cells.agg(
+            sum(when($"cohort" === 0 && $"conv" === 0, $"o")).as("n00"),
+            sum(when($"cohort" === 0 && $"conv" === 1, $"o")).as("n01"),
+            sum(when($"cohort" === 1 && $"conv" === 0, $"o")).as("n10"),
+            sum(when($"cohort" === 1 && $"conv" === 1, $"o")).as("n11"))
+          .crossJoin(broadcast(chi))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id % 2 AS cohort,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM events GROUP BY user_id),
+             |c AS (SELECT cohort, conv, count(*) AS o FROM u GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+             |rt AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS rt
+             |       FROM c GROUP BY 1),
+             |ct AS (SELECT conv, CAST(sum(o) AS BIGINT) AS ct
+             |       FROM c GROUP BY 1),
+             |chi AS (
+             |  SELECT round(sum(
+             |      (o - rt.rt * ct.ct / CAST(n AS DOUBLE))
+             |      * (o - rt.rt * ct.ct / CAST(n AS DOUBLE))
+             |      / (rt.rt * ct.ct / CAST(n AS DOUBLE))) + 1e-9, 6) AS chi2
+             |  FROM c JOIN rt USING (cohort) JOIN ct USING (conv), t)
+             |SELECT
+             |  CAST(sum(CASE WHEN cohort = 0 AND conv = 0 THEN o END)
+             |    AS BIGINT) AS n00,
+             |  CAST(sum(CASE WHEN cohort = 0 AND conv = 1 THEN o END)
+             |    AS BIGINT) AS n01,
+             |  CAST(sum(CASE WHEN cohort = 1 AND conv = 0 THEN o END)
+             |    AS BIGINT) AS n10,
+             |  CAST(sum(CASE WHEN cohort = 1 AND conv = 1 THEN o END)
+             |    AS BIGINT) AS n11,
+             |  chi.chi2
+             |FROM c, chi GROUP BY chi.chi2""".stripMargin)),
+
+    // Kaplan–Meier survival estimator over signup→purchase durations
+    // WITH right-censoring (non-converters observed until their last
+    // event — the half f8 drops, and the difference between a survival
+    // curve and a naive conversion histogram). Per-user reduction is
+    // one user-keyed aggregate; the product-limit curve runs on the
+    // ≤90-row day frame: at-risk counts are EXACT integer running
+    // sums, and S(d) = exp(Σ ln(1 − d_i/n_i)) accumulates identical
+    // doubles in identical day order on both engines (r6 at the end).
+    Q("km1_kaplan_meier",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, dir).select($"user_id", $"t", $"event_type")
+        val u = e.groupBy($"user_id").agg(
+            min(when($"event_type" === "signup", $"t")).as("t0"),
+            max($"t").as("tlast"))
+          .filter($"t0".isNotNull)
+        val conv = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"t").as("tc_raw"))
+        val durs = u.join(conv, Seq("user_id"), "left")
+          .select($"user_id", $"t0", $"tlast",
+            when($"tc_raw" > $"t0", $"tc_raw").as("tconv"))
+          .select(
+            when($"tconv".isNotNull, ($"tconv" - $"t0") / lit(DayUs))
+              .otherwise(($"tlast" - $"t0") / lit(DayUs))
+              .cast("long").as("day"),
+            $"tconv".isNotNull.cast("long").as("died"))
+        val byDay = durs.groupBy($"day").agg(
+            sum($"died").as("n_conv"),
+            sum(lit(1L) - $"died").as("n_cens"))
+          .localCheckpoint()
+        val nTot = byDay.agg(sum($"n_conv" + $"n_cens").as("n"))
+        val w = Window.orderBy($"day")
+        byDay.crossJoin(broadcast(nTot))
+          .withColumn("ended_before",
+            coalesce(sum($"n_conv" + $"n_cens").over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n_risk", $"n" - $"ended_before")
+          .withColumn("surv", r6(exp(sum(
+            log(lit(1.0) - $"n_conv".cast("double") / $"n_risk")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))))
+          .select($"day", $"n_risk", $"n_conv", $"n_cens", $"surv")
+          .orderBy($"day")
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |u AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN t END) AS t0,
+             |    max(t) AS tlast
+             |  FROM e GROUP BY 1 HAVING t0 IS NOT NULL),
+             |cv AS (SELECT user_id, min(t) AS tc_raw FROM e
+             |       WHERE event_type = 'purchase' GROUP BY 1),
+             |d AS (
+             |  SELECT CASE WHEN cv.tc_raw > u.t0
+             |      THEN (cv.tc_raw - u.t0) // ${DayUs}
+             |      ELSE (u.tlast - u.t0) // ${DayUs} END AS day,
+             |    CASE WHEN cv.tc_raw > u.t0 THEN 1 ELSE 0 END AS died
+             |  FROM u LEFT JOIN cv USING (user_id)),
+             |bd AS (
+             |  SELECT day, CAST(sum(died) AS BIGINT) AS n_conv,
+             |    CAST(sum(1 - died) AS BIGINT) AS n_cens
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_conv + n_cens) AS BIGINT) AS n FROM bd),
+             |rk AS (
+             |  SELECT day, n_conv, n_cens,
+             |    n - COALESCE(sum(n_conv + n_cens) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS n_risk
+             |  FROM bd, t)
+             |SELECT day, n_risk, n_conv, n_cens,
+             |  round(exp(sum(ln(1.0 - CAST(n_conv AS DOUBLE) / n_risk))
+             |    OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |    + 1e-9, 6) AS surv
+             |FROM rk ORDER BY day""".stripMargin)))
 }
