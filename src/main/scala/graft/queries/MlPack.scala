@@ -342,6 +342,92 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // M17 (beyond-reference): multiple linear regression by
+    // distributed normal equations — the single-pass OLS shape for
+    // tall-skinny design matrices (aggregate the Gram moments, solve
+    // the tiny system at the end): l_extendedprice ~ l_quantity +
+    // l_discount. Variables are STANDARDIZED first (r6 means/stds
+    // broadcast back), so every aggregated moment is a sum of O(1)
+    // terms — the r4 canonicalization then genuinely absorbs
+    // cross-engine summation-order noise at ANY row count, which raw
+    // Σy² moments (magnitude ~1e14, ulp > the rounding grain) would
+    // not. The 2×2 solve and the raw-scale back-transform run on
+    // rounded scalars, so coefficients, intercept, and R² are
+    // hash-exact. Two fact scans (stats + moments), zero fact
+    // shuffles beyond the 1-row aggregates.
+    Q("m17_ols",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_quantity".as("q"), $"l_discount".as("d"),
+            $"l_extendedprice".as("y"))
+        val st = li.agg(
+          r6(avg($"q")).as("mq"), r6(stddev_samp($"q")).as("dq"),
+          r6(avg($"d")).as("md"), r6(stddev_samp($"d")).as("dd"),
+          r6(avg($"y")).as("my"), r6(stddev_samp($"y")).as("dy"))
+        val z = li.crossJoin(broadcast(st))
+          .select((($"q" - $"mq") / $"dq").as("zq"),
+            (($"d" - $"md") / $"dd").as("zd"),
+            (($"y" - $"my") / $"dy").as("zy"))
+        val mo = z.agg(count(lit(1)).as("n"),
+          r4(sum($"zq" * $"zq")).as("sqq"),
+          r4(sum($"zq" * $"zd")).as("sqd"),
+          r4(sum($"zd" * $"zd")).as("sdd"),
+          r4(sum($"zq" * $"zy")).as("sqy"),
+          r4(sum($"zd" * $"zy")).as("sdy"),
+          r4(sum($"zy" * $"zy")).as("syy"))
+        val det = $"sqq" * $"sdd" - $"sqd" * $"sqd"
+        val b1 = ($"sqy" * $"sdd" - $"sdy" * $"sqd") / det
+        val b2 = ($"sdy" * $"sqq" - $"sqy" * $"sqd") / det
+        mo.crossJoin(broadcast(st))
+          .select($"n", r6(b1).as("bz_qty"), r6(b2).as("bz_disc"),
+            r6(b1 * $"dy" / $"dq").as("b_qty"),
+            r6(b2 * $"dy" / $"dd").as("b_disc"),
+            r6($"my" - (b1 * $"dy" / $"dq") * $"mq"
+              - (b2 * $"dy" / $"dd") * $"md").as("intercept"),
+            r6((b1 * $"sqy" + b2 * $"sdy") / $"syy").as("r2"))
+      },
+      Some("""WITH st AS (
+             |  SELECT round(avg(l_quantity) + 1e-9, 6) AS mq,
+             |    round(stddev_samp(l_quantity) + 1e-9, 6) AS dq,
+             |    round(avg(l_discount) + 1e-9, 6) AS md,
+             |    round(stddev_samp(l_discount) + 1e-9, 6) AS dd,
+             |    round(avg(l_extendedprice) + 1e-9, 6) AS my,
+             |    round(stddev_samp(l_extendedprice) + 1e-9, 6) AS dy
+             |  FROM lineitem),
+             |z AS (
+             |  SELECT (l_quantity - mq) / dq AS zq,
+             |    (l_discount - md) / dd AS zd,
+             |    (l_extendedprice - my) / dy AS zy
+             |  FROM lineitem, st),
+             |mo AS (
+             |  SELECT count(*) AS n,
+             |    round(sum(zq * zq) + 1e-9, 4) AS sqq,
+             |    round(sum(zq * zd) + 1e-9, 4) AS sqd,
+             |    round(sum(zd * zd) + 1e-9, 4) AS sdd,
+             |    round(sum(zq * zy) + 1e-9, 4) AS sqy,
+             |    round(sum(zd * zy) + 1e-9, 4) AS sdy,
+             |    round(sum(zy * zy) + 1e-9, 4) AS syy
+             |  FROM z)
+             |SELECT n,
+             |  round((sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd)
+             |    + 1e-9, 6) AS bz_qty,
+             |  round((sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd)
+             |    + 1e-9, 6) AS bz_disc,
+             |  round((sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd)
+             |    * dy / dq + 1e-9, 6) AS b_qty,
+             |  round((sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd)
+             |    * dy / dd + 1e-9, 6) AS b_disc,
+             |  round(my
+             |    - ((sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd)
+             |       * dy / dq) * mq
+             |    - ((sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd)
+             |       * dy / dd) * md + 1e-9, 6) AS intercept,
+             |  round(((sqy * sdd - sdy * sqd) / (sqq * sdd - sqd * sqd) * sqy
+             |    + (sdy * sqq - sqy * sqd) / (sqq * sdd - sqd * sqd) * sdy)
+             |    / syy + 1e-9, 6) AS r2
+             |FROM mo, st""".stripMargin)),
+
     // M6: Louvain communities over the |corr|>0.3 user graph
     // (market_analysis.py:309-337): edges from pairwise correlation of
     // daily value sums (the distributed part), communities + modularity

@@ -755,5 +755,90 @@ object TextPack extends QueryPack {
              |  FROM h)
              |SELECT doc_id, f, CAST(sum(sgn) AS BIGINT) AS w
              |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0
-             |ORDER BY doc_id, f""".stripMargin)))
+             |ORDER BY doc_id, f""".stripMargin)),
+
+    // Multinomial Naive Bayes, trained AND applied distributed, fully
+    // hash-checked (the m9 classifier substitutes an MLP and is
+    // golden-pinned; this is the text-classification counterpart with
+    // an exact cross-engine contract): 80/20 deterministic split on
+    // doc id, Laplace-smoothed token likelihoods per language, log
+    // scores per (test doc, class), argmax with ties to the smaller
+    // class, confusion matrix out. Scale shape: train = one
+    // (class, token)-keyed count; inference = one token-keyed join of
+    // test tokens against the likelihood table (never a vocab
+    // broadcast — the vocab is the dimension that grows), then
+    // doc-keyed argmax. Scores are r4-canonicalized before the argmax
+    // (the token-order sum is the one nondeterministic reduction).
+    Q("t24_naive_bayes",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"lang", TextOps.tokens($"text").as("ts"))
+        val tr = d.filter($"doc_id" % 5 =!= 0)
+        val te = d.filter($"doc_id" % 5 === 0)
+        val ctc = tr.select($"lang".as("c"), explode($"ts").as("tok"))
+          .groupBy($"c", $"tok").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val tot = ctc.groupBy($"c").agg(sum($"cnt").as("tot_c"))
+        val pri = tr.groupBy($"lang".as("c")).agg(count(lit(1)).as("nd"))
+        val ptot = pri.agg(sum($"nd").as("ndocs"))
+        val vv = ctc.agg(countDistinct($"tok").as("v"))
+        val tet = te.select($"doc_id", $"lang".as("true_lang"),
+          explode($"ts").as("tok"))
+        val terms = tet
+          .crossJoin(broadcast(pri.select($"c")))
+          .join(ctc, Seq("c", "tok"), "left")
+          .join(broadcast(tot), "c").crossJoin(broadcast(vv))
+          .select($"doc_id", $"true_lang", $"c",
+            log((coalesce($"cnt", lit(0L)) + lit(1))
+              / ($"tot_c" + $"v").cast("double")).as("term"))
+        val sc = terms.groupBy($"doc_id", $"true_lang", $"c")
+          .agg(sum($"term").as("ssum"))
+          .join(broadcast(pri), "c").crossJoin(broadcast(ptot))
+          .select($"doc_id", $"true_lang", $"c",
+            r4(log($"nd".cast("double") / $"ndocs") + $"ssum").as("score"))
+        sc.groupBy($"doc_id", $"true_lang")
+          .agg(min(struct(-$"score", $"c")).as("mn"))
+          .select($"true_lang", $"mn.c".as("pred"))
+          .groupBy($"true_lang", $"pred").agg(count(lit(1)).as("n"))
+          .orderBy($"true_lang", $"pred")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+             |te AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+             |trt AS (SELECT lang AS c, unnest(ts) AS tok FROM tr),
+             |ctc AS (SELECT c, tok, count(*) AS cnt FROM trt GROUP BY 1, 2),
+             |tot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tot_c
+             |        FROM ctc GROUP BY 1),
+             |pri AS (SELECT lang AS c, count(*) AS nd FROM tr GROUP BY 1),
+             |ptot AS (SELECT CAST(sum(nd) AS BIGINT) AS ndocs FROM pri),
+             |vv AS (SELECT count(DISTINCT tok) AS v FROM ctc),
+             |tet AS (SELECT doc_id, lang AS true_lang, unnest(ts) AS tok
+             |        FROM te),
+             |terms AS (
+             |  SELECT t.doc_id, t.true_lang, p.c,
+             |    ln((COALESCE(ctc.cnt, 0) + 1)
+             |      / CAST(tot.tot_c + vv.v AS DOUBLE)) AS term
+             |  FROM tet t
+             |  CROSS JOIN (SELECT c FROM pri) p
+             |  LEFT JOIN ctc ON ctc.c = p.c AND ctc.tok = t.tok
+             |  JOIN tot ON tot.c = p.c, vv),
+             |sc AS (
+             |  SELECT terms.doc_id, terms.true_lang, terms.c,
+             |    round(ln(CAST(pri.nd AS DOUBLE) / ptot.ndocs)
+             |      + sum(term) + 1e-9, 4) AS score
+             |  FROM terms JOIN pri ON pri.c = terms.c, ptot
+             |  GROUP BY terms.doc_id, terms.true_lang, terms.c,
+             |    pri.nd, ptot.ndocs),
+             |pred AS (
+             |  SELECT true_lang, c AS pred FROM (
+             |    SELECT doc_id, true_lang, c,
+             |      row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, c) AS rn
+             |    FROM sc) WHERE rn = 1)
+             |SELECT true_lang, pred, count(*) AS n
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
