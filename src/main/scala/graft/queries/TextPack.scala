@@ -774,34 +774,10 @@ object TextPack extends QueryPack {
         import s.implicits._
         val d = Tables.documents(s, dir)
           .select($"doc_id", $"lang", TextOps.tokens($"text").as("ts"))
-        val tr = d.filter($"doc_id" % 5 =!= 0)
-        val te = d.filter($"doc_id" % 5 === 0)
-        val ctc = tr.select($"lang".as("c"), explode($"ts").as("tok"))
-          .groupBy($"c", $"tok").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint()
-        val tot = ctc.groupBy($"c").agg(sum($"cnt").as("tot_c"))
-        val pri = tr.groupBy($"lang".as("c")).agg(count(lit(1)).as("nd"))
-        val ptot = pri.agg(sum($"nd").as("ndocs"))
-        val vv = ctc.agg(countDistinct($"tok").as("v"))
-        val tet = te.select($"doc_id", $"lang".as("true_lang"),
-          explode($"ts").as("tok"))
-        val terms = tet
-          .crossJoin(broadcast(pri.select($"c")))
-          .join(ctc, Seq("c", "tok"), "left")
-          .join(broadcast(tot), "c").crossJoin(broadcast(vv))
-          .select($"doc_id", $"true_lang", $"c",
-            log((coalesce($"cnt", lit(0L)) + lit(1))
-              / ($"tot_c" + $"v").cast("double")).as("term"))
-        val sc = terms.groupBy($"doc_id", $"true_lang", $"c")
-          .agg(sum($"term").as("ssum"))
-          .join(broadcast(pri), "c").crossJoin(broadcast(ptot))
-          .select($"doc_id", $"true_lang", $"c",
-            r4(log($"nd".cast("double") / $"ndocs") + $"ssum").as("score"))
-        sc.groupBy($"doc_id", $"true_lang")
-          .agg(min(struct(-$"score", $"c")).as("mn"))
-          .select($"true_lang", $"mn.c".as("pred"))
-          .groupBy($"true_lang", $"pred").agg(count(lit(1)).as("n"))
-          .orderBy($"true_lang", $"pred")
+        graft.text.NaiveBayes.confusion(
+            d.filter($"doc_id" % 5 =!= 0), d.filter($"doc_id" % 5 === 0),
+            "doc_id", "lang", "ts")
+          .withColumnRenamed("true_label", "true_lang")
       },
       Some("""WITH d AS (
              |  SELECT doc_id, lang,
