@@ -430,6 +430,89 @@ object StreamMultimodalPack extends QueryPack {
              |FROM h
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Streaming PSI drift monitor — dq3 as a two-phase deployment:
+    // reference window + bin bounds calibrated BATCH-side, the
+    // current window's histogram accumulated as a STREAM (the st18
+    // bucket-count CRDT: running counts per bin, ≤10 keys of state,
+    // max-merge dedupe), PSI computed on the two ≤10-row histograms
+    // after the drain. Counting is order-insensitive → the output (and
+    // oracle) is dq3's, unchanged — the batch/stream equivalence the
+    // monitoring deployment relies on.
+    Q("st20_stream_psi",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st20_out_${counter.incrementAndGet()}"
+        val cut = 1705276800000000L // the dq3/iv1 split
+        val e = Tables.events(s, dir)
+          .select(unix_micros($"ts").as("t"), $"value")
+        val stR = e.filter($"t" < cut)
+          .agg(min($"value"), max($"value")).head()
+        val (vmin, vmax) = (stR.getDouble(0), stR.getDouble(1))
+        def binOf(v: org.apache.spark.sql.Column) =
+          least(greatest(floor((v - lit(vmin))
+            / ((lit(vmax) - lit(vmin)) / lit(10))), lit(0L)), lit(9L))
+        val refCnt = e.filter($"t" < cut)
+          .groupBy(binOf($"value").as("bin"))
+          .agg(count(lit(1)).as("n_ref"))
+        // eventsSchema reads ts as the raw µs epoch long (the
+        // TIMESTAMP(MICROS) contract) — no conversion needed
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter($"ts" >= cut)
+          .select(binOf($"value").as("bucket"))
+          .as[StreamOps.BucketRow]
+        val q = StreamOps.bucketCountStream(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        val curCnt = s.table(name)
+          .groupBy($"bucket".as("bin")).agg(max($"c").as("n_cur"))
+        val cnt = refCnt.join(curCnt, Seq("bin"), "full_outer")
+          .na.fill(0L, Seq("n_ref", "n_cur")).localCheckpoint()
+        val tot = cnt.agg(sum($"n_ref").as("t_ref"),
+          sum($"n_cur").as("t_cur"))
+        val contrib = cnt.crossJoin(broadcast(tot))
+          .withColumn("p_ref",
+            ($"n_ref" + lit(1)).cast("double") / ($"t_ref" + lit(10)))
+          .withColumn("p_cur",
+            ($"n_cur" + lit(1)).cast("double") / ($"t_cur" + lit(10)))
+          .withColumn("contrib",
+            ($"p_cur" - $"p_ref") * log($"p_cur" / $"p_ref"))
+        val psi = contrib.agg(Rx.r4(sum($"contrib")).as("psi"))
+        contrib.crossJoin(broadcast(psi))
+          .select($"bin", $"n_ref", $"n_cur",
+            Rx.r6($"p_ref").as("p_ref"), Rx.r6($"p_cur").as("p_cur"),
+            Rx.r6($"contrib").as("contrib"), $"psi")
+          .orderBy($"bin")
+      },
+      // dq3's oracle verbatim: the streaming accumulation is
+      // count-exact, so batch and stream share one ground truth
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t, value AS v FROM events),
+             |st AS (SELECT min(v) AS vmin, max(v) AS vmax FROM e
+             |       WHERE t < 1705276800000000),
+             |c AS (
+             |  SELECT CAST(least(greatest(floor((v - vmin)
+             |      / ((vmax - vmin) / 10)), 0), 9) AS BIGINT) AS bin,
+             |    CAST(sum(CASE WHEN t < 1705276800000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_ref,
+             |    CAST(sum(CASE WHEN t < 1705276800000000 THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS n_cur
+             |  FROM e, st GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             |         CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c),
+             |co AS (
+             |  SELECT bin, n_ref, n_cur,
+             |    CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10) AS p_ref,
+             |    CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10) AS p_cur
+             |  FROM c, tt),
+             |cc AS (SELECT *, (p_cur - p_ref) * ln(p_cur / p_ref) AS contrib
+             |       FROM co),
+             |ps AS (SELECT round(sum(contrib) + 1e-9, 4) AS psi FROM cc)
+             |SELECT bin, n_ref, n_cur, round(p_ref + 1e-9, 6) AS p_ref,
+             |  round(p_cur + 1e-9, 6) AS p_cur,
+             |  round(contrib + 1e-9, 6) AS contrib, ps.psi
+             |FROM cc, ps ORDER BY bin""".stripMargin)),
+
     // Streaming Kalman (the w28 local-level recurrence over the RAW
     // per-event series, the st15 convention): per-key state is four
     // scalars, each micro-batch emits the post-batch state, the

@@ -501,6 +501,49 @@ object TimeSeriesPack extends QueryPack {
              |FROM l WHERE prev IS NOT NULL
              |GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
 
+    // Autocorrelation FUNCTION — w22 generalized to the lag set a
+    // seasonality screen actually reads (1, 2, 3, 7 on the daily
+    // series): all four lag columns ride ONE user-keyed
+    // Exchange+Sort (same window), and the four corr aggregates share
+    // the same partitioning — one fact shuffle total. Per-lag pair
+    // counts differ (corr skips null lag pairs identically on both
+    // engines), so each ac_k is its own corr over the valid pairs.
+    Q("w29_acf",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        daily
+          .withColumn("l1", lag($"y", 1).over(w))
+          .withColumn("l2", lag($"y", 2).over(w))
+          .withColumn("l3", lag($"y", 3).over(w))
+          .withColumn("l7", lag($"y", 7).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_days"),
+            r4(corr($"y", $"l1")).as("ac1"),
+            r4(corr($"y", $"l2")).as("ac2"),
+            r4(corr($"y", $"l3")).as("ac3"),
+            r4(corr($"y", $"l7")).as("ac7"))
+          .filter($"n_days" >= 10)
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(sum(value) + 1e-9, 6) AS y
+             |      FROM e GROUP BY 1, 2),
+             |l AS (SELECT user_id, y,
+             |        lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+             |        lag(y, 3) OVER w AS l3, lag(y, 7) OVER w AS l7
+             |      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day))
+             |SELECT user_id, count(*) AS n_days,
+             |  round(corr(y, l1) + 1e-9, 4) AS ac1,
+             |  round(corr(y, l2) + 1e-9, 4) AS ac2,
+             |  round(corr(y, l3) + 1e-9, 4) AS ac3,
+             |  round(corr(y, l7) + 1e-9, 4) AS ac7
+             |FROM l GROUP BY 1 HAVING count(*) >= 10""".stripMargin)),
+
     // Holt linear-trend exponential smoothing (α=0.5, β=0.3) per user
     // over the daily series — the forecasting step beyond q6's linear
     // fit. The coupled (level, trend) recurrence runs as a codegen'd
