@@ -112,4 +112,22 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ re-rank recall@5 = $recall")
     info(s"SQ re-rank recall@5 = $recall")
   }
+
+  test("SQ reconstruction error is bounded by half a cell per dimension") {
+    // the deterministic guarantee uniform scalar quantization makes:
+    // every coordinate's reconstructed center is within step/2 of the
+    // original (the clamped top cell included — v = vmax sits exactly
+    // step/2 above the 255th center)
+    val stats = graft.sim.Sq.fit(emb, "v", dims = 64, levels = 256)
+    val codes = graft.sim.Sq.encode(emb, "vec_id", "v", stats,
+      dims = 64, levels = 256)
+    val worst = emb.join(codes, "vec_id").crossJoin(broadcast(stats))
+      .select(greatest((1 to 64).map { i =>
+        val center = element_at($"vmins", i) +
+          (element_at($"codes", i) + lit(0.5)) * element_at($"steps", i)
+        abs(element_at($"v", i) - center) / element_at($"steps", i)
+      }: _*).as("worst_ratio"))
+      .agg(max($"worst_ratio")).as[Double].head()
+    assert(worst <= 0.5 + 1e-9, s"reconstruction ratio $worst > 0.5")
+  }
 }
