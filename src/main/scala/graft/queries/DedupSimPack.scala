@@ -656,6 +656,28 @@ object DedupSimPack extends QueryPack {
         k = 5, kShort = 50, dims = 64, levels = 256,
         queryPredSql = "vec_id < 10"))),
 
+    // IVF-SQ (sim.IvfSq): the quantization matrix's third point —
+    // s8's cell shortlisting with s10's one-byte codes instead of PQ
+    // lookup tables: probed-cell scan at 4× bandwidth with near-exact
+    // asymmetric distances, then the usual exact re-rank. Same output
+    // schema as s7/s8/s10, so the four are drop-in comparable;
+    // AnnRecallSpec pins the recall ordering (SQ codes ≥ PQ codes at
+    // the same nprobe).
+    Q("s12_ivfsq",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.IvfSq.topK(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", queryPred = col("vec_id") < 10,
+            k = 5, kShort = 50, dims = 64, levels = 256,
+            nCells = 8, nprobe = 3)
+          .select($"query_id", $"corpus_id", r6($"d2").as("d2"), $"rank")
+      },
+      Some(graft.sim.IvfSq.oracleSql(
+        k = 5, kShort = 50, dims = 64, levels = 256,
+        nCells = 8, nprobe = 3, queryPredSql = "vec_id < 10"))),
+
     // Batch BM25: a query SET scored in one corpus pass — df computed
     // once per distinct term, query table broadcast, per-query top-k
     // via the bounded-heap TopKAgg (O(queries × k) shuffled, no

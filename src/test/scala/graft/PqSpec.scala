@@ -113,6 +113,22 @@ class PqSpec extends AnyFunSuite {
     info(s"SQ re-rank recall@5 = $recall")
   }
 
+  test("IVF-SQ (s12): recall within probed cells >= IVF-PQ at same nprobe") {
+    // same coarse tier, finer codes: 256-level scalar codes give a
+    // near-exact asymmetric distance, so within the SAME probed cell
+    // set SQ's shortlist can only be as good or better than PQ's
+    // (measured: equal on this fixture — the cell tier, not the code
+    // tier, is the recall bottleneck at nprobe=3)
+    val sq = SparkEntry.queries("s12_ivfsq")(spark, sf)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val pq = SparkEntry.queries("s8_ivfpq")(spark, sf)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rSq = (exactTop5 & sq).size.toDouble / exactTop5.size
+    val rPq = (exactTop5 & pq).size.toDouble / exactTop5.size
+    assert(rSq >= rPq, s"IVF-SQ recall $rSq below IVF-PQ $rPq")
+    info(f"recall@5: IVF-SQ $rSq%.2f vs IVF-PQ $rPq%.2f (nprobe=3)")
+  }
+
   test("SQ reconstruction error is bounded by half a cell per dimension") {
     // the deterministic guarantee uniform scalar quantization makes:
     // every coordinate's reconstructed center is within step/2 of the
