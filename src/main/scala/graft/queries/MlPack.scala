@@ -342,6 +342,38 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // M19 (beyond-reference): landmark harmonic centrality — the
+    // scalable stand-in for closeness/betweenness (exact all-pairs is
+    // inherently quadratic; landmark centrality bounds state at
+    // landmarks × nodes): 10 md5-order landmarks, 6 min-plus BFS
+    // rounds over self-loop-augmented edges (each round references
+    // the previous EXACTLY once — graph/Landmarks.scala documents why
+    // that matters for the oracle), per-node Σ 1/d over reaching
+    // landmarks. Rides the shared corrGraph like m11/m12/g16/m15.
+    Q("m19_landmark_closeness",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        graft.graph.Landmarks.harmonic(edges, nLandmarks = 10, k = 6)
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+              |edges AS (
+              |  SELECT ka AS src, kb AS dst FROM e0
+              |  UNION ALL SELECT kb, ka FROM e0),
+              |${graft.graph.Landmarks.oracleSqlSuffix(10, 6)}
+              |SELECT node, n_reach, harmonic FROM hm ORDER BY node""".stripMargin)),
+
     // M17 (beyond-reference): multiple linear regression by
     // distributed normal equations — the single-pass OLS shape for
     // tall-skinny design matrices (aggregate the Gram moments, solve
