@@ -338,6 +338,22 @@ object MiscPack extends QueryPack {
       },
       Some(graft.sketch.Hll.oracleSql("events", "event_id", p = 12))),
 
+    // The grouped form of sql5 for free: a native aggregate composes
+    // with GROUP BY like any built-in — per-type distinct estimates,
+    // combine state = one m-byte buffer per (partition, group). Same
+    // oracle as hll2's Column path.
+    Q("sql6_hll_grouped",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("sql6_events")
+        s.sql("""SELECT event_type, h.m, h.v_nonzero, h.zsum40,
+                |  round(h.estimate + 1e-9, 4) AS estimate
+                |FROM (SELECT event_type, graft_hll(user_id, 12) AS h
+                |      FROM sql6_events GROUP BY event_type)""".stripMargin)
+      },
+      Some(graft.sketch.Hll.groupedOracleSql(
+        "events", "event_type", "event_type", "user_id", p = 12))),
+
     // SQL-surface parity for the custom window aggregate: `ewm(x, span)
     // OVER w` — the EwmAgg DeclarativeAggregate reached through the SQL
     // parser's window path (w9 verifies the same math via the Column
