@@ -367,6 +367,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("full query restart: bucket-count stream over checkpoint matches batch") {
+    // the st18/st20 CRDT claim proven across a KILL: running counts
+    // recover from the state store, replayed batches re-emit the same
+    // running value, and the downstream max-merge must land on the
+    // exact batch histogram with nothing lost or double-counted
+    TestDirs.withTempDir("graft_bc_ckpt") { dir =>
+    graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(($"event_id" % 16).as("bucket"))
+      .repartition(8).write.parquet(s"$dir/in")
+
+    def start() = {
+      val stream = spark.readStream.schema("bucket LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+        .as[StreamOps.BucketRow]
+      graft.streaming.StreamOps.bucketCountStream(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+    }
+    def sunk(): Seq[(Long, Long)] =
+      try spark.read.parquet(s"$dir/out").as[(Long, Long)].collect().toSeq
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sunk().isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+    } finally q1.stop()
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = sunk().groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = spark.read.parquet(s"$dir/in")
+      .groupBy($"bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got === want,
+      s"restart-merged histogram diverges: got=$got want=$want")
+    }
+  }
+
   test("stateful Holt across two micro-batches == single-pass recurrence") {
     // state (n, level, trend) must carry over the batch boundary: the
     // second file's first event continues the recurrence, not restart it
