@@ -430,6 +430,61 @@ object StreamMultimodalPack extends QueryPack {
              |FROM h
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Streaming Count-Min heavy hitters — the third sketch's streaming
+    // form (HLL = st17, histogram = st18, CMS = here): the d·w cell
+    // counts are additive, so each cell keyed as j·w + bucket rides the
+    // SAME bucket-count CRDT (state ≤ d·w longs regardless of
+    // vocabulary), and the drained max-merged table IS the batch
+    // sketch. The shortlist + exact recount then run batch-side
+    // against it (CountMin.heavyHittersFromSketch), so the final
+    // answer is EXACTLY the true heavy-hitter set — hash-checked
+    // against the same brute-force oracle shape as hh1, despite both
+    // the approximate middle AND the streaming accumulation.
+    Q("st21_stream_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st21_out_${counter.incrementAndGet()}"
+        val (depth, width, support) = (4, 1024, 1500L)
+        def cellIds(gram: org.apache.spark.sql.Column) =
+          array((0 until depth).map(j => lit(j.toLong * width)
+            + pmod(xxhash64(gram, lit(j)), lit(width.toLong))): _*)
+        val stream = s.readStream.schema(Tables.documentsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(graft.text.TextOps.tokens($"text").as("__toks"))
+          .select(explode(graft.text.TextOps.ngrams($"__toks", 2)).as("gram"))
+          .select(explode(cellIds($"gram")).as("bucket"))
+          .as[StreamOps.BucketRow]
+        val q = StreamOps.bucketCountStream(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        val sk = s.table(name).groupBy($"bucket").agg(max($"c").as("cnt"))
+          .select(($"bucket" / width).cast("int").as("j"),
+            pmod($"bucket", lit(width.toLong)).as("bucket"), $"cnt")
+          .localCheckpoint()
+        val grams = Tables.documents(s, dir)
+          .select(graft.text.TextOps.tokens($"text").as("__toks"))
+          .select(explode(graft.text.TextOps.ngrams($"__toks", 2)).as("gram"))
+        graft.sketch.CountMin.heavyHittersFromSketch(
+          grams, "gram", sk, depth, width, support)
+      },
+      // hh1's oracle verbatim: streaming cell accumulation is
+      // count-exact and the final answer is the exact heavy-hitter set
+      Some("""WITH d AS (
+             |  SELECT string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(CASE WHEN len(ts) >= 2
+             |    THEN list_transform(range(1, len(ts)),
+             |                        i -> ts[i] || ' ' || ts[i+1])
+             |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+             |  FROM d),
+             |tot AS (SELECT count(*) AS n FROM g),
+             |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+             |SELECT gram, cnt FROM c, tot
+             |WHERE cnt * 1000000 >= n * 1500
+             |ORDER BY gram""".stripMargin)),
+
     // Streaming PSI drift monitor — dq3 as a two-phase deployment:
     // reference window + bin bounds calibrated BATCH-side, the
     // current window's histogram accumulated as a STREAM (the st18

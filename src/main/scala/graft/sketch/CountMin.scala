@@ -66,9 +66,22 @@ object CountMin {
     * on the grouping key `j` could push below the cell aggregate and
     * split the single sketch build into d re-scans of `items`. */
   def heavyHitters(items: DataFrame, itemCol: String,
-                   depth: Int, width: Int, supportPpm: Long): DataFrame = {
-    val sk = graft.io.PersistRegistry.trackPersist(
-      sketch(items, itemCol, depth, width))
+                   depth: Int, width: Int, supportPpm: Long): DataFrame =
+    heavyHittersFromSketch(items, itemCol,
+      graft.io.PersistRegistry.trackPersist(
+        sketch(items, itemCol, depth, width)),
+      depth, width, supportPpm)
+
+  /** The shortlist + exact-recount tail over an ALREADY-BUILT sketch
+    * `(j, bucket, cnt)` — the streaming deployment (st21) accumulates
+    * the cells incrementally (additive counts are the same CRDT as
+    * the st18 histogram) and hands the drained table here; the batch
+    * path above builds it in one scan. `sk` must be cheap to re-read
+    * (persisted or memory-table-sized): it is referenced once per
+    * depth row. */
+  def heavyHittersFromSketch(items: DataFrame, itemCol: String,
+                             sk: DataFrame, depth: Int, width: Int,
+                             supportPpm: Long): DataFrame = {
     // total occurrence count from the SKETCH, not a third corpus scan:
     // every depth row's cells sum to the occurrence count (mass
     // conservation, pinned in PipelineOpsSpec), and the sketch is
