@@ -318,6 +318,74 @@ object DedupSimPack extends QueryPack {
     // ≤ docs × 5 — no block size can go quadratic. Ranking key is the
     // raw int-ratio jaccard (bit-identical across engines) with id_b
     // tie-break, so the oracle's row_number reproduces cand_rank.
+    // Content-defined chunking dedup (the FastCDC/rsync idea on token
+    // streams): 3-gram rolling hashes, a chunk boundary wherever
+    // hash % 8 == 0 (content-defined, so an insertion early in a doc
+    // re-aligns at the next boundary instead of shifting every chunk —
+    // the property fixed-size chunking lacks), chunk fingerprints, and
+    // doc pairs sharing ≥ 2 chunks — PARTIAL-overlap duplicate
+    // detection, the class the whole-document d-ops can't see.
+    // Scale shape: gram/boundary/fingerprint stages are all doc-keyed
+    // narrow ops + one (doc, chunk) aggregate; the pair join is
+    // bounded by a 2..10 docs-per-fingerprint band (the d4 df-cap
+    // idea — megachunk boilerplate is excluded, not joined).
+    Q("d12_shared_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val grams = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("ts"))
+          .select($"doc_id", when(size($"ts") >= 3,
+            transform(sequence(lit(1), size($"ts") - 2), i =>
+              TextOps.hash60(concat_ws(" ", element_at($"ts", i),
+                element_at($"ts", i + 1), element_at($"ts", i + 2)))))
+            .otherwise(array().cast("array<long>")).as("ghs"))
+          .select($"doc_id", posexplode($"ghs").as(Seq("pos0", "gh")))
+          .select($"doc_id", ($"pos0" + 1).as("pos"), $"gh")
+        val chunks = grams
+          .withColumn("chunk_no", sum(
+            when($"gh" % 8 === 0 || $"pos" === 1, 1L).otherwise(0L)).over(w))
+          .groupBy($"doc_id", $"chunk_no")
+          .agg(md5(array_join(transform(
+            array_sort(collect_list(struct($"pos", $"gh".as("g")))),
+            x => x("g").cast("string")), ",")).as("fp"))
+        val banded = chunks.join(
+          chunks.groupBy($"fp").agg(countDistinct($"doc_id").as("ndocs"))
+            .filter($"ndocs".between(2, 10)).select($"fp"), "fp")
+        banded.as("a").join(banded.as("b"),
+            $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 2)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, u.pos,
+             |    CAST(('0x' || substr(md5(ts[u.pos] || ' ' || ts[u.pos+1]
+             |      || ' ' || ts[u.pos+2]), 1, 15)) AS BIGINT) AS gh
+             |  FROM d, LATERAL unnest(range(1, len(ts) - 1)) AS u(pos)),
+             |b AS (
+             |  SELECT doc_id, pos, gh,
+             |    sum(CASE WHEN gh % 8 = 0 OR pos = 1 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+             |  FROM g),
+             |ch AS (
+             |  SELECT doc_id, chunk_no,
+             |    md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY pos)) AS fp
+             |  FROM b GROUP BY 1, 2),
+             |keep AS (SELECT fp FROM ch GROUP BY fp
+             |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+             |k AS (SELECT ch.* FROM ch JOIN keep USING (fp))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  count(*) AS n_shared
+             |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("d4_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
