@@ -614,6 +614,73 @@ object EventAnalyticsPack extends QueryPack {
              |  round(max(value) + 1e-9, 6) AS hi_obs
              |FROM b GROUP BY 1""".stripMargin)),
 
+    // Linear (equal-credit) multi-touch attribution — the third model
+    // next to f3's first/last-touch: every view/click in the 7 days
+    // up to the purchase shares the conversion credit equally
+    // (credit = value / n_touches). The touch set is a per-user band
+    // join (user equi-key + time-band residual — per-user fanout
+    // bounded, never a time cross-join); n_touches is a window over
+    // the purchase key. Credits are exact small rationals per row;
+    // their sums are r4 (order). Touchless purchases credit 'none'.
+    Q("f13_linear_attribution",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val winUs = 7L * DayUs
+        val e = ev(s, dir)
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id", $"t".as("tp"), $"value")
+        val tch = e.filter($"event_type".isin("view", "click"))
+          .select($"user_id", $"t".as("tt"), $"event_type".as("channel"))
+        val j = p.join(tch, Seq("user_id"), "left")
+          .withColumn("hit",
+            $"tt".isNotNull && $"tt" <= $"tp" && $"tt" > $"tp" - winUs)
+          // keep exactly one row for touchless purchases, all hit rows
+          // for touched ones
+          .withColumn("n_hits",
+            sum($"hit".cast("long")).over(Window.partitionBy($"pid")))
+          .filter($"hit" || $"n_hits" === 0)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"pid").orderBy($"tt")))
+          .filter($"hit" || $"rn" === 1)
+        j.select(
+            when($"hit", $"channel").otherwise(lit("none")).as("channel"),
+            when($"hit", lit(1.0) / $"n_hits").otherwise(lit(1.0))
+              .as("credit"),
+            when($"hit", $"value" / $"n_hits").otherwise($"value")
+              .as("rev"))
+          .groupBy($"channel")
+          .agg(r4(sum($"credit")).as("conversions"),
+            r4(sum($"rev")).as("revenue"))
+          .orderBy($"channel")
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |p AS (SELECT event_id AS pid, user_id, t AS tp, value
+             |      FROM e WHERE event_type = 'purchase'),
+             |tch AS (SELECT user_id, t AS tt, event_type AS channel
+             |        FROM e WHERE event_type IN ('view', 'click')),
+             |j AS (
+             |  SELECT p.pid, p.value, tch.tt, tch.channel,
+             |    tch.tt IS NOT NULL AND tch.tt <= p.tp
+             |      AND tch.tt > p.tp - ${7L * 86400000000L} AS hit
+             |  FROM p LEFT JOIN tch ON p.user_id = tch.user_id),
+             |h AS (
+             |  SELECT *,
+             |    sum(CASE WHEN hit THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY pid) AS n_hits,
+             |    row_number() OVER (PARTITION BY pid ORDER BY tt) AS rn
+             |  FROM j),
+             |k AS (SELECT * FROM h WHERE hit OR n_hits = 0 AND rn = 1),
+             |c AS (
+             |  SELECT CASE WHEN hit THEN channel ELSE 'none' END AS channel,
+             |    CASE WHEN hit THEN CAST(1.0 AS DOUBLE) / n_hits
+             |         ELSE CAST(1.0 AS DOUBLE) END AS credit,
+             |    CASE WHEN hit THEN value / n_hits ELSE value END AS rev
+             |  FROM k)
+             |SELECT channel, round(sum(credit) + 1e-9, 4) AS conversions,
+             |  round(sum(rev) + 1e-9, 4) AS revenue
+             |FROM c GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     // Welch two-sample t-test — the A/B-experiment readout: does
     // `value` differ between the click and view arms? ONE fact shuffle
     // (per-arm n/mean/variance), then the t statistic and
