@@ -334,8 +334,14 @@ object DedupSimPack extends QueryPack {
         import s.implicits._
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"pos")
-        val grams = Tables.documents(s, dir)
+        // token arrays MATERIALIZED before the gram lambda references
+        // them 3× per element (the t14 CollapseProject hazard: an
+        // inlined split() re-evaluates per lambda reference — measured
+        // 18s vs 5s at sf0.1 on this very query before the barrier)
+        val toks = Tables.documents(s, dir)
           .select($"doc_id", TextOps.tokens($"text").as("ts"))
+          .localCheckpoint()
+        val grams = toks
           .select($"doc_id", when(size($"ts") >= 3,
             transform(sequence(lit(1), size($"ts") - 2), i =>
               TextOps.hash60(concat_ws(" ", element_at($"ts", i),
@@ -343,6 +349,9 @@ object DedupSimPack extends QueryPack {
             .otherwise(array().cast("array<long>")).as("ghs"))
           .select($"doc_id", posexplode($"ghs").as(Seq("pos0", "gh")))
           .select($"doc_id", ($"pos0" + 1).as("pos"), $"gh")
+        // checkpointed: the df-band filter and BOTH self-join sides
+        // read it — without the barrier the whole token→chunk pipeline
+        // would re-run ×4
         val chunks = grams
           .withColumn("chunk_no", sum(
             when($"gh" % 8 === 0 || $"pos" === 1, 1L).otherwise(0L)).over(w))
@@ -350,6 +359,7 @@ object DedupSimPack extends QueryPack {
           .agg(md5(array_join(transform(
             array_sort(collect_list(struct($"pos", $"gh".as("g")))),
             x => x("g").cast("string")), ",")).as("fp"))
+          .localCheckpoint()
         val banded = chunks.join(
           chunks.groupBy($"fp").agg(countDistinct($"doc_id").as("ndocs"))
             .filter($"ndocs".between(2, 10)).select($"fp"), "fp")
