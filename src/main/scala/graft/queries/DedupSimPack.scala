@@ -292,6 +292,94 @@ object DedupSimPack extends QueryPack {
               |WHERE d.doc_id NOT IN
               |  (SELECT doc_id FROM comp WHERE doc_id <> cluster)""".stripMargin)),
 
+    // Duplicate-cluster-BALANCED sampling — the alternative to d7's
+    // hard drop: instead of keeping one representative per dup
+    // cluster, sample the corpus with per-doc weight 1/cluster_size
+    // (deterministic A-Res, the t20 machinery: rank key u^(1/w) =
+    // u^cluster_size — an INTEGER exponent, exact on both engines), so
+    // a 5-way duplicated page gets one-fifth the selection pressure
+    // and the sample's cluster distribution is unbiased. Composes the
+    // d6 components with the t20 sampler; top-k is a bounded heap
+    // (TakeOrderedAndProject), never a global sort.
+    Q("d13_balanced_sample",
+      (s, dir) => {
+        import s.implicits._
+        val edges = verifiedPairs(s, dir)
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val comp = Dedup.components(edges)
+        val sizes = comp.groupBy($"cluster")
+          .agg(count(lit(1)).as("cluster_size"))
+        val keyed = Tables.documents(s, dir).select($"doc_id", $"text")
+          .join(comp.select($"id".as("doc_id"), $"cluster"),
+            Seq("doc_id"), "left")
+          .join(broadcast(sizes), Seq("cluster"), "left")
+          .select($"doc_id",
+            coalesce($"cluster", $"doc_id").as("cluster"),
+            coalesce($"cluster_size", lit(1L)).as("cluster_size"),
+            ((pmod(graft.text.TextOps.hash60($"text"), lit(1000000L))
+              .cast("double") + 0.5) / 1e6).as("u"))
+          .withColumn("akey",
+            r6(pow($"u", $"cluster_size".cast("double"))))
+        keyed.orderBy(desc("akey"), $"doc_id").limit(50)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("akey"), $"doc_id")))
+          .select($"doc_id", $"cluster", $"cluster_size", $"akey", $"rank")
+      },
+      Some(s"""WITH RECURSIVE $OracleSig,
+              |$OracleBand,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2),
+              |ed AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes za ON za.id = c.id_a
+              |  JOIN sizes zb ON zb.id = c.id_b
+              |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= 0.5),
+              |sym AS (
+              |  SELECT id_a AS a, id_b AS b FROM ed
+              |  UNION SELECT id_b, id_a FROM ed
+              |  UNION SELECT id_a, id_a FROM ed
+              |  UNION SELECT id_b, id_b FROM ed),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+              |comp AS (SELECT a AS doc_id, min(b) AS cluster
+              |         FROM reach GROUP BY a),
+              |cs AS (SELECT cluster, count(*) AS cluster_size
+              |       FROM comp GROUP BY cluster),
+              |docs AS (
+              |  SELECT d.doc_id,
+              |    coalesce(comp.cluster, d.doc_id) AS cluster,
+              |    coalesce(cs.cluster_size, 1) AS cluster_size,
+              |    (CAST(CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT)
+              |       % 1000000 AS DOUBLE) + 0.5) / 1e6 AS u
+              |  FROM documents d
+              |  LEFT JOIN comp ON comp.doc_id = d.doc_id
+              |  LEFT JOIN cs ON cs.cluster = comp.cluster),
+              |k AS (
+              |  SELECT doc_id, cluster, cluster_size,
+              |    round(pow(u, CAST(cluster_size AS DOUBLE)) + 1e-9, 6)
+              |      AS akey
+              |  FROM docs),
+              |rk AS (SELECT *, row_number()
+              |    OVER (ORDER BY akey DESC, doc_id) AS rank FROM k)
+              |SELECT doc_id, cluster, cluster_size, akey, rank
+              |FROM rk WHERE rank <= 50""".stripMargin)),
+
     // SimHash 32-bit signatures (near-dup via signature equality /
     // low Hamming distance).
     Q("d3_simhash",
