@@ -430,6 +430,103 @@ object StreamMultimodalPack extends QueryPack {
              |FROM h
              |QUALIFY rn = max(rn) OVER (PARTITION BY user_id)""".stripMargin)),
 
+    // Streaming Naive Bayes inference — model SERVING on a stream,
+    // the two-phase deployment st16/st20 use for monitoring applied to
+    // classification: likelihoods/priors/vocab calibrated batch-side
+    // on the train split and shipped in the closure (corpus-bounded
+    // vocab here; a 100 TB deployment broadcast-joins the likelihood
+    // table — the t24 batch path IS that plan), the stream scores each
+    // held-out doc STATELESSLY (no state store at all), and the
+    // drained scores run through exactly t24's r4→argmax→confusion
+    // tail. Same oracle as t24: streaming ≡ batch because per-doc
+    // score sums are r4-canonicalized on both paths before the argmax.
+    Q("st22_stream_nb",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st22_out_${counter.incrementAndGet()}"
+        val d = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            graft.text.TextOps.tokens($"text").as("ts"))
+        val tr = d.filter($"doc_id" % 5 =!= 0)
+        val ctc = tr.select($"lang", explode($"ts").as("tok"))
+          .groupBy($"lang", $"tok").count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val tot = ctc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+        val priM = tr.groupBy($"lang").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val ndocs = priM.values.sum
+        val vocab = ctc.keys.map(_._2).toSet.size
+        val classes = priM.keys.toSeq.sorted
+        val stream = s.readStream.schema(Tables.documentsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter($"doc_id" % 5 === 0)
+          .select($"doc_id", $"lang",
+            graft.text.TextOps.tokens($"text").as("ts"))
+          .as[(Long, String, Seq[String])]
+        val scored = stream.flatMap { case (id, lang, toks) =>
+          classes.map { c =>
+            val denom = (tot(c) + vocab).toDouble
+            val ssum = toks.map(t =>
+              math.log((ctc.getOrElse((c, t), 0L) + 1).toDouble / denom)).sum
+            (id, lang, c, ssum)
+          }
+        }.toDF("doc_id", "true_lang", "c", "ssum")
+        val q = scored.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        val pri = priM.toSeq.toDF("c", "nd")
+        s.table(name)
+          .join(broadcast(pri), "c")
+          .select($"doc_id", $"true_lang", $"c",
+            Rx.r4(log($"nd".cast("double") / lit(ndocs)) + $"ssum")
+              .as("score"))
+          .groupBy($"doc_id", $"true_lang")
+          .agg(min(struct(-$"score", $"c")).as("mn"))
+          .select($"true_lang", $"mn.c".as("pred"))
+          .groupBy($"true_lang", $"pred").agg(count(lit(1)).as("n"))
+          .orderBy($"true_lang", $"pred")
+      },
+      // t24's oracle verbatim — the model and the scoring are the same
+      // computation, only the execution substrate differs
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+             |te AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+             |trt AS (SELECT lang AS c, unnest(ts) AS tok FROM tr),
+             |ctc AS (SELECT c, tok, count(*) AS cnt FROM trt GROUP BY 1, 2),
+             |tot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tot_c
+             |        FROM ctc GROUP BY 1),
+             |pri AS (SELECT lang AS c, count(*) AS nd FROM tr GROUP BY 1),
+             |ptot AS (SELECT CAST(sum(nd) AS BIGINT) AS ndocs FROM pri),
+             |vv AS (SELECT count(DISTINCT tok) AS v FROM ctc),
+             |tet AS (SELECT doc_id, lang AS true_lang, unnest(ts) AS tok
+             |        FROM te),
+             |terms AS (
+             |  SELECT t.doc_id, t.true_lang, p.c,
+             |    ln((COALESCE(ctc.cnt, 0) + 1)
+             |      / CAST(tot.tot_c + vv.v AS DOUBLE)) AS term
+             |  FROM tet t
+             |  CROSS JOIN (SELECT c FROM pri) p
+             |  LEFT JOIN ctc ON ctc.c = p.c AND ctc.tok = t.tok
+             |  JOIN tot ON tot.c = p.c, vv),
+             |sc AS (
+             |  SELECT terms.doc_id, terms.true_lang, terms.c,
+             |    round(ln(CAST(pri.nd AS DOUBLE) / ptot.ndocs)
+             |      + sum(term) + 1e-9, 4) AS score
+             |  FROM terms JOIN pri ON pri.c = terms.c, ptot
+             |  GROUP BY terms.doc_id, terms.true_lang, terms.c,
+             |    pri.nd, ptot.ndocs),
+             |pred AS (
+             |  SELECT true_lang, c AS pred FROM (
+             |    SELECT doc_id, true_lang, c,
+             |      row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score DESC, c) AS rn
+             |    FROM sc) WHERE rn = 1)
+             |SELECT true_lang, pred, count(*) AS n
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Streaming Count-Min heavy hitters — the third sketch's streaming
     // form (HLL = st17, histogram = st18, CMS = here): the d·w cell
     // counts are additive, so each cell keyed as j·w + bucket rides the
