@@ -30,6 +30,54 @@ object IndicatorPack extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // EWMA volatility (the RiskMetrics recursion σ²ₜ = λσ²ₜ₋₁ +
+    // (1−λ)r²ₜ) — the W9 EWM machinery applied to squared returns,
+    // with λ = 15/16 = 0.9375 chosen DYADIC so α = 2^-4 is exactly
+    // representable and the recursion is bit-equal cross-engine with
+    // no rounding games (α = 0.06 would already differ in the last
+    // ulp between `2/(2/0.06)` formulations). Same single
+    // Exchange+Sort as every EwmAgg window; first-return rows (null
+    // lag) are excluded before the fold on both engines.
+    Q("w30_ewma_vol",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val lagv = lag($"value", 1).over(w)
+        ev(s, dir).select($"user_id", $"event_id", $"t", $"value")
+          .withColumn("r", when(lagv.isNull || lagv === 0, lit(null))
+            .otherwise($"value" / lagv - 1))
+          .filter($"r".isNotNull)
+          .withColumn("ewvar", graft.features.EwmAgg.ewm($"r" * $"r", 31.0)
+            .over(Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select($"user_id", $"event_id", $"t",
+            r6(sqrt($"ewvar")).as("ewma_vol"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+             |          FROM events),
+             |l AS (
+             |  SELECT user_id, event_id, t, value,
+             |    lag(value) OVER (PARTITION BY user_id
+             |      ORDER BY t, event_id) AS lv
+             |  FROM e),
+             |r AS (
+             |  SELECT user_id, event_id, t,
+             |    CASE WHEN lv IS NULL OR lv = 0 THEN NULL
+             |         ELSE value / lv - 1 END AS r
+             |  FROM l),
+             |f AS (SELECT * FROM r WHERE r IS NOT NULL),
+             |x AS (
+             |  SELECT user_id, event_id, t,
+             |    list(r * r) OVER w AS xs
+             |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING
+             |                        AND CURRENT ROW))
+             |SELECT user_id, event_id, t,
+             |  round(sqrt(list_reduce(xs,
+             |    (acc, x) -> 0.0625 * x + 0.9375 * acc)) + 1e-9, 6)
+             |    AS ewma_vol
+             |FROM x""".stripMargin)),
+
     // W9: pandas ewm(span, adjust=False).mean() + the MACD(12,26,9)
     // composition (lstm_forecasting.py:151-164).
     Q("w9_ewm_macd",
