@@ -501,6 +501,71 @@ object TimeSeriesPack extends QueryPack {
              |FROM l WHERE prev IS NOT NULL
              |GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
 
+    // Drawdown DURATION (time under water) — w21 measures drawdown
+    // DEPTH; this measures how long recoveries take: per user, the
+    // longest and the current run of consecutive days below the
+    // running maximum. Pure integer algebra after the r6 daily
+    // canonicalization (the under/at-high comparison reads rounded
+    // values on both engines, and streaks are gaps-and-islands
+    // counts), so the output is exact — no float rounding in the
+    // statistic itself. One user Exchange+Sort carries both window
+    // passes.
+    Q("w31_underwater",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val run = daily
+          .withColumn("runmax", max($"y").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("under", ($"y" < $"runmax").cast("long"))
+          // island id: bumps at every at-high day, constant through a
+          // underwater streak
+          .withColumn("grp", sum(lit(1L) - $"under").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val streaks = run.groupBy($"user_id", $"grp")
+          .agg(sum($"under").as("streak"), max($"day").as("grp_end"))
+        val lastDay = daily.groupBy($"user_id").agg(max($"day").as("last_day"))
+        streaks.join(lastDay, "user_id")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            max($"streak").as("max_underwater_days"),
+            max(when($"grp_end" === $"last_day", $"streak"))
+              .as("cur_underwater_days"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(sum(value) + 1e-9, 6) AS y
+             |      FROM e GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, day, y,
+             |    max(y) OVER w AS runmax
+             |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |u AS (
+             |  SELECT user_id, day,
+             |    CASE WHEN y < runmax THEN 1 ELSE 0 END AS under
+             |  FROM r),
+             |g AS (
+             |  SELECT user_id, day, under,
+             |    sum(1 - under) OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+             |  FROM u),
+             |s AS (
+             |  SELECT user_id, grp, CAST(sum(under) AS BIGINT) AS streak,
+             |    max(day) AS grp_end
+             |  FROM g GROUP BY 1, 2),
+             |ld AS (SELECT user_id, max(day) AS last_day FROM d GROUP BY 1)
+             |SELECT s.user_id, count(*) AS n_islands,
+             |  max(streak) AS max_underwater_days,
+             |  max(CASE WHEN grp_end = last_day THEN streak END)
+             |    AS cur_underwater_days
+             |FROM s JOIN ld ON ld.user_id = s.user_id
+             |GROUP BY 1""".stripMargin)),
+
     // Autocorrelation FUNCTION — w22 generalized to the lag set a
     // seasonality screen actually reads (1, 2, 3, 7 on the daily
     // series): all four lag columns ride ONE user-keyed
