@@ -320,6 +320,55 @@ object PipelinePack extends QueryPack {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Weighted quantiles — the pricing/inventory shape ("the median
+    // DOLLAR is spent at what unit price?"): per return flag, the
+    // smallest extended price whose cumulative quantity weight reaches
+    // q·Σw, for q = 0.25/0.5/0.75. The cumulative weight is a
+    // RUNNING-frame window sum — sequential accumulation in (price,
+    // orderkey, linenumber) order, so both engines fold identical
+    // doubles in identical order and the threshold comparison is
+    // bit-deterministic (the km1 cumulative argument). One grouped
+    // Exchange+Sort; the quantile pick is a conditional min per group.
+    Q("g19_weighted_quantile",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"l_returnflag")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        val cum = Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+            $"l_linenumber", $"l_quantity")
+          .withColumn("cw", sum($"l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tw", sum($"l_quantity").over(
+            Window.partitionBy($"l_returnflag")))
+        cum.groupBy($"l_returnflag")
+          .agg(r4(max($"tw")).as("total_qty"),
+            r6(min(when($"cw" >= lit(0.25) * $"tw", $"l_extendedprice")))
+              .as("wp25"),
+            r6(min(when($"cw" >= lit(0.5) * $"tw", $"l_extendedprice")))
+              .as("wp50"),
+            r6(min(when($"cw" >= lit(0.75) * $"tw", $"l_extendedprice")))
+              .as("wp75"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  round(max(tw) + 1e-9, 4) AS total_qty,
+             |  round(min(CASE WHEN cw >= 0.25 * tw THEN l_extendedprice END)
+             |    + 1e-9, 6) AS wp25,
+             |  round(min(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END)
+             |    + 1e-9, 6) AS wp50,
+             |  round(min(CASE WHEN cw >= 0.75 * tw THEN l_extendedprice END)
+             |    + 1e-9, 6) AS wp75
+             |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Mutual information between a categorical and a binned numeric
     // column (event_type × 8 equal-width value bins) — the
     // feature-relevance screen a training pipeline runs before
