@@ -320,6 +320,40 @@ object PipelinePack extends QueryPack {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Per-group mode — the aggregate pandas has (`.mode()`) and Spark
+    // lacks: most frequent value per group, deterministic ties to the
+    // SMALLEST value (the LabelProp convention). Two chained
+    // aggregates — (group, value) counts, then a min-struct argmax —
+    // never a per-group sort; combine state is the distinct-value
+    // dimension, the same bound as any count-distinct shape.
+    Q("g20_mode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type", (floor($"value") % 10).as("vbin"))
+          .groupBy($"event_type", $"vbin").agg(count(lit(1)).as("c"))
+          .groupBy($"event_type")
+          .agg(min(struct((-$"c").as("negc"), $"vbin".as("v"))).as("mn"),
+            count(lit(1)).as("n_distinct"))
+          .select($"event_type", $"mn.v".as("mode_vbin"),
+            (-$"mn.negc").as("mode_count"), $"n_distinct")
+          .orderBy($"event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(floor(value) AS BIGINT) % 10 AS vbin
+             |  FROM events),
+             |c AS (SELECT event_type, vbin, count(*) AS c
+             |      FROM b GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, vbin, c,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY c DESC, vbin) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n_distinct
+             |  FROM c)
+             |SELECT event_type, vbin AS mode_vbin, c AS mode_count,
+             |  n_distinct
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // Weighted quantiles — the pricing/inventory shape ("the median
     // DOLLAR is spent at what unit price?"): per return flag, the
     // smallest extended price whose cumulative quantity weight reaches

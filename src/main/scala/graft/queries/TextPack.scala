@@ -757,6 +757,56 @@ object TextPack extends QueryPack {
              |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0
              |ORDER BY doc_id, f""".stripMargin)),
 
+    // Document novelty scoring — KL(doc ‖ corpus) over unigram
+    // distributions: how far each document's token mix sits from the
+    // corpus average. High-KL docs are outliers/novel content, low-KL
+    // docs are boilerplate-typical — the curation signal between t1's
+    // shape heuristics and d-ops' duplicate detection. No smoothing
+    // needed: every doc token is in the corpus by construction, so
+    // both distributions are positive on the doc's support. Scale
+    // shape: one (doc, token) count, corpus counts derived FROM it
+    // (no second corpus scan), one token-keyed join, one doc-keyed
+    // reduction; integer products stay < 2^53 so the ratios fed to ln
+    // are exact on both engines; per-doc sums r4.
+    Q("t31_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val dt = Tables.documents(s, dir)
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cdt"))
+          .localCheckpoint()
+        val ct = dt.groupBy($"tok").agg(sum($"cdt").as("ct"))
+        val nd = dt.groupBy($"doc_id").agg(sum($"cdt").as("nd"))
+        val n = dt.agg(sum($"cdt").as("n"))
+        dt.join(ct, "tok")
+          .join(broadcast(nd), "doc_id")
+          .crossJoin(broadcast(n))
+          .select($"doc_id", $"nd",
+            (($"cdt".cast("double") / $"nd")
+              * log(($"cdt" * $"n").cast("double") / ($"nd" * $"ct")))
+              .as("term"))
+          .groupBy($"doc_id")
+          .agg(max($"nd").as("n_tokens"), r4(sum($"term")).as("kl"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |t AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+             |dt AS (SELECT doc_id, tok, count(*) AS cdt
+             |       FROM t GROUP BY 1, 2),
+             |ct AS (SELECT tok, CAST(sum(cdt) AS BIGINT) AS ct
+             |       FROM dt GROUP BY 1),
+             |nd AS (SELECT doc_id, CAST(sum(cdt) AS BIGINT) AS nd
+             |       FROM dt GROUP BY 1),
+             |n AS (SELECT CAST(sum(cdt) AS BIGINT) AS n FROM dt)
+             |SELECT dt.doc_id, max(nd.nd) AS n_tokens,
+             |  round(sum((CAST(cdt AS DOUBLE) / nd.nd)
+             |    * ln(CAST(cdt * n.n AS DOUBLE) / (nd.nd * ct.ct)))
+             |    + 1e-9, 4) AS kl
+             |FROM dt JOIN ct USING (tok) JOIN nd USING (doc_id), n
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Multinomial Naive Bayes, trained AND applied distributed, fully
     // hash-checked (the m9 classifier substitutes an MLP and is
     // golden-pinned; this is the text-classification counterpart with
