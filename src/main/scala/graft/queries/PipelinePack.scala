@@ -320,6 +320,40 @@ object PipelinePack extends QueryPack {
              |FROM events GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Behavioral-diversity entropy — Shannon entropy of each user's
+    // event-type mix, the segmentation feature that separates
+    // single-action users from broad ones (and the per-key form of
+    // mi1's marginal entropy). One user-keyed count, entropy on the
+    // ≤|types|-row per-user frame; integer products exact before ln
+    // (the mi1 arithmetic), per-user term sums ≤5 elements, r6.
+    Q("g21_user_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.events(s, dir)
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val n = c.groupBy($"user_id").agg(sum($"c").as("n"))
+        c.join(broadcast(n), "user_id")
+          .select($"user_id", $"n",
+            (-($"c".cast("double") / $"n")
+              * log($"c".cast("double") / $"n")).as("term"))
+          .groupBy($"user_id")
+          .agg(max($"n").as("n_events"), count(lit(1)).as("n_types"),
+            r6(sum($"term")).as("entropy"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |n AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+             |      FROM c GROUP BY 1)
+             |SELECT c.user_id, max(n.n) AS n_events,
+             |  count(*) AS n_types,
+             |  round(sum(-(CAST(c.c AS DOUBLE) / n.n)
+             |    * ln(CAST(c.c AS DOUBLE) / n.n)) + 1e-9, 6) AS entropy
+             |FROM c JOIN n USING (user_id)
+             |GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // Per-group mode — the aggregate pandas has (`.mode()`) and Spark
     // lacks: most frequent value per group, deterministic ties to the
     // SMALLEST value (the LabelProp convention). Two chained

@@ -501,6 +501,61 @@ object TimeSeriesPack extends QueryPack {
              |FROM l WHERE prev IS NOT NULL
              |GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
 
+    // Sortino ratio — w25's risk tier completed with the
+    // downside-only denominator practitioners prefer over Sharpe
+    // (upside volatility is not risk): per user over daily returns,
+    // mean return / downside deviation, where the downside deviation
+    // is √(Σ min(r,0)² / n) over ALL n observations (the standard
+    // target-0 convention — zeros for up days INCLUDED in the mean of
+    // squares). One user-keyed shuffle: the lag window and all three
+    // aggregates share the partitioning. Ratio computed from
+    // r6-rounded numerator/denominator (the w27 convention).
+    Q("w33_sortino",
+      (s, dir) => {
+        import s.implicits._
+        val daily = ev(s, dir)
+          .groupBy($"user_id", ($"t".cast("long") / lit(86400000000L))
+            .cast("long").as("day"))
+          .agg(r6(sum($"value")).as("y"))
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        val lagy = lag($"y", 1).over(w)
+        daily
+          .withColumn("r", when(lagy.isNull || lagy === 0, lit(null))
+            .otherwise($"y" / lagy - 1))
+          .filter($"r".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            r6(avg($"r")).as("mean_r"),
+            r6(sqrt(avg(least($"r", lit(0.0)) * least($"r", lit(0.0)))))
+              .as("downside_dev"))
+          .filter($"n" >= 10)
+          .select($"user_id", $"n", $"mean_r", $"downside_dev",
+            r6(when($"downside_dev" > 0, $"mean_r" / $"downside_dev"))
+              .as("sortino"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (SELECT user_id, t // 86400000000 AS day,
+             |        round(sum(value) + 1e-9, 6) AS y
+             |      FROM e GROUP BY 1, 2),
+             |l AS (SELECT user_id, y,
+             |        lag(y) OVER (PARTITION BY user_id ORDER BY day) AS ly
+             |      FROM d),
+             |r AS (SELECT user_id,
+             |        CASE WHEN ly IS NULL OR ly = 0 THEN NULL
+             |             ELSE y / ly - 1 END AS r
+             |      FROM l),
+             |a AS (
+             |  SELECT user_id, count(*) AS n,
+             |    round(avg(r) + 1e-9, 6) AS mean_r,
+             |    round(sqrt(avg(least(r, 0.0) * least(r, 0.0))) + 1e-9, 6)
+             |      AS downside_dev
+             |  FROM r WHERE r IS NOT NULL
+             |  GROUP BY 1 HAVING count(*) >= 10)
+             |SELECT user_id, n, mean_r, downside_dev,
+             |  round(CASE WHEN downside_dev > 0
+             |        THEN mean_r / downside_dev END + 1e-9, 6) AS sortino
+             |FROM a""".stripMargin)),
+
     // Drawdown DURATION (time under water) — w21 measures drawdown
     // DEPTH; this measures how long recoveries take: per user, the
     // longest and the current run of consecutive days below the
