@@ -156,7 +156,24 @@ object Bench {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // State-size ALARM (round-11): each stream query's measured peak
+    // state-store rows against its declared ceiling (StateMetrics.
+    // ceilings, abs + perInput×events). A violation fails the bench
+    // line — super-linear state growth (dropped watermark, state leak)
+    // is a correctness-of-design regression, not a sideline footnote.
+    val nEvents =
+      try spark.read.parquet(s"$sfDir/events.parquet").count()
+      catch { case _: Throwable => 0L }
+    val stateViolations =
+      if (nEvents > 0) graft.streaming.StateMetrics.violations(nEvents)
+      else Seq.empty
+    stateViolations.foreach { case (n, rows, cap) =>
+      System.err.println(
+        s"[bench] STATE ALARM $n: $rows state rows > ceiling $cap" +
+          s" at $nEvents input rows")
+    }
+    val failed = (results.collect { case (k, _, false) => "\"" + k + "\"" } ++
+        stateViolations.map { case (n, _, _) => "\"state:" + n + "\"" })
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum + setup.values.sum
     // "sf0.1", not the full path: the path prefix is constant and the

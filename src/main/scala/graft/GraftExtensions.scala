@@ -120,12 +120,19 @@ object GraftExtensions {
       graft.operators.TopKAgg(exprs(0), exprs(1), k) },
     "graft_hll" -> { exprs =>
       require(exprs.length == 2, "graft_hll(key, p) takes 2 arguments")
+      // Both literal widths validated UNIFORMLY at registration (p in
+      // [4,24], multiple of 4 — HllAgg's register-array contract), so
+      // an invalid p fails here with a graft_hll-prefixed message
+      // instead of surfacing as HllAgg's analyzer-stage require.
       val p = exprs(1) match {
         case Literal(v: Int, _) => v
-        case Literal(v: Long, _) if v > 0 && v <= 24 => v.toInt
+        case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue =>
+          v.toInt
         case other => throw new IllegalArgumentException(
           s"graft_hll p must be an integer literal, got $other")
       }
+      require(p >= 4 && p <= 24 && p % 4 == 0,
+        s"graft_hll p must be in [4, 24] and a multiple of 4, got $p")
       graft.sketch.HllAgg(exprs.head, p) })
 
   /** Runtime registration on an existing session. */

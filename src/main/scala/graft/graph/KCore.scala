@@ -52,9 +52,12 @@ object KCore {
     * meaningful on any graph — including near-uniform ones whose
     * k-core is all-or-nothing, where the final-core shape alone would
     * read as trivially full or trivially empty. Each round is
-    * `localCheckpoint`ed before its counts (two bounded actions per
-    * round on the SHRINKING edge set), which also caps lineage depth
-    * at one round. `n_edges` counts undirected edges (directed/2). */
+    * `localCheckpoint`ed (caps lineage depth at one round), then both
+    * counts come from ONE combined aggregate over the checkpointed
+    * edge set (round-11: was distinct().count() + count() — two full
+    * jobs; the fold halves the per-round action overhead on the
+    * SHRINKING edge set). `n_edges` counts undirected edges
+    * (directed/2). */
   def profile(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val spark = edges.sparkSession
@@ -67,7 +70,9 @@ object KCore {
         .join(alive.select(col("node").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
         .localCheckpoint()
-      (i.toLong, e.select(col("src")).distinct().count(), e.count() / 2)
+      val c = e.agg(count_distinct(col("src")).as("n"),
+        count(lit(1)).as("m")).head()
+      (i.toLong, c.getLong(0), c.getLong(1) / 2)
     }
     rows.toDF("round", "n_nodes", "n_edges")
   }

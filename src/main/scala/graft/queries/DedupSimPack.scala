@@ -732,23 +732,27 @@ object DedupSimPack extends QueryPack {
              |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
              |FROM rk WHERE rank <= 5""".stripMargin)),
 
-    // IVF ANN (graft.sim.IvfAnn): coarse quantizer = KMeans centroids
-    // (seed 42); each query probes its nprobe NEAREST cells — the
-    // standard IVF recall knob (1 cell recalls ~0.34 on these
-    // near-isotropic embeddings, 2 ≈ 2×, 3 ≥ 0.6 — AnnRecallSpec
-    // asserts both floors). Centroids not SQL-reproducible → rows-only
-    // check.
+    // IVF ANN (graft.sim.IvfAnn): each query probes its nprobe NEAREST
+    // cells — the standard IVF recall knob. The declared query uses the
+    // PORTABLE md5-order coarse fit (IvfPq.coarseCells, the s7/s8/s12
+    // convention) so the full fit→assign→probe→rank pipeline is
+    // hash-checked against DuckDB end-to-end (round-11: retired the
+    // former rows-only pin); the trained-KMeans quantizer (IvfAnn.fit,
+    // seed 42) remains the production path, with its recall floors
+    // asserted in AnnRecallSpec and save/load round-trip in specs.
     Q("s3_ann_ivf",
       (s, dir) => {
         import s.implicits._
-        graft.sim.IvfAnn.topK(
+        graft.sim.IvfAnn.portableTopK(
             Tables.embeddings(s, dir)
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
             "vec_id", "v", queryPred = col("vec_id") < 10,
-            k = 5, nCells = 8, nprobe = 2)
+            k = 5, nCells = 8, nprobe = 3, dims = 64)
           .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"), $"rank")
       },
-      None),
+      Some(graft.sim.IvfAnn.portableOracleSql(
+        k = 5, nCells = 8, nprobe = 3, dims = 64,
+        queryPredSql = "vec_id < 10"))),
 
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per

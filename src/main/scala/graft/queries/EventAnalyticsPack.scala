@@ -32,6 +32,30 @@ object EventAnalyticsPack extends QueryPack {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
 
+  /** events sliced to `[loUs, hiUs)` through the date-partitioned
+    * layout (round-11: the p2/w4b idiom made the norm for date-sliced
+    * analytics): the `day` predicate prunes whole directories
+    * (PartitionFilters — at 100 TB the scan never lists files outside
+    * the window), the raw `ts` predicate still prunes row groups inside
+    * the boundary days. `t` is the layout's raw µs epoch long, the same
+    * value [[ev]] derives. */
+  private def evSliced(s: SparkSession, dir: String,
+                       loUs: Long, hiUs: Long): DataFrame = {
+    import graft.io.EventsLayout
+    EventsLayout.read(s, dir)
+      .filter(col("day") >= lit(EventsLayout.dayOfUs(loUs)) &&
+              col("day") < lit(EventsLayout.dayOfUs(hiUs)))
+      .filter(col("ts") >= loUs && col("ts") < hiUs)
+      .withColumn("t", col("ts"))
+  }
+
+  /** The f2/a2 analysis window: 2024-01-01 .. 2024-01-22 UTC (first
+    * three weeks of the panel — present at every SF). */
+  private val SliceLoUs = 1704067200000000L
+  private val SliceHiUs = 1705881600000000L
+  private val OracleSlice =
+    s"epoch_us(ts) >= $SliceLoUs AND epoch_us(ts) < $SliceHiUs"
+
   private val OracleEv =
     "SELECT event_id, epoch_us(ts) AS t, user_id, event_type, value, props FROM events"
 
@@ -90,15 +114,18 @@ object EventAnalyticsPack extends QueryPack {
              |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin)),
 
     // f2: cohort retention — distinct users active at each day-offset
-    // from their cohort (first-seen) day. ONE user-keyed shuffle: the
-    // per-user distinct-day set is collected and exploded with the
-    // cohort day read from the sorted set's head — no (user,day)
-    // pre-aggregate shuffle, no user⋈activity join. Each exploded row
-    // is a distinct (user, day), so the final count IS distinct users.
+    // from their cohort (first-seen) day, over the 3-week analysis
+    // window. ONE user-keyed shuffle: the per-user distinct-day set is
+    // collected and exploded with the cohort day read from the sorted
+    // set's head — no (user,day) pre-aggregate shuffle, no
+    // user⋈activity join. Each exploded row is a distinct (user, day),
+    // so the final count IS distinct users. Round-11: routed through
+    // the date-partitioned layout (evSliced) so the window predicate is
+    // a directory-level PartitionFilter, not a full-table scan.
     Q("f2_retention",
       (s, dir) => {
         import s.implicits._
-        ev(s, dir)
+        evSliced(s, dir, SliceLoUs, SliceHiUs)
           .select($"user_id", ($"t".cast("long") / lit(DayUs)).cast("long").as("day"))
           .groupBy($"user_id")
           .agg(array_sort(collect_set($"day")).as("days"))
@@ -108,7 +135,8 @@ object EventAnalyticsPack extends QueryPack {
           .agg(count(lit(1)).as("users"))
       },
       Some(s"""WITH ud AS (
-             |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+             |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+             |  FROM events WHERE $OracleSlice),
              |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
              |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
              |       count(*) AS users
@@ -445,15 +473,17 @@ object EventAnalyticsPack extends QueryPack {
              |GROUP BY 1, 2""".stripMargin)),
 
     // a2: seasonal anomaly counts — per (event_type, hour-of-day)
-    // baseline (mean, sample std) with a 3σ gate. The f5 broadcast
-    // pattern: the ≤120-row baseline is r6-rounded BEFORE the
-    // comparison on both engines and broadcast back to the fact scan,
-    // so anomaly classification computes from identical doubles with
-    // no second fact shuffle.
+    // baseline (mean, sample std) with a 3σ gate over the 3-week
+    // analysis window. The f5 broadcast pattern: the ≤120-row baseline
+    // is r6-rounded BEFORE the comparison on both engines and broadcast
+    // back to the fact scan, so anomaly classification computes from
+    // identical doubles with no second fact shuffle. Round-11: routed
+    // through the date-partitioned layout (evSliced) so the window
+    // predicate is a directory-level PartitionFilter.
     Q("a2_seasonal",
       (s, dir) => {
         import s.implicits._
-        val base = ev(s, dir)
+        val base = evSliced(s, dir, SliceLoUs, SliceHiUs)
           .select($"event_type",
             (($"t" % lit(86400000000L)) / lit(3600000000L)).cast("long").as("hour"),
             $"value")
@@ -467,10 +497,10 @@ object EventAnalyticsPack extends QueryPack {
               .as("n_anomalies"),
             min($"mu").as("mu"), min($"sd").as("sd"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT event_type,
              |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour, value
-             |  FROM events),
+             |  FROM events WHERE $OracleSlice),
              |s AS (SELECT event_type, hour,
              |        round(avg(value) + 1e-9, 6) AS mu,
              |        round(stddev_samp(value) + 1e-9, 6) AS sd
@@ -861,9 +891,9 @@ object EventAnalyticsPack extends QueryPack {
              |t AS (SELECT CAST(sum(n_conv + n_cens) AS BIGINT) AS n FROM bd),
              |rk AS (
              |  SELECT day, n_conv, n_cens,
-             |    n - COALESCE(sum(n_conv + n_cens) OVER (ORDER BY day
+             |    CAST(n - COALESCE(sum(n_conv + n_cens) OVER (ORDER BY day
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS n_risk
+             |      AS BIGINT) AS n_risk
              |  FROM bd, t)
              |SELECT day, n_risk, n_conv, n_cens,
              |  round(exp(sum(ln(1.0 - CAST(n_conv AS DOUBLE) / n_risk))

@@ -354,6 +354,51 @@ object PipelinePack extends QueryPack {
              |FROM c JOIN n USING (user_id)
              |GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
+    // Inter-event burstiness (Goh & Barabási 2008): per user,
+    // B = (σ − μ)/(σ + μ) of the inter-arrival-time distribution —
+    // B → −1 for clockwork-periodic activity, 0 for Poisson, → +1 for
+    // bursty humans/bots. The temporal segmentation feature next to
+    // g21's type-mix entropy. One partitioned window (lag over the
+    // user-keyed Exchange+Sort) + one user-keyed aggregate; gaps are
+    // exact µs integer diffs scaled to seconds by ONE IEEE divide, and
+    // μ/σ are r6-canonicalized BEFORE the ratio (the f5 convention) so
+    // both engines take the quotient of identical doubles.
+    Q("g22_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val g = Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("t"), $"event_id")
+          .withColumn("gap",
+            ($"t" - lag($"t", 1).over(w)) / lit(1000000.0))
+          .filter($"gap".isNotNull)
+        g.groupBy($"user_id")
+          .agg(count($"gap").as("n_gaps"),
+            r6(avg($"gap")).as("mu"),
+            r6(stddev_samp($"gap")).as("sd"))
+          .filter($"n_gaps" >= 2 && $"sd" + $"mu" > 0)
+          .select($"user_id", $"n_gaps", $"mu".as("mean_gap_s"),
+            r6(($"sd" - $"mu") / ($"sd" + $"mu")).as("burstiness"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+             |g AS (
+             |  SELECT user_id,
+             |    (t - lag(t) OVER (PARTITION BY user_id
+             |       ORDER BY t, event_id)) / 1000000.0 AS gap
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id, count(gap) AS n_gaps,
+             |    round(avg(gap) + 1e-9, 6) AS mu,
+             |    round(stddev_samp(gap) + 1e-9, 6) AS sd
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_gaps, mu AS mean_gap_s,
+             |  round((sd - mu) / (sd + mu) + 1e-9, 6) AS burstiness
+             |FROM s WHERE n_gaps >= 2 AND sd + mu > 0
+             |ORDER BY user_id""".stripMargin)),
+
     // Per-group mode — the aggregate pandas has (`.mode()`) and Spark
     // lacks: most frequent value per group, deterministic ties to the
     // SMALLEST value (the LabelProp convention). Two chained

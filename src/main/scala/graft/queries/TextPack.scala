@@ -720,9 +720,12 @@ object TextPack extends QueryPack {
 
     // Feature hashing (the "hashing trick", Weinberger et al. 2009):
     // tokens → a FIXED 64-dim signed feature vector per document, with
-    // the index from the portable 60-bit md5 hash and the sign from
-    // its parity (the unbiasing trick — colliding tokens cancel in
-    // expectation instead of inflating). This is how a training
+    // the index from the portable 60-bit md5 hash (hv % 64) and the
+    // sign from a bit INDEPENDENT of the index (bit 6, hv >> 6 & 1 —
+    // round-11 advice fix: hv % 2 is fully determined by index parity
+    // when the dimension is even, so bucket-colliding tokens could
+    // never cancel; the independent bit restores the unbiasing
+    // property — colliding tokens cancel in expectation). This is how a training
     // pipeline vectorizes unbounded vocabulary with bounded state: no
     // vocab table, no fit pass, combine state ≤ docs·64. One
     // (doc, feature)-keyed shuffle, map-side combined; sparse rows
@@ -735,8 +738,8 @@ object TextPack extends QueryPack {
           .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
           .select($"doc_id",
             (TextOps.hash60($"tok") % 64).as("f"),
-            when(TextOps.hash60($"tok") % 2 === 0, 1L).otherwise(-1L)
-              .as("sgn"))
+            when(shiftright(TextOps.hash60($"tok"), 6) % 2 === 0, 1L)
+              .otherwise(-1L).as("sgn"))
           .groupBy($"doc_id", $"f").agg(sum($"sgn").as("w"))
           .filter($"w" =!= 0)
           .orderBy($"doc_id", $"f")
@@ -751,7 +754,7 @@ object TextPack extends QueryPack {
              |  FROM t),
              |f AS (
              |  SELECT doc_id, hv % 64 AS f,
-             |    CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END AS sgn
+             |    CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
              |  FROM h)
              |SELECT doc_id, f, CAST(sum(sgn) AS BIGINT) AS w
              |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0

@@ -96,6 +96,110 @@ object IvfAnn {
     search(fit(df, idCol, vecCol, nCells, seed, quantizerSampleSize),
       df, idCol, vecCol, queryPred, k, nprobe)
 
+  /** Portable IVF cosine top-k (the s3 query surface, round-11): the
+    * same composition as [[topK]] — coarse cells, argmin assignment,
+    * nprobe probing, cosine ranking within probed cells — but the
+    * coarse quantizer is the md5-order portable fit
+    * ([[IvfPq.coarseCells]], the s7/s8/s12 convention) instead of
+    * trained KMeans, precisely so the whole fit→assign→probe→rank
+    * pipeline is SQL-reproducible and hash-checked end-to-end.
+    * [[topK]]'s trained quantizer remains the production drop-in
+    * (AnnRecallSpec keeps its recall floor). Output matches [[search]]:
+    * (query_id, cell, corpus_id, cos, rank) where `cell` is the corpus
+    * row's assigned cell. */
+  def portableTopK(df: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int, nCells: Int, nprobe: Int,
+                   dims: Int): DataFrame = {
+    require(nprobe <= nCells, s"nprobe $nprobe exceeds nCells $nCells")
+    val cells = IvfPq.coarseCells(df, idCol, vecCol, nCells).localCheckpoint()
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // nearest cell per corpus row (argmin d2, ties to smallest cell id)
+    val assign = base
+      .crossJoin(broadcast(cells))
+      .withColumn("cd2", Pq.dist2Unrolled(col("v"), col("cellv"), dims))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd2"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell").as("cell"))
+    // nprobe nearest cells per query (bounded window over nCells rows)
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("cd2"), col("cell"))
+    val probes = Similarity.withNormalized(base.filter(queryPred), "v", "qv")
+      .select(col("vec_id").as("query_id"), col("v"), col("qv"))
+      .crossJoin(broadcast(cells))
+      .withColumn("cd2", Pq.dist2Unrolled(col("v"), col("cellv"), dims))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // candidates bound by probed-cell membership; cosine on normalized
+    // sides so each pair is one fused dot product
+    val corpus = Similarity.withNormalized(base, "v", "cv")
+      .select(col("vec_id"), col("cv"))
+      .join(assign, "vec_id")
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("vec_id").as("corpus_id"),
+        col("cos"))
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(graft.operators.TopK.descNullsLast(col("cos")), col("corpus_id")), k)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("cos"),
+        col("rank"))
+  }
+
+  /** DuckDB oracle for [[portableTopK]] over the `embeddings` view:
+    * the [[IvfPq.oracleSql]] coarse tier (md5-order cells, argmin
+    * assignment, nprobe probes) composed with the s1 cosine idiom
+    * (normalize once per vector, fixed-order fold dot product). */
+  def portableOracleSql(k: Int, nCells: Int, nprobe: Int, dims: Int,
+                        queryPredSql: String): String = {
+    def d2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, $dims + 1),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |          FROM embeddings),
+       |hs AS (SELECT vec_id, v,
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM e),
+       |cells AS (SELECT v AS cellv,
+       |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+       |  FROM hs ORDER BY h, vec_id LIMIT $nCells),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "c.cellv")}, c.cell) AS arn
+       |    FROM e, cells c) WHERE arn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "c.cellv")}, c.cell) AS prn
+       |    FROM e, cells c WHERE $queryPredSql) WHERE prn <= $nprobe),
+       |nm AS (SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM e),
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nm),
+       |q AS (SELECT p.query_id, p.cell, nv.nv AS qv
+       |  FROM probes p JOIN nv ON nv.vec_id = p.query_id),
+       |sc AS (
+       |  SELECT q.query_id, a.cell, nv.vec_id AS corpus_id,
+       |    list_reduce(list_prepend(0.0,
+       |        list_transform(range(1, len(qv) + 1), i -> qv[i] * nv.nv[i])),
+       |        (acc, x) -> acc + x) AS cos
+       |  FROM q JOIN asg a ON a.cell = q.cell
+       |  JOIN nv ON nv.vec_id = a.vec_id
+       |  WHERE q.query_id <> nv.vec_id),
+       |rk AS (
+       |  SELECT query_id, cell, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cell, corpus_id, round(cos + 1e-9, 6) AS cos, rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** Rename to the (vec_id, v) convention and add the ML-vector view.
     * NOT normalization: the quantizer bins RAW vectors (cosine ranking
     * re-normalizes per pair inside Similarity.cosine). */

@@ -37,9 +37,10 @@ object Sq {
 
   /** One-row per-dimension stats frame `(vmins, steps)`, each an
     * array of length `dims`: steps(d) = (max_d − min_d) / levels.
-    * PRECONDITION: every dimension has max > min (true for any real
-    * embedding corpus; a constant dimension would yield step 0 and an
-    * all-`levels−1` clamped code on both engines alike). */
+    * A constant dimension yields step 0, which [[codeAt]] guards to
+    * code 0 on both engines (it reconstructs at min_d and contributes
+    * the same fixed offset to every asymmetric distance — ranks are
+    * unaffected, exactly the right degenerate behavior). */
   def fit(corpus: DataFrame, vecCol: String, dims: Int,
           levels: Int): DataFrame =
     corpus
@@ -55,11 +56,18 @@ object Sq {
 
   /** Per-dimension code: clamp(floor((v_d − min_d)/step_d), levels−1).
     * v_d = min_d maps to 0 and v_d = max_d to `levels` before the
-    * clamp, so codes span [0, levels−1]. */
+    * clamp, so codes span [0, levels−1]. A CONSTANT dimension
+    * (step = 0) codes to 0 explicitly on both engines (round-11 advice
+    * fix: 0/0 is NaN, and NaN through floor/least silently corrupts
+    * distances rather than failing — the guard makes the degenerate
+    * dimension contribute a fixed reconstruction instead). */
   private def codeAt(v: Column, vm: Column, st: Column, i: Int,
                      levels: Int): Column =
-    least(floor((element_at(v, i) - element_at(vm, i)) / element_at(st, i)),
-      lit((levels - 1).toLong)).cast("int")
+    when(element_at(st, i) === 0, lit(0L))
+      .otherwise(least(
+        floor((element_at(v, i) - element_at(vm, i)) / element_at(st, i)),
+        lit((levels - 1).toLong)))
+      .cast("int")
 
   /** Corpus codes, wide: `(id, codes array<int> of length dims)` —
     * stats attached via the 1-row broadcast idiom. */
@@ -130,7 +138,8 @@ object Sq {
        |    list(step ORDER BY i) AS stp FROM st),
        |codes AS (SELECT vec_id,
        |    list_transform(range(1, ${dims + 1}),
-       |      i -> CAST(least(floor((v[i] - vm[i]) / stp[i]), $lv1)
+       |      i -> CAST(CASE WHEN stp[i] = 0 THEN 0
+       |        ELSE least(floor((v[i] - vm[i]) / stp[i]), $lv1) END
        |        AS INT)) AS codes
        |  FROM e, sa),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e

@@ -30,4 +30,55 @@ object StateMetrics {
     import scala.jdk.CollectionConverters._
     peak.asScala.toMap
   }
+
+  /** Declared state-size ceiling: `abs + perInput × nInput` rows.
+    * Set at ~1.5–2× the measured sf0.1 ratio (BENCH_FULL round 10), so
+    * routine variance passes and a structural regression — a dropped
+    * watermark, a key-cardinality state leak, an accidentally stateful
+    * rewrite — trips the ALARM (round-11, VERDICT item 9): Bench marks
+    * the query failed, so super-linear state growth fails the round
+    * instead of hiding in a sideline. */
+  final case class Ceiling(abs: Long, perInput: Double)
+
+  /** Per-query ceilings. Key-cardinality states (per-user folds) sit
+    * ~0.015×events at every SF — capped at 0.05×; stream-stream join
+    * state measured 0.4× — capped 0.8×; st10's dedup state holds every
+    * id inside the watermark (linear BY CONTRACT, measured 0.95×) —
+    * capped 1.5×; sketch states are absolute (st17 = 2^12 HLL
+    * registers EXACTLY, st20 quantile bins); st22 is PINNED stateless
+    * — if the serving path ever grows state, that's a design
+    * regression worth failing. */
+  val ceilings: Map[String, Ceiling] = Map(
+    "st1"  -> Ceiling(256, 0.01),
+    "st2"  -> Ceiling(64, 0.05),
+    "st3"  -> Ceiling(64, 0.2),
+    "st4"  -> Ceiling(64, 0.05),
+    "st5"  -> Ceiling(64, 0.05),
+    "st6"  -> Ceiling(64, 0.05),
+    "st7"  -> Ceiling(64, 0.0),
+    "st8"  -> Ceiling(64, 0.0),
+    "st9"  -> Ceiling(256, 0.8),
+    "st10" -> Ceiling(256, 1.5),
+    "st11" -> Ceiling(64, 0.05),
+    "st12" -> Ceiling(256, 0.8),
+    "st13" -> Ceiling(64, 0.05),
+    "st14" -> Ceiling(64, 0.05),
+    "st15" -> Ceiling(64, 0.05),
+    "st16" -> Ceiling(64, 0.05),
+    "st17" -> Ceiling(4096, 0.0),
+    "st18" -> Ceiling(4096, 0.0),
+    "st19" -> Ceiling(64, 0.05),
+    "st20" -> Ceiling(64, 0.0),
+    "st21" -> Ceiling(64, 0.05),
+    "st22" -> Ceiling(0, 0.0))
+
+  /** Recorded stream queries whose peak state exceeds their declared
+    * ceiling at `nInput` input rows — empty on a healthy run. */
+  def violations(nInput: Long): Seq[(String, Long, Long)] =
+    snapshot.toSeq.sorted.flatMap { case (name, rows) =>
+      ceilings.get(name).flatMap { c =>
+        val cap = c.abs + (c.perInput * nInput).toLong
+        if (rows > cap) Some((name, rows, cap)) else None
+      }
+    }
 }

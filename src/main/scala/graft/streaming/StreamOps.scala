@@ -216,7 +216,8 @@ object StreamOps {
       }
   }
 
-  case class KalmanState(n: Long, l: Double, p: Double, k: Double)
+  case class KalmanState(n: Long, l: Double, p: Double, k: Double,
+                         lastT: Long, lastEid: Long)
   case class KalmanPoint(user_id: Long, n_obs: Long, level: Double,
                          pvar: Double, gain: Double)
 
@@ -226,8 +227,14 @@ object StreamOps {
     * updated per event in (t, event_id) order. Operand order matches
     * the batch fold exactly: pp = p + Q; k = pp/(pp + R);
     * l' = l + k·(y − l); p' = (1 − k)·pp — bit-identical
-    * batch ≡ stream. Same cross-batch ordering note as
-    * [[transitionsStream]]. */
+    * batch ≡ stream. Ordering is ENFORCED, not assumed (round-11
+    * advice fix): sorting is per micro-batch only, so the state also
+    * carries the last-folded (t, event_id) and an event arriving in a
+    * LATER micro-batch with an EARLIER event-time fails loudly instead
+    * of silently folding out of order and diverging from the batch
+    * recurrence. (The fold families documented with the
+    * [[transitionsStream]] caveat tolerate reordering within a batch;
+    * a filter recurrence does not.) */
   def kalmanStream(events: Dataset[ValueEvent], q: Double,
                    r: Double): Dataset[KalmanPoint] = {
     import events.sparkSession.implicits._
@@ -235,14 +242,23 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[ValueEvent], state: GroupState[KalmanState]) =>
           val sorted = rows.toSeq.sortBy(e => (e.t, e.event_id))
-          var st = state.getOption.getOrElse(KalmanState(0L, 0.0, 0.0, 0.0))
+          var st = state.getOption.getOrElse(
+            KalmanState(0L, 0.0, 0.0, 0.0, Long.MinValue, Long.MinValue))
           sorted.foreach { e =>
-            st = if (st.n == 0L) KalmanState(1L, e.value, 1.0, 0.0)
+            require(st.n == 0L || e.t > st.lastT ||
+                (e.t == st.lastT && e.event_id > st.lastEid),
+              s"kalmanStream: out-of-order event for user $uid — " +
+                s"(t=${e.t}, event_id=${e.event_id}) after " +
+                s"(t=${st.lastT}, event_id=${st.lastEid}); a cross-batch " +
+                "reordered source would silently diverge from the batch " +
+                "recurrence, so it fails instead")
+            st = if (st.n == 0L)
+              KalmanState(1L, e.value, 1.0, 0.0, e.t, e.event_id)
             else {
               val pp = st.p + q
               val k = pp / (pp + r)
               KalmanState(st.n + 1L, st.l + k * (e.value - st.l),
-                (1.0 - k) * pp, k)
+                (1.0 - k) * pp, k, e.t, e.event_id)
             }
           }
           state.update(st)

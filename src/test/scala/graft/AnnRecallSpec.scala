@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** ANN accuracy contract (the approximate-operator analogue of
   * ApproxSpec): recall@5 of the bucketed variants against the exact
   * brute-force top-k on the sf0.01 embeddings. Multi-probe LSH
-  * (Hamming-1) and nprobe=2 IVF both sit ≥ ~0.5 here; the floor is set
-  * with margin. Single-probe variants measured ~0.2/0.34 — the floor
-  * also guards against silently reverting the probe settings. */
+  * (Hamming-1) sits ≥ ~0.5; the declared s3 (portable md5-order fit,
+  * nprobe=3 — round-11) measures 0.56; trained-KMeans IVF at nprobe=3
+  * measures higher still (second test). Floors are set with margin;
+  * single-probe variants measured ~0.2/0.34 — the floor also guards
+  * against silently reverting the probe settings. */
 class AnnRecallSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -17,7 +19,7 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
-  test("multi-probe LSH and nprobe=2 IVF recall@5 >= 0.4 vs exact top-k") {
+  test("multi-probe LSH and portable-fit IVF recall@5 >= 0.4 vs exact top-k") {
     val exact = pairs("s1_cosine_topk")
     assert(exact.nonEmpty)
     val lsh = pairs("s2_ann_lsh")

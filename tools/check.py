@@ -38,6 +38,17 @@ def cmp(name, spark_df, duck_df):
     a, b = canon(spark_df), canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # DTYPE-STRICT (round-11): the driver's hash is dtype-sensitive at
+        # the int-vs-float level (q12 r9, km1 r10 both shipped red because
+        # this gate silently coerced). An int column on one side and a
+        # float column on the other is a FAILURE, not a coercion.
+        ak = "i" if av.dtype.kind in "iu" else av.dtype.kind
+        bk = "i" if bv.dtype.kind in "iu" else bv.dtype.kind
+        if {ak, bk} == {"i", "f"}:
+            problems.append(
+                f"col {c}: DTYPE mismatch spark={av.dtype} duck={bv.dtype}"
+                " (int vs float — driver hash WILL fail; CAST the oracle)")
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype("float64")
             bv = bv.astype("float64")
