@@ -19,11 +19,18 @@ object StateMetrics {
   /** Record `name` → max over progress reports of the sum of state
     * rows across the query's stateful operators. Stateless streams
     * (e.g. st11's broadcast enrich) record 0 — itself a useful pin. */
-  def record(name: String, q: StreamingQuery): Unit = {
-    val rows = q.recentProgress.map(p =>
-      p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max)
+  def record(name: String, q: StreamingQuery): Unit =
+    recordRaw(name, q.recentProgress.map(p =>
+      p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max))
+
+  /** Direct peak entry (the [[record]] reduction's sink; exposed for
+    * StateMetricsSpec to exercise [[violations]] without a live
+    * streaming query). */
+  private[graft] def recordRaw(name: String, rows: Long): Unit =
     peak.merge(name, rows, math.max(_, _)): Unit
-  }
+
+  /** Test hook: drop all recorded peaks. */
+  private[graft] def reset(): Unit = peak.clear()
 
   /** Peak state rows per recorded stream query (bench-run lifetime). */
   def snapshot: Map[String, Long] = {

@@ -68,4 +68,25 @@ class HllAggSpec extends AnyFunSuite {
         s"rank mismatch for $k")
     }
   }
+  test("graft_hll rejects invalid p uniformly at registration") {
+    // round-11 advice fix: both Int and Long literals validated at
+    // registration (p in [4,24], multiple of 4) with the
+    // graft_hll-prefixed message — not HllAgg's analyzer-stage require
+    graft.GraftExtensions.register(spark)
+    graft.io.Tables.events(spark, sf)
+      .createOrReplaceTempView("hllagg_badp_events")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    Seq("13", "0", "28", "13L").foreach { bad =>
+      val ex = intercept[Exception] {
+        spark.sql(
+          s"SELECT graft_hll(event_id, $bad) FROM hllagg_badp_events")
+          .collect()
+      }
+      assert(msgs(ex).exists(_.contains(
+        "graft_hll p must be in [4, 24] and a multiple of 4")),
+        s"p=$bad: ${msgs(ex).mkString(" | ")}")
+    }
+  }
 }

@@ -510,6 +510,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want) // bit-equal: same operand order, carried state
   }
 
+  test("kalman stream fails loudly on out-of-order cross-batch input") {
+    // round-11 advice fix: per-batch sorting can't order ACROSS batches,
+    // so an event arriving in a later micro-batch with an earlier
+    // event-time must fail (silently folding it would diverge from the
+    // batch recurrence)
+    val d1 = Seq((1L, 2000L, 10L, 1.0), (1L, 3000L, 11L, 2.0))
+      .toDF("user_id", "t", "event_id", "value")
+    val d2 = Seq((1L, 1000L, 9L, 3.0)) // EARLIER than everything in batch 1
+      .toDF("user_id", "t", "event_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kal_ooo").toString
+    d1.coalesce(1).write.parquet(s"$dir/p1")
+    d2.coalesce(1).write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.ValueEvent]
+    val q = StreamOps.kalmanStream(stream, q = 0.1, r = 1.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_kalman_ooo_test").start()
+    try {
+      q.processAllAvailable() // batch 1 folds fine
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("bucket-count stream across two micro-batches == batch histogram") {
     // running counts must CONTINUE over the batch boundary (monotone
     // counter CRDT): max-merged emissions equal the batch counts
