@@ -67,4 +67,27 @@ object AsOfJoin {
       .withColumn("asof_ord", negate(col("asof_ord")))
       .drop("__fwd")
   }
+
+  /** [[backward]] with a match-window `tolerance` (the pandas
+    * `merge_asof(tolerance=...)` semantics, round 11): a left row whose
+    * most recent right match is MORE than `tolerance` ordinal units
+    * behind keeps its row but gets NULL `asof_*` columns — "a quote
+    * older than an hour is no quote". A pure post-projection on
+    * [[backward]]'s output: same one-shuffle cost, and the null-out is
+    * all-or-nothing per row (the same-row payload guarantee extends to
+    * the tolerance gate — never a row with a live value but a nulled
+    * ordinal). */
+  def backwardWithin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftOrd: String, rightOrd: String,
+                     rightVals: Seq[String], tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance $tolerance must be >= 0")
+    val joined = backward(left, right, keyCols, leftOrd, rightOrd, rightVals)
+    val ok = col(leftOrd) - col("asof_ord") <= tolerance
+    rightVals.foldLeft(
+      joined.withColumn("__asof_ok", ok)
+    )((d, c) => d.withColumn(s"asof_$c",
+        when(col("__asof_ok"), col(s"asof_$c"))))
+      .withColumn("asof_ord", when(col("__asof_ok"), col("asof_ord")))
+      .drop("__asof_ok")
+  }
 }

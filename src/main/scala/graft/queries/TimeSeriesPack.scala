@@ -421,6 +421,41 @@ object TimeSeriesPack extends QueryPack {
              |FROM p ASOF LEFT JOIN v
              |  ON p.user_id = v.user_id AND p.t >= v.t""".stripMargin)),
 
+    // As-of join with a match tolerance (pandas merge_asof(tolerance=)
+    // semantics, round 11): a view older than 1 h is NO match — the
+    // purchase keeps its row with NULL view columns. Same one-shuffle
+    // union+window plan as aj_asof; the gate is a post-projection.
+    // Oracle: DuckDB ASOF JOIN + a CASE on the gap (ASOF has no native
+    // tolerance), nulling the same all-or-nothing payload.
+    Q("aj2_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val e = ev(s, dir)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t", $"value")
+        val views = e.filter($"event_type" === "view")
+          .select($"user_id", $"t", $"value")
+        graft.joins.AsOfJoin.backwardWithin(purchases, views,
+            Seq("user_id"), "t", "t", Seq("value"),
+            tolerance = 3600000000L) // 1 h in µs
+          .select($"user_id", $"event_id", $"t",
+            $"asof_ord".as("view_t"),
+            r6($"asof_value").as("view_value"),
+            ($"t" - $"asof_ord").as("gap_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t, value
+             |          FROM events),
+             |p AS (SELECT user_id, event_id, t, value FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, t, value FROM e WHERE event_type = 'view')
+             |SELECT p.user_id, p.event_id, p.t,
+             |  CASE WHEN p.t - v.t <= 3600000000 THEN v.t END AS view_t,
+             |  CASE WHEN p.t - v.t <= 3600000000
+             |       THEN round(v.value + 1e-9, 6) END AS view_value,
+             |  CASE WHEN p.t - v.t <= 3600000000 THEN p.t - v.t END AS gap_us
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.t >= v.t""".stripMargin)),
+
     // W14: daily tumbling-window resample + per-day proportions
     // (lstm_analysis.py:27-28 groupby(Grouper(freq='D'), regime) unstacked).
     Q("w14_daily",
