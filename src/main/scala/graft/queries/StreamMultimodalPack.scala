@@ -527,6 +527,47 @@ object StreamMultimodalPack extends QueryPack {
              |SELECT true_lang, pred, count(*) AS n
              |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming as-of enrich (round 11 — the serving form of aj_asof:
+    // "attach the latest view to each purchase"): per-user state is ONE
+    // (t, value) register — O(1) per key FOREVER, vs st12's
+    // watermark-bounded interval-join state — updated by views, read
+    // inclusively by purchases, emitted append-only. Hash-checked
+    // against aj_asof's DuckDB ASOF JOIN oracle verbatim: same match
+    // rule, same output columns; only the execution substrate differs.
+    Q("st23_stream_asof",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st23_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter($"event_type".isin("view", "purchase"))
+          .select($"user_id", $"ts".as("t"), $"event_id", $"event_type",
+            $"value")
+          .as[StreamOps.TypedEvent]
+        val q = StreamOps.asofStream(stream,
+            touchType = "view", emitType = "purchase")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name)
+          .select($"user_id", $"event_id", $"t",
+            $"view_t", r6($"view_value").as("view_value"),
+            ($"t" - $"view_t").as("gap_us"))
+      },
+      // aj_asof's oracle verbatim — the stream must reproduce the batch
+      // as-of join exactly
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t, value
+             |          FROM events),
+             |p AS (SELECT user_id, event_id, t, value FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, t, value FROM e WHERE event_type = 'view')
+             |SELECT p.user_id, p.event_id, p.t,
+             |  v.t AS view_t,
+             |  round(v.value + 1e-9, 6) AS view_value,
+             |  p.t - v.t AS gap_us
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.t >= v.t""".stripMargin)),
+
     // Streaming Count-Min heavy hitters — the third sketch's streaming
     // form (HLL = st17, histogram = st18, CMS = here): the d·w cell
     // counts are additive, so each cell keyed as j·w + bucket rides the

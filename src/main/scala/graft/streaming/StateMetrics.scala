@@ -77,7 +77,8 @@ object StateMetrics {
     "st19" -> Ceiling(64, 0.05),
     "st20" -> Ceiling(64, 0.0),
     "st21" -> Ceiling(64, 0.05),
-    "st22" -> Ceiling(0, 0.0))
+    "st22" -> Ceiling(0, 0.0),
+    "st23" -> Ceiling(64, 0.05))
 
   /** Recorded stream queries whose peak state exceeds their declared
     * ceiling at `nInput` input rows — empty on a healthy run. */

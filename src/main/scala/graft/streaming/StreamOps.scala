@@ -266,6 +266,64 @@ object StreamOps {
       }
   }
 
+  case class TypedEvent(user_id: Long, t: Long, event_id: Long,
+                        event_type: String, value: Double)
+  case class AsofEnrichState(hasView: Boolean, viewT: Long, viewV: Double,
+                             lastT: Long)
+  case class AsofOut(user_id: Long, event_id: Long, t: Long,
+                     view_t: Option[Long], view_value: Option[Double])
+
+  /** Streaming backward as-of enrich (the serving counterpart of
+    * [[graft.joins.AsOfJoin.backward]], round 11 — "attach the latest
+    * quote to each trade"): per key, the state is ONE (ord, value)
+    * pair — the most recent `touchType` row — and every `emitType` row
+    * emits immediately with that state attached (or nulls before the
+    * first touch). Unlike a watermark-bounded stream-stream join
+    * (st12), state is O(1) per key FOREVER — the last-value register
+    * never grows — which is the right shape when the enrich source is
+    * slowly-changing. Within a micro-batch rows fold in (t, touch-
+    * before-emit, event_id) order, so a same-timestamp touch matches
+    * its emit row inclusively (the batch join's right-before-left
+    * tie rule). Cross-batch ordering is ENFORCED like [[kalmanStream]]:
+    * an event arriving in a later micro-batch with an earlier
+    * event-time fails loudly — emitted rows are append-only and could
+    * not be retracted. */
+  def asofStream(events: Dataset[TypedEvent], touchType: String,
+                 emitType: String): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent],
+         state: GroupState[AsofEnrichState]) =>
+          val sorted = rows.toSeq
+            .sortBy(e => (e.t, e.event_type == emitType, e.event_id))
+          var st = state.getOption.getOrElse(
+            AsofEnrichState(hasView = false, 0L, 0.0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          sorted.foreach { e =>
+            // within a batch the sort guarantees non-decreasing t; the
+            // guard catches a LATER batch delivering a strictly earlier
+            // event-time (a same-t arrival stays tolerable — the
+            // inclusive tie rule), since append-only emits can't retract
+            require(e.t >= st.lastT,
+              s"asofStream: out-of-order event for user $uid — " +
+                s"(t=${e.t}) after (t=${st.lastT}); append-only output " +
+                "cannot be retracted, so it fails instead")
+            if (e.event_type == touchType)
+              st = st.copy(hasView = true, viewT = e.t, viewV = e.value,
+                lastT = e.t)
+            else if (e.event_type == emitType) {
+              out += AsofOut(uid, e.event_id, e.t,
+                if (st.hasView) Some(st.viewT) else None,
+                if (st.hasView) Some(st.viewV) else None)
+              st = st.copy(lastT = e.t)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class RegisterRow(bucket: String, rank: Int)
   case class RegisterOut(bucket: String, r: Int)
 

@@ -30,7 +30,7 @@ class StateMetricsSpec extends AnyFunSuite {
   test("every stream query with measured state has a declared ceiling") {
     // the alarm can't rot by omission: the bench-measured set (st1-st22)
     // must all be present in the ceilings map
-    val want = (1 to 22).map(i => s"st$i").toSet
+    val want = (1 to 23).map(i => s"st$i").toSet
     assert(want.subsetOf(StateMetrics.ceilings.keySet),
       s"missing ceilings: ${want -- StateMetrics.ceilings.keySet}")
   }

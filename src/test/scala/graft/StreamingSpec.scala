@@ -510,6 +510,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want) // bit-equal: same operand order, carried state
   }
 
+  test("asof-enrich stream across two micro-batches == batch as-of join") {
+    // the one-register state must carry the last view over the batch
+    // boundary: a purchase in batch 2 before any batch-2 view must
+    // match batch 1's closing view
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 10.0), (1L, 2000L, 2L, "purchase", 1.0),
+      (1L, 3000L, 3L, "view", 20.0),
+      // batch 2: purchase first (matches t=3000 view), then a view+same-t purchase
+      (1L, 4000L, 4L, "purchase", 2.0), (1L, 5000L, 5L, "view", 30.0),
+      (1L, 5000L, 6L, "purchase", 3.0), // same-t: inclusive match to 30.0
+      (2L, 1500L, 7L, "purchase", 4.0)) // no view ever: nulls
+    val df = rows.toDF("user_id", "t", "event_id", "event_type", "value")
+    val want = Map(
+      2L -> ((Some(1000L), Some(10.0))), 4L -> ((Some(3000L), Some(20.0))),
+      6L -> ((Some(5000L), Some(30.0))), 7L -> ((None, None)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream").toString
+    df.filter($"t" < 3500L).coalesce(1).write.parquet(s"$dir/p1")
+    df.filter($"t" >= 3500L).coalesce(1).write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.TypedEvent]
+    val q = StreamOps.asofStream(stream, touchType = "view",
+        emitType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_asof_test")
+      .select($"event_id", $"view_t", $"view_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want)
+
+    // and the batch operator agrees row for row
+    val batch = graft.joins.AsOfJoin.backward(
+        df.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t"),
+        df.filter($"event_type" === "view")
+          .select($"user_id", $"t", $"value"),
+        Seq("user_id"), "t", "t", Seq("value"))
+      .select($"event_id", $"asof_ord", $"asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch === want)
+  }
+
   test("kalman stream fails loudly on out-of-order cross-batch input") {
     // round-11 advice fix: per-batch sorting can't order ACROSS batches,
     // so an event arriving in a later micro-batch with an earlier
