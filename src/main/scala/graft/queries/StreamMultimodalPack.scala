@@ -1165,5 +1165,75 @@ object StreamMultimodalPack extends QueryPack {
              |  length(substring(hx, CAST(frame_id * 128 + 1 AS INT), 128)) // 2
              |    AS frame_bytes,
              |  substring(hx, CAST(frame_id * 128 + 1 AS INT), 8) AS head_hex
-             |FROM f WHERE frame_id % 2 = 0""".stripMargin)))
+             |FROM f WHERE frame_id % 2 = 0""".stripMargin)),
+
+    // Multimodal feature clustering (round 11 — the media-curation
+    // pipeline end to end): payload → batched stub decode (the
+    // mapPartitions mapInPandas shape, m1's contract) → portable
+    // md5-order coarse cells over the 4-dim feature vectors (the
+    // s3/s8 quantizer convention at full dimensionality) → per-cell
+    // modality stats. This is how a 100 TB media corpus gets bucketed
+    // for balanced sampling and near-dup triage: one narrow decode
+    // pass, one broadcast of nCells full vectors, one cell-keyed
+    // aggregate — no pairwise anything. Deterministic stub features
+    // make the whole trained-then-applied pipeline SQL-replayable, so
+    // it hash-checks like the s-tier.
+    Q("mm4_modality_cluster",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Multimodal.asPayload(
+          Tables.documents(s, dir), "doc_id", "text", "source")
+        val feats = Multimodal.extractFeatures(payloads)
+          .select($"id", $"meta.n_bytes".as("n_bytes"), $"features")
+          .localCheckpoint() // decode once: cells + assignment both read it
+        val cells = graft.sim.IvfPq.coarseCells(feats, "id", "features", 4)
+        val assign = feats.crossJoin(broadcast(cells))
+          .withColumn("cd2",
+            graft.sim.Pq.dist2Unrolled($"features", $"cellv", 4))
+          .groupBy($"id", $"n_bytes")
+          .agg(min(struct($"cd2", $"cell")).as("mn"))
+          .select($"id", $"n_bytes", $"mn.cell".as("cell"),
+            $"mn.cd2".as("cd2"))
+        assign.groupBy($"cell")
+          .agg(count(lit(1)).as("n_docs"),
+            r6(avg($"n_bytes".cast("double"))).as("mean_bytes"),
+            r6(max($"cd2")).as("max_cd2"))
+          .orderBy($"cell")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS nb,
+             |    list_reduce(list_prepend(0,
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> ord(substr(text, i, 1)))),
+             |      (acc, x) -> acc + x) AS bsum
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id, nb,
+             |    [CAST(nb AS DOUBLE), CAST(nb // 64 AS DOUBLE),
+             |     CAST(bsum AS DOUBLE) / greatest(nb, 1),
+             |     CAST(bsum % 251 AS DOUBLE)] AS v
+             |  FROM d),
+             |hs AS (SELECT doc_id, nb, v,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM f),
+             |cells AS (SELECT v AS cellv,
+             |    row_number() OVER (ORDER BY h, doc_id) - 1 AS cell
+             |  FROM hs ORDER BY h, doc_id LIMIT 4),
+             |asg AS (SELECT doc_id, nb, cell, cd2 FROM (
+             |    SELECT f.doc_id, f.nb, c.cell,
+             |      list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 5),
+             |          i -> (f.v[i] - c.cellv[i]) * (f.v[i] - c.cellv[i]))),
+             |        (acc, x) -> acc + x) AS cd2,
+             |      row_number() OVER (PARTITION BY f.doc_id ORDER BY
+             |        list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 5),
+             |            i -> (f.v[i] - c.cellv[i]) * (f.v[i] - c.cellv[i]))),
+             |          (acc, x) -> acc + x), c.cell) AS arn
+             |    FROM f, cells c) WHERE arn = 1)
+             |SELECT cell, count(*) AS n_docs,
+             |  round(avg(CAST(nb AS DOUBLE)) + 1e-9, 6) AS mean_bytes,
+             |  round(max(cd2) + 1e-9, 6) AS max_cd2
+             |FROM asg GROUP BY 1 ORDER BY cell""".stripMargin)))
 }
