@@ -367,6 +367,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("full query restart: asof-enrich state recovers from checkpoint") {
+    // the ONE-register state (last view per user) must survive a stop +
+    // restart: a purchase arriving in the post-restart run matches the
+    // view folded BEFORE the restart, and the exactly-once sink keeps
+    // the pre-restart emissions
+    TestDirs.withTempDir("graft_asof_ckpt") { dir =>
+    val cols = Seq("user_id", "t", "event_id", "event_type", "value")
+    val d1 = Seq((1L, 1000L, 1L, "view", 10.0),
+      (1L, 2000L, 2L, "purchase", 1.0)).toDF(cols: _*)
+    val d2 = Seq((1L, 3000L, 3L, "purchase", 2.0),
+      (2L, 3500L, 4L, "purchase", 9.0)).toDF(cols: _*)
+    val in = new java.io.File(s"$dir/in"); in.mkdirs()
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/tmp_$name")
+      val f = new java.io.File(s"$dir/tmp_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+    }
+    def start() = {
+      val stream = spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .as[StreamOps.TypedEvent]
+      StreamOps.asofStream(stream, touchType = "view",
+          emitType = "purchase")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+    }
+    addFile(d1, "batch_a")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    addFile(d2, "batch_b")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out")
+      .select($"event_id", $"view_t", $"view_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      2L -> ((Some(1000L), Some(10.0))), // pre-restart emission kept
+      3L -> ((Some(1000L), Some(10.0))), // state RECOVERED across restart
+      4L -> ((None, None))),             // user with no view ever
+      s"got $got")
+    }
+  }
+
   test("full query restart: bucket-count stream over checkpoint matches batch") {
     // the st18/st20 CRDT claim proven across a KILL: running counts
     // recover from the state store, replayed batches re-emit the same
