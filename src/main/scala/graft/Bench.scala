@@ -86,7 +86,8 @@ object Bench {
       // one-time date-partitioned re-layout of events (ingest cost a
       // real deployment pays at landing time, not per query)
       ("setup_events_part",
-        Set("p2_filtered_agg", "w14_daily", "w4b_time_range"),
+        Set("p2_filtered_agg", "w14_daily", "w4b_time_range",
+          "a2_seasonal", "f2_retention", "dpp1_dynamic_pruning"),
         () => { graft.io.EventsLayout.path(spark, sfDir); () }),
       // one-time bucketed re-layout of the two fact tables (landing-time
       // ingest cost, same convention)
