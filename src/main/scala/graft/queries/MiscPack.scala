@@ -149,6 +149,59 @@ object MiscPack extends QueryPack {
              |GROUP BY 1""".stripMargin)),
 
     // CUBE (full grouping-sets completeness beyond q8's ROLLUP).
+    // Entity resolution (record linkage / MDM — the classic big-data
+    // workload the dedup tier's CONTENT hashing doesn't cover: match
+    // RECORDS by fuzzy key): blocking pass (nation × 17-char name
+    // prefix — bounded blocks, the standard ER prefix-blocking key)
+    // → pairwise edit-distance scoring inside blocks only
+    // (joins.FuzzyJoin: codegen'd levenshtein, never all-pairs)
+    // → component canonicalization over the match edges
+    // (graph.Components, 2 min-label rounds — blocks can't chain, so
+    // round 2 == round 1 is the fixpoint; FuzzyJoinSpec pins it)
+    // → entity-size census. At 100 TB the block key bounds pair
+    // fan-out to Σ block_size² and everything else is key-keyed aggs.
+    Q("er1_entity_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir)
+          .select($"c_custkey".as("id"), $"c_name".as("name"),
+            $"c_nationkey".as("nat"))
+        val pairs = graft.joins.FuzzyJoin.selfMatch(
+          c, "id", "name",
+          block = Seq($"nat", substring($"name", 1, 17)), maxDist = 1)
+        val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+          .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+        val labels = graft.graph.Components.run(edges, k = 2)
+        val ent = c.join(labels.withColumnRenamed("node", "id"),
+            Seq("id"), "left")
+          .select($"id", coalesce($"label", $"id").as("entity_id"))
+        ent.groupBy($"entity_id").agg(count(lit(1)).as("n_records"))
+          .groupBy($"n_records".as("cluster_size"))
+          .agg(count(lit(1)).as("n_entities"),
+            sum($"n_records").as("n_customers"))
+          .orderBy($"cluster_size")
+      },
+      Some(s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+             |            c_nationkey AS nat FROM customer),
+             |p AS (
+             |  SELECT a.id AS a_id, b.id AS b_id
+             |  FROM c a JOIN c b
+             |    ON a.nat = b.nat
+             |    AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
+             |    AND a.id < b.id
+             |  WHERE levenshtein(a.name, b.name) <= 1),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+             |          UNION ALL SELECT b_id, a_id FROM p),
+             |${graft.graph.Components.oracleSqlSuffix(2)},
+             |ent AS (
+             |  SELECT c.id, COALESCE(l.label, c.id) AS entity_id
+             |  FROM c LEFT JOIN l_2 l ON l.node = c.id),
+             |sz AS (SELECT entity_id, count(*) AS n_records
+             |       FROM ent GROUP BY 1)
+             |SELECT n_records AS cluster_size, count(*) AS n_entities,
+             |  CAST(sum(n_records) AS BIGINT) AS n_customers
+             |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q9_cube",
       (s, dir) => {
         import s.implicits._
