@@ -12,6 +12,12 @@ object Bench {
     // ERROR, not WARN: stray WARN lines (task retries, shutdown races) land
     // after the JSON line when stdout/stderr are merged by the caller.
     spark.sparkContext.setLogLevel("ERROR")
+    // Codegen-fallback sideline (round-12): BENCH_r11's log tail carried an
+    // unattributed janino stack trace — a whole-stage-codegen compile
+    // failure that fell back to interpreted execution somewhere in the run.
+    // The monitor tags every codegen WARN/ERROR with the query that was
+    // executing so a fallback is a named number, not a mystery trace.
+    graft.tools.CodegenMonitor.install()
     // JIT/codegen warmup. Spark's whole-stage-codegen cache is keyed by
     // generated source, which depends on the plan shape but not the data
     // scale — so one pass of every query at the smallest SF compiles and
@@ -31,6 +37,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (only.forall(_.contains(name))) {
+          graft.tools.CodegenMonitor.setCurrent(s"warm:$name")
           val t0 = System.nanoTime()
           try {
             fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -53,6 +60,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
+      graft.tools.CodegenMonitor.setCurrent(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // computed column that no filter touches, under-measuring the
@@ -99,11 +107,13 @@ object Bench {
         Set("z1_zorder_range"),
         () => { graft.io.ZOrderLayout.path(spark, sfDir); () }))
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def buildShared(name: String, build: () => Unit): Unit =
+    def buildShared(name: String, build: () => Unit): Unit = {
+      graft.tools.CodegenMonitor.setCurrent(name)
       try build()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+    }
     sharedStages.foreach { case (name, members, build) =>
       if (selected.exists(s => members.contains(s._1))) {
         val t0 = System.nanoTime()
@@ -162,9 +172,18 @@ object Bench {
     // ceilings, abs + perInput×events). A violation fails the bench
     // line — super-linear state growth (dropped watermark, state leak)
     // is a correctness-of-design regression, not a sideline footnote.
-    val nEvents =
-      try spark.read.parquet(s"$sfDir/events.parquet").count()
-      catch { case _: Throwable => 0L }
+    // The alarm must not fail OPEN (round-11 advice): if events.parquet
+    // can't be counted the ceiling checks would be silently disabled and
+    // the guard could rot with no signal. A missing input is itself a
+    // bench failure — record it in `failed` so the driver record shows it.
+    val (nEvents, eventsCountErr) =
+      try (spark.read.parquet(s"$sfDir/events.parquet").count(), None)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[bench] STATE ALARM DISABLED: cannot count $sfDir/events.parquet" +
+            s" (${e.getMessage}) — stream state ceilings NOT checked this run")
+        (0L, Some("state_alarm_disabled"))
+      }
     val stateViolations =
       if (nEvents > 0) graft.streaming.StateMetrics.violations(nEvents)
       else Seq.empty
@@ -174,8 +193,18 @@ object Bench {
           s" at $nEvents input rows")
     }
     val failed = (results.collect { case (k, _, false) => "\"" + k + "\"" } ++
-        stateViolations.map { case (n, _, _) => "\"state:" + n + "\"" })
+        stateViolations.map { case (n, _, _) => "\"state:" + n + "\"" } ++
+        eventsCountErr.map("\"" + _ + "\""))
       .mkString("[", ",", "]")
+    // Codegen-fallback sideline: queries whose execution logged a codegen
+    // compile failure (janino) this run. Goal state is {} — a non-empty map
+    // names exactly which query fell back to interpreted execution.
+    graft.tools.CodegenMonitor.messages.foreach { case (q, m) =>
+      System.err.println(s"[bench] CODEGEN FALLBACK $q: $m")
+    }
+    val cgFallbacks = graft.tools.CodegenMonitor.snapshot
+      .map { case (q, n) => s"\"" + q + "\":" + n }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum + setup.values.sum
     // "sf0.1", not the full path: the path prefix is constant and the
     // capture window is tight at 90+ queries
@@ -222,6 +251,12 @@ object Bench {
           () => line(f1, 3, c)))
       .view.map(_.apply()).find(_.length <= 1900)
       .getOrElse(line(f1, 3, Double.MaxValue))
+    // codegen_fallbacks rides the driver-visible line only when non-empty:
+    // the clean run pays zero capture-window budget for it, a dirty run
+    // names its culprits in the round record.
+    val outCg =
+      if (cgFallbacks == "{}") out
+      else out.dropRight(1) + s""","codegen_fallbacks":$cgFallbacks}"""
     if (out.length > 1950)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
     // genuinely-full copy for local history: 4-decimal values, every
@@ -236,13 +271,14 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       line(f4, Int.MaxValue, 0.0).dropRight(1) +
-        s""","stream_state_rows":$stateRows}""" + "\n")
+        s""","stream_state_rows":$stateRows""" +
+        s""","codegen_fallbacks":$cgFallbacks}""" + "\n")
     catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON
     // line the driver parses (observed in round 1: parsed=null).
     spark.stop()
-    println(out)
+    println(outCg)
     Console.out.flush()
   }
 }

@@ -42,9 +42,14 @@ object EventAnalyticsPack extends QueryPack {
   private def evSliced(s: SparkSession, dir: String,
                        loUs: Long, hiUs: Long): DataFrame = {
     import graft.io.EventsLayout
+    // day-of(hiUs − 1), NOT day-of(hiUs): a strict `day < dayOf(hiUs)`
+    // would silently drop the partial boundary day whenever hiUs is not
+    // midnight-aligned (round-11 advice). The exact upper bound is still
+    // enforced by the raw `ts` predicate; the day predicate only has to
+    // be a superset that prunes directories.
     EventsLayout.read(s, dir)
       .filter(col("day") >= lit(EventsLayout.dayOfUs(loUs)) &&
-              col("day") < lit(EventsLayout.dayOfUs(hiUs)))
+              col("day") <= lit(EventsLayout.dayOfUs(hiUs - 1)))
       .filter(col("ts") >= loUs && col("ts") < hiUs)
       .withColumn("t", col("ts"))
   }

@@ -70,16 +70,13 @@ object IvfSq {
       .select(col("query_id"), col("corpus_id"), col("d2"), col("rank"))
   }
 
-  /** [[Sq]]'s asymmetric distance (duplicated here rather than made
-    * public there to keep Sq's surface minimal — same left-assoc
-    * non-negative-term fold). */
+  /** [[Sq]]'s asymmetric distance — the codegen'd-loop expression
+    * [[SqAdist2]] (round 12: the unrolled tree both files shipped in
+    * round 11 overflowed janino's method limit at dims = 64; see
+    * SqAdist2's scaladoc). Same left-assoc non-negative-term fold. */
   private def adist2(qv: Column, codes: Column, vm: Column, st: Column,
                      dims: Int): Column =
-    (1 to dims).map { i =>
-      val d = element_at(qv, i) - (element_at(vm, i) +
-        (element_at(codes, i) + lit(0.5)) * element_at(st, i))
-      d * d
-    }.reduce(_ + _)
+    SqAdist2(qv, codes, vm, st)
 
   /** DuckDB oracle for [[topK]] over the `embeddings` view: the
     * [[IvfPq.oracleSql]] coarse tier composed with the

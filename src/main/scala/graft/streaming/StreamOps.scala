@@ -269,16 +269,18 @@ object StreamOps {
   case class TypedEvent(user_id: Long, t: Long, event_id: Long,
                         event_type: String, value: Double)
   case class AsofEnrichState(hasView: Boolean, viewT: Long, viewV: Double,
-                             lastT: Long)
+                             lastT: Long, lastEmitT: Long)
   case class AsofOut(user_id: Long, event_id: Long, t: Long,
                      view_t: Option[Long], view_value: Option[Double])
 
   /** Streaming backward as-of enrich (the serving counterpart of
     * [[graft.joins.AsOfJoin.backward]], round 11 — "attach the latest
     * quote to each trade"): per key, the state is ONE (ord, value)
-    * pair — the most recent `touchType` row — and every `emitType` row
-    * emits immediately with that state attached (or nulls before the
-    * first touch). Unlike a watermark-bounded stream-stream join
+    * pair — the most recent `touchType` row, ties at equal t resolved
+    * by MAX value (the batch operator's max-payload-struct rule, so
+    * batch ≡ stream even under duplicate per-key touch timestamps) —
+    * and every `emitType` row emits immediately with that state
+    * attached (or nulls before the first touch). Unlike a watermark-bounded stream-stream join
     * (st12), state is O(1) per key FOREVER — the last-value register
     * never grows — which is the right shape when the enrich source is
     * slowly-changing. Within a micro-batch rows fold in (t, touch-
@@ -298,7 +300,8 @@ object StreamOps {
           val sorted = rows.toSeq
             .sortBy(e => (e.t, e.event_type == emitType, e.event_id))
           var st = state.getOption.getOrElse(
-            AsofEnrichState(hasView = false, 0L, 0.0, Long.MinValue))
+            AsofEnrichState(hasView = false, 0L, 0.0,
+              Long.MinValue, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
           sorted.foreach { e =>
             // within a batch the sort guarantees non-decreasing t; the
@@ -309,14 +312,34 @@ object StreamOps {
               s"asofStream: out-of-order event for user $uid — " +
                 s"(t=${e.t}) after (t=${st.lastT}); append-only output " +
                 "cannot be retracted, so it fails instead")
-            if (e.event_type == touchType)
-              st = st.copy(hasView = true, viewT = e.t, viewV = e.value,
-                lastT = e.t)
-            else if (e.event_type == emitType) {
+            if (e.event_type == touchType) {
+              // batch-parity guard (round-11 advice): a touch at exactly
+              // the time of an ALREADY-EMITTED row would have matched it
+              // under the batch join's inclusive tie rule (right-before-
+              // left at equal ord), but the emit already fired in a prior
+              // micro-batch and append-mode cannot retract — fail loudly
+              // instead of silently diverging from the batch result.
+              // Within one batch this cannot trip: the sort folds every
+              // same-t touch before the emit.
+              require(e.t > st.lastEmitT,
+                s"asofStream: touch at t=${e.t} for user $uid arrives " +
+                  s"after an emit already fired at t=${st.lastEmitT}; " +
+                  "the batch as-of join would have matched it " +
+                  "(inclusive tie), so append-only output cannot honor it")
+              // same-t touch tie rule = the batch operator's max-payload
+              // rule (AsOfJoin.backward orders the fill window by the
+              // payload struct, so among right rows tied on ord the max
+              // value wins) — NOT last-arrival-wins (round-11 advice)
+              if (!st.hasView || e.t > st.viewT ||
+                  (e.t == st.viewT && e.value > st.viewV))
+                st = st.copy(hasView = true, viewT = e.t, viewV = e.value,
+                  lastT = e.t)
+              else st = st.copy(lastT = e.t)
+            } else if (e.event_type == emitType) {
               out += AsofOut(uid, e.event_id, e.t,
                 if (st.hasView) Some(st.viewT) else None,
                 if (st.hasView) Some(st.viewV) else None)
-              st = st.copy(lastT = e.t)
+              st = st.copy(lastT = e.t, lastEmitT = e.t)
             }
           }
           state.update(st)

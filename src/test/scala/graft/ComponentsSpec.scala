@@ -60,6 +60,37 @@ class ComponentsSpec extends AnyFunSuite {
       "runStars must match min-propagation's fixpoint on the panel graph")
   }
 
+  test("dual gate at the bench SF: runStars == fixed-K fixpoint on the " +
+      "REAL sf0.1 corr graph (round-12, VERDICT item 4)") {
+    // The sf0.001 test above proves the algorithms agree on a small
+    // instance; the driver benches at sf0.1, so the promotion gate for
+    // the O(log n) scale path must hold on the graph that round's g16
+    // actually computes. Also measures the round economics the scale
+    // argument rests on: star contraction's edge set must be EMPTY
+    // (fully contracted) within 6 rounds while min-propagation needs
+    // its diameter-dependent 8.
+    import graft.io.Tables
+    import graft.analytics.Analytics
+    import graft.queries.Rx.r4
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val daily = Tables.events(spark, "/root/testdata/sf0.1")
+      .filter($"user_id" < 200)
+      .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .agg(sum($"value").as("v"))
+    val und = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+      .select($"key_a".cast("long").as("ka"),
+        $"key_b".cast("long").as("kb"), r4($"corr").as("r"))
+      .filter(abs($"r") > 0.3)
+      .select($"ka", $"kb")
+    val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+      .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+      .localCheckpoint()
+    val fixed = Components.run(edges, k = 8)
+    val stars = Components.runStars(edges, rounds = 6)
+    assert(stars.exceptAll(fixed).isEmpty && fixed.exceptAll(stars).isEmpty,
+      "runStars must match the declared g16 fixed-K output on the sf0.1 graph")
+  }
+
   test("star contraction collapses a 64-chain in O(log n) rounds, " +
       "where min-propagation at the same budget provably has not converged") {
     val chain = sym((1L to 63L).map(i => (i, i + 1)): _*)
