@@ -95,7 +95,9 @@ object Bench {
       // real deployment pays at landing time, not per query)
       ("setup_events_part",
         Set("p2_filtered_agg", "w14_daily", "w4b_time_range",
-          "a2_seasonal", "f2_retention", "dpp1_dynamic_pruning"),
+          "a2_seasonal", "f2_retention", "dpp1_dynamic_pruning",
+          "f1b_funnel_sliced", "f4b_bars_sliced", "f5b_outliers_sliced",
+          "f6b_histogram_sliced", "f9b_rfm_sliced"),
         () => { graft.io.EventsLayout.path(spark, sfDir); () }),
       // one-time bucketed re-layout of the two fact tables (landing-time
       // ingest cost, same convention)
@@ -156,6 +158,26 @@ object Bench {
         else (name, t, ok)
       } else (name, t, ok)
     }
+    // Rep-2 pass (round-12, VERDICT item 7): sub-2s lines swing ±0.5s
+    // run to run from cold file-cache/JIT effects, so round-over-round
+    // comparisons chase scheduling noise. Each sub-2s line gets ONE
+    // additional WARM rep; BENCH_FULL carries the rep and the per-line
+    // median (for two samples, their midpoint) so comparisons can use
+    // the low-variance number. The driver-visible line and the headline
+    // total are UNCHANGED (first-pass numbers) — reps ride warm pack
+    // caches by design, which is the point, not a bias. A cumulative
+    // budget bounds the extra wall time however many queries qualify.
+    val rep2 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var rep2Budget = 150.0
+    results.foreach { case (name, t, ok) =>
+      if (ok && t < 2.0 && rep2Budget > 0) {
+        val (t2, ok2) = timeOne(name, SparkEntry.queries(name))
+        if (ok2) { rep2(name) = t2; rep2Budget -= t2 }
+      }
+    }
+    val med: Map[String, Double] = results.map { case (name, t, _) =>
+      name -> rep2.get(name).map(t2 => (t + t2) / 2.0).getOrElse(t)
+    }.toMap
     // 2-decimal formatting is load-bearing: the harness that captures this
     // output keeps only the final ~2000 characters, and at full double
     // precision the 84-entry queries map pushes the line past that window,
@@ -272,7 +294,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       line(f4, Int.MaxValue, 0.0).dropRight(1) +
         s""","stream_state_rows":$stateRows""" +
-        s""","codegen_fallbacks":$cgFallbacks}""" + "\n")
+        s""","codegen_fallbacks":$cgFallbacks""" +
+        s""","rep2":${rep2.toSeq.map { case (k, v) =>
+          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
+        s""","med":${med.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}}""" + "\n")
     catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON

@@ -238,6 +238,196 @@ object EventAnalyticsPack extends QueryPack {
              |  round(sum(value * vol) / sum(vol) + 1e-9, 4) AS vwap
              |FROM e GROUP BY 1, 2""".stripMargin)),
 
+    // f4b (round-12, VERDICT item 2): the f4 OHLC/VWAP bars over the
+    // 3-week analysis window, routed through the date-partitioned
+    // layout — the day predicate prunes whole directories
+    // (PartitionFilters), the ts predicate prunes row groups inside
+    // boundary days. At 100 TB "bars for last month" must never list
+    // the other 35 months' files; this is that query. Aggregation
+    // identical to f4 (one (user, day)-keyed shuffle).
+    Q("f4b_bars_sliced",
+      (s, dir) => {
+        import s.implicits._
+        evSliced(s, dir, SliceLoUs, SliceHiUs)
+          .select($"user_id", ($"t".cast("long") / lit(DayUs)).cast("long").as("day"),
+            $"t", $"event_id", $"value",
+            get_json_object($"props", "$.k").cast("double").as("vol"))
+          .groupBy($"user_id", $"day")
+          .agg(count(lit(1)).as("n"),
+            r6(min(struct($"t", $"event_id", $"value"))("value")).as("open"),
+            r6(max(struct($"t", $"event_id", $"value"))("value")).as("close"),
+            r6(max($"value")).as("high"),
+            r6(min($"value")).as("low"),
+            r4(sum($"vol")).as("volume"),
+            r4(try_divide(sum($"value" * $"vol"), sum($"vol"))).as("vwap"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) // $DayUs AS day, epoch_us(ts) AS t,
+             |    event_id, value,
+             |    CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS vol
+             |  FROM events WHERE $OracleSlice)
+             |SELECT user_id, day, count(*) AS n,
+             |  round(first(value ORDER BY t, event_id) + 1e-9, 6) AS open,
+             |  round(last(value ORDER BY t, event_id) + 1e-9, 6) AS close,
+             |  round(max(value) + 1e-9, 6) AS high,
+             |  round(min(value) + 1e-9, 6) AS low,
+             |  round(sum(vol) + 1e-9, 4) AS volume,
+             |  round(sum(value * vol) / sum(vol) + 1e-9, 4) AS vwap
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // f1b (round-12, VERDICT item 2): the f1 ordered funnel over the
+    // 3-week window through the partitioned layout — the standard
+    // "conversion funnel for the campaign period" report, with the
+    // period predicate as a directory-level PartitionFilter. Same
+    // single user-keyed fold as f1.
+    Q("f1b_funnel_sliced",
+      (s, dir) => {
+        import s.implicits._
+        val stageArr = array(Stages.map(lit): _*)
+        val e = evSliced(s, dir, SliceLoUs, SliceHiUs)
+          .filter($"event_type".isin(Stages: _*))
+          .select($"user_id", $"t", $"event_type".as("et"))
+        val reached = e.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"t", $"et"))).as("evs"))
+          .select($"user_id",
+            aggregate($"evs",
+              struct(lit(0).as("stage"), lit(-1L).as("ts")),
+              (acc: Column, x: Column) =>
+                when(acc("stage") < lit(Stages.size) &&
+                     x("et") === element_at(stageArr, acc("stage") + lit(1)) &&
+                     x("t") > acc("ts"),
+                  struct((acc("stage") + lit(1)).as("stage"), x("t").as("ts")))
+                .otherwise(acc))("stage").as("reached"))
+        reached.filter($"reached" >= 1)
+          .select(explode(sequence(lit(1), $"reached")).as("stage_idx"))
+          .groupBy($"stage_idx".cast("long").as("stage_idx"))
+          .agg(count(lit(1)).as("users"))
+          .select($"stage_idx",
+            element_at(stageArr, $"stage_idx".cast("int")).as("stage"),
+            $"users")
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+             |           FROM events WHERE $OracleSlice),
+             |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE e.event_type = 'click' AND e.t > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, min(e.t) AS t4 FROM e JOIN s3 USING (user_id)
+             |       WHERE e.event_type = 'purchase' AND e.t > s3.t3 GROUP BY 1)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+             |       count(*) AS users FROM s1
+             |UNION ALL SELECT 2, 'view', count(*) FROM s2
+             |UNION ALL SELECT 3, 'click', count(*) FROM s3
+             |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin)),
+
+    // f5b (round-12, VERDICT item 2): f5's median/MAD outlier gate
+    // over the 3-week window through the partitioned layout — both
+    // passes over the fact table now scan only the window's
+    // directories (the broadcast-stats shape is unchanged).
+    Q("f5b_outliers_sliced",
+      (s, dir) => {
+        import s.implicits._
+        val base = evSliced(s, dir, SliceLoUs, SliceHiUs)
+          .select($"event_type", $"value")
+        val med = base.groupBy($"event_type")
+          .agg(r6(percentile($"value", lit(0.5))).as("med"))
+        val dev = base.join(broadcast(med), "event_type")
+          .withColumn("adev", abs($"value" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(min($"med").as("med"),
+            r6(percentile($"adev", lit(0.5))).as("mad"))
+        dev.select($"event_type", $"adev")
+          .join(broadcast(mad), "event_type")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(($"adev" > lit(3.0 * 1.4826) * $"mad").cast("long")).as("n_outliers"),
+            min($"med").as("med"), min($"mad").as("mad"))
+      },
+      Some(s"""WITH ev AS (SELECT event_type, value FROM events
+             |            WHERE $OracleSlice),
+             |m AS (
+             |  SELECT event_type, round(quantile_cont(value, 0.5) + 1e-9, 6) AS med
+             |  FROM ev GROUP BY 1),
+             |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+             |      FROM ev e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, round(quantile_cont(adev, 0.5) + 1e-9, 6) AS mad
+             |       FROM d GROUP BY 1)
+             |SELECT d.event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * md.mad
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  min(d.med) AS med, min(md.mad) AS mad
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY 1""".stripMargin)),
+
+    // f6b (round-12, VERDICT item 2): f6's equi-width histogram over
+    // the 3-week window through the partitioned layout — min/max scan
+    // and bucket scan both pruned to the window's directories.
+    Q("f6b_histogram_sliced",
+      (s, dir) => {
+        import s.implicits._
+        val base = evSliced(s, dir, SliceLoUs, SliceHiUs).select($"value")
+        val stats = base.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+        base.crossJoin(broadcast(stats))
+          .select(least(floor(($"value" - $"vmin") /
+              (($"vmax" - $"vmin") / lit(20.0))), lit(19L)).as("bucket"),
+            $"value")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            r6(min($"value")).as("lo_obs"),
+            r6(max($"value")).as("hi_obs"))
+      },
+      Some(s"""WITH ev AS (SELECT value FROM events WHERE $OracleSlice),
+             |s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+             |b AS (SELECT least(floor((value - vmin) / ((vmax - vmin) / 20)), 19)
+             |        AS bucket, value
+             |      FROM ev, s)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+             |  round(min(value) + 1e-9, 6) AS lo_obs,
+             |  round(max(value) + 1e-9, 6) AS hi_obs
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    // f9b (round-12, VERDICT item 2): f9's RFM segmentation over the
+    // 3-week window through the partitioned layout — recency measured
+    // against the WINDOW's latest purchase. The period-scoped RFM an
+    // analyst actually runs ("RFM for Q1") — at 100 TB the difference
+    // between scanning one quarter's directories and the full history.
+    Q("f9b_rfm_sliced",
+      (s, dir) => {
+        import s.implicits._
+        val p = evSliced(s, dir, SliceLoUs, SliceHiUs)
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"t", $"value")
+        val tmax = p.agg(max($"t").as("tmax"))
+        val base = p.groupBy($"user_id")
+          .agg(max($"t").as("last_t"), count(lit(1)).as("frequency"),
+            r4(sum($"value")).as("monetary"))
+          .crossJoin(broadcast(tmax))
+          .select($"user_id", ($"tmax" - $"last_t").as("recency_us"),
+            $"frequency", $"monetary")
+        import graft.operators.GlobalRank
+        val r1 = GlobalRank.withNtile(base,
+          Seq($"recency_us", $"user_id"), 4, "r_q")
+        val r2 = GlobalRank.withNtile(r1,
+          Seq($"frequency".desc, $"user_id"), 4, "f_q")
+        GlobalRank.withNtile(r2,
+          Seq($"monetary".desc, $"user_id"), 4, "m_q")
+      },
+      Some(s"""WITH p AS (SELECT user_id, epoch_us(ts) AS t, value
+             |           FROM events
+             |           WHERE event_type = 'purchase' AND $OracleSlice),
+             |mx AS (SELECT max(t) AS tmax FROM p),
+             |b AS (SELECT user_id, mx.tmax - max(t) AS recency_us,
+             |        count(*) AS frequency,
+             |        round(sum(value) + 1e-9, 4) AS monetary
+             |      FROM p, mx GROUP BY user_id, mx.tmax)
+             |SELECT user_id, recency_us, frequency, monetary,
+             |  ntile(4) OVER (ORDER BY recency_us, user_id) AS r_q,
+             |  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+             |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+             |FROM b""".stripMargin)),
+
     // f5: robust outliers — per-type median/MAD with a 3σ-equivalent
     // cutoff (3·1.4826·MAD). Two passes over the fact table with the
     // 5-row stats broadcast back each time — no fact-table re-shuffle.

