@@ -869,5 +869,74 @@ object TextPack extends QueryPack {
              |        ORDER BY score DESC, c) AS rn
              |    FROM sc) WHERE rn = 1)
              |SELECT true_lang, pred, count(*) AS n
-             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling") — the deterministic
+    // top-K variant: fit an add-k-smoothed unigram LM on the TARGET
+    // domain (here the English subset — the docs the pipeline wants
+    // more of) and on the full SOURCE corpus, score every document by
+    // its importance log-weight Σ_w c_dw·(ln p_t(w) − ln p_s(w)), and
+    // keep the K = 100 highest-weight documents (the paper's Gumbel
+    // resampling replaced by rank selection so a second engine can
+    // replay the choice exactly). Smoothing uses the shared corpus
+    // vocabulary, so target-unseen tokens are penalized, not dropped.
+    // Scale shape: everything is token-keyed — (doc, token) counts,
+    // two LM aggregates, one token join back, a doc-keyed reduction,
+    // then TakeOrdered(100); no vocab broadcast, no per-doc state. The
+    // ranking key is the r6-ROUNDED score (ties → doc_id), so the
+    // rank-100 boundary cannot flip on last-ulp summation order.
+    Q("t32_dsir_selection",
+      (s, dir) => {
+        import s.implicits._
+        val dt = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            explode(TextOps.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("cdt"))
+          .localCheckpoint()
+        val src = dt.groupBy($"tok").agg(sum($"cdt").as("cs"))
+        val tgt = dt.filter($"lang" === "en")
+          .groupBy($"tok").agg(sum($"cdt").as("ct"))
+        val tot = src.agg(sum($"cs").as("ns"), count(lit(1)).as("v"))
+        val tt = dt.filter($"lang" === "en").agg(sum($"cdt").as("nt"))
+        val ratio = src.join(tgt, Seq("tok"), "left")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(tt))
+          .select($"tok",
+            (log((coalesce($"ct", lit(0L)).cast("double") + lit(0.5))
+                / ($"nt" + lit(0.5) * $"v"))
+              - log(($"cs".cast("double") + lit(0.5))
+                / ($"ns" + lit(0.5) * $"v"))).as("lr"))
+        dt.join(ratio, "tok")
+          .groupBy($"doc_id")
+          .agg(sum($"cdt").as("n_tokens"),
+            r6(sum($"cdt" * $"lr")).as("log_ratio"))
+          .orderBy($"log_ratio".desc, $"doc_id").limit(100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |t AS (SELECT doc_id, lang, unnest(ts) AS tok FROM d),
+             |dt AS (SELECT doc_id, lang, tok, count(*) AS cdt
+             |       FROM t GROUP BY 1, 2, 3),
+             |src AS (SELECT tok, CAST(sum(cdt) AS BIGINT) AS cs
+             |        FROM dt GROUP BY 1),
+             |tgt AS (SELECT tok, CAST(sum(cdt) AS BIGINT) AS ct
+             |        FROM dt WHERE lang = 'en' GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns, count(*) AS v
+             |        FROM src),
+             |tt AS (SELECT CAST(sum(cdt) AS BIGINT) AS nt
+             |       FROM dt WHERE lang = 'en'),
+             |r AS (SELECT s.tok,
+             |    ln((coalesce(g.ct, 0) + 0.5) / (tt.nt + 0.5 * tot.v))
+             |    - ln((s.cs + 0.5) / (tot.ns + 0.5 * tot.v)) AS lr
+             |  FROM src s LEFT JOIN tgt g USING (tok), tot, tt),
+             |sc AS (SELECT dt.doc_id, CAST(sum(cdt) AS BIGINT) AS n_tokens,
+             |    round(sum(cdt * lr) + 1e-9, 6) AS log_ratio
+             |  FROM dt JOIN r USING (tok) GROUP BY 1),
+             |top AS (SELECT * FROM sc
+             |        ORDER BY log_ratio DESC, doc_id LIMIT 100)
+             |SELECT doc_id, n_tokens, log_ratio FROM top
+             |ORDER BY doc_id""".stripMargin)))
 }
