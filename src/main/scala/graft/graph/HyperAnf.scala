@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sketch.Hll
+
+/** HyperANF (Boldi, Rosa & Vigna 2011): the approximate neighborhood
+  * function — |ball(v, t)| for every vertex — via per-vertex
+  * HyperLogLog registers merged along edges each round. The exact
+  * computation ([[khopExact]]) materializes the reachable SET per
+  * vertex (Θ(n · reach) pairs — quadratic on dense graphs); HyperANF
+  * replaces each set with an HLL sketch, so per-round state is ≤ m
+  * registers per vertex and the round is one edge-keyed join + one
+  * (vertex, bucket) max aggregate — the same max-merge CRDT argument
+  * as the streaming HLL (st17): a register max over neighbors IS the
+  * sketch of the union of their balls. That is what makes the
+  * neighborhood function computable on a 100 TB graph where the exact
+  * pair set cannot exist.
+  *
+  * Built on the PORTABLE register derivation in [[graft.sketch.Hll]]
+  * (md5 string hash, string-ops rank, exact integer harmonic sum), so
+  * a second engine replays the ENTIRE iteration — registers, merges
+  * and estimates — and the result is hash-checked, not rows-checked.
+  *
+  * PRECONDITION (as [[LabelProp]]): `edges(src, dst)` symmetric.
+  */
+object HyperAnf {
+
+  /** K max-merge rounds; returns per-vertex
+    * `(node, m, v_nonzero, zsum40, estimate)` — the sketched
+    * |ball(node, k)| including the vertex itself. */
+  def run(edges: DataFrame, k: Int, p: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    // ball(v, 0) = {v}: each vertex's initial sketch is its own id
+    var regs = Hll.keyedRegisters(
+      nodes.withColumn("key", col("node")), "node", "key", p)
+    for (t <- 1 to k) {
+      val nbr = edges
+        .join(regs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("bucket"), col("r"))
+      regs = regs.unionByName(nbr)
+        .groupBy("node", "bucket").agg(max("r").as("r"))
+      if (t % 2 == 0) regs = regs.localCheckpoint()
+    }
+    Hll.keyedEstimateFromRegisters(regs, "node", p)
+  }
+
+  /** Exact |ball(v, k)| by materializing distinct (vertex, reached)
+    * pairs — the oracle-friendly ground truth, and the honest
+    * small-graph/bounded-k form (the pair set is the thing HyperANF
+    * exists to avoid at scale). */
+  def khopExact(edges: DataFrame, k: Int): DataFrame = {
+    var pairs = edges.select(col("src").as("node"),
+      col("src").as("reached")).distinct()
+    for (t <- 1 to k) {
+      val nbr = edges
+        .join(pairs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("reached"))
+      pairs = pairs.unionByName(nbr).distinct()
+      if (t % 2 == 0) pairs = pairs.localCheckpoint()
+    }
+    pairs.groupBy("node").agg(count(lit(1)).as("n_reach"))
+  }
+
+  /** Chained-CTE replay of [[run]]: expects `edges(src, dst)` in
+    * scope, emits `hn`, `regs_0 … regs_<k>` (MATERIALIZED — each round
+    * references the previous twice) and the per-vertex estimate
+    * CTEs; the caller SELECTs from the final estimate relation. */
+  def oracleSqlSuffix(k: Int, p: Int): String = {
+    val pre = p / 4
+    val rounds = (1 to k).map { t =>
+      s"""regs_$t AS MATERIALIZED (
+         |  SELECT node, bucket, max(r) AS r FROM (
+         |    SELECT node, bucket, r FROM regs_${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, g.bucket, g.r
+         |    FROM edges e JOIN regs_${t - 1} g ON g.node = e.dst)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""hn AS (SELECT DISTINCT src AS node FROM edges),
+       |h0 AS (SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM hn),
+       |regs_0 AS (SELECT node, substring(h, 1, $pre) AS bucket,
+       |    ${Hll.rankCaseSql(pre)} AS r
+       |  FROM h0),
+       |${rounds.mkString(",\n")},
+       |${Hll.keyedEstimateSql(s"regs_$k", "node", p)}""".stripMargin
+  }
+
+  /** Chained-CTE replay of [[khopExact]]. Defines `r_0 … r_<k>`
+    * (MATERIALIZED); caller aggregates `r_<k>`. */
+  def khopOracleSqlSuffix(k: Int): String = {
+    val rounds = (1 to k).map { t =>
+      s"""r_$t AS MATERIALIZED (
+         |  SELECT DISTINCT node, reached FROM (
+         |    SELECT node, reached FROM r_${t - 1}
+         |    UNION ALL
+         |    SELECT e.src AS node, x.reached
+         |    FROM edges e JOIN r_${t - 1} x ON x.node = e.dst))""".stripMargin
+    }
+    (s"r_0 AS (SELECT DISTINCT src AS node, src AS reached FROM edges)"
+      +: rounds).mkString(",\n")
+  }
+}

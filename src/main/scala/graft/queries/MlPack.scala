@@ -87,6 +87,24 @@ object MlPack extends QueryPack {
       graft.graph.LouvainDist.run(louvainEdges(s, dir),
         roundsPerLevel = 4, levels = 2))
 
+  /** DuckDB prelude: the UNWEIGHTED symmetric correlation edge list
+    * (the m15 corr build) — shared by the g23/g24 neighborhood-function
+    * oracles. */
+  private def corrEdgesCtes(): String =
+    s"""d AS (
+       |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+       |    sum(value) AS v
+       |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+       |c AS (
+       |  SELECT a.user_id AS ka, b.user_id AS kb,
+       |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+       |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+       |edges AS MATERIALIZED (
+       |  SELECT ka AS src, kb AS dst FROM e0
+       |  UNION ALL SELECT kb, ka FROM e0)""".stripMargin
+
   /** DuckDB prelude for the m6b/m6c oracles: the r4-rounded weighted
     * correlation edge list (the m15 corr build, keeping w = |r|) plus
     * the full chained-CTE Louvain replay from
@@ -1007,6 +1025,47 @@ object MlPack extends QueryPack {
               |  (SELECT max(sz) FROM
               |    (SELECT count(*) AS sz FROM asg GROUP BY c))
               |    AS max_community""".stripMargin)),
+
+    // G23 (beyond-reference, round 12): exact k-hop neighborhood
+    // function — |ball(v, 3)| per vertex of the correlation graph by
+    // materializing distinct (vertex, reached) pairs for 3 rounds.
+    // This is the GROUND-TRUTH form: the pair set is Θ(n · reach),
+    // fine for bounded graphs/hops, and exactly what g24's sketch
+    // exists to avoid at scale. Oracled as 3 chained distinct-union
+    // CTEs.
+    Q("g23_khop_reach",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        graft.graph.HyperAnf.khopExact(edges, k = 3).orderBy($"node")
+      },
+      Some(s"""WITH ${corrEdgesCtes()},
+              |${graft.graph.HyperAnf.khopOracleSqlSuffix(3)}
+              |SELECT node, count(*) AS n_reach FROM r_3
+              |GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // G24: HyperANF (Boldi et al. 2011) — the same neighborhood
+    // function via per-vertex PORTABLE HLL registers (p=8, m=256)
+    // max-merged along edges each round: per-round state is ≤ m
+    // registers per vertex instead of the reachable SET, which is what
+    // makes |ball(v, t)| computable on a graph whose exact pair set
+    // cannot exist. Register derivation, merges and estimates all
+    // replay in DuckDB (graph/HyperAnf.oracleSqlSuffix), so the SKETCH
+    // ITSELF is hash-checked — zsum40 state included — not just
+    // rows-checked. HyperAnfSpec pins sketch-vs-exact accuracy.
+    Q("g24_hyperanf",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        graft.graph.HyperAnf.run(edges, k = 3, p = 8).orderBy($"node")
+      },
+      Some(s"""WITH ${corrEdgesCtes()},
+              |${graft.graph.HyperAnf.oracleSqlSuffix(3, 8)}
+              |ORDER BY node""".stripMargin)),
 
     // M10: force-directed layout of the correlation network —
     // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding

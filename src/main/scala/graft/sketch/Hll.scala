@@ -100,6 +100,75 @@ object Hll {
     df.select(bucket.as("bucket"), rank.as("rank"))
   }
 
+  /** Per-key register frame `(group, bucket, r)` — the sparse
+    * representation HyperANF-style iterations merge with elementwise
+    * max (registers are a max-merge CRDT, so a (group, bucket) max
+    * aggregate IS the union of sketches). */
+  def keyedRegisters(items: DataFrame, groupCol: String, keyCol: String,
+                     p: Int): DataFrame = {
+    val (bucket, rank) = hashCols(keyCol, p)
+    items.select(col(groupCol), bucket.as("bucket"), rank.as("rank"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** The register→estimate reduction per group, for callers that
+    * maintain `(group, bucket, r)` register tables themselves. */
+  def keyedEstimateFromRegisters(regs: DataFrame, groupCol: String,
+                                 p: Int): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 24, s"p=$p")
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("v_nonzero"),
+        sum(floor(pow(lit(2.0), lit(40) - col("r"))).cast("long")).as("zsum40"))
+      .select(col(groupCol), lit(1L << p).as("m"), col("v_nonzero"),
+        col("zsum40"),
+        round(estimateExpr(col("zsum40"), col("v_nonzero"), m, alpha)
+          + lit(1e-9), 4).as("estimate"))
+  }
+
+  /** SQL fragment: the portable rank of an md5 hex column named `h`
+    * with a p/4-char bucket prefix — the same string-only derivation
+    * as [[hashCols]], for oracle generators that build register
+    * tables of their own (e.g. the HyperANF replay). */
+  def rankCaseSql(pre: Int): String =
+    s"""4 * length(regexp_extract(substring(h, ${pre + 1}, 16), '^0*'))
+       |    + (CASE WHEN substring(regexp_replace(substring(h, ${pre + 1}, 16),
+       |                 '^0+', ''), 1, 1)
+       |              IN ('8','9','a','b','c','d','e','f') THEN 0
+       |            WHEN substring(regexp_replace(substring(h, ${pre + 1}, 16),
+       |                 '^0+', ''), 1, 1) IN ('4','5','6','7') THEN 1
+       |            WHEN substring(regexp_replace(substring(h, ${pre + 1}, 16),
+       |                 '^0+', ''), 1, 1) IN ('2','3') THEN 2
+       |            ELSE 3 END) + 1""".stripMargin
+
+  /** SQL: per-group estimate from a `(node, bucket, r)` register CTE —
+    * the [[keyedEstimateFromRegisters]] arithmetic verbatim. */
+  def keyedEstimateSql(regsCte: String, groupAlias: String, p: Int): String = {
+    require(p % 4 == 0 && p >= 4 && p <= 24)
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""agg AS (SELECT node, count(*) AS v_nonzero,
+       |    CAST(sum(CAST(floor(power(2.0, 40 - r)) AS BIGINT)) AS BIGINT)
+       |      AS zsum40
+       |  FROM $regsCte GROUP BY 1),
+       |est AS (SELECT node, v_nonzero, zsum40,
+       |    CAST($alpha AS DOUBLE) * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
+       |      / (CAST(zsum40 AS DOUBLE) / power(2.0, 40)
+       |         + (CAST($m AS DOUBLE) - CAST(v_nonzero AS DOUBLE))) AS raw,
+       |    CAST($m AS DOUBLE) - CAST(v_nonzero AS DOUBLE) AS v_empty
+       |  FROM agg)
+       |SELECT node AS $groupAlias, CAST(${1L << p} AS BIGINT) AS m,
+       |  v_nonzero, zsum40,
+       |  round((CASE WHEN raw <= CAST(2.5 AS DOUBLE) * CAST($m AS DOUBLE)
+       |           AND v_empty > 0
+       |         THEN CAST($m AS DOUBLE)
+       |           * ln(CAST($m AS DOUBLE) / v_empty) ELSE raw END) + 1e-9, 4)
+       |    AS estimate
+       |FROM est""".stripMargin
+  }
+
   /** Per-group estimates: one row per distinct `groupCol` value —
     * (group, m, v_nonzero, zsum40, estimate). The production shape
     * (distinct users per day/segment/shard): register state is ≤ m
