@@ -536,5 +536,34 @@ object MiscPack extends QueryPack {
              |  array_to_string(toks[1:3], '-') AS head3,
              |  list_contains(toks, 'data') AS has_data,
              |  CAST(coalesce(list_position(toks, 'join'), 0) AS INT) AS join_idx
-             |FROM d""".stripMargin)))
+             |FROM d""".stripMargin)),
+
+    // G25 (beyond-reference, round 12): ROLLUP — hierarchical subtotal
+    // aggregation (event_type, day) → per-day rows + per-type
+    // subtotals + grand total in ONE pass, the relational capability
+    // the reference's pandas pipeline lacks outright (SURVEY §2.5:
+    // "No grouping sets / cube / rollup"). Spark's rollup is a single
+    // Expand + one aggregate (no per-level re-scan); grouping_id()
+    // disambiguates subtotal rows from genuine NULL keys and is
+    // replayed by DuckDB's GROUPING() bitmask, so level identity is
+    // hash-checked, not inferred from NULLs.
+    Q("g25_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type",
+            unix_micros(date_trunc("day", $"ts")).as("day"), $"value")
+          .rollup($"event_type", $"day")
+          .agg(count(lit(1)).as("n"), r6(sum($"value")).as("sum_value"),
+            grouping_id($"event_type", $"day").cast("int").as("lvl"))
+          .orderBy($"lvl", $"event_type", $"day")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(date_trunc('day', ts)) AS day, value FROM events)
+             |SELECT event_type, day,
+             |  count(*) AS n, round(sum(value) + 1e-9, 6) AS sum_value,
+             |  CAST(GROUPING(event_type, day) AS INT) AS lvl
+             |FROM e
+             |GROUP BY ROLLUP (event_type, day)
+             |ORDER BY lvl, event_type, day""".stripMargin)))
 }

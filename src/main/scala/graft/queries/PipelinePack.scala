@@ -220,6 +220,53 @@ object PipelinePack extends QueryPack {
              |  ORDER BY t DESC, event_id DESC) = 1
              |ORDER BY user_id""".stripMargin)),
 
+    // CDC time travel (round 12): reconstruct the per-user state AS OF
+    // an instant from the SCD2 history — `valid_from <= T < valid_to`
+    // range lookup, the "SELECT ... FOR SYSTEM_TIME AS OF" / Delta
+    // time-travel idiom rebuilt from plain SCD2 ranges. One windowed
+    // history build + one range filter; no snapshot copies — at scale
+    // the history is the single source and any instant is a filter,
+    // which is the entire point of SCD2 over daily full dumps.
+    Q("cdc3_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val asOf = 1705276800000000L // 2024-01-15 UTC, the cdc2 cutoff
+        val log = Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("t"),
+            $"event_id", $"event_type")
+        Cdc.scd2(log, Seq("user_id"), "t", "event_id", "event_type")
+          .filter($"valid_from" <= asOf &&
+            ($"valid_to".isNull || $"valid_to" > asOf))
+          .select($"user_id", $"event_type".as("state_at_t"),
+            $"valid_from", $"version")
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+             |  FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |r AS (
+             |  SELECT user_id, event_type, island, min(t) AS valid_from
+             |  FROM i GROUP BY 1, 2, 3),
+             |v AS (
+             |  SELECT user_id, event_type, valid_from,
+             |    lead(valid_from) OVER w2 AS valid_to,
+             |    CAST(row_number() OVER w2 AS INT) AS version
+             |  FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from))
+             |SELECT user_id, event_type AS state_at_t, valid_from, version
+             |FROM v
+             |WHERE valid_from <= 1705276800000000
+             |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
+             |ORDER BY user_id""".stripMargin)),
+
     // Deequ-style data-quality suite: per-table metric batches (ONE
     // Aggregate per table evaluates every completeness / distinctness
     // / bounds metric in a single scan) + referential integrity as
