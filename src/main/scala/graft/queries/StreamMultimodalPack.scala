@@ -568,6 +568,81 @@ object StreamMultimodalPack extends QueryPack {
              |FROM p ASOF LEFT JOIN v
              |  ON p.user_id = v.user_id AND p.t >= v.t""".stripMargin)),
 
+    // Stream-static point-in-time enrichment (round 12) — the OTHER
+    // streaming dimension-join shape next to st23's stateful register:
+    // the dimension is a BATCH SCD2 history (each user's view
+    // "engagement band" with validity ranges, the cdc1 build), the
+    // stream is the purchase feed, and every micro-batch does a
+    // STATELESS range join `valid_from <= t < valid_to` against the
+    // static frame — Structured Streaming re-evaluates the static side
+    // per batch, so a slowly-refreshed dimension table is picked up
+    // without any state store (state pinned at 0, like st22). This is
+    // the serving shape when the dimension fits batch refresh cadence;
+    // st23 is the shape when it must update event-by-event. Left join
+    // keeps purchases that precede any view (NULL band). Hash-checked
+    // against the same SCD2 build + range join in DuckDB.
+    Q("st24_stream_scd2_join",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st24_out_${counter.incrementAndGet()}"
+        val viewStates = Tables.events(s, dir)
+          .filter($"event_type" === "view")
+          .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+            when($"value" < 20, "low").when($"value" < 55, "mid")
+              .otherwise("high").as("band"))
+        val dim = graft.cdc.Cdc.scd2(viewStates, Seq("user_id"), "t",
+            "event_id", "band")
+          .select($"user_id", $"band", $"valid_from", $"valid_to",
+            $"version")
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id", $"ts".as("t"))
+        val joined = stream.join(dim,
+          $"p_user" === dim("user_id") && dim("valid_from") <= $"t" &&
+            (dim("valid_to").isNull || $"t" < dim("valid_to")),
+          "left_outer")
+          .select($"p_user".as("user_id"), $"event_id", $"t",
+            $"band", $"version")
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             |    value
+             |  FROM events),
+             |vs AS (
+             |  SELECT user_id, t, event_id,
+             |    CASE WHEN value < 20 THEN 'low'
+             |         WHEN value < 55 THEN 'mid' ELSE 'high' END AS band
+             |  FROM e WHERE event_type = 'view'),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(band) OVER w IS NULL
+             |                   OR band <> lag(band) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM vs WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |r AS (
+             |  SELECT user_id, band, island, min(t) AS valid_from
+             |  FROM i GROUP BY 1, 2, 3),
+             |v AS (
+             |  SELECT user_id, band, valid_from,
+             |    lead(valid_from) OVER w2 AS valid_to,
+             |    CAST(row_number() OVER w2 AS INT) AS version
+             |  FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)),
+             |p AS (SELECT user_id, event_id, t FROM e
+             |      WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.event_id, p.t, v.band, v.version
+             |FROM p LEFT JOIN v
+             |  ON v.user_id = p.user_id AND v.valid_from <= p.t
+             |  AND (v.valid_to IS NULL OR p.t < v.valid_to)
+             |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
     // Streaming Count-Min heavy hitters — the third sketch's streaming
     // form (HLL = st17, histogram = st18, CMS = here): the d·w cell
     // counts are additive, so each cell keyed as j·w + bucket rides the

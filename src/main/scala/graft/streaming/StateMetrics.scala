@@ -89,7 +89,12 @@ object StateMetrics {
     // perInput model was the wrong shape for a sketch-bounded state.
     "st21" -> Ceiling(4096, 0.0),
     "st22" -> Ceiling(0, 0.0),
-    "st23" -> Ceiling(64, 0.05))
+    "st23" -> Ceiling(64, 0.05),
+    // st24 is a stream-STATIC join — stateless by construction (the
+    // dimension is a batch frame re-joined per micro-batch, no state
+    // store); pinned at 0 like st22 so an accidentally stateful
+    // rewrite fails the bench.
+    "st24" -> Ceiling(0, 0.0))
 
   /** Recorded stream queries whose peak state exceeds their declared
     * ceiling at `nInput` input rows — empty on a healthy run. */
