@@ -18,10 +18,19 @@ object StateMetrics {
 
   /** Record `name` → max over progress reports of the sum of state
     * rows across the query's stateful operators. Stateless streams
-    * (e.g. st11's broadcast enrich) record 0 — itself a useful pin. */
-  def record(name: String, q: StreamingQuery): Unit =
+    * (e.g. st11's broadcast enrich) record 0 — itself a useful pin.
+    * Also records `name:late` → total rows dropped by the watermark
+    * (summed over the run): the declared streams replay a complete
+    * ordered file feed, so ANY watermark drop is silent data loss the
+    * hash gate might not see (a dropped row can still produce the
+    * right aggregate at sf0.01) — surfacing it in the bench sideline
+    * makes that loss visible per round. */
+  def record(name: String, q: StreamingQuery): Unit = {
     recordRaw(name, q.recentProgress.map(p =>
       p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max))
+    recordRaw(s"$name:late", q.recentProgress.map(p =>
+      p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+  }
 
   /** Direct peak entry (the [[record]] reduction's sink; exposed for
     * StateMetricsSpec to exercise [[violations]] without a live
