@@ -45,6 +45,37 @@ object HyperAnf {
     Hll.keyedEstimateFromRegisters(regs, "node", p)
   }
 
+  /** The neighborhood function proper (the HyperANF paper's output):
+    * N(t) = Σ_v |ball(v, t)| for t = 0..k, from the same register
+    * iteration — each round's per-vertex estimates are r4-rounded
+    * (engine-stable) and summed, and the final column reports
+    * N(t)/N(k), the fraction used to read off the effective diameter
+    * (smallest t with frac ≥ 0.9). Returns `(t, n_reach, frac)`. */
+  def neighborhoodFunction(edges: DataFrame, k: Int, p: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var regs = Hll.keyedRegisters(
+      nodes.withColumn("key", col("node")), "node", "key", p)
+    def nAt(t: Int, r: DataFrame): DataFrame =
+      Hll.keyedEstimateFromRegisters(r, "node", p)
+        .agg(round(sum("estimate") + lit(1e-9), 4).as("n_reach"))
+        .select(lit(t).as("t"), col("n_reach"))
+    var outs = Vector(nAt(0, regs))
+    for (t <- 1 to k) {
+      val nbr = edges
+        .join(regs.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("bucket"), col("r"))
+      regs = regs.unionByName(nbr)
+        .groupBy("node", "bucket").agg(max("r").as("r"))
+      if (t % 2 == 0) regs = regs.localCheckpoint()
+      outs :+= nAt(t, regs)
+    }
+    val curve = outs.reduce(_.unionByName(_))
+    val nk = curve.filter(col("t") === k).select(col("n_reach").as("nk"))
+    curve.crossJoin(broadcast(nk))
+      .select(col("t"), col("n_reach"),
+        round(col("n_reach") / col("nk") + lit(1e-9), 6).as("frac"))
+  }
+
   /** Exact |ball(v, k)| by materializing distinct (vertex, reached)
     * pairs — the oracle-friendly ground truth, and the honest
     * small-graph/bounded-k form (the pair set is the thing HyperANF
@@ -62,11 +93,9 @@ object HyperAnf {
     pairs.groupBy("node").agg(count(lit(1)).as("n_reach"))
   }
 
-  /** Chained-CTE replay of [[run]]: expects `edges(src, dst)` in
-    * scope, emits `hn`, `regs_0 … regs_<k>` (MATERIALIZED — each round
-    * references the previous twice) and the per-vertex estimate
-    * CTEs; the caller SELECTs from the final estimate relation. */
-  def oracleSqlSuffix(k: Int, p: Int): String = {
+  /** Chained register CTEs only: `hn`, `h0`, `regs_0 … regs_<k>`
+    * (MATERIALIZED — each round references the previous twice). */
+  def registersSqlCtes(k: Int, p: Int): String = {
     val pre = p / 4
     val rounds = (1 to k).map { t =>
       s"""regs_$t AS MATERIALIZED (
@@ -82,8 +111,33 @@ object HyperAnf {
        |regs_0 AS (SELECT node, substring(h, 1, $pre) AS bucket,
        |    ${Hll.rankCaseSql(pre)} AS r
        |  FROM h0),
-       |${rounds.mkString(",\n")},
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Chained-CTE replay of [[run]]: expects `edges(src, dst)` in
+    * scope, emits the register CTEs and the per-vertex estimate
+    * CTEs; the caller SELECTs from the final estimate relation. */
+  def oracleSqlSuffix(k: Int, p: Int): String =
+    s"""${registersSqlCtes(k, p)},
        |${Hll.keyedEstimateSql(s"regs_$k", "node", p)}""".stripMargin
+
+  /** Chained-CTE replay of [[neighborhoodFunction]]: register CTEs +
+    * one estimate chain per round (prefixed `e<t>_`, result CTE
+    * `e<t>_res`), the N(t) union and the frac select. */
+  def curveOracleSqlSuffix(k: Int, p: Int): String = {
+    val ests = (0 to k).map { t =>
+      Hll.keyedEstimateSql(s"regs_$t", "node", p, s"e${t}_", s"e${t}_res")
+    }
+    val union = (0 to k).map { t =>
+      s"SELECT $t AS t, round(sum(estimate) + 1e-9, 4) AS n_reach " +
+        s"FROM e${t}_res"
+    }.mkString("\n  UNION ALL ")
+    s"""${registersSqlCtes(k, p)},
+       |${ests.mkString(",\n")},
+       |nf AS ($union),
+       |nk AS (SELECT n_reach AS nk FROM nf WHERE t = $k)
+       |SELECT t, n_reach, round(n_reach / nk + 1e-9, 6) AS frac
+       |FROM nf, nk""".stripMargin
   }
 
   /** Chained-CTE replay of [[khopExact]]. Defines `r_0 … r_<k>`

@@ -1067,6 +1067,25 @@ object MlPack extends QueryPack {
               |${graft.graph.HyperAnf.oracleSqlSuffix(3, 8)}
               |ORDER BY node""".stripMargin)),
 
+    // G26: the neighborhood-function curve N(t) = Σ_v |ball(v, t)| for
+    // t = 0..3 — the HyperANF paper's actual deliverable (g24 gives the
+    // per-vertex view): each round's r4-rounded per-vertex estimates
+    // summed, plus N(t)/N(3) — the fraction the effective diameter is
+    // read from (smallest t with frac ≥ 0.9). Same register iteration
+    // and portable-HLL replay as g24; four rows, fully hash-checked.
+    Q("g26_anf_curve",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        graft.graph.HyperAnf.neighborhoodFunction(edges, k = 3, p = 8)
+          .orderBy($"t")
+      },
+      Some(s"""WITH ${corrEdgesCtes()},
+              |${graft.graph.HyperAnf.curveOracleSqlSuffix(3, 8)}
+              |ORDER BY t""".stripMargin)),
+
     // M10: force-directed layout of the correlation network —
     // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding
     // plot_louvain_network (market_analysis.py:399). Same graph as m6;

@@ -144,29 +144,37 @@ object Hll {
        |            ELSE 3 END) + 1""".stripMargin
 
   /** SQL: per-group estimate from a `(node, bucket, r)` register CTE —
-    * the [[keyedEstimateFromRegisters]] arithmetic verbatim. */
-  def keyedEstimateSql(regsCte: String, groupAlias: String, p: Int): String = {
+    * the [[keyedEstimateFromRegisters]] arithmetic verbatim. CTE names
+    * take `prefix` so several estimates can share one WITH list; a
+    * nonempty `resultCte` wraps the final SELECT as one more CTE
+    * (composable form) instead of ending the statement. */
+  def keyedEstimateSql(regsCte: String, groupAlias: String, p: Int,
+                       prefix: String = "", resultCte: String = ""): String = {
     require(p % 4 == 0 && p >= 4 && p <= 24)
     val m = (1 << p).toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    s"""agg AS (SELECT node, count(*) AS v_nonzero,
+    val sel =
+      s"""SELECT node AS $groupAlias, CAST(${1L << p} AS BIGINT) AS m,
+         |  v_nonzero, zsum40,
+         |  round((CASE WHEN raw <= CAST(2.5 AS DOUBLE) * CAST($m AS DOUBLE)
+         |           AND v_empty > 0
+         |         THEN CAST($m AS DOUBLE)
+         |           * ln(CAST($m AS DOUBLE) / v_empty) ELSE raw END) + 1e-9, 4)
+         |    AS estimate
+         |FROM ${prefix}est""".stripMargin
+    s"""${prefix}agg AS (SELECT node, count(*) AS v_nonzero,
        |    CAST(sum(CAST(floor(power(2.0, 40 - r)) AS BIGINT)) AS BIGINT)
        |      AS zsum40
        |  FROM $regsCte GROUP BY 1),
-       |est AS (SELECT node, v_nonzero, zsum40,
+       |${prefix}est AS (SELECT node, v_nonzero, zsum40,
        |    CAST($alpha AS DOUBLE) * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
        |      / (CAST(zsum40 AS DOUBLE) / power(2.0, 40)
        |         + (CAST($m AS DOUBLE) - CAST(v_nonzero AS DOUBLE))) AS raw,
        |    CAST($m AS DOUBLE) - CAST(v_nonzero AS DOUBLE) AS v_empty
-       |  FROM agg)
-       |SELECT node AS $groupAlias, CAST(${1L << p} AS BIGINT) AS m,
-       |  v_nonzero, zsum40,
-       |  round((CASE WHEN raw <= CAST(2.5 AS DOUBLE) * CAST($m AS DOUBLE)
-       |           AND v_empty > 0
-       |         THEN CAST($m AS DOUBLE)
-       |           * ln(CAST($m AS DOUBLE) / v_empty) ELSE raw END) + 1e-9, 4)
-       |    AS estimate
-       |FROM est""".stripMargin
+       |  FROM ${prefix}agg)
+       |""".stripMargin +
+      (if (resultCte.isEmpty) sel
+       else s",\n$resultCte AS (\n$sel)")
   }
 
   /** Per-group estimates: one row per distinct `groupCol` value —

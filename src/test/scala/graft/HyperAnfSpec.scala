@@ -45,6 +45,20 @@ class HyperAnfSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("neighborhood curve is nondecreasing and ends at frac 1") {
+    val rows = HyperAnf.neighborhoodFunction(path, k = 3, p = 12)
+      .orderBy("t").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    rows.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
+      assert(b >= a, s"N(t) must be nondecreasing: $a then $b")
+    }
+    assert(math.abs(rows.last._3 - 1.0) < 1e-9)
+    // path of 5 nodes: N(0) ≈ 5, N(3) ≈ 4+5+5+5+4 = 23 (p=12 near-exact)
+    assert(math.abs(rows.head._2 - 5.0) / 5.0 < 0.05)
+    assert(math.abs(rows.last._2 - 23.0) / 23.0 < 0.05)
+  }
+
   test("k=0-equivalent: one round on an edgeless pair set") {
     // two isolated self-symmetric components: a single edge graph,
     // k=1 → each node reaches both endpoints
