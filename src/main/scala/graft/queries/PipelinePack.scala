@@ -267,6 +267,79 @@ object PipelinePack extends QueryPack {
              |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
              |ORDER BY user_id""".stripMargin)),
 
+    // CDC snapshot diff (round 12): what changed between two instants —
+    // the cdc3 range lookup evaluated at T1 and T2 and full-outer
+    // joined per key: 'added' (key exists only at T2) or 'changed'
+    // (state or version moved); unchanged keys are filtered out, so
+    // the output is the CHANGE SET a downstream incremental consumer
+    // would apply. Still one SCD2 history build — both snapshots are
+    // filters over the same windowed frame, not two table copies.
+    Q("cdc4_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val t1 = 1705276800000000L // 2024-01-15 UTC
+        val t2 = 1706745600000000L // 2024-02-01 UTC
+        val log = Tables.events(s, dir)
+          .select($"user_id", unix_micros($"ts").as("t"),
+            $"event_id", $"event_type")
+        val hist = Cdc.scd2(log, Seq("user_id"), "t", "event_id",
+          "event_type").persist()
+        def at(ts: Long) = hist
+          .filter($"valid_from" <= ts &&
+            ($"valid_to".isNull || $"valid_to" > ts))
+          .select($"user_id", $"event_type".as("state"),
+            $"version")
+        val a = at(t1).select($"user_id", $"state".as("old_state"),
+          $"version".as("old_version"))
+        val b = at(t2).select($"user_id", $"state".as("new_state"),
+          $"version".as("new_version"))
+        a.join(b, Seq("user_id"), "full_outer")
+          .filter($"old_state".isNull ||
+            $"old_state" =!= $"new_state" ||
+            $"old_version" =!= $"new_version")
+          .select($"user_id", $"old_state", $"new_state",
+            $"old_version", $"new_version",
+            when($"old_state".isNull, "added").otherwise("changed")
+              .as("change"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+             |  FROM events),
+             |d AS (
+             |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+             |                   OR event_type <> lag(event_type) OVER w
+             |            THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |i AS (
+             |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM d),
+             |r AS (
+             |  SELECT user_id, event_type, island, min(t) AS valid_from
+             |  FROM i GROUP BY 1, 2, 3),
+             |v AS (
+             |  SELECT user_id, event_type, valid_from,
+             |    lead(valid_from) OVER w2 AS valid_to,
+             |    CAST(row_number() OVER w2 AS INT) AS version
+             |  FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)),
+             |s1 AS (
+             |  SELECT user_id, event_type AS old_state, version AS old_version
+             |  FROM v WHERE valid_from <= 1705276800000000
+             |    AND (valid_to IS NULL OR valid_to > 1705276800000000)),
+             |s2 AS (
+             |  SELECT user_id, event_type AS new_state, version AS new_version
+             |  FROM v WHERE valid_from <= 1706745600000000
+             |    AND (valid_to IS NULL OR valid_to > 1706745600000000))
+             |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+             |  old_state, new_state, old_version, new_version,
+             |  CASE WHEN old_state IS NULL THEN 'added'
+             |       ELSE 'changed' END AS change
+             |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+             |WHERE old_state IS NULL OR old_state <> new_state
+             |   OR old_version <> new_version
+             |ORDER BY user_id""".stripMargin)),
+
     // Deequ-style data-quality suite: per-table metric batches (ONE
     // Aggregate per table evaluates every completeness / distinctness
     // / bounds metric in a single scan) + referential integrity as

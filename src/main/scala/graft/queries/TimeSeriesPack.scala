@@ -1050,5 +1050,46 @@ object TimeSeriesPack extends QueryPack {
              |  round(CASE WHEN phi <> 1.0
              |        THEN c0 / (CAST(1.0 AS DOUBLE) - phi) END + 1e-9, 6)
              |    AS equilibrium
-             |FROM r""".stripMargin)))
+             |FROM r""".stripMargin)),
+
+    // W34 (round 12): the complete SQL rank-function family —
+    // rank / dense_rank / percent_rank / cume_dist over the VALUE
+    // order (ties share ranks — the semantics worth checking
+    // cross-engine) plus ntile(4), which needs a TOTAL order, so its
+    // window adds the event_id tie-break. One partition key, two
+    // window specs, one pass; both engines implement the SQL-standard
+    // definitions ((rank−1)/(n−1), peers-inclusive cume_dist,
+    // remainder-to-first-buckets ntile), so the whole family is
+    // hash-checked row by row.
+    Q("w34_rank_family",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.events(s, dir)
+          .filter($"user_id" < 30 && $"event_type" === "purchase")
+          .select($"event_id", $"user_id", r6($"value").as("value"))
+        val byVal = Window.partitionBy($"user_id").orderBy($"value")
+        val total = Window.partitionBy($"user_id")
+          .orderBy($"value", $"event_id")
+        base.select($"event_id", $"user_id", $"value",
+            rank().over(byVal).as("rnk"),
+            dense_rank().over(byVal).as("drnk"),
+            r6(percent_rank().over(byVal)).as("prnk"),
+            r6(cume_dist().over(byVal)).as("cdist"),
+            ntile(4).over(total).as("quartile"))
+          .orderBy($"user_id", $"value", $"event_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, round(value + 1e-9, 6) AS value
+             |  FROM events
+             |  WHERE user_id < 30 AND event_type = 'purchase')
+             |SELECT event_id, user_id, value,
+             |  CAST(rank() OVER wv AS INT) AS rnk,
+             |  CAST(dense_rank() OVER wv AS INT) AS drnk,
+             |  round(percent_rank() OVER wv + 1e-9, 6) AS prnk,
+             |  round(cume_dist() OVER wv + 1e-9, 6) AS cdist,
+             |  CAST(ntile(4) OVER wt AS INT) AS quartile
+             |FROM b
+             |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
+             |       wt AS (PARTITION BY user_id ORDER BY value, event_id)
+             |ORDER BY user_id, value, event_id""".stripMargin)))
 }
