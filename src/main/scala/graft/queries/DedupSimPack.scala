@@ -732,6 +732,82 @@ object DedupSimPack extends QueryPack {
              |SELECT query_id, corpus_id, round(cos + 1e-9, 6) AS cos, rank
              |FROM rk WHERE rank <= 5""".stripMargin)),
 
+    // S13 (round 12): MMR diversity rerank (Carbonell & Goldstein
+    // 1998) over the s1 shortlist — greedily pick 5 of each query's
+    // top-20 maximizing λ·rel − (1−λ)·max-sim-to-selected (λ=0.7), so
+    // the result covers the neighborhood instead of returning five
+    // near-duplicates (diverse exemplar selection for training data).
+    // The greedy loop is k=5 relational rounds over the BOUNDED pool;
+    // the expensive part stays the shortlist build (the audited s1
+    // shape). Picks argmax on r6-rounded scores (ties → smaller id),
+    // so the whole greedy TRAJECTORY replays in DuckDB (sim/Mmr
+    // .oracleSqlSuffix) and pick order itself is hash-checked.
+    Q("s13_mmr_diverse",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val queries = e.filter($"vec_id" < 3)
+        val pool = Similarity.cosineTopK(e, queries, "vec_id", "v", 20)
+          .select($"query_id", $"corpus_id", $"cos".as("rel"))
+          .persist()
+        val nv = Similarity.withNormalized(e, "v", "nv")
+          .select($"vec_id", $"nv")
+        val a = pool.select($"query_id", $"corpus_id".as("a"))
+          .join(nv.withColumnRenamed("vec_id", "a"), "a")
+          .withColumnRenamed("nv", "va")
+        val b = pool.select($"query_id", $"corpus_id".as("b"))
+          .join(nv.withColumnRenamed("vec_id", "b"), "b")
+          .withColumnRenamed("nv", "vb")
+        val pcos = a.join(b, "query_id").filter($"a" =!= $"b")
+          .select($"query_id", $"a", $"b",
+            Similarity.dot($"va", $"vb").as("c"))
+        graft.sim.Mmr.run(pool, pcos, k = 5, lam = 0.7)
+          .select($"query_id", $"pick", $"corpus_id",
+            r6($"score").as("score"))
+          .orderBy($"query_id", $"pick")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |          FROM embeddings),
+              |nm AS (SELECT vec_id, v,
+              |    sqrt(list_reduce(list_prepend(0.0,
+              |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+              |      (acc, x) -> acc + x)) AS nrm
+              |  FROM e),
+              |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv
+              |       FROM nm),
+              |q AS (SELECT vec_id AS query_id, nv AS qv FROM nv
+              |      WHERE vec_id < 3),
+              |sc AS (
+              |  SELECT q.query_id, nv.vec_id AS corpus_id,
+              |    list_reduce(list_prepend(0.0,
+              |        list_transform(range(1, len(qv) + 1),
+              |          i -> qv[i] * nv.nv[i])),
+              |        (acc, x) -> acc + x) AS cos
+              |  FROM q, nv WHERE q.query_id <> nv.vec_id),
+              |pool AS MATERIALIZED (
+              |  SELECT query_id, corpus_id, cos AS rel FROM (
+              |    SELECT query_id, corpus_id, cos,
+              |      row_number() OVER (PARTITION BY query_id
+              |        ORDER BY cos DESC, corpus_id) AS rank
+              |    FROM sc) WHERE rank <= 20),
+              |pcos AS MATERIALIZED (
+              |  SELECT pa.query_id, pa.corpus_id AS a, pb.corpus_id AS b,
+              |    list_reduce(list_prepend(0.0,
+              |        list_transform(range(1, len(na.nv) + 1),
+              |          i -> na.nv[i] * nb.nv[i])),
+              |        (acc, x) -> acc + x) AS c
+              |  FROM pool pa
+              |  JOIN pool pb ON pb.query_id = pa.query_id
+              |    AND pb.corpus_id <> pa.corpus_id
+              |  JOIN nv na ON na.vec_id = pa.corpus_id
+              |  JOIN nv nb ON nb.vec_id = pb.corpus_id),
+              |${graft.sim.Mmr.oracleSqlSuffix(5,
+                  "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)")}
+              |SELECT query_id, pick, corpus_id,
+              |  round(score + 1e-9, 6) AS score
+              |FROM sel_5 ORDER BY query_id, pick""".stripMargin)),
+
     // IVF ANN (graft.sim.IvfAnn): each query probes its nprobe NEAREST
     // cells — the standard IVF recall knob. The declared query uses the
     // PORTABLE md5-order coarse fit (IvfPq.coarseCells, the s7/s8/s12

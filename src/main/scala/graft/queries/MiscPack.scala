@@ -538,15 +538,15 @@ object MiscPack extends QueryPack {
              |  CAST(coalesce(list_position(toks, 'join'), 0) AS INT) AS join_idx
              |FROM d""".stripMargin)),
 
-    // G25 (beyond-reference, round 12): ROLLUP — hierarchical subtotal
-    // aggregation (event_type, day) → per-day rows + per-type
-    // subtotals + grand total in ONE pass, the relational capability
-    // the reference's pandas pipeline lacks outright (SURVEY §2.5:
-    // "No grouping sets / cube / rollup"). Spark's rollup is a single
-    // Expand + one aggregate (no per-level re-scan); grouping_id()
-    // disambiguates subtotal rows from genuine NULL keys and is
-    // replayed by DuckDB's GROUPING() bitmask, so level identity is
-    // hash-checked, not inferred from NULLs.
+    // G25 (round 12): ROLLUP with GROUPING_ID — extends q8_rollup
+    // (which checks rollup VALUES) with the level-identity contract:
+    // grouping_id() disambiguates subtotal rows from genuine NULL
+    // group keys and is replayed by DuckDB's GROUPING() bitmask, so
+    // the subtotal STRUCTURE is hash-checked, not inferred from NULLs
+    // (the reference's pandas pipeline has no grouping-sets family at
+    // all — SURVEY §2.5). Spark's rollup stays a single Expand + one
+    // aggregate; the day key follows the epoch-µs convention so
+    // dtypes are engine-identical.
     Q("g25_rollup",
       (s, dir) => {
         import s.implicits._

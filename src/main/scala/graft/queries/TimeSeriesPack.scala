@@ -1052,15 +1052,15 @@ object TimeSeriesPack extends QueryPack {
              |    AS equilibrium
              |FROM r""".stripMargin)),
 
-    // W34 (round 12): the complete SQL rank-function family —
-    // rank / dense_rank / percent_rank / cume_dist over the VALUE
-    // order (ties share ranks — the semantics worth checking
-    // cross-engine) plus ntile(4), which needs a TOTAL order, so its
-    // window adds the event_id tie-break. One partition key, two
-    // window specs, one pass; both engines implement the SQL-standard
-    // definitions ((rank−1)/(n−1), peers-inclusive cume_dist,
-    // remainder-to-first-buckets ntile), so the whole family is
-    // hash-checked row by row.
+    // W34 (round 12): rank-family TIE semantics — o5_rank_funcs checks
+    // the family over a TOTAL order (no ties possible); this one
+    // orders by the value alone, so tied values must share rank /
+    // dense_rank / percent_rank and cume_dist must count peers
+    // inclusively — the cross-engine contract a total order can't
+    // exercise — plus cume_dist itself (absent from o5) and ntile(4)
+    // on a total-ordered second spec (event_id tie-break; ntile is
+    // undefined under ties). One partition key, two window specs
+    // sharing one Exchange; hash-checked row by row.
     Q("w34_rank_family",
       (s, dir) => {
         import s.implicits._
