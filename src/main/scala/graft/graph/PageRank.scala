@@ -92,4 +92,72 @@ object PageRank {
        |pr_0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
        |$rounds""".stripMargin
   }
+
+  /** PERSONALIZED PageRank (Page et al. 1999 §6; the random-walk-with-
+    * restart centrality): the teleport mass returns to a SEED SET
+    * instead of the uniform vector, so ranks measure proximity to the
+    * seeds — the recommendation / local-community primitive. Same
+    * per-round cost as [[run]]; only the restart term changes:
+    *   pr(v) = (1−d)·[v ∈ S]/|S| + d·Σ contrib.
+    * Non-seed nodes reachable only through the graph get rank purely
+    * from propagation, so mass decays with distance from S. Same
+    * symmetric-edges contract as [[run]]. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, k: Int,
+                      damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val norm = edges.join(outw, "src")
+      .select($"src", $"dst", ($"w" / $"outw").as("wn"))
+      .localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct()
+      .localCheckpoint()
+    val seedF = seeds.select($"node").distinct()
+      .withColumn("is_seed", lit(1.0))
+    val ns = seedF.agg(count(lit(1)).as("ns"))
+    def restart = nodes.join(broadcast(seedF), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select($"node", (coalesce($"is_seed", lit(0.0)) / $"ns").as("r0"))
+    var pr = restart.select($"node", $"r0".as("pr")).localCheckpoint()
+    (1 to k).foreach { i =>
+      val contrib = norm.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum($"pr" * $"wn").as("c"))
+      pr = restart.join(contrib, Seq("node"), "left")
+        .select($"node",
+          (lit(1.0 - damping) * $"r0"
+            + lit(damping) * coalesce($"c", lit(0.0))).as("pr"))
+      if (i % 2 == 0 || i == k) pr = pr.localCheckpoint()
+    }
+    pr
+  }
+
+  /** DuckDB CTE chain replaying [[runPersonalized]]; the caller
+    * prepends `edges(src, dst, w)` AND `seeds(node)` CTEs and selects
+    * from `ppr_$k`. */
+  def personalizedOracleSqlSuffix(k: Int, damping: Double): String = {
+    val rounds = (0 until k).map { i =>
+      s"""ppr_${i + 1} AS (
+         |  SELECT n.node,
+         |    (1 - $damping) * n.r0
+         |      + $damping * COALESCE(c.c, 0.0) AS pr
+         |  FROM rst n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr * e.wn) AS c
+         |    FROM en e JOIN ppr_$i p ON p.node = e.src GROUP BY 1) c
+         |  USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+       |en AS (SELECT e.src, e.dst, e.w / ow.outw AS wn
+       |  FROM edges e JOIN ow USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |sn AS (SELECT count(*) AS ns FROM (SELECT DISTINCT node FROM seeds)),
+       |rst AS MATERIALIZED (
+       |  SELECT n.node,
+       |    CASE WHEN s.node IS NOT NULL
+       |      THEN 1.0 / (SELECT ns FROM sn) ELSE 0.0 END AS r0
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT DISTINCT node FROM seeds) s USING (node)),
+       |ppr_0 AS (SELECT node, r0 AS pr FROM rst),
+       |$rounds""".stripMargin
+  }
 }

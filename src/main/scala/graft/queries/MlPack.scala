@@ -664,6 +664,46 @@ object MlPack extends QueryPack {
               |${graft.graph.PageRank.oracleSqlSuffix(10, 0.85)}
               |SELECT node, round(pr + 1e-9, 6) AS pr FROM pr_10""".stripMargin)),
 
+    // M20 (round 12): PERSONALIZED PageRank — random walk with restart
+    // to a seed set (here the user_id < 20 members of the corr graph):
+    // the teleport mass returns to the seeds, so rank measures
+    // PROXIMITY TO THE SEEDS and decays with graph distance — the
+    // recommendation / local-community primitive next to m11's global
+    // centrality. Same per-round cost (one edge join + one dst agg);
+    // 10 rounds replayed as chained CTEs like m11.
+    Q("m20_ppr",
+      (s, dir) => {
+        import s.implicits._
+        val corr = corrGraph(s, dir)
+          .select($"ka", $"kb", abs($"r").as("w"))
+        val edges = corr.select($"ka".as("src"), $"kb".as("dst"), $"w")
+          .unionByName(corr.select($"kb".as("src"), $"ka".as("dst"), $"w"))
+        val seeds = edges.select($"src".as("node")).distinct()
+          .filter($"node" < 20)
+        graft.graph.PageRank
+          .runPersonalized(edges, seeds, k = 10, damping = 0.85)
+          .select($"node", r6($"pr").as("ppr"))
+          .orderBy($"node")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS (SELECT ka, kb, abs(r) AS w FROM c WHERE abs(r) > 0.3),
+              |edges AS MATERIALIZED (
+              |  SELECT ka AS src, kb AS dst, w FROM e0
+              |  UNION ALL SELECT kb, ka, w FROM e0),
+              |seeds AS (SELECT DISTINCT src AS node FROM edges
+              |          WHERE src < 20),
+              |${graft.graph.PageRank.personalizedOracleSqlSuffix(10, 0.85)}
+              |SELECT node, round(pr + 1e-9, 6) AS ppr FROM ppr_10
+              |ORDER BY node""".stripMargin)),
+
     // M12 (beyond-reference): per-node triangle counts on the same
     // graph. Enumeration is a count-probed hybrid (Triangles.scala):
     // one aggregate prices the id-oriented wedge join; under the cap

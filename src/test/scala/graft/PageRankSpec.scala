@@ -62,4 +62,32 @@ class PageRankSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(ok.size == 2)
   }
+
+  test("personalized rank decays with distance from the seed") {
+    // path 1-2-3-4-5, seed {1}. The degree-1 seed forwards ALL its
+    // walk mass to node 2, so ppr(2) can exceed ppr(1) — the honest
+    // contract is decay BEYOND the seed's neighborhood plus the
+    // seed dominating every non-adjacent node.
+    val path = both(Seq((1L, 2L, 1.0), (2L, 3L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0)))
+    val seeds = Seq(1L).toDF("node")
+    val ppr = PageRank.runPersonalized(path, seeds, k = 20, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr(2L) > ppr(3L) && ppr(3L) > ppr(4L) && ppr(4L) > ppr(5L),
+      s"expected monotone decay with distance, got $ppr")
+    assert(ppr(1L) > ppr(3L),
+      s"seed must dominate non-adjacent nodes, got $ppr")
+    // total mass stays ~1 (no dangling leak on a symmetric path)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("uniform seed set reproduces global PageRank") {
+    val ring = both((0L until 5L).map(i => (i, (i + 1) % 5, 1.0)))
+    val allSeeds = (0L until 5L).toDF("node")
+    val a = PageRank.run(ring, k = 8, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val b = PageRank.runPersonalized(ring, allSeeds, k = 8, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    a.foreach { case (n, v) => assert(math.abs(b(n) - v) < 1e-12) }
+  }
 }
