@@ -1126,6 +1126,67 @@ object MlPack extends QueryPack {
               |${graft.graph.HyperAnf.curveOracleSqlSuffix(3, 8)}
               |ORDER BY t""".stripMargin)),
 
+    // G27 (round 12): one-row graph summary — node/edge census, global
+    // triangle count, TRANSITIVITY (3·triangles / wedges = the global
+    // clustering coefficient; m12 carries the per-node version) and
+    // the EFFECTIVE DIAMETER read off g26's neighborhood curve
+    // (smallest t with N(t)/N(3) ≥ 0.9). Every term reuses an audited
+    // generator (Triangles.perNode, HyperAnf.neighborhoodFunction, the
+    // Hll estimate CTEs), so the row is fully hash-checked. Wedge
+    // count enters as Σ deg·(deg−1) — per-term even, so /2 is exact on
+    // both engines.
+    Q("g27_graph_summary",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        val deg = edges.groupBy($"src".as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val nN = deg.agg(count(lit(1)).as("n_nodes"))
+        val nE = und.agg(count(lit(1)).as("n_edges"))
+        val w2 = deg.agg(sum($"deg" * ($"deg" - 1)).as("w2"))
+        val tri = graft.graph.Triangles.perNode(und)
+          .agg((coalesce(sum($"n_tri"), lit(0L)) / 3).cast("long")
+            .as("n_triangles"))
+        val eff = graft.graph.HyperAnf
+          .neighborhoodFunction(edges, k = 3, p = 8)
+          .agg(min(when($"frac" >= 0.9, $"t")).as("eff_diameter"))
+        nN.crossJoin(nE).crossJoin(tri).crossJoin(w2).crossJoin(eff)
+          .select($"n_nodes", $"n_edges", $"n_triangles",
+            r6(when($"w2" > 0,
+              lit(6.0) * $"n_triangles" / $"w2").otherwise(lit(0.0)))
+              .as("transitivity"),
+            $"eff_diameter")
+      },
+      Some(s"""WITH ${corrEdgesCtes()},
+              |${graft.graph.HyperAnf.registersSqlCtes(3, 8)},
+              |${(0 to 3).map(t => graft.sketch.Hll.keyedEstimateSql(
+                   s"regs_$t", "node", 8, s"e${t}_", s"e${t}_res"))
+                   .mkString(",\n")},
+              |nf AS (${(0 to 3).map(t =>
+                   s"SELECT $t AS t, round(sum(estimate) + 1e-9, 4) " +
+                     s"AS n_reach FROM e${t}_res")
+                   .mkString("\n  UNION ALL ")}),
+              |nk AS (SELECT n_reach AS nk FROM nf WHERE t = 3),
+              |tri AS (
+              |  SELECT ab.ka AS a, ab.kb AS b, bc.kb AS c
+              |  FROM e0 ab JOIN e0 bc ON ab.kb = bc.ka
+              |  JOIN e0 ac ON ac.ka = ab.ka AND ac.kb = bc.kb),
+              |dg AS (SELECT src AS node, count(*) AS deg
+              |       FROM edges GROUP BY 1)
+              |SELECT
+              |  (SELECT count(*) FROM dg) AS n_nodes,
+              |  (SELECT count(*) FROM e0) AS n_edges,
+              |  (SELECT count(*) FROM tri) AS n_triangles,
+              |  round(CASE WHEN (SELECT sum(deg * (deg - 1)) FROM dg) > 0
+              |    THEN CAST(6.0 AS DOUBLE) * (SELECT count(*) FROM tri)
+              |      / (SELECT sum(deg * (deg - 1)) FROM dg)
+              |    ELSE 0.0 END + 1e-9, 6) AS transitivity,
+              |  (SELECT min(CASE WHEN round(n_reach / nk.nk + 1e-9, 6)
+              |       >= 0.9 THEN t END)
+              |     FROM nf, nk) AS eff_diameter""".stripMargin)),
+
     // M10: force-directed layout of the correlation network —
     // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding
     // plot_louvain_network (market_analysis.py:399). Same graph as m6;
