@@ -18,6 +18,11 @@ object Bench {
     // The monitor tags every codegen WARN/ERROR with the query that was
     // executing so a fallback is a named number, not a mystery trace.
     graft.tools.CodegenMonitor.install()
+    // State metrics are listener-collected (round-13): registering before
+    // the first stream starts means every micro-batch's progress event is
+    // seen exactly once — recentProgress's bounded buffer undercounted
+    // :late totals past 100 batches.
+    graft.streaming.StateMetrics.ensureListener(spark)
     // JIT/codegen warmup. Spark's whole-stage-codegen cache is keyed by
     // generated source, which depends on the plan shape but not the data
     // scale — so one pass of every query at the smallest SF compiles and
@@ -198,16 +203,25 @@ object Bench {
     // can't be counted the ceiling checks would be silently disabled and
     // the guard could rot with no signal. A missing input is itself a
     // bench failure — record it in `failed` so the driver record shows it.
-    val (nEvents, eventsCountErr) =
-      try (spark.read.parquet(s"$sfDir/events.parquet").count(), None)
-      catch { case scala.util.control.NonFatal(e) =>
+    val (nEvents, spanDays, eventsCountErr) =
+      try {
+        // one scan: row count + calendar span (st11's windowed-agg state
+        // is bounded by the span, not the row count — its ceiling is
+        // derived from the measured days so a longer-calendar SF can't
+        // false-trip; round-13 ADVICE fix)
+        val r = spark.read.parquet(s"$sfDir/events.parquet")
+          .selectExpr("count(*)", "(max(ts) - min(ts)) div 86400000000 + 1")
+          .head()
+        (r.getLong(0), r.getLong(1), None)
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[bench] STATE ALARM DISABLED: cannot count $sfDir/events.parquet" +
             s" (${e.getMessage}) — stream state ceilings NOT checked this run")
-        (0L, Some("state_alarm_disabled"))
+        (0L, 0L, Some("state_alarm_disabled"))
       }
     val stateViolations =
-      if (nEvents > 0) graft.streaming.StateMetrics.violations(nEvents)
+      if (nEvents > 0)
+        graft.streaming.StateMetrics.violations(nEvents, spanDays)
       else Seq.empty
     stateViolations.foreach { case (n, rows, cap) =>
       System.err.println(
@@ -268,32 +282,45 @@ object Bench {
     // decimal → fold entries under a rising cutoff into "rest". The
     // ladder ends at cutoff ∞ (everything folded, a ~200-char line),
     // so a fitting line is guaranteed, not just likely.
-    val out = (Seq(() => line(f2, 3, 0.0), () => line(f1, 3, 0.0)) ++
-        Seq(0.25, 0.5, 1.0, 2.0, Double.MaxValue).map(c =>
-          () => line(f1, 3, c)))
-      .view.map(_.apply()).find(_.length <= 1900)
-      .getOrElse(line(f1, 3, Double.MaxValue))
     // codegen_fallbacks rides the driver-visible line only when non-empty:
     // the clean run pays zero capture-window budget for it, a dirty run
-    // names its culprits in the round record.
-    val outCg =
-      if (cgFallbacks == "{}") out
-      else out.dropRight(1) + s""","codegen_fallbacks":$cgFallbacks}"""
-    if (out.length > 1950)
-      System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the ~2000-char capture window")
+    // names its culprits in the round record. Appended BEFORE the
+    // length-adaptive selection (round-13 ADVICE fix): the ladder and the
+    // overflow warning must judge the line actually printed, or a
+    // fallback-heavy run could push the parsed line past the capture
+    // window with no warning — losing the record exactly when something
+    // went wrong.
+    def withCg(s: String): String =
+      if (cgFallbacks == "{}") s
+      else s.dropRight(1) + s""","codegen_fallbacks":$cgFallbacks}"""
+    val outCg = (Seq(() => line(f2, 3, 0.0), () => line(f1, 3, 0.0)) ++
+        Seq(0.25, 0.5, 1.0, 2.0, Double.MaxValue).map(c =>
+          () => line(f1, 3, c)))
+      .view.map(b => withCg(b.apply())).find(_.length <= 1900)
+      .getOrElse(withCg(line(f1, 3, Double.MaxValue)))
+    if (outCg.length > 1950)
+      System.err.println(s"[bench] WARNING: JSON line ${outCg.length} chars exceeds the ~2000-char capture window")
     // genuinely-full copy for local history: 4-decimal values, every
     // entry, every retimed measurement, no length cap. Carries the
     // stream_state_rows sideline — peak state-store rows per stream
     // query from the MEASURED runs (StateMetrics), so the
     // watermark-bounded-state claims are numbers, not assertions.
     def f4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val stateRows = graft.streaming.StateMetrics.snapshot.toSeq.sorted
+    val stateSnap = graft.streaming.StateMetrics.snapshot.toSeq.sorted
+    val stateRows = stateSnap.filterNot(_._1.endsWith(":bytes"))
       .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // byte-size sideline (round-13): peak state-store memory per stream
+    // query — a wide-payload state leak grows bytes at constant rows,
+    // which the rows sideline can't see; ceilinged in violations().
+    val stateBytes = stateSnap.filter(_._1.endsWith(":bytes"))
+      .map { case (k, v) => s"\"" + k.dropRight(6) + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       line(f4, Int.MaxValue, 0.0).dropRight(1) +
         s""","stream_state_rows":$stateRows""" +
+        s""","stream_state_bytes":$stateBytes""" +
         s""","codegen_fallbacks":$cgFallbacks""" +
         s""","rep2":${rep2.toSeq.map { case (k, v) =>
           "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // exact state metrics for the st* runs (listener must precede the
+    // first stream start; see StateMetrics.ensureListener)
+    graft.streaming.StateMetrics.ensureListener(spark)
     new java.io.File(outDir).mkdirs()
     // Dev loop only (driver sets no env): SPARK_GRAFT_ONLY=a,b dumps a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -76,7 +76,7 @@ object IvfSq {
     * SqAdist2's scaladoc). Same left-assoc non-negative-term fold. */
   private def adist2(qv: Column, codes: Column, vm: Column, st: Column,
                      dims: Int): Column =
-    SqAdist2(qv, codes, vm, st)
+    SqAdist2(qv, codes, vm, st, dims)
 
   /** DuckDB oracle for [[topK]] over the `embeddings` view: the
     * [[IvfPq.oracleSql]] coarse tier composed with the

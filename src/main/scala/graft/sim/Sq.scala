@@ -87,7 +87,7 @@ object Sq {
     * bit-equal to the unrolled form (SqAdistSpec). */
   private def adist2(qv: Column, codes: Column, vm: Column, st: Column,
                      dims: Int): Column =
-    SqAdist2(qv, codes, vm, st)
+    SqAdist2(qv, codes, vm, st, dims)
 
   /** SQ shortlist + exact re-rank (the [[Pq.rerankTopK]] deployment
     * shape): one codes scan × broadcast queries keeps `kShort`

@@ -29,10 +29,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * a square, so the +0.0 seed cannot change the first partial sum),
   * `(double)(code + 0.5)` widening exactly as `element_at(codes, i) +
   * lit(0.5)` widened, NULL if any array is NULL, any element is NULL,
-  * or the four lengths disagree.
+  * the four lengths disagree, or (when `expectedDims` ≥ 0) the length
+  * differs from the declared dimensionality — the unrolled form's
+  * out-of-bounds-null contract, restored for consistently-mis-sized
+  * vectors (round-13 ADVICE fix).
   */
+// no default on expectedDims here: the Column-factory apply below carries
+// the default, and two overloads with defaults can't coexist
 case class SqAdist2(first: Expression, second: Expression,
-                    third: Expression, fourth: Expression)
+                    third: Expression, fourth: Expression,
+                    expectedDims: Int)
   extends QuaternaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -59,6 +65,12 @@ case class SqAdist2(first: Expression, second: Expression,
     val n = qv.numElements()
     if (cd.numElements() != n || vm.numElements() != n ||
         st.numElements() != n) return null
+    // expectedDims guard (round-13 ADVICE fix): with the loop form,
+    // vectors CONSISTENTLY shorter/longer than the configured dims would
+    // silently produce a distance where the round-11 unrolled
+    // element_at tree surfaced the mismatch as null — restore that
+    // contract when the caller declares the dimensionality
+    if (expectedDims >= 0 && n != expectedDims) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -78,10 +90,12 @@ case class SqAdist2(first: Expression, second: Expression,
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
+      val dimsGuard =
+        if (expectedDims >= 0) s" || $n != $expectedDims" else ""
       s"""
          |final int $n = $q.numElements();
          |if ($c.numElements() != $n || $m.numElements() != $n ||
-         |    $s.numElements() != $n) {
+         |    $s.numElements() != $n$dimsGuard) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $sum = 0.0;
@@ -105,9 +119,13 @@ case class SqAdist2(first: Expression, second: Expression,
 }
 
 object SqAdist2 {
-  /** Column factory: (query vec, codes, per-dim mins, per-dim steps). */
-  def apply(qv: Column, codes: Column, vm: Column, st: Column): Column =
+  /** Column factory: (query vec, codes, per-dim mins, per-dim steps).
+    * `expectedDims` ≥ 0 additionally nulls any row whose arrays are not
+    * exactly that long (the declared-dimensionality contract). */
+  def apply(qv: Column, codes: Column, vm: Column, st: Column,
+            expectedDims: Int = -1): Column =
     ColumnBridge.column(SqAdist2(
       ColumnBridge.expression(qv), ColumnBridge.expression(codes),
-      ColumnBridge.expression(vm), ColumnBridge.expression(st)))
+      ColumnBridge.expression(vm), ColumnBridge.expression(st),
+      expectedDims))
 }

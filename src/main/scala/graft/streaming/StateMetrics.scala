@@ -1,42 +1,86 @@
 package graft.streaming
 
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
-/** State-store observability for the streaming tier: after a drained
-  * run, [[record]] captures the PEAK total state rows the query's
-  * stateful operators held (from the progress stream's
-  * `stateOperators.numRowsTotal`). Bench emits the collected map as a
-  * `stream_state_rows` sideline in BENCH_FULL.json, so the
-  * "watermark-bounded state" claims on st9/st10/st12 are MEASURED
-  * per round instead of asserted — a state-size regression (e.g. a
-  * watermark accidentally dropped) shows up as a number, not a
-  * wall-time mystery. */
+/** State-store observability for the streaming tier: for every drained
+  * run the collector captures (a) the PEAK total state rows the query's
+  * stateful operators held, (b) the PEAK state-store memory in BYTES
+  * (`stateOperators.memoryUsedBytes` — a wide payload can grow bytes
+  * linearly at constant rows, so rows alone can't certify bounded
+  * state), and (c) the TOTAL rows dropped by watermarks. Bench emits
+  * the collected maps as `stream_state_rows` / `stream_state_bytes`
+  * sidelines in BENCH_FULL.json, so the "watermark-bounded state"
+  * claims on st9/st10/st12 are MEASURED per round instead of asserted.
+  *
+  * Collection is listener-based (round-13, ADVICE fix): the old form
+  * read `q.recentProgress` after the run, a bounded rolling buffer
+  * (default 100 entries) that undercounts the `:late` total — and can
+  * miss the true peak — on runs with more micro-batches than the
+  * buffer. A [[StreamingQueryListener]] registered BEFORE the first
+  * stream starts sees every progress event exactly once; sessions are
+  * registered by Bench/Verify/the test fixture at startup via
+  * [[ensureListener]], and [[record]] keeps the recentProgress scan
+  * only as a fallback for sessions that never registered. */
 object StateMetrics {
 
   private val peak =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  /** Record `name` → max over progress reports of the sum of state
-    * rows across the query's stateful operators. Stateless streams
-    * (e.g. st11's broadcast enrich) record 0 — itself a useful pin.
-    * Also records `name:late` → total rows dropped by the watermark
-    * (summed over the run): the declared streams replay a complete
-    * ordered file feed, so ANY watermark drop is silent data loss the
-    * hash gate might not see (a dropped row can still produce the
-    * right aggregate at sf0.01) — surfacing it in the bench sideline
-    * makes that loss visible per round. */
+  private val listened = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[SparkSession]())
+
+  /** Register the per-session progress listener (idempotent). MUST run
+    * before the session's first streaming query starts — progress
+    * events are not replayed to late listeners. Streams are matched by
+    * the pack naming convention `<query>_out_<n>`; anonymous streams
+    * (ad-hoc tests) are ignored. */
+  def ensureListener(s: SparkSession): Unit =
+    if (listened.add(s)) s.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val nm = Option(p.name).getOrElse("")
+        val cut = nm.indexOf("_out_")
+        if (cut > 0) {
+          val q = nm.substring(0, cut)
+          recordRaw(q, p.stateOperators.map(_.numRowsTotal).sum)
+          recordRaw(s"$q:bytes",
+            p.stateOperators.map(_.memoryUsedBytes).sum)
+          addRaw(s"$q:late",
+            p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+        }
+      }
+    })
+
+  /** Post-run backstop. With the session listener active (the normal
+    * path) the peaks are already exact and this max-merge is a no-op;
+    * without it, fall back to the recentProgress scan — bounded at
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * entries, so `:late` and the peaks UNDERCOUNT past that many
+    * micro-batches (why the listener path is primary). */
   def record(name: String, q: StreamingQuery): Unit = {
     recordRaw(name, q.recentProgress.map(p =>
       p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max))
-    recordRaw(s"$name:late", q.recentProgress.map(p =>
-      p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+    recordRaw(s"$name:bytes", q.recentProgress.map(p =>
+      p.stateOperators.map(_.memoryUsedBytes).sum).foldLeft(0L)(math.max))
+    if (!listened.contains(q.sparkSession))
+      recordRaw(s"$name:late", q.recentProgress.map(p =>
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
   }
 
-  /** Direct peak entry (the [[record]] reduction's sink; exposed for
-    * StateMetricsSpec to exercise [[violations]] without a live
-    * streaming query). */
+  /** Max-merge entry (peaks). Exposed for StateMetricsSpec to exercise
+    * [[violations]] without a live streaming query. */
   private[graft] def recordRaw(name: String, rows: Long): Unit =
     peak.merge(name, rows, math.max(_, _)): Unit
+
+  /** Additive entry (run totals, e.g. watermark-dropped rows). */
+  private[graft] def addRaw(name: String, n: Long): Unit =
+    peak.merge(name, n, _ + _): Unit
 
   /** Test hook: drop all recorded peaks. */
   private[graft] def reset(): Unit = peak.clear()
@@ -76,12 +120,14 @@ object StateMetrics {
     "st9"  -> Ceiling(256, 0.8),
     "st10" -> Ceiling(256, 1.5),
     // st11's state is windowed-agg GROUP cardinality — day-windows ×
-    // 5 segments × 5 types — bounded by the data's calendar span, NOT
+    // 5 segments × 5 types — bounded by the data's CALENDAR SPAN, not
     // by input rows (measured 750 at sf0.01 = 30 days × 25; 2250 at
-    // sf0.1's 90 days). The old perInput model tripped falsely at
-    // small SF (round 12: sf0.01 cap 564 < 750) while the honest bound
-    // is absolute; a per-user or per-event leak lands ≥ 150×25 ≫ 4096
-    // at every SF, so the ALARM keeps its teeth.
+    // sf0.1's 90 days). When Bench supplies the measured span,
+    // [[violations]] derives the cap as days × 25 × 2 (margin), so a
+    // longer-calendar SF can't false-trip (round-13 ADVICE fix); the
+    // absolute 4096 here is only the no-span fallback (valid for spans
+    // ≤ ~163 days). A per-user or per-event leak lands ≥ 150×25 ≫
+    // either form, so the ALARM keeps its teeth.
     "st11" -> Ceiling(4096, 0.0),
     "st12" -> Ceiling(256, 0.8),
     "st13" -> Ceiling(64, 0.05),
@@ -105,13 +151,40 @@ object StateMetrics {
     // rewrite fails the bench.
     "st24" -> Ceiling(0, 0.0))
 
+  /** Byte ceiling per state row: measured sf0.1 state averages ~100–400
+    * bytes/row in the HDFS-backed store (events-shaped keys + agg
+    * payloads); 4 KiB/row leaves ~10× headroom for payload growth while
+    * a wide-payload state leak (bytes up at constant rows — the failure
+    * rows-only ceilings can't see) still trips. The absolute floor
+    * covers store overhead on tiny/stateless-adjacent states. */
+  private val bytesPerRowCap = 4096L
+  private val bytesAbsFloor = 16L << 20 // 16 MiB
+
+  /** Rows cap for `name` at `nInput` input rows; `spanDays` > 0
+    * replaces st11's absolute fallback with the honest calendar-span
+    * bound (see the ceilings note). */
+  private def rowsCap(name: String, c: Ceiling, nInput: Long,
+                      spanDays: Long): Long =
+    if (name == "st11" && spanDays > 0) spanDays * 25L * 2L
+    else c.abs + (c.perInput * nInput).toLong
+
   /** Recorded stream queries whose peak state exceeds their declared
-    * ceiling at `nInput` input rows — empty on a healthy run. */
-  def violations(nInput: Long): Seq[(String, Long, Long)] =
-    snapshot.toSeq.sorted.flatMap { case (name, rows) =>
-      ceilings.get(name).flatMap { c =>
-        val cap = c.abs + (c.perInput * nInput).toLong
-        if (rows > cap) Some((name, rows, cap)) else None
+    * ceiling at `nInput` input rows — empty on a healthy run. Checks
+    * BOTH forms: `st9` (rows > rows-cap) and `st9:bytes`
+    * (bytes > max(floor, rows-cap × 4 KiB)). */
+  def violations(nInput: Long, spanDays: Long = 0L): Seq[(String, Long, Long)] =
+    snapshot.toSeq.sorted.flatMap { case (name, v) =>
+      if (name.endsWith(":bytes")) {
+        val base = name.dropRight(6)
+        ceilings.get(base).flatMap { c =>
+          val cap = math.max(bytesAbsFloor,
+            rowsCap(base, c, nInput, spanDays) * bytesPerRowCap)
+          if (v > cap) Some((name, v, cap)) else None
+        }
+      } else if (name.contains(":")) None
+      else ceilings.get(name).flatMap { c =>
+        val cap = rowsCap(name, c, nInput, spanDays)
+        if (v > cap) Some((name, v, cap)) else None
       }
     }
 }

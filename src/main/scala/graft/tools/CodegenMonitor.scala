@@ -31,6 +31,14 @@ object CodegenMonitor {
   private val hits = mutable.LinkedHashMap[String, Int]()
   private val firstMsg = mutable.LinkedHashMap[String, String]()
   private var appender: Option[AbstractAppender] = None
+  // (logger name → level before install), so uninstall() can restore the
+  // two codegen loggers instead of leaving them chattier than it found
+  // them (round-13 ADVICE fix)
+  private var priorLevels: Seq[(String, Level)] = Seq.empty
+
+  private val openedLoggers = Seq(
+    "org.apache.spark.sql.catalyst.expressions.codegen",
+    "org.apache.spark.sql.execution.WholeStageCodegenExec")
 
   def setCurrent(name: String): Unit = { current = name }
 
@@ -79,10 +87,12 @@ object CodegenMonitor {
     // the two codegen loggers to WARN — their events reach this appender
     // (and the console, which is acceptable: a codegen fallback SHOULD be
     // loud) while the rest of Spark stays at ERROR.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.catalyst.expressions.codegen", Level.WARN)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.WholeStageCodegenExec", Level.WARN)
+    // record the EFFECTIVE level (inherited or explicit — never null) so
+    // restore is a plain setLevel; pinning the inherited value explicitly
+    // is fine: what matters is the verbosity, not the config topology
+    priorLevels = openedLoggers.map(ln => ln -> cfg.getLoggerConfig(ln).getLevel)
+    openedLoggers.foreach(ln =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(ln, Level.WARN))
     ctx.updateLoggers()
     appender = Some(app)
   }
@@ -91,6 +101,13 @@ object CodegenMonitor {
     appender.foreach { app =>
       val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
       ctx.getConfiguration.getRootLogger.removeAppender(app.getName)
+      // restore the two codegen loggers install() opened to WARN: a null
+      // prior means the logger had no explicit config before — null in
+      // Configurator.setLevel re-inherits from the parent, undoing ours
+      priorLevels.foreach { case (ln, lv) =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(ln, lv)
+      }
+      priorLevels = Seq.empty
       ctx.updateLoggers()
       app.stop()
     }

@@ -14,6 +14,9 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // exact state metrics for streaming specs (listener must precede the
+    // first stream start; see StateMetrics.ensureListener)
+    graft.streaming.StateMetrics.ensureListener(s)
     s
   }
 }

@@ -68,6 +68,17 @@ class SqAdistSpec extends AnyFunSuite {
     assert(out(1).isEmpty, "null query array → null")
     assert(out(2).isEmpty, "null code element → null")
     assert(out(3).isEmpty, "length mismatch → null")
+    // expectedDims contract (round-13): arrays CONSISTENTLY shorter than
+    // the declared dims — internally consistent, so the cross-array
+    // check alone passes them — null out when the caller declares dims
+    val guarded = df.orderBy($"id")
+      .select(SqAdist2($"qv", $"codes", $"vm", $"st", 3))
+      .as[Option[Double]].collect()
+    assert(guarded.forall(_.isEmpty), "2-long arrays vs declared dims=3")
+    val match2 = df.filter($"id" === 1)
+      .select(SqAdist2($"qv", $"codes", $"vm", $"st", 2))
+      .as[Option[Double]].collect()
+    assert(match2.head.exists(v => math.abs(v - 0.625) < 1e-12))
     // interpreted eval path agrees with codegen
     val interp = df.filter($"id" === 1)
       .select(SqAdist2($"qv", $"codes", $"vm", $"st"))

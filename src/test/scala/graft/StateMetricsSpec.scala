@@ -27,6 +27,46 @@ class StateMetricsSpec extends AnyFunSuite {
     } finally StateMetrics.reset()
   }
 
+  test("byte ceilings trip on wide-payload growth at constant rows") {
+    StateMetrics.reset()
+    try {
+      val n = 10000L
+      // st2 rows cap = 564 → bytes cap = max(16 MiB, 564 × 4096) = 16 MiB
+      StateMetrics.recordRaw("st2", 100L)           // rows fine
+      StateMetrics.recordRaw("st2:bytes", 16L << 20) // at the floor — passes
+      StateMetrics.recordRaw("st9:bytes", 64L << 20) // cap 8256×4096≈32 MiB — trips
+      val got = StateMetrics.violations(n).map(_._1)
+      assert(got == Seq("st9:bytes"), s"got $got")
+    } finally StateMetrics.reset()
+  }
+
+  test("st11 ceiling derives from the measured calendar span") {
+    StateMetrics.reset()
+    try {
+      // 900-day span × 25 groups = 22500 healthy state rows: the old
+      // absolute 4096 would false-trip; the span-derived cap
+      // (900 × 25 × 2 = 45000) passes, while a per-event leak still trips
+      StateMetrics.recordRaw("st11", 22500L)
+      assert(StateMetrics.violations(10000L, spanDays = 900L).isEmpty)
+      assert(StateMetrics.violations(10000L).map(_._1) == Seq("st11"),
+        "no-span fallback keeps the absolute cap")
+      StateMetrics.recordRaw("st11", 150L * 25L * 100L)
+      assert(StateMetrics.violations(10000L, spanDays = 900L)
+        .map(_._1) == Seq("st11"), "a real leak exceeds the span cap too")
+    } finally StateMetrics.reset()
+  }
+
+  test("late totals accumulate additively") {
+    StateMetrics.reset()
+    try {
+      StateMetrics.addRaw("st3:late", 5L)
+      StateMetrics.addRaw("st3:late", 7L)
+      assert(StateMetrics.snapshot("st3:late") == 12L)
+      // and :late keys are never ceiling-checked
+      assert(StateMetrics.violations(10L).isEmpty)
+    } finally StateMetrics.reset()
+  }
+
   test("every stream query with measured state has a declared ceiling") {
     // the alarm can't rot by omission: the bench-measured set (st1-st22)
     // must all be present in the ceilings map
