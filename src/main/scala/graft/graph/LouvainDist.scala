@@ -85,8 +85,24 @@ object LouvainDist {
   /** Multi-level run. Returns `(node, c)` over the ORIGINAL node set,
     * with raw (non-dense) community ids = representative node ids.
     * Lineage is localCheckpointed every other round (the PageRank
-    * depth-2 cadence). */
-  def run(edges: DataFrame, roundsPerLevel: Int, levels: Int): DataFrame = {
+    * depth-2 cadence).
+    *
+    * HASH-PRESERVING fixpoint early-exit (round-13): the schedule runs
+    * rounds in parity PAIRS (even nodes may move, then odd nodes). A
+    * node can move at most once per pair — the two parities are
+    * disjoint — so "assignment unchanged across a whole pair" means
+    * ZERO moves in both rounds, i.e. the state entering the next even
+    * round is identical to the state that entered this pair, and every
+    * further round of the deterministic schedule is a provable no-op.
+    * Exiting there cannot change the assignment (or the hash): the
+    * oracle's extra CTE rounds are equally no-op. `earlyExit = false`
+    * forces the full fixed schedule (LouvainDistSpec proves both paths
+    * produce the identical assignment). The check itself is one tiny
+    * join over the ~node-count frames, both already materialized by
+    * the checkpoint cadence — far cheaper than the edge-join round it
+    * saves. */
+  def run(edges: DataFrame, roundsPerLevel: Int, levels: Int,
+          earlyExit: Boolean = true): DataFrame = {
     // one tiny eager aggregate instead of a per-round broadcast join:
     // 2m is a loop constant, and re-broadcasting it each round costs a
     // broadcast exchange + a re-run of this agg per round
@@ -101,9 +117,27 @@ object LouvainDist {
     var assign: DataFrame = null // original node -> current community
     for (level <- 1 to levels) {
       var comm = deg.select(col("node"), col("node").as("c"), col("d"))
-      for (r <- 0 until roundsPerLevel) {
+      // the initial comm is read once per pair by the fixpoint check and
+      // up to twice by moveRound — materialize it like the pair ends
+      if (earlyExit) comm = comm.localCheckpoint()
+      var r = 0
+      var fixed = false
+      var pairStart = comm // state entering the current parity pair
+      while (r < roundsPerLevel && !fixed) {
+        if (r % 2 == 0) pairStart = comm
         comm = moveRound(levelEdges, comm, m2, r % 2)
-        if (r % 2 == 1) comm = comm.localCheckpoint()
+        if (r % 2 == 1) {
+          comm = comm.localCheckpoint()
+          if (earlyExit && r + 1 < roundsPerLevel) {
+            // whole pair unchanged ⇒ fixpoint (see scaladoc) — both
+            // frames are checkpointed ~node-count tables, so this join
+            // is trivial
+            fixed = comm.join(
+                pairStart.select(col("node"), col("c").as("pc")), "node")
+              .filter(col("c") =!= col("pc")).isEmpty
+          }
+        }
+        r += 1
       }
       assign =
         if (level == 1) comm.select("node", "c")

@@ -43,6 +43,19 @@ object MlPack extends QueryPack {
   private val louvainCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
+  // g24/g26/g27 share ONE HyperANF register iteration over the corr
+  // graph (round-13, verdict item 1: the three queries each rebuilt the
+  // identical merge chain — ~14s of the 253s round-12 bench was the same
+  // registers built three times). Each round frame is a ≤ n·m-row
+  // localCheckpointed table, so the cache holds materialized state only.
+  private val anfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      IndexedSeq[DataFrame]]()
+  // m12/g27 share the per-node triangle counts on the same graph (g27
+  // additionally re-ran the m12 wedge join before round 13).
+  private val triCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
 
   /** Shared r4-rounded correlation edge list (ka < kb, |r| > 0.3) — the
     * graph m11/m12/g16 all read; memoized+persisted like the feature
@@ -86,6 +99,32 @@ object MlPack extends QueryPack {
     louvainCache.computeIfAbsent((s, dir), _ =>
       graft.graph.LouvainDist.run(louvainEdges(s, dir),
         roundsPerLevel = 4, levels = 2))
+
+  /** UNWEIGHTED symmetric edge list of the shared correlation graph —
+    * the g23/g24/g26/g27 input. */
+  private def corrEdgesSym(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = corrGraph(s, dir).select($"ka", $"kb")
+    und.select($"ka".as("src"), $"kb".as("dst"))
+      .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+  }
+
+  /** Memoized HyperANF register rounds (t = 0..3, p = 8) over
+    * [[corrEdgesSym]] — every frame localCheckpointed, built once per
+    * (session, dir) however many of g24/g26/g27 run. */
+  private def anfRounds(s: SparkSession, dir: String): IndexedSeq[DataFrame] =
+    anfCache.computeIfAbsent((s, dir), _ =>
+      graft.graph.HyperAnf.registerRounds(corrEdgesSym(s, dir),
+        k = 3, p = 8, checkpointEach = true))
+
+  /** Memoized per-node triangle counts over the shared corr graph
+    * (m12's count-probed hybrid enumeration), shared with g27. */
+  private def triPerNode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    triCache.computeIfAbsent((s, dir), _ =>
+      graft.graph.Triangles.perNode(corrGraph(s, dir).select($"ka", $"kb"))
+        .localCheckpoint())
+  }
 
   /** DuckDB prelude: the UNWEIGHTED symmetric correlation edge list
     * (the m15 corr build) — shared by the g23/g24 neighborhood-function
@@ -155,6 +194,10 @@ object MlPack extends QueryPack {
       .foreach(m9Cache.remove)
     louvainCache.asScala.keys.toList.filter(_._1 eq session)
       .foreach(louvainCache.remove)
+    anfCache.asScala.keys.toList.filter(_._1 eq session)
+      .foreach(anfCache.remove)
+    triCache.asScala.keys.toList.filter(_._1 eq session)
+      .foreach(triCache.remove)
   }
 
   /** Release everything regardless of session. */
@@ -167,6 +210,8 @@ object MlPack extends QueryPack {
     kmeansCache.clear()
     m9Cache.clear()
     louvainCache.clear()
+    anfCache.clear()
+    triCache.clear()
   }
 
   /** Per-user 2-feature frame (mean, sample-std of value), standardized
@@ -726,7 +771,7 @@ object MlPack extends QueryPack {
           .unionAll(und.select($"kb".as("node")))
           .groupBy($"node").agg(count(lit(1)).as("deg"))
         daily.select($"user_id".as("node")).distinct()
-          .join(graft.graph.Triangles.perNode(und), Seq("node"), "left")
+          .join(triPerNode(s, dir), Seq("node"), "left")
           .join(deg, Seq("node"), "left")
           .select($"node",
             coalesce($"n_tri", lit(0L)).as("n_tri"),
@@ -1076,10 +1121,8 @@ object MlPack extends QueryPack {
     Q("g23_khop_reach",
       (s, dir) => {
         import s.implicits._
-        val und = corrGraph(s, dir).select($"ka", $"kb")
-        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
-          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
-        graft.graph.HyperAnf.khopExact(edges, k = 3).orderBy($"node")
+        graft.graph.HyperAnf.khopExact(corrEdgesSym(s, dir), k = 3)
+          .orderBy($"node")
       },
       Some(s"""WITH ${corrEdgesCtes()},
               |${graft.graph.HyperAnf.khopOracleSqlSuffix(3)}
@@ -1098,10 +1141,10 @@ object MlPack extends QueryPack {
     Q("g24_hyperanf",
       (s, dir) => {
         import s.implicits._
-        val und = corrGraph(s, dir).select($"ka", $"kb")
-        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
-          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
-        graft.graph.HyperAnf.run(edges, k = 3, p = 8).orderBy($"node")
+        // round-13: estimates off the MEMOIZED register iteration
+        // (anfRounds) — identical frames, built once for g24/g26/g27
+        graft.graph.HyperAnf.estimateAtK(anfRounds(s, dir), p = 8)
+          .orderBy($"node")
       },
       Some(s"""WITH ${corrEdgesCtes()},
               |${graft.graph.HyperAnf.oracleSqlSuffix(3, 8)}
@@ -1116,10 +1159,8 @@ object MlPack extends QueryPack {
     Q("g26_anf_curve",
       (s, dir) => {
         import s.implicits._
-        val und = corrGraph(s, dir).select($"ka", $"kb")
-        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
-          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
-        graft.graph.HyperAnf.neighborhoodFunction(edges, k = 3, p = 8)
+        // round-13: curve off the same memoized register rounds as g24
+        graft.graph.HyperAnf.curveFromRounds(anfRounds(s, dir), p = 8)
           .orderBy($"t")
       },
       Some(s"""WITH ${corrEdgesCtes()},
@@ -1139,18 +1180,20 @@ object MlPack extends QueryPack {
       (s, dir) => {
         import s.implicits._
         val und = corrGraph(s, dir).select($"ka", $"kb")
-        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
-          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        val edges = corrEdgesSym(s, dir)
         val deg = edges.groupBy($"src".as("node"))
           .agg(count(lit(1)).as("deg"))
         val nN = deg.agg(count(lit(1)).as("n_nodes"))
         val nE = und.agg(count(lit(1)).as("n_edges"))
         val w2 = deg.agg(sum($"deg" * ($"deg" - 1)).as("w2"))
-        val tri = graft.graph.Triangles.perNode(und)
+        // round-13: triangle counts and the ANF curve both come from the
+        // generators m12/g24/g26 already built (memoized) — same values,
+        // zero recompute inside one bench/verify run
+        val tri = triPerNode(s, dir)
           .agg((coalesce(sum($"n_tri"), lit(0L)) / 3).cast("long")
             .as("n_triangles"))
         val eff = graft.graph.HyperAnf
-          .neighborhoodFunction(edges, k = 3, p = 8)
+          .curveFromRounds(anfRounds(s, dir), p = 8)
           .agg(min(when($"frac" >= 0.9, $"t")).as("eff_diameter"))
         nN.crossJoin(nE).crossJoin(tri).crossJoin(w2).crossJoin(eff)
           .select($"n_nodes", $"n_edges", $"n_triangles",

@@ -53,6 +53,41 @@ class LouvainDistSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("fixpoint early-exit equals the full schedule (sf0.1 corr graph)") {
+    // the real m6b input: the r4-rounded weighted correlation graph at
+    // the bench SF — the graph the round-12 verdict observed is already
+    // fixpoint-adjacent, so the early-exit must cut rounds there WITHOUT
+    // moving a single assignment (the hash-preservation contract)
+    val daily = graft.io.Tables.events(spark, "/root/testdata/sf0.1")
+      .filter($"user_id" < 200)
+      .groupBy(unix_micros(date_trunc("day", $"ts")).as("day"), $"user_id")
+      .agg(sum($"value").as("v"))
+    val und = graft.analytics.Analytics
+      .pairwiseCorr(daily, "day", "user_id", "v")
+      .select($"key_a".cast("long").as("ka"), $"key_b".cast("long").as("kb"),
+        round(abs($"corr") + lit(1e-9), 4).as("w"))
+      .filter($"w" > 0.3)
+    val edges = und.select($"ka".as("src"), $"kb".as("dst"), $"w")
+      .unionByName(und.select($"kb".as("src"), $"ka".as("dst"), $"w"))
+      .localCheckpoint()
+    val fast = LouvainDist.run(edges, roundsPerLevel = 4, levels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val full = LouvainDist.run(edges, roundsPerLevel = 4, levels = 2,
+        earlyExit = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(fast.nonEmpty && fast.sameElements(full),
+      "early-exit changed the assignment — the exit fired before fixpoint")
+  }
+
+  test("early-exit preserves the two-triangle result exactly") {
+    val fast = LouvainDist.run(triangles, roundsPerLevel = 4, levels = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val full = LouvainDist.run(triangles, roundsPerLevel = 4, levels = 2,
+        earlyExit = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(fast.sameElements(full))
+  }
+
   test("empty edge list yields an empty assignment, not a crash") {
     val empty = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "w")
     assert(LouvainDist.run(empty, roundsPerLevel = 2, levels = 2)
