@@ -12,10 +12,13 @@ import org.apache.spark.sql.types._
   * analogue of `mapInPandas`: one iterator pass per partition, vectorized
   * batch shape, no per-row UDF dispatch).
   *
-  * The actual media decoding is STUBBED (`decodeStub`) — the container
-  * has no image/audio libraries — but the Spark-side plumbing (schema,
-  * partitioning, batch signature, deterministic feature contract) is
-  * real and tested. Swapping in a real decoder means replacing ONLY the
+  * Decoding: PPM images decode for REAL ([[Ppm]], dependency-free —
+  * mm3b exercises the full encode→decode→resize path, hash-checked
+  * cross-engine); formats the container genuinely cannot decode
+  * without libraries (JPEG/PNG/audio) remain STUBBED (`decodeStub`),
+  * with the Spark-side plumbing (schema, partitioning, batch
+  * signature, deterministic feature contract) real and tested either
+  * way. Swapping in another decoder means replacing ONLY the
   * byte→feature function.
   */
 object Multimodal {
@@ -94,6 +97,71 @@ object Multimodal {
         (acc, x) => acc + x) / binWidth
     }: _*)
     df.withColumn(outCol, pooled)
+  }
+
+  /** Deterministic synthetic raster encoded as a REAL binary PPM
+    * payload (round-13): byte j of the width×height RGB raster for key
+    * `id` is `(id·31 + j·7) mod 251` — pure integer arithmetic a second
+    * engine replays exactly, so the real encode→decode round trip
+    * ([[Ppm]]) is hash-checkable cross-engine, not just spec-tested.
+    * Runs in the batched per-partition transform (narrow, no shuffle);
+    * emits `(id, payload binary)`. */
+  def synthPpmPayload(df: DataFrame, idCol: String,
+                      width: Int = 16, height: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val data = new Array[Byte](3 * width * height)
+        var j = 0
+        while (j < data.length) {
+          data(j) = ((id * 31 + j * 7) % 251).toByte
+          j += 1
+        }
+        Row(id, Ppm.encode(Ppm.Image(width, height, 255, data)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL image decode + resize over a binary PPM payload column: parse
+    * with [[Ppm.decode]] (header tokenizer, raster offset — a parsing
+    * bug here changes every output), then per image the per-channel
+    * means and the 4×4 box-sum "resize" checksum: the raster is box-
+    * downsampled in 4×4 blocks per channel (integer block sums — exact
+    * on any engine, no float pooling) and the blocks combined as
+    * Σ blocksum · (1 + bx + 4·by + 8·c). Narrow batched pass; emits
+    * `(id, width, height, mean_r, mean_g, mean_b, resize_cksum)`. */
+  def ppmFeatures(df: DataFrame, idCol: String = "id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("resize_cksum", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.getAs[Array[Byte]](pIdx))
+        val sums = new Array[Long](3)
+        var cksum = 0L
+        var i = 0
+        while (i < img.data.length) {
+          val v = img.data(i) & 0xff
+          val p = i / 3; val c = i % 3
+          val bx = (p % img.width) / 4; val by = (p / img.width) / 4
+          sums(c) += v
+          cksum += v.toLong * (1 + bx + 4 * by + 8 * c)
+          i += 1
+        }
+        val n = (img.width * img.height).toDouble
+        Row(r.getLong(idIdx), img.width, img.height,
+          sums(0) / n, sums(1) / n, sums(2) / n, cksum)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Batched feature extraction: one partition = one batch, iterator in /

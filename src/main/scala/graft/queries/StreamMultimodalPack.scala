@@ -1216,6 +1216,40 @@ object StreamMultimodalPack extends QueryPack {
           .mkString(",\n  ") +
         "\nFROM embeddings")),
 
+    // MM3b (round-13): the multimodal decode path made REAL — a
+    // dependency-free binary PPM codec (multimodal/Ppm.scala: header
+    // tokenizer, comment handling, raster offset) run end to end:
+    // deterministic 16×8 rasters are ENCODED as real P6 payloads, the
+    // payloads DECODED back by the real parser, and the resize operates
+    // on actual pixels (4×4 box-sum downsample per channel). The raster
+    // bytes are (doc_id·31 + j·7) mod 251 — pure integer arithmetic —
+    // so DuckDB replays the per-channel means and the resize checksum
+    // without ever seeing a byte: any codec bug (mis-parsed header,
+    // off-by-one raster offset) changes every mean and hash-fails.
+    // decodeStub remains only for formats the container can't decode.
+    Q("mm3b_ppm_resize",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Multimodal.synthPpmPayload(
+          Tables.documents(s, dir), "doc_id")
+        Multimodal.ppmFeatures(payloads)
+          .select($"id".as("doc_id"), $"width", $"height",
+            r6($"mean_r").as("mean_r"), r6($"mean_g").as("mean_g"),
+            r6($"mean_b").as("mean_b"), $"resize_cksum")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, CAST(t.j AS BIGINT) AS j,
+             |    (d.doc_id * 31 + t.j * 7) % 251 AS v
+             |  FROM documents d, range(0, 384) t(j))
+             |SELECT doc_id, CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  round(avg(CASE WHEN j % 3 = 0 THEN v END) + 1e-9, 6) AS mean_r,
+             |  round(avg(CASE WHEN j % 3 = 1 THEN v END) + 1e-9, 6) AS mean_g,
+             |  round(avg(CASE WHEN j % 3 = 2 THEN v END) + 1e-9, 6) AS mean_b,
+             |  CAST(sum(v * (1 + ((j // 3) % 16) // 4
+             |    + 4 * ((j // 3) // 64) + 8 * (j % 3))) AS BIGINT)
+             |    AS resize_cksum
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     // Multimodal frame sampling: fixed 64-byte frames over the payload,
     // every 2nd frame kept, truncated at 7 frames — video frame-sample /
     // image-resize plumbing as pure Column algebra on the hex projection

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{Multimodal, Ppm}
+
+/** The dependency-free PPM codec (mm3b's real decode path): round-trip
+  * identity, spec-legal header variants (comments, arbitrary
+  * whitespace), malformed-input rejection, and the Spark plumbing's
+  * feature/resize arithmetic against hand-computed values. */
+class PpmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def img(w: Int, h: Int)(f: Int => Int): Ppm.Image =
+    Ppm.Image(w, h, 255,
+      Array.tabulate(3 * w * h)(j => f(j).toByte))
+
+  test("encode/decode round-trips the raster exactly") {
+    val i0 = img(5, 3)(j => (j * 11 + 4) % 256)
+    val i1 = Ppm.decode(Ppm.encode(i0))
+    assert(i1.width == 5 && i1.height == 3 && i1.maxVal == 255)
+    assert(java.util.Arrays.equals(i0.data, i1.data))
+  }
+
+  test("header tokenizer: comments and mixed whitespace are legal") {
+    val raster = Array.tabulate(3 * 2 * 2)(j => (j * 3).toByte)
+    val header = "P6 # a comment\n# another full-line comment\n 2\t2 #w h\n255\n"
+    val bytes = header.getBytes("US-ASCII") ++ raster
+    val i = Ppm.decode(bytes)
+    assert(i.width == 2 && i.height == 2)
+    assert(java.util.Arrays.equals(i.data, raster))
+  }
+
+  test("raster starts exactly one whitespace after maxval") {
+    // a raster whose FIRST byte is '\n' (0x0a): a parser that skips all
+    // whitespace after maxval (instead of exactly one) eats it and
+    // shifts every later pixel — the classic PPM off-by-one
+    val raster = Array[Byte](0x0a, 1, 2, 3, 4, 5)
+    val bytes = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ raster
+    assert(java.util.Arrays.equals(Ppm.decode(bytes).data, raster))
+  }
+
+  test("malformed inputs are rejected, not mis-decoded") {
+    val good = Ppm.encode(img(2, 2)(identity))
+    intercept[IllegalArgumentException](Ppm.decode("P5\n1 1\n255\n ".getBytes ++ Array[Byte](0)))
+    intercept[IllegalArgumentException](Ppm.decode(good.dropRight(1))) // truncated raster
+    intercept[IllegalArgumentException](Ppm.decode("P6\n2 2\n".getBytes)) // missing maxval
+    intercept[IllegalArgumentException](Ppm.decode("P6\n0 2\n255\n".getBytes)) // zero dim
+    intercept[IllegalArgumentException](Ppm.decode(null))
+  }
+
+  test("spark pipeline: features match hand-computed values for one id") {
+    import spark.implicits._
+    val df = Seq((7L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.ppmFeatures(
+        Multimodal.synthPpmPayload(df, "doc_id"))
+      .head()
+    // raster byte j = (7*31 + 7j) % 251 = (217 + 7j) % 251
+    def v(j: Int): Int = (217 + 7 * j) % 251
+    val n = 16 * 8
+    def mean(c: Int): Double =
+      (0 until 3 * n).filter(_ % 3 == c).map(v).sum.toDouble / n
+    var ck = 0L
+    for (j <- 0 until 3 * n) {
+      val p = j / 3; val c = j % 3
+      ck += v(j).toLong * (1 + (p % 16) / 4 + 4 * (p / 64) + 8 * c)
+    }
+    assert(out.getLong(0) == 7L)
+    assert(out.getInt(1) == 16 && out.getInt(2) == 8)
+    assert(math.abs(out.getDouble(3) - mean(0)) < 1e-12)
+    assert(math.abs(out.getDouble(4) - mean(1)) < 1e-12)
+    assert(math.abs(out.getDouble(5) - mean(2)) < 1e-12)
+    assert(out.getLong(6) == ck)
+  }
+}
