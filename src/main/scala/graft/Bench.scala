@@ -209,8 +209,14 @@ object Bench {
         // is bounded by the span, not the row count — its ceiling is
         // derived from the measured days so a longer-calendar SF can't
         // false-trip; round-13 ADVICE fix)
+        // schema-less read: ts arrives as TIMESTAMP_NTZ (the parquet is
+        // TIMESTAMP(MICROS) without tz) — date arithmetic is the
+        // type-agnostic span: calendar days touched, exactly the
+        // day-window count st11's state is bounded by
         val r = spark.read.parquet(s"$sfDir/events.parquet")
-          .selectExpr("count(*)", "(max(ts) - min(ts)) div 86400000000 + 1")
+          .selectExpr("count(*)",
+            "CAST(datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))" +
+              " + 1 AS BIGINT)")
           .head()
         (r.getLong(0), r.getLong(1), None)
       } catch { case scala.util.control.NonFatal(e) =>
