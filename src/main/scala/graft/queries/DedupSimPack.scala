@@ -292,6 +292,59 @@ object DedupSimPack extends QueryPack {
               |WHERE d.doc_id NOT IN
               |  (SELECT doc_id FROM comp WHERE doc_id <> cluster)""".stripMargin)),
 
+    // D14 (round-13): SemDeDup (Abbas et al. 2023) — SEMANTIC dedup
+    // scoped to embedding clusters: cosine pairs exist only WITHIN a
+    // cluster (Σ cell² bound, the er1 blocking argument — the paper's
+    // own web-scale trick), of any pair ≥ 0.9 the higher id is marked
+    // dropped. Cluster fit is the portable md5-order quantizer
+    // (s3/mm4's k-means stand-in), assignment exact L2, cosines
+    // r6-rounded before the threshold — so fit, assignment, pairs and
+    // drop decisions ALL replay in DuckDB and the operator is
+    // hash-checked end to end. Top-20 pairs shown (bounded heap);
+    // d5 is the LSH-bucketed flavor of the same curation step.
+    Q("d14_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.SemDedup.pairs(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", dims = 64, nCells = 8, threshold = 0.9)
+          .orderBy(desc("cos"), $"id_a", $"id_b")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |hs AS (SELECT vec_id, v,
+             |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM e),
+             |cells AS (SELECT v AS cellv,
+             |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+             |  FROM hs ORDER BY h, vec_id LIMIT 8),
+             |asg AS (SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 65),
+             |            i -> (e.v[i] - c.cellv[i]) * (e.v[i] - c.cellv[i]))),
+             |          (acc, x) -> acc + x), c.cell) AS rn
+             |    FROM e, cells c) WHERE rn = 1),
+             |nm AS (SELECT e.vec_id, a.cell,
+             |    list_transform(e.v, x -> x / sqrt(list_reduce(
+             |      list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))) AS nv
+             |  FROM e JOIN asg a USING (vec_id)),
+             |p AS (
+             |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65), i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
+             |  FROM nm a JOIN nm b ON a.cell = b.cell
+             |    AND a.vec_id < b.vec_id)
+             |SELECT cell, id_a, id_b, cos,
+             |  CASE WHEN cos >= 0.9 THEN id_b END AS drop_id
+             |FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
     // Duplicate-cluster-BALANCED sampling — the alternative to d7's
     // hard drop: instead of keeping one representative per dup
     // cluster, sample the corpus with per-doc weight 1/cluster_size

@@ -1230,6 +1230,45 @@ object MlPack extends QueryPack {
               |       >= 0.9 THEN t END)
               |     FROM nf, nk) AS eff_diameter""".stripMargin)),
 
+    // G28 (round-13): approximate HARMONIC CENTRALITY per vertex —
+    // H(v) = Σ_u≠v 1/d(v,u) — read off the SAME shared HyperANF
+    // register iteration g24/g26/g27 consume (Boldi & Vigna's
+    // HyperBall: the ball-difference identity
+    // H(v) = Σ_t (|ball(v,t)| − |ball(v,t−1)|)/t turns the geometric
+    // centrality into per-round sketch arithmetic — the paper's actual
+    // application of the ANF machinery). Zero additional register
+    // cost: four memoized estimate reads + three node-keyed joins.
+    // Per-round estimates are r4-rounded (the portable-HLL contract),
+    // so the telescoping sum replays bit-stably in DuckDB and the
+    // query is hash-checked end to end.
+    Q("g28_harmonic",
+      (s, dir) => {
+        import s.implicits._
+        val rounds = anfRounds(s, dir)
+        def est(t: Int) = graft.sketch.Hll
+          .keyedEstimateFromRegisters(rounds(t), "node", 8)
+          .select($"node", $"estimate".as(s"e$t"))
+        est(0).join(est(1), "node").join(est(2), "node").join(est(3), "node")
+          .select($"node",
+            r6(($"e1" - $"e0") / lit(1.0) + ($"e2" - $"e1") / lit(2.0)
+              + ($"e3" - $"e2") / lit(3.0)).as("harmonic"))
+          .orderBy($"node")
+      },
+      Some(s"""WITH ${corrEdgesCtes()},
+              |${graft.graph.HyperAnf.registersSqlCtes(3, 8)},
+              |${(0 to 3).map(t => graft.sketch.Hll.keyedEstimateSql(
+                   s"regs_$t", "node", 8, s"e${t}_", s"e${t}_res"))
+                   .mkString(",\n")}
+              |SELECT a.node,
+              |  round((b.estimate - a.estimate) / 1.0
+              |    + (c.estimate - b.estimate) / 2.0
+              |    + (d.estimate - c.estimate) / 3.0 + 1e-9, 6) AS harmonic
+              |FROM e0_res a
+              |JOIN e1_res b ON b.node = a.node
+              |JOIN e2_res c ON c.node = a.node
+              |JOIN e3_res d ON d.node = a.node
+              |ORDER BY a.node""".stripMargin)),
+
     // M10: force-directed layout of the correlation network —
     // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding
     // plot_louvain_network (market_analysis.py:399). Same graph as m6;

@@ -1,0 +1,61 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication", arXiv:2303.09540):
+  * embedding-space deduplication scoped to CLUSTERS — documents are
+  * clustered, cosine pairs are computed only WITHIN a cluster, and of
+  * any pair above the similarity threshold one member is dropped.
+  *
+  * Scale shape (the paper's own argument for web-scale): the pairwise
+  * stage is bounded by Σ_cell |cell|² — the er1/d1 blocking bound —
+  * never an all-pairs join; at 100 TB `nCells` grows ∝ n/targetCell so
+  * per-cell work stays constant while the cluster fit and assignment
+  * are one bounded fit + one broadcast-join scan. Cluster fit here is
+  * the repo's PORTABLE md5-order coarse-cell quantizer
+  * ([[IvfPq.coarseCells]] — the deterministic stand-in for the paper's
+  * k-means, exactly as s3/s8/mm4 use it), which is what lets a second
+  * engine replay fit, assignment, pairs and drop decisions so the
+  * whole pipeline is hash-checked, not spot-checked.
+  *
+  * Drop rule: of a pair at-or-above `threshold` (compared on the
+  * r6-ROUNDED cosine, so a last-ulp difference cannot flip the
+  * decision cross-engine), the HIGHER id is dropped — the d7 keep-
+  * lowest-id convention standing in for the paper's
+  * farthest-from-centroid choice, which would add a second distance
+  * pass without changing the shape.
+  */
+object SemDedup {
+
+  /** All within-cluster candidate pairs with their cosine and the
+    * SemDeDup decision. Output: `(cell, id_a, id_b, cos, drop_id)`
+    * with `cos` r6-rounded and `drop_id` NULL below threshold. */
+  def pairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+            nCells: Int, threshold: Double): DataFrame = {
+    val cells = IvfPq.coarseCells(df, idCol, vecCol, nCells)
+      .localCheckpoint()
+    // nearest cell by exact squared L2 (the mm4 assignment idiom:
+    // broadcast the nCells full vectors, min over a (cd2, cell) struct
+    // — lexicographic, ties to the smaller cell id on both engines)
+    val asg = df.crossJoin(broadcast(cells))
+      .withColumn("__cd2", Pq.dist2Unrolled(col(vecCol), col("cellv"), dims))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__cd2"), col("cell"))).as("mn"))
+      .select(col(idCol), col("mn.cell").as("cell"))
+    // persisted: both sides of the within-cell self-join read it
+    val e = graft.io.PersistRegistry.trackPersist(
+      Similarity.withNormalized(df, vecCol, "__nv")
+        .select(col(idCol).as("__id"), col("__nv"))
+        .join(asg.withColumnRenamed(idCol, "__id"), "__id"))
+    val a = e.select(col("cell"), col("__id").as("id_a"), col("__nv").as("__va"))
+    val b = e.select(col("cell"), col("__id").as("id_b"), col("__nv").as("__vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.dot(col("__va"), col("__vb"))
+        + lit(1e-9), 6))
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"),
+        when(col("cos") >= threshold, col("id_b")).as("drop_id"))
+  }
+}

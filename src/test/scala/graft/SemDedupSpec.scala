@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.SemDedup
+
+/** SemDeDup contracts on a hand-built corpus: near-identical vectors
+  * in the same cluster are flagged (higher id dropped), cross-cluster
+  * near-dups are NOT candidates (the scoping that makes the operator
+  * scale — and its documented recall trade-off), and sub-threshold
+  * within-cluster pairs survive. */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("within-cluster near-dups flagged; below-threshold pairs kept") {
+    import spark.implicits._
+    // two tight groups on opposite axes of R4 + one mild-similarity pair
+    val rows = Seq(
+      (1L, Array(1.0, 0.01, 0.0, 0.0)),   // group A
+      (2L, Array(1.0, 0.012, 0.0, 0.0)),  // ~dup of 1
+      (3L, Array(0.0, 0.0, 1.0, 0.01)),   // group B
+      (4L, Array(0.0, 0.0, 1.0, 0.013)),  // ~dup of 3
+      (5L, Array(0.6, 0.8, 0.0, 0.0)))    // same cell as A, cos ~0.6 — kept
+    val df = rows.toDF("vec_id", "v")
+    val out = SemDedup.pairs(df, "vec_id", "v", dims = 4, nCells = 2,
+        threshold = 0.99)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)),
+        (r.getDouble(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // the two tight pairs are flagged, higher id dropped
+    val flagged = out.collect { case (pair, (_, d)) if d >= 0 => (pair, d) }
+    assert(flagged.toSet.subsetOf(Set(((1L, 2L), 2L), ((3L, 4L), 4L))))
+    assert(flagged.nonEmpty, "no near-dup flagged")
+    // any evaluated sub-threshold pair carries a NULL drop_id
+    out.foreach { case (_, (cos, d)) =>
+      assert((cos >= 0.99) == (d >= 0), s"decision/cos mismatch at $cos")
+    }
+    // candidates never cross clusters: every pair's members share a cell
+    val cells = SemDedup.pairs(df, "vec_id", "v", 4, 2, 0.99)
+      .select("cell").distinct().count()
+    assert(cells <= 2)
+  }
+}
