@@ -977,6 +977,103 @@ object DedupSimPack extends QueryPack {
         k = 5, kShort = 50, dims = 64, levels = 256,
         nCells = 8, nprobe = 3, queryPredSql = "vec_id < 10"))),
 
+    // S14 (round-13): Rocchio pseudo-relevance feedback (Rocchio 1971,
+    // the SMART system's query expansion — the classic PRF loop every
+    // retrieval stack still runs): (1) retrieve the s4 query's BM25
+    // top-5 as the feedback set, (2) expand the query with the 3 terms
+    // appearing in the MOST feedback docs (per-doc distinct, ≥ 4 chars
+    // as the stopword proxy, originals excluded, ties → term asc), (3)
+    // re-retrieve with the expanded bag via the s4b batch scorer.
+    // Fully relational — the feedback set is a 5-row FRAME, never a
+    // driver collect — and every stage (both BM25 passes, the
+    // expansion pick) replays in DuckDB, so the expanded-query RANKING
+    // itself is hash-checked. Scale shape: two bounded corpus passes +
+    // one broadcast of ≤ 7 terms; the expansion aggregate touches only
+    // the feedback docs' tokens.
+    Q("s14_rocchio_prf",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val q0 = Seq("spark", "join", "window", "hash")
+        val top5 = graft.text.Bm25.topK(docs, "doc_id", "text", q0, k = 5)
+          .select($"doc_id")
+        val cand = docs
+          .select($"doc_id", TextOps.tokens($"text").as("__toks"))
+          .join(broadcast(top5), "doc_id")
+          .select($"doc_id", explode(array_distinct($"__toks")).as("term"))
+          .filter(length($"term") >= 4 && !$"term".isInCollection(q0))
+          .groupBy($"term").agg(count(lit(1)).as("nfb"))
+          .orderBy(desc("nfb"), $"term").limit(3)
+        // ≤ 7 rows, but its LINEAGE is the whole round-1 retrieval —
+        // every broadcast of the query table would re-run BM25 pass 1
+        // (27 shuffles unpinned vs 10 pinned, the d11 lesson)
+        val expanded = cand.select($"term")
+          .unionByName(q0.toDF("term"))
+          .select(lit(0L).as("query_id"), $"term")
+          .localCheckpoint()
+        graft.text.Bm25.topKBatch(docs, "doc_id", "text", expanded,
+            "query_id", "term", k = 10)
+          .select($"doc_id", $"n_terms", $"score", $"rank")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    round(avg(len(ts)) + 1e-9, 4) AS avgdl FROM d),
+             |tf1 AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+             |             FROM d)
+             |       WHERE term IN ('spark', 'join', 'window', 'hash')
+             |       GROUP BY 1, 2, 3),
+             |dfq1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+             |sc1 AS (SELECT tf1.doc_id,
+             |    round(sum(
+             |      ln(((st.n_docs - dfq1.df) + CAST(0.5 AS DOUBLE))
+             |         / (dfq1.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |      * (tf1.tf * (CAST(1.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             |      / (tf1.tf + CAST(1.5 AS DOUBLE)
+             |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * tf1.dl / st.avgdl))
+             |    ) + 1e-9, 6) AS score
+             |  FROM tf1 JOIN dfq1 USING (term), st
+             |  GROUP BY tf1.doc_id),
+             |top5 AS (SELECT doc_id FROM (
+             |    SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+             |      doc_id) AS rn FROM sc1) WHERE rn <= 5),
+             |cand AS (SELECT term, count(*) AS nfb FROM (
+             |    SELECT DISTINCT t.doc_id, t.term
+             |    FROM (SELECT doc_id, unnest(ts) AS term FROM d) t
+             |    JOIN top5 USING (doc_id))
+             |  WHERE len(term) >= 4
+             |    AND term NOT IN ('spark', 'join', 'window', 'hash')
+             |  GROUP BY 1),
+             |exp3 AS (SELECT term FROM (
+             |    SELECT term, row_number() OVER (ORDER BY nfb DESC, term)
+             |      AS rn FROM cand) WHERE rn <= 3),
+             |qt AS (SELECT term FROM exp3
+             |  UNION SELECT unnest(['spark', 'join', 'window', 'hash'])),
+             |tf2 AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+             |             FROM d)
+             |       WHERE term IN (SELECT term FROM qt)
+             |       GROUP BY 1, 2, 3),
+             |dfq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+             |sc2 AS (SELECT tf2.doc_id, count(*) AS n_terms,
+             |    round(sum(
+             |      ln(((st.n_docs - dfq2.df) + CAST(0.5 AS DOUBLE))
+             |         / (dfq2.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             |      * (tf2.tf * (CAST(1.5 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             |      / (tf2.tf + CAST(1.5 AS DOUBLE)
+             |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+             |            + CAST(0.75 AS DOUBLE) * tf2.dl / st.avgdl))
+             |    ) + 1e-9, 6) AS score
+             |  FROM tf2 JOIN dfq2 USING (term), st
+             |  GROUP BY tf2.doc_id),
+             |rk AS (SELECT doc_id, n_terms, score,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM sc2)
+             |SELECT doc_id, n_terms, score, rank FROM rk
+             |WHERE rank <= 10""".stripMargin)),
+
     // Batch BM25: a query SET scored in one corpus pass — df computed
     // once per distinct term, query table broadcast, per-query top-k
     // via the bounded-heap TopKAgg (O(queries × k) shuffled, no

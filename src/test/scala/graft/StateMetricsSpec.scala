@@ -67,6 +67,31 @@ class StateMetricsSpec extends AnyFunSuite {
     } finally StateMetrics.reset()
   }
 
+  test("session listener records rows, bytes and late keys for a real run") {
+    val spark = SparkTestSession.spark // fixture registers ensureListener
+    import spark.implicits._
+    StateMetrics.reset()
+    try {
+      val stream = spark.readStream
+        .schema(graft.io.Tables.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001")
+      val q = stream.groupBy($"event_type").count()
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("stx_out_1").start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are posted asynchronously — wait for delivery
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!StateMetrics.snapshot.contains("stx") &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val snap = StateMetrics.snapshot
+      assert(snap.getOrElse("stx", 0L) > 0L, s"no rows peak in $snap")
+      assert(snap.getOrElse("stx:bytes", 0L) > 0L, s"no bytes peak in $snap")
+      assert(snap.getOrElse("stx:late", -1L) == 0L,
+        s"complete ordered feed must drop nothing: $snap")
+    } finally StateMetrics.reset()
+  }
+
   test("every stream query with measured state has a declared ceiling") {
     // the alarm can't rot by omission: the bench-measured set (st1-st22)
     // must all be present in the ceilings map
