@@ -1269,6 +1269,37 @@ object MlPack extends QueryPack {
               |JOIN e3_res d ON d.node = a.node
               |ORDER BY a.node""".stripMargin)),
 
+    // G29 (round-13): 4-truss of the correlation graph — synchronous
+    // edge peeling (Cohen 2008): each round computes per-EDGE triangle
+    // support on the current set and drops edges in < 2 triangles;
+    // 3 fixed rounds (the m13 k-core fixed-schedule convention), final
+    // support RECOMPUTED on the surviving set so every output row
+    // certifies the truss property. Completes the triangle family:
+    // m12 counts per node, g27 globally, g29 peels per edge. Rides the
+    // shared corrGraph; whole peel replays as chained CTEs.
+    Q("g29_ktruss",
+      (s, dir) => {
+        import s.implicits._
+        graft.graph.KTruss.run(corrGraph(s, dir).select($"ka", $"kb"),
+            k = 4, rounds = 3)
+          .orderBy($"ka", $"kb")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS MATERIALIZED (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+              |${graft.graph.KTruss.oracleSqlSuffix(4, 3)}
+              |SELECT e.ka, e.kb, coalesce(s.support, 0) AS support
+              |FROM ed_3 e LEFT JOIN sp_out s
+              |  ON s.ka = e.ka AND s.kb = e.kb
+              |ORDER BY e.ka, e.kb""".stripMargin)),
+
     // M10: force-directed layout of the correlation network —
     // `nx.spring_layout(G, k=1/sqrt(n), iterations=50)` feeding
     // plot_louvain_network (market_analysis.py:399). Same graph as m6;

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.KTruss
+
+/** k-truss peel contracts: a K4 with a dangling triangle reduces to
+  * exactly the K4 at k = 4 (the dangling triangle's edges have
+  * support 1 and peel in round 1; the K4's edges certify support 2);
+  * a triangle-free graph empties; peeling CASCADES (an edge whose
+  * support only drops below threshold after round 1's removals goes
+  * in round 2, which a single-pass filter would miss). */
+class KTrussSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .toDF("ka", "kb")
+  }
+
+  // K4 on 1..4 + triangle (4,5,6) hanging off node 4
+  private def k4PlusTri = edges(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (4L, 6L), (5L, 6L))
+
+  test("4-truss of K4 + dangling triangle is exactly the K4") {
+    val out = KTruss.run(k4PlusTri, k = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2))
+    assert(out.map(e => (e._1, e._2)).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(out.forall(_._3 == 2L), s"every K4 edge sits in 2 triangles: ${out.toSeq}")
+  }
+
+  test("3-truss keeps both the K4 and the triangle") {
+    val out = KTruss.run(k4PlusTri, k = 3, rounds = 3).count()
+    assert(out == 9L)
+  }
+
+  test("triangle-free graph empties at any k") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(KTruss.run(path, k = 3, rounds = 2).count() == 0L)
+  }
+
+  test("peeling cascades across rounds") {
+    // triangle chain: (1,2,3), (2,3,4) share edge (2,3); plus (3,4,5)
+    // sharing (3,4). At k = 4: round 1 removes every edge with
+    // support < 2 — only (2,3) and (3,4) have support 2 — and the
+    // SURVIVING pair no longer forms any triangle, so round 2 removes
+    // them too: the 4-truss is empty, which a one-pass filter misses.
+    val chain = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    assert(KTruss.run(chain, k = 4, rounds = 1).count() == 2L,
+      "one round leaves the two shared edges")
+    assert(KTruss.run(chain, k = 4, rounds = 2).count() == 0L,
+      "round 2 peels the no-longer-supported survivors")
+  }
+}

@@ -39,8 +39,10 @@ class SmokeSpec extends AnyFunSuite {
   /** Legitimately-empty-at-tiny-SF queries: near-dup candidate pairs only
     * exist when the corpus actually contains near-duplicates (sf0.1 does;
     * sf0.001/sf0.01 don't); regime TRANSITIONS need a label change inside
-    * a user's series, and sf0.001's short series label uniformly. */
-  private val mayBeEmpty = Set("d2_minhash_lsh", "w13_flags")
+    * a user's series, and sf0.001's short series label uniformly; the
+    * 4-TRUSS needs edges in ≥ 2 surviving triangles, and sf0.001's
+    * sparse corr graph peels away entirely (sf0.01 keeps 1623 edges). */
+  private val mayBeEmpty = Set("d2_minhash_lsh", "w13_flags", "g29_ktruss")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"query $name runs and returns rows on sf0.001") {
