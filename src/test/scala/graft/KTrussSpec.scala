@@ -42,6 +42,32 @@ class KTrussSpec extends AnyFunSuite {
     assert(KTruss.run(path, k = 3, rounds = 2).count() == 0L)
   }
 
+  test("property: converged output certifies the truss on random graphs") {
+    // seeded G(n, p) graphs: run to a generous round count, then check
+    // (a) output ⊆ input, (b) every surviving edge's RECOMPUTED support
+    // meets k−2 (the certification the final left-join provides), and
+    // (c) one more round is a no-op — i.e. the schedule converged, so
+    // the fixed-round output IS the k-truss, not a truncation artifact
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 3
+      val pairs = for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)
+      val in = edges(pairs: _*).localCheckpoint()
+      val out = KTruss.run(in, k = 4, rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val inSet = pairs.toSet
+      assert(out.forall(e => inSet((e._1, e._2))), "output ⊄ input")
+      assert(out.forall(_._3 >= 2L),
+        s"under-supported survivor in trial $trial: ${out.toSeq}")
+      val more = KTruss.run(in, k = 4, rounds = 7).count()
+      assert(more == out.length.toLong,
+        s"round 7 still peeled (trial $trial): schedule not converged")
+    }
+  }
+
   test("peeling cascades across rounds") {
     // triangle chain: (1,2,3), (2,3,4) share edge (2,3); plus (3,4,5)
     // sharing (3,4). At k = 4: round 1 removes every edge with

@@ -39,6 +39,17 @@ class PpmSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Ppm.decode(bytes).data, raster))
   }
 
+  test("property: round-trip identity across sizes and byte patterns") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val data = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val back = Ppm.decode(Ppm.encode(Ppm.Image(w, h, 255, data)))
+      assert(back.width == w && back.height == h)
+      assert(java.util.Arrays.equals(back.data, data), s"raster drift at ${w}x$h")
+    }
+  }
+
   test("malformed inputs are rejected, not mis-decoded") {
     val good = Ppm.encode(img(2, 2)(identity))
     intercept[IllegalArgumentException](Ppm.decode("P5\n1 1\n255\n ".getBytes ++ Array[Byte](0)))
