@@ -9,11 +9,20 @@ import org.apache.spark.sql.functions._
   * at least k−2 triangles OF THE SUBGRAPH. Each peel round computes
   * per-EDGE triangle support on the current edge set and removes every
   * under-supported edge; removals break triangles, so peeling repeats
-  * until fixpoint (here: a FIXED round schedule, the m13 k-core
-  * convention, so a second engine replays the identical rounds as
-  * chained CTEs and the result is hash-checked — the output is
-  * documented as "the k-truss after R peel rounds", which equals the
-  * k-truss whenever the schedule reaches fixpoint first).
+  * until fixpoint (here: a FIXED round schedule with a HASH-PRESERVING
+  * fixpoint early-exit — the m6b/LouvainDist pattern. A round that
+  * removes ZERO edges leaves the edge set unchanged, so the next
+  * round recomputes the identical support on the identical set and
+  * removes zero edges again: every remaining round of the schedule is
+  * a provable no-op, and exiting there cannot change the output. The
+  * oracle replays the FULL schedule as chained CTEs whose extra
+  * rounds are equally no-op, so the hash is preserved; KTrussSpec
+  * proves exit ≡ full schedule on random graphs and the bench graph.
+  * The exit check is one `count()` on a frame the per-round
+  * `localCheckpoint` already materialized — far cheaper than the
+  * wedge-join round it saves — which makes a GENEROUS round budget
+  * free: a 100× graph that needs more pre-fixpoint rounds simply
+  * uses them, while the common case stops as soon as the peel dries).
   *
   * Distributed shape per round (the m12 cost envelope): one
   * id-oriented wedge join over the CURRENT (shrinking) edge set to
@@ -49,18 +58,35 @@ object KTruss {
       .groupBy(col("e.ka").as("ka"), col("e.kb").as("kb"))
       .agg(count(lit(1)).as("support"))
 
-  /** `rounds` synchronous peel rounds at truss level `k`; returns the
-    * surviving edges with their support RECOMPUTED on the final set
-    * (so the row itself certifies the truss property when the
-    * schedule converged). Output: (ka, kb, support). */
-  def run(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** Up to `rounds` synchronous peel rounds at truss level `k`;
+    * returns the surviving edges with their support RECOMPUTED on the
+    * final set (so the row itself certifies the truss property at
+    * fixpoint). With `earlyExit` (default) the loop stops as soon as
+    * a round removes nothing — see the object scaladoc for why that
+    * is exactly the fixpoint and cannot change the output or hash;
+    * `earlyExit = false` forces the full schedule (the spec's
+    * equivalence baseline). Output: (ka, kb, support). */
+  def run(und: DataFrame, k: Int, rounds: Int,
+          earlyExit: Boolean = true): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var e = und.select(col("ka"), col("kb"))
-    for (r <- 1 to rounds) {
+    var prev = -1L // edge count after the previous round
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
       e = e.join(support(e), Seq("ka", "kb"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
         .select(col("ka"), col("kb"))
         .localCheckpoint()
+      if (earlyExit && r + 1 < rounds) {
+        // unchanged count ⇔ zero removals (the set only shrinks);
+        // empty is trivially stable too — the checkpoint makes this a
+        // metadata-cheap action
+        val n = e.count()
+        if (n == prev || n == 0L) fixed = true
+        prev = n
+      }
+      r += 1
     }
     e.join(support(e), Seq("ka", "kb"), "left")
       .select(col("ka"), col("kb"),

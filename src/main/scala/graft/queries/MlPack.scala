@@ -1272,16 +1272,19 @@ object MlPack extends QueryPack {
     // G29 (round-13): 4-truss of the correlation graph — synchronous
     // edge peeling (Cohen 2008): each round computes per-EDGE triangle
     // support on the current set and drops edges in < 2 triangles;
-    // 3 fixed rounds (the m13 k-core fixed-schedule convention), final
-    // support RECOMPUTED on the surviving set so every output row
-    // certifies the truss property. Completes the triangle family:
-    // m12 counts per node, g27 globally, g29 peels per edge. Rides the
-    // shared corrGraph; whole peel replays as chained CTEs.
+    // a 6-round budget with the hash-preserving fixpoint early-exit
+    // (round-14, the m6b pattern — KTruss.scala scaladoc carries the
+    // no-op proof), so the Spark side stops as soon as a round removes
+    // nothing while a 100× graph needing deeper peels simply uses the
+    // budget; final support RECOMPUTED on the surviving set so every
+    // output row certifies the truss property. Completes the triangle
+    // family: m12 counts per node, g27 globally, g29 peels per edge.
+    // Rides the shared corrGraph; whole peel replays as chained CTEs.
     Q("g29_ktruss",
       (s, dir) => {
         import s.implicits._
         graft.graph.KTruss.run(corrGraph(s, dir).select($"ka", $"kb"),
-            k = 4, rounds = 3)
+            k = 4, rounds = 6)
           .orderBy($"ka", $"kb")
       },
       Some(s"""WITH d AS (
@@ -1294,9 +1297,9 @@ object MlPack extends QueryPack {
               |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
               |  GROUP BY 1, 2),
               |e0 AS MATERIALIZED (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
-              |${graft.graph.KTruss.oracleSqlSuffix(4, 3)}
+              |${graft.graph.KTruss.oracleSqlSuffix(4, 6)}
               |SELECT e.ka, e.kb, coalesce(s.support, 0) AS support
-              |FROM ed_3 e LEFT JOIN sp_out s
+              |FROM ed_6 e LEFT JOIN sp_out s
               |  ON s.ka = e.ka AND s.kb = e.kb
               |ORDER BY e.ka, e.kb""".stripMargin)),
 

@@ -42,6 +42,34 @@ class KCoreSpec extends AnyFunSuite {
     assert(core === Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("fixpoint early-exit equals the full schedule") {
+    // zero-removal round ⇒ every later round is a no-op (the m6b
+    // argument, KCore scaladoc) — run() with the exit must match the
+    // full fixed schedule on early converger, full cascade, and a
+    // seeded random graph; profile() keeps its one-row-per-round
+    // shape, emitting the flat tail as copies
+    val rnd = new scala.util.Random(777)
+    val rand = sym((for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+      if rnd.nextDouble() < 0.25
+    } yield (a, b)): _*).localCheckpoint()
+    val cases = Seq(
+      (sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), 2L),      // stable by r1
+      (sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 2L),      // full cascade
+      (rand, 3L))
+    for (((g, k), i) <- cases.zipWithIndex) {
+      val fast = result(KCore.run(g, k.toInt, rounds = 6))
+      val full = result(KCore.run(g, k.toInt, rounds = 6, earlyExit = false))
+      assert(fast === full, s"early-exit diverged from full schedule (case $i)")
+      val traj = KCore.profile(g, k, rounds = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      assert(traj.map(_._1) === (1L to 6L).toList,
+        s"profile must keep one row per scheduled round (case $i)")
+      // flat tail: once stable, counts repeat verbatim
+      assert(traj.last._2 === fast.size.toLong, s"final nodes (case $i)")
+    }
+  }
+
   test("profile records the cascade and agrees with run at every depth") {
     val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val traj = KCore.profile(path, k = 2, rounds = 4).collect()

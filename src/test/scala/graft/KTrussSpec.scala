@@ -68,6 +68,33 @@ class KTrussSpec extends AnyFunSuite {
     }
   }
 
+  test("fixpoint early-exit equals the full schedule (random + fixtures)") {
+    // the m6b hash-preservation contract ported to the truss peel: a
+    // zero-removal round is the fixpoint, so exiting there must yield
+    // the byte-identical edge set and supports the full fixed schedule
+    // produces — on graphs that converge EARLY (K4 fixture: round 1),
+    // LATE (cascading chain), and on seeded G(n, p) randoms
+    val rnd = new scala.util.Random(4242)
+    val cases = Seq(k4PlusTri,
+      edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (3L, 5L), (4L, 5L))) ++ (1 to 2).map { trial =>
+      val n = 14 + trial * 4
+      edges((for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)): _*).localCheckpoint()
+    }
+    for ((g, i) <- cases.zipWithIndex) {
+      val fast = KTruss.run(g, k = 4, rounds = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(e => (e._1, e._2)).toSeq
+      val full = KTruss.run(g, k = 4, rounds = 6, earlyExit = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(e => (e._1, e._2)).toSeq
+      assert(fast == full, s"early-exit diverged from full schedule (case $i)")
+    }
+  }
+
   test("peeling cascades across rounds") {
     // triangle chain: (1,2,3), (2,3,4) share edge (2,3); plus (3,4,5)
     // sharing (3,4). At k = 4: round 1 removes every edge with
