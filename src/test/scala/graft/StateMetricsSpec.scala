@@ -67,6 +67,22 @@ class StateMetricsSpec extends AnyFunSuite {
     } finally StateMetrics.reset()
   }
 
+  test("late publishes the max SINGLE-RUN total, not a cross-run sum") {
+    // warmup pass + bench reps replay the same stream prefix; summing
+    // across those runs multiply-counts a nonzero drop (round-14
+    // ADVICE fix) — within a run totals add, across runs they max-merge
+    StateMetrics.reset()
+    try {
+      StateMetrics.recordLate("sty", "run-a", 3L)
+      StateMetrics.recordLate("sty", "run-a", 4L) // same run: 3+4
+      StateMetrics.recordLate("sty", "run-b", 5L) // other run: total 5
+      assert(StateMetrics.snapshot("sty:late") == 7L,
+        s"want max(7, 5): ${StateMetrics.snapshot}")
+      StateMetrics.recordLate("sty", "run-c", 9L)
+      assert(StateMetrics.snapshot("sty:late") == 9L)
+    } finally StateMetrics.reset()
+  }
+
   test("session listener records rows, bytes and late keys for a real run") {
     val spark = SparkTestSession.spark // fixture registers ensureListener
     import spark.implicits._
