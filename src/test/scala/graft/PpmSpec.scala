@@ -57,6 +57,34 @@ class PpmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ppm.decode("P6\n2 2\n".getBytes)) // missing maxval
     intercept[IllegalArgumentException](Ppm.decode("P6\n0 2\n255\n".getBytes)) // zero dim
     intercept[IllegalArgumentException](Ppm.decode(null))
+    // adversarial header: each dimension passes the per-token bound but
+    // 3·w·h overflows Int — must be REJECTED, not "decoded" against a
+    // truncated raster (round-14 ADVICE fix: size computed in Long)
+    intercept[IllegalArgumentException](
+      Ppm.decode(s"P6\n${1 << 26} ${1 << 26}\n255\n ".getBytes ++
+        Array[Byte](1, 2, 3)))
+    // and a merely-too-large (non-overflowing) raster is rejected too
+    intercept[IllegalArgumentException](
+      Ppm.decode(s"P6\n8192 8192\n255\n ".getBytes ++ Array[Byte](1)))
+  }
+
+  test("PGM (P5) round-trips; decodeAuto dispatches on magic bytes") {
+    val gray = Array.tabulate(12)(i => (i * 19 % 251).toByte)
+    val p5 = Ppm.encodePgm(4, 3, 255, gray)
+    val r = Ppm.decodePgm(p5)
+    assert(r.format == "P5" && r.width == 4 && r.height == 3 &&
+      r.channels == 1 && r.data.sameElements(gray))
+    // the dispatch: same payloads through the format-keyed interface
+    val p6 = Ppm.encode(img(2, 2)(identity))
+    assert(Ppm.decodeAuto(p5).format == "P5")
+    val a6 = Ppm.decodeAuto(p6)
+    assert(a6.format == "P6" && a6.channels == 3 &&
+      a6.data.length == 3 * 2 * 2)
+    // P5 raster is w·h bytes, NOT 3·w·h: a P5 header on a P6-sized
+    // payload still decodes w·h (prefix), while the reverse truncates
+    intercept[IllegalArgumentException](
+      Ppm.decodeAuto("P4\n2 2\n".getBytes)) // unsupported family member
+    intercept[IllegalArgumentException](Ppm.decodePgm(p6)) // wrong magic
   }
 
   test("spark pipeline: features match hand-computed values for one id") {
