@@ -163,16 +163,29 @@ object Bench {
         else (name, t, ok)
       } else (name, t, ok)
     }
-    // Rep-2 pass (round-12, VERDICT item 7): sub-2s lines swing ±0.5s
-    // run to run from cold file-cache/JIT effects, so round-over-round
-    // comparisons chase scheduling noise. Each sub-2s line gets ONE
-    // additional WARM rep; BENCH_FULL carries the rep and the per-line
-    // median (for two samples, their midpoint) so comparisons can use
-    // the low-variance number. The driver-visible line and the headline
-    // total are UNCHANGED (first-pass numbers) — reps ride warm pack
-    // caches by design, which is the point, not a bias. A cumulative
-    // budget bounds the extra wall time however many queries qualify.
+    // Rep-2 pass (round-12, VERDICT item 7; widened round-14, VERDICT
+    // item 1): lines swing run to run from cold file-cache/JIT
+    // effects, so round-over-round comparisons chase scheduling noise.
+    // Each line gets ONE additional WARM rep; BENCH_FULL carries the
+    // rep and the per-line median (for two samples, their midpoint) so
+    // comparisons can use the low-variance number. The driver-visible
+    // line and the headline total are UNCHANGED (first-pass numbers)
+    // — reps ride warm pack caches by design, which is the point, not
+    // a bias. Coverage order matters: the ≥2s lines are EXACTLY where
+    // drift keeps appearing (r12 m16, r13 s10/s12 all needed
+    // out-of-band ProfileQuery runs because `med == first` there), so
+    // they rep FIRST — most expensive first, under their own budget —
+    // then the sub-2s lines under the original budget. Cumulative
+    // budgets bound the extra wall time however many queries qualify.
     val rep2 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var repBigBudget = 300.0
+    results.filter { case (_, t, ok) => ok && t >= 2.0 }
+      .sortBy(-_._2).foreach { case (name, _, _) =>
+        if (repBigBudget > 0) {
+          val (t2, ok2) = timeOne(name, SparkEntry.queries(name))
+          if (ok2) { rep2(name) = t2; repBigBudget -= t2 }
+        }
+      }
     var rep2Budget = 150.0
     results.foreach { case (name, t, ok) =>
       if (ok && t < 2.0 && rep2Budget > 0) {
