@@ -345,6 +345,70 @@ object DedupSimPack extends QueryPack {
              |  CASE WHEN cos >= 0.9 THEN id_b END AS drop_id
              |FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
+    // D14b (round-14): SemDeDup with the PAPER-EXACT drop rule — of a
+    // pair above threshold, drop the member FARTHER from its cell
+    // centroid (Abbas et al. 2023 §2: keep the point closest to the
+    // centroid as the cluster-representative), not the d7
+    // keep-lowest-id convention d14 uses. The centroid distance is the
+    // same squared-L2 the assignment argmin already computed, carried
+    // r6-rounded so the farther/closer comparison replays cross-engine
+    // (ties → higher id, a shared total order). Same Σ|cell|² shape,
+    // zero extra distance passes; a LOWER threshold than d14 so the
+    // two rules visibly diverge on pairs the hash would otherwise
+    // never see.
+    Q("d14b_semdedup_paper",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.SemDedup.pairs(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", dims = 64, nCells = 8, threshold = 0.7,
+            paperRule = true)
+          .orderBy(desc("cos"), $"id_a", $"id_b")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |hs AS (SELECT vec_id, v,
+             |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM e),
+             |cells AS (SELECT v AS cellv,
+             |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+             |  FROM hs ORDER BY h, vec_id LIMIT 8),
+             |asg AS (SELECT vec_id, cell, round(cd2 + 1e-9, 6) AS dd
+             |  FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65),
+             |          i -> (e.v[i] - c.cellv[i]) * (e.v[i] - c.cellv[i]))),
+             |        (acc, x) -> acc + x) AS cd2,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 65),
+             |            i -> (e.v[i] - c.cellv[i]) * (e.v[i] - c.cellv[i]))),
+             |          (acc, x) -> acc + x), c.cell) AS rn
+             |    FROM e, cells c) WHERE rn = 1),
+             |nm AS (SELECT e.vec_id, a.cell, a.dd,
+             |    list_transform(e.v, x -> x / sqrt(list_reduce(
+             |      list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))) AS nv
+             |  FROM e JOIN asg a USING (vec_id)),
+             |p AS (
+             |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    a.dd AS da, b.dd AS db,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65), i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
+             |  FROM nm a JOIN nm b ON a.cell = b.cell
+             |    AND a.vec_id < b.vec_id)
+             |SELECT cell, id_a, id_b, cos,
+             |  CASE WHEN cos >= 0.7 THEN
+             |    (CASE WHEN da > db THEN id_a
+             |          WHEN da < db THEN id_b ELSE id_b END)
+             |  END AS drop_id
+             |FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
     // Duplicate-cluster-BALANCED sampling — the alternative to d7's
     // hard drop: instead of keeping one representative per dup
     // cluster, sample the corpus with per-doc weight 1/cluster_size

@@ -20,12 +20,19 @@ import org.apache.spark.sql.functions._
   * engine replay fit, assignment, pairs and drop decisions so the
   * whole pipeline is hash-checked, not spot-checked.
   *
-  * Drop rule: of a pair at-or-above `threshold` (compared on the
-  * r6-ROUNDED cosine, so a last-ulp difference cannot flip the
-  * decision cross-engine), the HIGHER id is dropped — the d7 keep-
-  * lowest-id convention standing in for the paper's
-  * farthest-from-centroid choice, which would add a second distance
-  * pass without changing the shape.
+  * Drop rule, two modes (round-14, VERDICT item 5):
+  *  - default (`paperRule = false`): of a pair at-or-above `threshold`
+  *    (compared on the r6-ROUNDED cosine, so a last-ulp difference
+  *    cannot flip the decision cross-engine), the HIGHER id is
+  *    dropped — the d7 keep-lowest-id convention, one pass, no extra
+  *    distance work;
+  *  - `paperRule = true`: the paper's exact choice — drop the member
+  *    FARTHER from its cell centroid (squared L2, r6-rounded so the
+  *    comparison replays cross-engine; ties fall back to dropping the
+  *    higher id, a total order both engines share). The centroid
+  *    distance is the SAME `__cd2` the assignment argmin already
+  *    computed, carried along instead of recomputed — the "second
+  *    distance pass" the default avoids costs nothing here.
   */
 object SemDedup {
 
@@ -33,29 +40,40 @@ object SemDedup {
     * SemDeDup decision. Output: `(cell, id_a, id_b, cos, drop_id)`
     * with `cos` r6-rounded and `drop_id` NULL below threshold. */
   def pairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-            nCells: Int, threshold: Double): DataFrame = {
+            nCells: Int, threshold: Double,
+            paperRule: Boolean = false): DataFrame = {
     val cells = IvfPq.coarseCells(df, idCol, vecCol, nCells)
       .localCheckpoint()
     // nearest cell by exact squared L2 (the mm4 assignment idiom:
     // broadcast the nCells full vectors, min over a (cd2, cell) struct
-    // — lexicographic, ties to the smaller cell id on both engines)
+    // — lexicographic, ties to the smaller cell id on both engines);
+    // the winning distance rides along r6-rounded for the paper rule
     val asg = df.crossJoin(broadcast(cells))
       .withColumn("__cd2", Pq.dist2Unrolled(col(vecCol), col("cellv"), dims))
       .groupBy(col(idCol))
       .agg(min(struct(col("__cd2"), col("cell"))).as("mn"))
-      .select(col(idCol), col("mn.cell").as("cell"))
+      .select(col(idCol), col("mn.cell").as("cell"),
+        round(col("mn.__cd2") + lit(1e-9), 6).as("__d"))
     // persisted: both sides of the within-cell self-join read it
     val e = graft.io.PersistRegistry.trackPersist(
       Similarity.withNormalized(df, vecCol, "__nv")
         .select(col(idCol).as("__id"), col("__nv"))
         .join(asg.withColumnRenamed(idCol, "__id"), "__id"))
-    val a = e.select(col("cell"), col("__id").as("id_a"), col("__nv").as("__va"))
-    val b = e.select(col("cell"), col("__id").as("id_b"), col("__nv").as("__vb"))
+    val a = e.select(col("cell"), col("__id").as("id_a"),
+      col("__nv").as("__va"), col("__d").as("__da"))
+    val b = e.select(col("cell"), col("__id").as("id_b"),
+      col("__nv").as("__vb"), col("__d").as("__db"))
+    val victim =
+      if (paperRule)
+        when(col("__da") > col("__db"), col("id_a"))
+          .when(col("__da") < col("__db"), col("id_b"))
+          .otherwise(col("id_b")) // tie: the keep-lowest-id fallback
+      else col("id_b")
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(Similarity.dot(col("__va"), col("__vb"))
         + lit(1e-9), 6))
       .select(col("cell"), col("id_a"), col("id_b"), col("cos"),
-        when(col("cos") >= threshold, col("id_b")).as("drop_id"))
+        when(col("cos") >= threshold, victim).as("drop_id"))
   }
 }

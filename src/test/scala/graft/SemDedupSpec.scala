@@ -38,4 +38,48 @@ class SemDedupSpec extends AnyFunSuite {
       .select("cell").distinct().count()
     assert(cells <= 2)
   }
+
+  test("paper rule drops the member FARTHER from the cell centroid") {
+    import spark.implicits._
+    // one cell (nCells = 1, centroid = the md5-order pick), three
+    // collinear near-dup vectors at increasing distance from wherever
+    // the centroid lands: the paper rule must drop the farther member
+    // of every flagged pair regardless of id order, which the default
+    // keep-lowest-id rule gets WRONG whenever the farther member has
+    // the lower id
+    val rows = Seq(
+      (10L, Array(1.0, 0.002, 0.0, 0.0)),
+      (11L, Array(1.0, 0.001, 0.0, 0.0)),
+      (12L, Array(1.0, 0.003, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "v")
+    val paper = SemDedup.pairs(df, "vec_id", "v", dims = 4, nCells = 1,
+        threshold = 0.999, paperRule = true)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(paper.size == 3 && paper.valuesIterator.forall(_ >= 0),
+      s"all pairs here are near-identical: $paper")
+    // ground truth without re-deriving the md5-order fit internals:
+    // the cell vector is ONE of the inputs, and exactly one candidate
+    // centroid must explain EVERY drop as its farther member (ties →
+    // higher id)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = rows.toMap
+    val explained = rows.map(_._2).exists { cv =>
+      paper.forall { case ((a, b), drop) =>
+        val da = d2(byId(a), cv); val db = d2(byId(b), cv)
+        drop == (if (da > db) a else if (db > da) b else b)
+      }
+    }
+    assert(explained, s"no single centroid explains the drops: $paper")
+    // and the paper rule genuinely diverges from keep-lowest-id here:
+    // with the centroid at one of the three collinear points, at least
+    // one flagged pair keeps its HIGHER id
+    val default = SemDedup.pairs(df, "vec_id", "v", dims = 4, nCells = 1,
+        threshold = 0.999)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(paper != default,
+      "fixture must exercise the farther-member-has-lower-id case")
+  }
 }
