@@ -164,6 +164,169 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic MIXED-FORMAT payload (round-14): even ids encode as
+    * P6 color rasters (byte j = `(id·31 + j·7) mod 251`, the mm3b
+    * formula over 3·w·h bytes), odd ids as P5 GRAYSCALE rasters (same
+    * formula over w·h bytes) — so one binary column carries two real
+    * formats and the decode side must dispatch on magic bytes
+    * ([[Ppm.decodeAuto]]), proving the codec boundary is an interface.
+    * Emits `(id, payload binary)`. */
+  def synthNetpbmPayload(df: DataFrame, idCol: String,
+                         width: Int = 16, height: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = if (id % 2 == 0) 3 * width * height else width * height
+        val data = new Array[Byte](n)
+        var j = 0
+        while (j < n) { data(j) = ((id * 31 + j * 7) % 251).toByte; j += 1 }
+        val payload =
+          if (id % 2 == 0) Ppm.encode(Ppm.Image(width, height, 255, data))
+          else Ppm.encodePgm(width, height, 255, data)
+        Row(id, payload)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Format-dispatched decode + features over a mixed Netpbm payload
+    * column: [[Ppm.decodeAuto]] picks the codec from the magic bytes;
+    * per image the format tag, dimensions, channel count, mean sample
+    * value and a position-weighted checksum `Σ v·(1 + j mod 16)` —
+    * all integer/closed-form so a second engine replays them from the
+    * generator formula without decoding a byte. Narrow batched pass;
+    * emits `(id, format, width, height, channels, mean_v, cksum)`. */
+  def netpbmFeatures(df: DataFrame, idCol: String = "id",
+                     payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("format", StringType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_v", DoubleType), StructField("cksum", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val ras = Ppm.decodeAuto(r.getAs[Array[Byte]](pIdx))
+        var sum = 0L; var cksum = 0L; var j = 0
+        while (j < ras.data.length) {
+          val v = ras.data(j) & 0xff
+          sum += v
+          cksum += v.toLong * (1 + j % 16)
+          j += 1
+        }
+        Row(r.getLong(idIdx), ras.format, ras.width, ras.height,
+          ras.channels, sum.toDouble / ras.data.length, cksum)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic GROUPED raster payload for the perceptual-hash
+    * near-dup tier (round-14): docs in the same group of `groupSize`
+    * share one base image — byte j of the width×height P6 raster is
+    * `md5("g:j")[0..3] mod 251` with `g = id / groupSize` (the repo's
+    * portable-md5 idiom: a REAL hash, because any polynomial
+    * generator leaves cross-group gradient structure that dHash — a
+    * gradient signature — reads as similarity; measured: polynomial
+    * bases gave cross-group Hamming as low as 1, the md5 base ≥ 17)
+    * — and each doc perturbs ONLY the two leftmost pixels of its own
+    * row `y = id mod height` (all three channels, `+97 mod 251`). So
+    * within a group the images are near-duplicates whose dHash
+    * differs in ≤ 2 bits confined to one hash row, while different
+    * groups are unrelated rasters — the ground-truth layout the
+    * banded-LSH recall argument needs, replayed exactly by the
+    * oracle's md5. */
+  def synthPpmGroupPayload(df: DataFrame, idCol: String,
+                           width: Int = 18, height: Int = 8,
+                           groupSize: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // group-local memo: members of a group usually sit adjacently in
+      // an id-ordered partition, so the 432 base digests compute once
+      // per GROUP, not once per doc
+      var lastG = -1L
+      var base: Array[Int] = null
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val g = id / groupSize
+        if (g != lastG || base == null) {
+          base = Array.tabulate(3 * width * height) { j =>
+            val dg = md.digest(s"$g:$j".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            (h % 251).toInt
+          }
+          lastG = g
+        }
+        val yd = (id % height).toInt
+        val data = new Array[Byte](3 * width * height)
+        var j = 0
+        while (j < data.length) {
+          val p = j / 3
+          val perturb = if (p / width == yd && p % width < 2) 97 else 0
+          data(j) = ((base(j) + perturb) % 251).toByte
+          j += 1
+        }
+        Row(id, Ppm.encode(Ppm.Image(width, height, 255, data)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** dHash (difference hash) over REAL decoded pixels — the standard
+    * perceptual fingerprint for image near-dup detection: decode the
+    * P6 payload ([[Ppm.decode]]), reduce to grayscale (per-pixel
+    * channel sum — integer, no float pooling), box-downsample each row
+    * pairwise to `width/2 = 9` cells, then bit (x, y) = 1 iff
+    * cell x+1 > cell x — an 8×8 = 64-bit gradient signature that is
+    * invariant to global brightness and contrast scaling. The 64 bits
+    * are emitted as FOUR 16-bit bands (rows 2k and 2k+1 packed into
+    * band k) ready for the d2/d3 banded-LSH join: near-dups agree on
+    * most bands, so candidates surface from band-bucket equality and
+    * only candidates ever pay a Hamming comparison. Narrow batched
+    * pass; emits `(id, bands array<long>)` with 4 elements in
+    * [0, 65536). Expects even `width` and even `height` with
+    * `height = 8` semantics baked into the 4-band packing. */
+  def dHashBands(df: DataFrame, idCol: String = "id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bands", ArrayType(LongType, containsNull = false))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val img = Ppm.decode(r.getAs[Array[Byte]](pIdx))
+        val w = img.width; val h = img.height
+        val cw = w / 2 // pooled cells per row; bits per row = cw - 1
+        val cells = new Array[Long](cw * h)
+        var i = 0
+        while (i < img.data.length) {
+          val p = i / 3
+          cells((p / w) * cw + (p % w) / 2) += img.data(i) & 0xff
+          i += 1
+        }
+        val bands = new Array[Long](h / 2)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < cw - 1) {
+            if (cells(y * cw + x + 1) > cells(y * cw + x))
+              bands(y / 2) |= 1L << (x + (cw - 1) * (y % 2))
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(idIdx), bands.toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Batched feature extraction: one partition = one batch, iterator in /
     * iterator out (the mapInPandas shape). Appends `features
     * array<double>`. */

@@ -1344,5 +1344,123 @@ object StreamMultimodalPack extends QueryPack {
              |SELECT cell, count(*) AS n_docs,
              |  round(avg(CAST(nb AS DOUBLE)) + 1e-9, 6) AS mean_bytes,
              |  round(max(cd2) + 1e-9, 6) AS max_cd2
-             |FROM asg GROUP BY 1 ORDER BY cell""".stripMargin)))
+             |FROM asg GROUP BY 1 ORDER BY cell""".stripMargin)),
+
+    // MM3c (round-14): the codec boundary proven an INTERFACE, not a
+    // P6 one-off — one binary column carries TWO real formats (even
+    // ids P6 color, odd ids P5 grayscale, both at 16×8), and the
+    // decode side dispatches on the payload's magic bytes
+    // (Ppm.decodeAuto → shared header tokenizer, per-format raster
+    // size). Features are closed-form in the generator (mean sample,
+    // position-weighted checksum), so a mis-dispatch — P5 parsed as
+    // P6, wrong raster length, wrong channel count — hash-fails every
+    // odd row. Narrow batched decode, no shuffle until the final agg.
+    Q("mm3c_netpbm",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.netpbmFeatures(
+            Multimodal.synthNetpbmPayload(Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"format", $"width", $"height",
+            $"channels", r6($"mean_v").as("mean_v"), $"cksum")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j, (d.doc_id * 31 + t.j * 7) % 251 AS v
+             |  FROM documents d, range(0, 384) t(j)
+             |  WHERE d.doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT d.doc_id, t.j, (d.doc_id * 31 + t.j * 7) % 251 AS v
+             |  FROM documents d, range(0, 128) t(j)
+             |  WHERE d.doc_id % 2 = 1)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'P6' ELSE 'P5' END AS format,
+             |  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)
+             |    AS channels,
+             |  round(avg(v) + 1e-9, 6) AS mean_v,
+             |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
+    // MM5 (round-14, VERDICT item 4): perceptual-hash near-dup IMAGES
+    // — the real-pixel path connected to the dedup tier. Pipeline:
+    // deterministic grouped P6 rasters (docs in a group of 8 share a
+    // base image, each perturbs two pixels of its own row) → REAL
+    // Ppm.decode → dHash from decoded pixels (grayscale reduce,
+    // pairwise box pool to 9×8, gradient bits — brightness/contrast
+    // invariant) → the d2/d3 banded-LSH idiom on the 64-bit hash as
+    // FOUR 16-bit bands: candidates only from band-bucket equality,
+    // Hamming (bit_count ∘ xor, codegen'd Column algebra) only on
+    // candidates, keep pairs ≤ 6 bits apart. At 100 TB the shape
+    // holds: decode/hash is narrow, the band join is bucketed
+    // (Σ|bucket|² — never all-pairs), and band WIDTH is the knob that
+    // keeps accidental buckets small as the corpus grows (16 bits per
+    // band here; a web corpus widens bands / adds a second hash, the
+    // d2 banding argument verbatim). same_group exposes the planted
+    // ground truth: recall of the within-group near-dups, and any
+    // cross-group survivor is exactly what the Hamming verify stage
+    // exists to reject.
+    Q("mm5_dhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Multimodal.dHashBands(
+            Multimodal.synthPpmGroupPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .localCheckpoint() // decode once: band join + both hamming reads
+        val ex = bands.select($"id",
+          posexplode($"bands").as(Seq("k", "band")))
+        val cand = ex.as("a").join(ex.as("b"),
+            $"a.k" === $"b.k" && $"a.band" === $"b.band" &&
+              $"a.id" < $"b.id")
+          .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+          .distinct()
+        cand
+          .join(bands.select($"id".as("id_a"), $"bands".as("ba")), "id_a")
+          .join(bands.select($"id".as("id_b"), $"bands".as("bb")), "id_b")
+          .withColumn("hamming", aggregate(
+            zip_with($"ba", $"bb",
+              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, x) => acc + x))
+          .filter($"hamming" <= 6)
+          .select($"id_a", $"id_b", $"hamming",
+            (($"id_a" - $"id_a" % 8) === ($"id_b" - $"id_b" % 8))
+              .as("same_group"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j,
+             |    (CAST(('0x' || substr(md5(
+             |        CAST(d.doc_id // 8 AS VARCHAR) || ':' ||
+             |        CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT) +
+             |     CASE WHEN (t.j // 3) // 18 = d.doc_id % 8
+             |           AND (t.j // 3) % 18 < 2 THEN 97 ELSE 0 END) % 251
+             |      AS v
+             |  FROM documents d, range(0, 432) t(j)),
+             |cells AS (
+             |  SELECT doc_id, (j // 3) // 18 AS y, ((j // 3) % 18) // 2 AS cx,
+             |    sum(v) AS p
+             |  FROM px GROUP BY 1, 2, 3),
+             |bts AS (
+             |  SELECT a.doc_id, a.y, a.cx AS x,
+             |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bt
+             |  FROM cells a JOIN cells b
+             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.cx = a.cx + 1
+             |  WHERE a.cx < 8),
+             |bands AS (
+             |  SELECT doc_id, y // 2 AS k,
+             |    CAST(sum(bt * (1 << (x + 8 * (y % 2)))) AS BIGINT) AS band
+             |  FROM bts GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT)
+             |      AS hamming
+             |  FROM cand c
+             |  JOIN bands x ON x.doc_id = c.id_a
+             |  JOIN bands y ON y.doc_id = c.id_b AND y.k = x.k
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, hamming,
+             |  (id_a // 8 = id_b // 8) AS same_group
+             |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)))
 }
