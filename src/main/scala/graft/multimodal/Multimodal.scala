@@ -327,6 +327,67 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic PCM clip encoded as a REAL WAV payload (round-14):
+    * sample i of key `id` is `((id·7 + i·13) mod 201) − 100` — a
+    * signed integer waveform a second engine replays exactly — packed
+    * by [[Wav.encode]] into a canonical RIFF container at 8 kHz.
+    * Narrow batched pass; emits `(id, payload binary)`. */
+  def synthWavPayload(df: DataFrame, idCol: String,
+                      nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 7 + i * 13) % 201) - 100).toShort)
+        Row(id, Wav.encode(Wav.Clip(8000, samples)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL audio decode + signal features over a WAV payload column:
+    * parse with [[Wav.decode]] (RIFF chunk walk — a parsing bug
+    * changes every output), then per clip the sample count, rate,
+    * mean |amplitude|, ZERO CROSSINGS (strict sign flips between
+    * consecutive samples — the classic cheap pitch/noisiness proxy),
+    * peak amplitude and the integer energy Σ v² — all closed-form in
+    * the generator so the oracle replays them without touching a
+    * byte. Narrow batched pass; emits `(id, n_samples, sample_rate,
+    * mean_abs, zero_crossings, peak, energy)`. */
+  def wavFeatures(df: DataFrame, idCol: String = "id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("mean_abs", DoubleType),
+      StructField("zero_crossings", LongType),
+      StructField("peak", IntegerType),
+      StructField("energy", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val clip = Wav.decode(r.getAs[Array[Byte]](pIdx))
+        var absSum = 0L; var zc = 0L; var peak = 0; var energy = 0L
+        var i = 0
+        while (i < clip.samples.length) {
+          val v = clip.samples(i).toInt
+          absSum += math.abs(v)
+          energy += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && clip.samples(i - 1).toInt * v < 0) zc += 1
+          i += 1
+        }
+        Row(r.getLong(idIdx), clip.samples.length, clip.sampleRate,
+          absSum.toDouble / math.max(clip.samples.length, 1), zc, peak,
+          energy)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Batched feature extraction: one partition = one batch, iterator in /
     * iterator out (the mapInPandas shape). Appends `features
     * array<double>`. */

@@ -1462,5 +1462,43 @@ object StreamMultimodalPack extends QueryPack {
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, hamming,
              |  (id_a // 8 = id_b // 8) AS same_group
-             |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)))
+             |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
+
+    // MM6 (round-14): the AUDIO decode path made real — a
+    // dependency-free PCM WAV codec (multimodal/Wav.scala: RIFF chunk
+    // walk, fmt validation, Long-bounded adversarial sizes) run end to
+    // end: deterministic integer waveforms are ENCODED as real WAV
+    // payloads, DECODED back by the real parser, and the classic
+    // cheap signal features (mean |amplitude|, strict-sign zero
+    // crossings, peak, integer energy) computed from actual samples.
+    // The waveform is closed-form in the generator, so DuckDB replays
+    // every feature without touching a byte: any codec bug —
+    // mis-walked chunk, wrong sample offset, endianness — hash-fails
+    // every row. After PPM/PGM (images), this leaves decodeStub
+    // standing in only for compressed formats.
+    Q("mm6_wav_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.wavFeatures(
+            Multimodal.synthWavPayload(Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"sample_rate",
+            r6($"mean_abs").as("mean_abs"), $"zero_crossings", $"peak",
+            $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    (d.doc_id * 7 + t.i * 13) % 201 - 100 AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |w AS (
+             |  SELECT doc_id, i, v,
+             |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM s)
+             |SELECT doc_id, CAST(256 AS INT) AS n_samples,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  round(avg(abs(v)) + 1e-9, 6) AS mean_abs,
+             |  CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_crossings,
+             |  CAST(max(abs(v)) AS INT) AS peak,
+             |  CAST(sum(v * v) AS BIGINT) AS energy
+             |FROM w GROUP BY doc_id""".stripMargin)))
 }

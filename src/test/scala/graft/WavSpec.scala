@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Wav
+
+/** WAV codec contracts behind mm6: exact round-trip, chunk-WALK
+  * correctness (unknown chunks before `data` must be skipped, with
+  * RIFF word-alignment padding), rejection of malformed and
+  * adversarial payloads (declared sizes are untrusted input — the Ppm
+  * ADVICE lesson applied from the start), and the PCM/mono/16-bit
+  * contract. */
+class WavSpec extends AnyFunSuite {
+
+  private def clip(n: Int, seed: Int = 1): Wav.Clip = {
+    val rnd = new scala.util.Random(seed)
+    Wav.Clip(8000, Array.fill(n)((rnd.nextInt(65536) - 32768).toShort))
+  }
+
+  test("encode/decode round-trips samples and rate exactly") {
+    for (n <- Seq(0, 1, 7, 256, 1001)) {
+      val c = clip(n, seed = n + 1)
+      val d = Wav.decode(Wav.encode(c))
+      assert(d.sampleRate == c.sampleRate)
+      assert(d.samples.sameElements(c.samples), s"n=$n")
+    }
+  }
+
+  test("chunk walk skips unknown chunks (with odd-size padding)") {
+    val c = clip(16)
+    val enc = Wav.encode(c)
+    // splice a LIST chunk of ODD size 5 (+1 pad byte) between the fmt
+    // and data chunks: offset 36 is the data header in canonical form
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = enc.take(36) ++ extra ++ enc.drop(36)
+    val d = Wav.decode(spliced)
+    assert(d.samples.sameElements(c.samples),
+      "a fixed-offset reader breaks here; the chunk walk must not")
+  }
+
+  test("malformed and adversarial payloads are rejected") {
+    val good = Wav.encode(clip(8))
+    intercept[IllegalArgumentException](Wav.decode(null))
+    intercept[IllegalArgumentException](Wav.decode(good.take(30))) // short
+    intercept[IllegalArgumentException](
+      Wav.decode("RIFX".getBytes ++ good.drop(4))) // wrong magic
+    intercept[IllegalArgumentException](Wav.decode(good.dropRight(3)))
+    // adversarial: data chunk declaring far more bytes than exist —
+    // the declared size must be bounded by remaining, not trusted
+    val lying = good.clone()
+    lying(40) = -1; lying(41) = -1; lying(42) = -1; lying(43) = 0x7f
+    intercept[IllegalArgumentException](Wav.decode(lying))
+    // non-PCM fmt code
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    intercept[IllegalArgumentException](Wav.decode(nonPcm))
+    // stereo
+    val stereo = good.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](Wav.decode(stereo))
+    // no data chunk at all
+    intercept[IllegalArgumentException](Wav.decode(good.take(36)))
+  }
+
+  test("spark pipeline: features match hand-computed values for one id") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val out = graft.multimodal.Multimodal.wavFeatures(
+        graft.multimodal.Multimodal.synthWavPayload(
+          Seq(3L).toDF("doc_id"), "doc_id", nSamples = 8))
+      .collect().head
+    // v(i) = ((3*7 + 13 i) mod 201) - 100, i = 0..7:
+    // 21,34,47,60,73,86,99,112 mod 201 → minus 100:
+    val v = (0 until 8).map(i => ((21 + 13 * i) % 201) - 100)
+    assert(out.getInt(1) == 8 && out.getInt(2) == 8000)
+    assert(math.abs(out.getDouble(3) - v.map(math.abs).sum / 8.0) < 1e-9)
+    assert(out.getLong(4) ==
+      v.sliding(2).count(p => p(0) * p(1) < 0).toLong)
+    assert(out.getInt(5) == v.map(math.abs).max)
+    assert(out.getLong(6) == v.map(x => x.toLong * x).sum)
+  }
+}
