@@ -337,4 +337,65 @@ object Dedup {
         when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L)))
       .groupBy(col("id")).agg(sum(col("bitval")).as("simhash"))
   }
+
+  /** SPAN-level dedup via anchor diagonals (round-14; the span-detect
+    * core of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — which shows verbatim
+    * COPIED SPANS inside otherwise-distinct documents are what
+    * substring dedup must find, a shape doc-level Jaccard (d4) and
+    * chunk fingerprints (d12) both miss when the span straddles
+    * boundaries or the documents otherwise differ).
+    *
+    * Anchors are token 3-grams at EVERY position (the d12 gram
+    * pipeline at stride 1); common-phrase grams are dropped by the
+    * document-frequency band `2..dfMax` (the d2/d12 fan-out bound —
+    * a gram in >dfMax docs is boilerplate, not evidence). Matched
+    * anchor pairs land on DIAGONALS (`pa − pb`): a verbatim span of
+    * length L produces L−2 CONSECUTIVE anchors on one diagonal, so
+    * the longest run per diagonal — gaps-and-islands on `pa` (the w12
+    * idiom: `pa − row_number`) — estimates the longest shared span
+    * exactly for unique-anchor spans. Per pair: total matched
+    * anchors, distinct diagonals, longest run in TOKENS (run + 2).
+    *
+    * 100 TB shape: gram build is narrow; the DF filter and the
+    * self-join shuffle on the gram key with per-gram pair fan-out
+    * ≤ dfMax²; diagonals/runs are one window over the matched pairs.
+    * Never an all-pairs anything. Output: `(doc_a, doc_b,
+    * n_anchor_matches, n_diagonals, longest_run_tokens)`. */
+  def spanMatches(df: DataFrame, idCol: String, textCol: String,
+                  dfMax: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token arrays materialized before the gram lambda references them
+    // 3x per element (the t14 CollapseProject hazard, measured on d12)
+    val toks = df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("ts"))
+      .localCheckpoint()
+    val grams = toks
+      .select(col("doc_id"), when(size(col("ts")) >= 3,
+        transform(sequence(lit(1), size(col("ts")) - 2), i =>
+          TextOps.hash60(concat_ws(" ", element_at(col("ts"), i),
+            element_at(col("ts"), i + 1), element_at(col("ts"), i + 2)))))
+        .otherwise(array().cast("array<long>")).as("ghs"))
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
+      .localCheckpoint() // DF filter + both self-join sides read it
+    val banded = grams.join(
+      grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs").between(2, dfMax)).select(col("gh")), "gh")
+    val matches = banded.as("a").join(banded.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_anchors"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run_anchors")).as("n_anchor_matches"),
+        countDistinct(col("diag")).as("n_diagonals"),
+        (max(col("run_anchors")) + 2).as("longest_run_tokens"))
+  }
 }

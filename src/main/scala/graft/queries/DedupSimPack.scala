@@ -601,6 +601,54 @@ object DedupSimPack extends QueryPack {
              |GROUP BY 1, 2 HAVING count(*) >= 2
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // D15 (round-14): SPAN-level dedup — anchor-diagonal detection of
+    // verbatim copied spans (the Lee et al. 2022 substring-dedup
+    // shape; dedup/Dedup.spanMatches carries the design note). Token
+    // 3-gram anchors at stride 1, DF-banded 2..10 (the d12 fan-out
+    // bound), matched pairs grouped on the pa−pb diagonal, longest
+    // consecutive run per diagonal via gaps-and-islands (the w12
+    // idiom) — a pair reports the longest shared span in TOKENS, the
+    // quantity doc-level Jaccard (d4) and chunk fingerprints (d12)
+    // cannot see when the span straddles chunk boundaries. Keep
+    // pairs with a span of ≥ 5 tokens.
+    Q("d15_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.Dedup.spanMatches(
+            Tables.documents(s, dir), "doc_id", "text", dfMax = 10)
+          .filter($"longest_run_tokens" >= 5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, u.pos,
+             |    CAST(('0x' || substr(md5(ts[u.pos] || ' ' || ts[u.pos+1]
+             |      || ' ' || ts[u.pos+2]), 1, 15)) AS BIGINT) AS gh
+             |  FROM d, LATERAL unnest(range(1, len(ts) - 1)) AS u(pos)),
+             |keep AS (SELECT gh FROM g GROUP BY gh
+             |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 10),
+             |k AS (SELECT g.* FROM g JOIN keep USING (gh)),
+             |m AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.pos AS pa, a.pos - b.pos AS diag
+             |  FROM k a JOIN k b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+             |r AS (
+             |  SELECT doc_a, doc_b, diag, pa,
+             |    pa - row_number() OVER (
+             |      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             |  FROM m),
+             |runs AS (
+             |  SELECT doc_a, doc_b, diag, grp, count(*) AS run_anchors
+             |  FROM r GROUP BY 1, 2, 3, 4)
+             |SELECT doc_a, doc_b,
+             |  CAST(sum(run_anchors) AS BIGINT) AS n_anchor_matches,
+             |  CAST(count(DISTINCT diag) AS BIGINT) AS n_diagonals,
+             |  CAST(max(run_anchors) + 2 AS BIGINT) AS longest_run_tokens
+             |FROM runs GROUP BY 1, 2 HAVING max(run_anchors) + 2 >= 5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("d4_ngram_jaccard",
       (s, dir) => {
         import s.implicits._
