@@ -239,6 +239,50 @@ object Dedup {
   def blockedNgramNearDup(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], shingleN: Int,
                           maxDf: Int, perDocK: Int): DataFrame = {
+    val scored = coShinglePairs(docs, idCol, textCol, blockCols, shingleN, maxDf)
+      .withColumn("jaccard", col("n_inter").cast("double")
+        / nullif(col("n_a") + col("n_b") - col("n_inter"), lit(0L)))
+    // per-doc candidate cap: bounded heap, never a full window sort
+    graft.operators.TopK.perKey(scored, Seq("id_a"),
+      Seq(graft.operators.TopK.descNullsLast(col("jaccard")), col("id_b")),
+      perDocK, "cand_rank")
+  }
+
+  /** Containment near-dup (Broder 1997's asymmetric resemblance): rank
+    * candidate pairs by max(|A∩B|/|A|, |A∩B|/|B|) instead of Jaccard,
+    * so a SHORT document copied verbatim into a much longer one — the
+    * quote-farm / boilerplate-wrapper shape web curation hits daily —
+    * scores ~1.0 where symmetric Jaccard (≤ |A|/|B|) can sit below any
+    * usable dedup threshold. Shares [[coShinglePairs]]'s df-capped
+    * co-shingle candidate generation (identical Σ df² linear bound);
+    * only the score and the per-doc ranking differ from
+    * [[blockedNgramNearDup]]. Keeps pairs with max containment ≥
+    * `minCont`; output adds cont_a = n_inter/n_a, cont_b = n_inter/n_b
+    * alongside jaccard so the asymmetry (cont high, jaccard low) is
+    * visible in the result.
+    */
+  def containmentNearDup(docs: DataFrame, idCol: String, textCol: String,
+                         blockCols: Seq[String], shingleN: Int,
+                         maxDf: Int, minCont: Double, perDocK: Int): DataFrame = {
+    val scored = coShinglePairs(docs, idCol, textCol, blockCols, shingleN, maxDf)
+      .withColumn("cont_a", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("n_b"))
+      .withColumn("jaccard", col("n_inter").cast("double")
+        / nullif(col("n_a") + col("n_b") - col("n_inter"), lit(0L)))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
+    graft.operators.TopK.perKey(scored, Seq("id_a"),
+      Seq(graft.operators.TopK.descNullsLast(
+            greatest(col("cont_a"), col("cont_b"))), col("id_b")),
+      perDocK, "cand_rank")
+  }
+
+  /** Shared candidate core for [[blockedNgramNearDup]] /
+    * [[containmentNearDup]]: df-capped co-shingle pair enumeration with
+    * exact intersection and per-doc set sizes. Output: block cols +
+    * id_a, id_b, n_inter, n_a, n_b. */
+  private def coShinglePairs(docs: DataFrame, idCol: String, textCol: String,
+                             blockCols: Seq[String], shingleN: Int,
+                             maxDf: Int): DataFrame = {
     val bc = blockCols.map(col)
     // null block keys are excluded EXPLICITLY: the old groupBy+join
     // df-cap dropped them via equi-join null semantics, the count
@@ -273,17 +317,11 @@ object Dedup {
       .groupBy((bc :+ col("doc_id")) :+ col("id_b"): _*)
       .agg(count(lit(1)).as("n_inter"))
       .withColumnRenamed("doc_id", "id_a")
-    val scored = inter
+    inter
       .join(sizes.select((bc :+ col("doc_id").as("id_a")) :+ col("__n").as("n_a"): _*),
         blockCols :+ "id_a")
       .join(sizes.select((bc :+ col("doc_id").as("id_b")) :+ col("__n").as("n_b"): _*),
         blockCols :+ "id_b")
-      .withColumn("jaccard", col("n_inter").cast("double")
-        / nullif(col("n_a") + col("n_b") - col("n_inter"), lit(0L)))
-    // per-doc candidate cap: bounded heap, never a full window sort
-    graft.operators.TopK.perKey(scored, Seq("id_a"),
-      Seq(graft.operators.TopK.descNullsLast(col("jaccard")), col("id_b")),
-      perDocK, "cand_rank")
   }
 
   /** LLM-pipeline decontamination (the C4/Dolma benchmark-overlap

@@ -697,6 +697,68 @@ object DedupSimPack extends QueryPack {
              |  round(jac + 1e-9, 6) AS jaccard, cand_rank
              |FROM rk WHERE cand_rank <= 5""".stripMargin)),
 
+    // D16 (round-14): CONTAINMENT near-dup — Broder's asymmetric
+    // resemblance over the same df-capped co-shingle candidates as d4,
+    // ranked by max(n_inter/n_a, n_inter/n_b) instead of Jaccard. A
+    // short doc copied verbatim into a much longer one has containment
+    // ~1.0 but Jaccard ≤ |A|/|B| — the doc-in-doc shape d4's threshold
+    // misses by construction. Same Σ df² linear pair bound; the output
+    // carries both containments AND jaccard so the asymmetric pairs
+    // are visible.
+    Q("d16_containment",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.containmentNearDup(Tables.documents(s, dir), "doc_id", "text",
+            Seq("lang", "source"), ShingleN, maxDf = 64, minCont = 0.05,
+            perDocK = 5)
+          .select($"lang", $"source", $"id_a", $"id_b",
+            $"n_inter", $"n_a", $"n_b",
+            r6($"cont_a").as("cont_a"), r6($"cont_b").as("cont_b"),
+            r6($"jaccard").as("jaccard"), $"cand_rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, source,
+             |    string_split_regex(trim(text), '\s+') AS ts FROM documents),
+             |s AS (SELECT doc_id, lang, source,
+             |    CASE WHEN len(ts) >= 3
+             |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+             |                          for i in range(1, len(ts) - 1)])
+             |      ELSE [] END AS shs
+             |  FROM d),
+             |ex AS (SELECT doc_id, lang, source, unnest(shs) AS sh FROM s),
+             |dfq AS (SELECT lang, source, sh, count(*) AS dfreq
+             |        FROM ex GROUP BY 1, 2, 3),
+             |fx AS (SELECT ex.* FROM ex
+             |       JOIN dfq ON dfq.lang = ex.lang AND dfq.source = ex.source
+             |               AND dfq.sh = ex.sh
+             |       WHERE dfq.dfreq <= 64),
+             |sz AS (SELECT doc_id, lang, source, count(*) AS n
+             |       FROM fx GROUP BY 1, 2, 3),
+             |inter AS (
+             |  SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS n_inter
+             |  FROM fx a JOIN fx b
+             |    ON a.lang = b.lang AND a.source = b.source AND a.sh = b.sh
+             |   AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |j AS (
+             |  SELECT i.lang, i.source, i.id_a, i.id_b, i.n_inter,
+             |    za.n AS n_a, zb.n AS n_b,
+             |    CAST(i.n_inter AS DOUBLE) / za.n AS ca,
+             |    CAST(i.n_inter AS DOUBLE) / zb.n AS cb,
+             |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jac
+             |  FROM inter i
+             |  JOIN sz za ON za.doc_id = i.id_a
+             |  JOIN sz zb ON zb.doc_id = i.id_b),
+             |f AS (SELECT * FROM j WHERE greatest(ca, cb) >= 0.05),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY id_a
+             |    ORDER BY greatest(ca, cb) DESC, id_b) AS cand_rank
+             |  FROM f)
+             |SELECT lang, source, id_a, id_b, n_inter, n_a, n_b,
+             |  round(ca + 1e-9, 6) AS cont_a, round(cb + 1e-9, 6) AS cont_b,
+             |  round(jac + 1e-9, 6) AS jaccard, cand_rank
+             |FROM rk WHERE cand_rank <= 5""".stripMargin)),
+
     // D8 (beyond-reference, LLM pipeline): benchmark decontamination —
     // docs 0-19 stand in for an eval set; corpus docs sharing >= 2
     // distinct 3-gram shingles with a benchmark doc are flagged with
@@ -1229,6 +1291,26 @@ object DedupSimPack extends QueryPack {
              |  FROM sc)
              |SELECT query_id, doc_id, n_terms, score, rank
              |FROM rk WHERE rank <= 10""".stripMargin)),
+
+    // S15 (round-14): greedy farthest-point k-center coreset (Gonzalez
+    // 1985) — diversity selection over the embedding corpus. Each of
+    // the k rounds is one TakeOrdered top-1 scan (map-side max, no
+    // shuffle) + one narrow `least` fold; the assignment is a narrow
+    // array-of-structs argmin per row. The greedy argmax sequence is
+    // bit-reproducible in DuckDB (fixed-order distance folds), so the
+    // whole selected-center set is hash-checked — sim/KCenter.scala
+    // carries the design note.
+    Q("s15_kcenter",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.KCenter.greedy(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", k = 5)
+          .select($"rank", $"center_id", r6($"sel_dist").as("sel_dist"),
+            $"n_assigned", r6($"cover_radius").as("cover_radius"))
+      },
+      Some(graft.sim.KCenter.greedyOracleSql(k = 5, dims = 64))),
 
     // TF-IDF cosine document-pair similarity via a df-capped inverted
     // index — the sparse-vector complement to d5's dense-embedding
