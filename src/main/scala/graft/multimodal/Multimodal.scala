@@ -347,6 +347,99 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic GROUPED WAV payload for the audio near-dup tier
+    * (round-14, mm7): docs in the same group of `groupSize` share one
+    * base waveform — the clip is 32 frames of 8 samples, every sample
+    * of frame f holding the amplitude `md5("g:f")[0..3] mod 80 + 20`
+    * (the portable-md5 idiom of [[synthPpmGroupPayload]]: a real hash,
+    * because the fingerprint below is an energy-GRADIENT signature and
+    * any closed-form amplitude curve leaves cross-group gradient
+    * structure) — and each doc bumps ONLY its own frame `id mod 32` by
+    * +17, which can flip at most the two energy-delta bits adjacent to
+    * that frame. So within a group the fingerprints differ in ≤ 4 bits
+    * while different groups are unrelated bit strings — the planted
+    * ground truth the banded-LSH recall argument needs, replayed
+    * exactly by the oracle's md5. Payload is a REAL RIFF/WAVE blob via
+    * [[Wav.encode]]. */
+  def synthWavGroupPayload(df: DataFrame, idCol: String,
+                           nFrames: Int = 32, frameLen: Int = 8,
+                           groupSize: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var lastG = -1L
+      var base: Array[Int] = null
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val g = id / groupSize
+        if (g != lastG || base == null) {
+          base = Array.tabulate(nFrames) { f =>
+            val dg = md.digest(s"$g:$f".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            (h % 80).toInt + 20
+          }
+          lastG = g
+        }
+        val p = (id % nFrames).toInt
+        val samples = Array.tabulate(nFrames * frameLen) { i =>
+          val f = i / frameLen
+          (base(f) + (if (f == p) 17 else 0)).toShort
+        }
+        Row(id, Wav.encode(Wav.Clip(8000, samples)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio fingerprint over REAL decoded samples — the energy-delta
+    * signature (the Shazam/Chromaprint family reduced to its portable
+    * core): decode the WAV ([[Wav.decode]]), integer frame energies
+    * E_f = Σ v² over 8-sample frames, bit f = 1 iff E_{f+1} > E_f — a
+    * 31-bit gradient string invariant to global gain scaling, emitted
+    * as FOUR 8-bit bands for the d2/d3 banded-LSH join (a ≤2-bit
+    * adjacent perturbation touches at most 2 bands, so ≥ 2 bands stay
+    * clean and candidates always surface from band equality). Narrow
+    * batched pass; emits `(id, bands array<long>)` with 4 elements in
+    * [0, 256). Band WIDTH is the corpus-size knob, exactly as in
+    * [[dHashBands]]. */
+  def audioFingerprintBands(df: DataFrame, idCol: String = "id",
+                            payloadCol: String = "payload",
+                            frameLen: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bands", ArrayType(LongType, containsNull = false))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val clip = Wav.decode(r.getAs[Array[Byte]](pIdx))
+        val nFrames = clip.samples.length / frameLen
+        val energy = new Array[Long](nFrames)
+        var i = 0
+        while (i < nFrames * frameLen) {
+          val v = clip.samples(i).toLong
+          energy(i / frameLen) += v * v
+          i += 1
+        }
+        val bands = new Array[Long](4)
+        // 4 bands × 8 bits: longer clips contribute only their first
+        // 32 frames to the signature (the fixed-length fingerprint
+        // contract; a longer-form variant would window the clip)
+        val nBits = math.min(nFrames - 1, 32)
+        var f = 0
+        while (f < nBits) {
+          if (energy(f + 1) > energy(f))
+            bands(f / 8) |= 1L << (f % 8)
+          f += 1
+        }
+        Row(r.getLong(idIdx), bands.toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** REAL audio decode + signal features over a WAV payload column:
     * parse with [[Wav.decode]] (RIFF chunk walk — a parsing bug
     * changes every output), then per clip the sample count, rate,

@@ -1057,6 +1057,32 @@ object DedupSimPack extends QueryPack {
         k = 5, nCells = 8, nprobe = 3, dims = 64,
         queryPredSql = "vec_id < 10"))),
 
+    // S16 (round-14): FILTERED vector search — s3's portable IVF with
+    // a metadata predicate on the candidate scan (the
+    // pgvector/Qdrant-style "filtered ANN" every production vector
+    // store exposes). The coarse cells, corpus assignment and query
+    // probes are fit on the FULL corpus — one shared index serves
+    // every predicate — and the filter prunes inside the probed cells
+    // BEFORE any distance is scored, so selectivity directly cuts
+    // scan work instead of post-filtering a top-k that may then run
+    // dry (the classic filtered-ANN failure). Same output surface as
+    // s3, hash-checked end to end with the filter replayed in SQL.
+    Q("s16_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.IvfAnn.portableTopK(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"label",
+                $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", queryPred = col("vec_id") < 10,
+            k = 5, nCells = 8, nprobe = 3, dims = 64,
+            corpusPred = Some(col("label") === 2))
+          .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"), $"rank")
+      },
+      Some(graft.sim.IvfAnn.portableOracleSql(
+        k = 5, nCells = 8, nprobe = 3, dims = 64,
+        queryPredSql = "vec_id < 10", corpusPredSql = "label = 2"))),
+
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per
     // vector (16× compression); queries scan CODES via per-query ADC

@@ -1500,5 +1500,82 @@ object StreamMultimodalPack extends QueryPack {
              |    AS zero_crossings,
              |  CAST(max(abs(v)) AS INT) AS peak,
              |  CAST(sum(v * v) AS BIGINT) AS energy
-             |FROM w GROUP BY doc_id""".stripMargin)))
+             |FROM w GROUP BY doc_id""".stripMargin)),
+
+    // MM7 (round-14): audio NEAR-DUP — the mm5 recipe on the real
+    // audio path, completing banded-LSH near-dup across all three
+    // modalities (text d2/d3, image mm5, audio mm7). Pipeline:
+    // deterministic grouped waveforms (docs in a group of 8 share a
+    // base clip, each bumps only its own frame) → REAL Wav.decode →
+    // energy-delta fingerprint from decoded samples (31 gradient
+    // bits, gain-invariant — the Shazam/Chromaprint family's portable
+    // core) → FOUR 8-bit bands: candidates only from band-bucket
+    // equality, Hamming verify only on candidates, keep pairs ≤ 4
+    // bits apart — the exact in-group ceiling (two docs each flip ≤ 2
+    // adjacent bits), so recall of the planted pairs is total by
+    // construction while the tight bound keeps 31-bit cross-group
+    // collisions out. A doc's ≤2-bit adjacent perturbation touches at
+    // most 2 bands, so every within-group pair surfaces from the ≥ 2
+    // clean bands; band WIDTH is the corpus-size knob (the d2
+    // argument verbatim). same_group exposes the planted truth.
+    Q("mm7_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Multimodal.audioFingerprintBands(
+            Multimodal.synthWavGroupPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .localCheckpoint() // decode once: band join + both hamming reads
+        val ex = bands.select($"id",
+          posexplode($"bands").as(Seq("k", "band")))
+        val cand = ex.as("a").join(ex.as("b"),
+            $"a.k" === $"b.k" && $"a.band" === $"b.band" &&
+              $"a.id" < $"b.id")
+          .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+          .distinct()
+        cand
+          .join(bands.select($"id".as("id_a"), $"bands".as("ba")), "id_a")
+          .join(bands.select($"id".as("id_b"), $"bands".as("bb")), "id_b")
+          .withColumn("hamming", aggregate(
+            zip_with($"ba", $"bb",
+              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+            lit(0L), (acc, x) => acc + x))
+          .filter($"hamming" <= 4)
+          .select($"id_a", $"id_b", $"hamming",
+            (($"id_a" - $"id_a" % 8) === ($"id_b" - $"id_b" % 8))
+              .as("same_group"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH fr AS (
+             |  SELECT d.doc_id, t.f,
+             |    CAST(('0x' || substr(md5(
+             |        CAST(d.doc_id // 8 AS VARCHAR) || ':' ||
+             |        CAST(t.f AS VARCHAR)), 1, 8)) AS BIGINT) % 80 + 20 +
+             |    CASE WHEN t.f = d.doc_id % 32 THEN 17 ELSE 0 END AS a
+             |  FROM documents d, range(0, 32) t(f)),
+             |en AS (SELECT doc_id, f, 8 * a * a AS e FROM fr),
+             |bt AS (
+             |  SELECT a.doc_id, a.f,
+             |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+             |  FROM en a JOIN en b
+             |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             |  WHERE a.f < 31),
+             |bands AS (
+             |  SELECT doc_id, f // 8 AS k,
+             |    CAST(sum(bit * (1 << (f % 8))) AS BIGINT) AS band
+             |  FROM bt GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
+             |ham AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT)
+             |      AS hamming
+             |  FROM cand c
+             |  JOIN bands x ON x.doc_id = c.id_a
+             |  JOIN bands y ON y.doc_id = c.id_b AND y.k = x.k
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, hamming,
+             |  (id_a // 8 = id_b // 8) AS same_group
+             |FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin)))
 }

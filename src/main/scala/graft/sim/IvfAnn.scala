@@ -106,10 +106,17 @@ object IvfAnn {
     * [[topK]]'s trained quantizer remains the production drop-in
     * (AnnRecallSpec keeps its recall floor). Output matches [[search]]:
     * (query_id, cell, corpus_id, cos, rank) where `cell` is the corpus
-    * row's assigned cell. */
+    * row's assigned cell.
+    *
+    * `corpusPred` (round-14, the s16 surface) is FILTERED vector
+    * search: a metadata predicate applied ONLY to the candidate scan —
+    * the coarse cells, the corpus assignment and the query probes are
+    * all fit on the FULL corpus (one shared index serves every
+    * predicate, the production filtered-ANN contract), and the filter
+    * prunes candidates inside the probed cells before ranking. */
   def portableTopK(df: DataFrame, idCol: String, vecCol: String,
                    queryPred: Column, k: Int, nCells: Int, nprobe: Int,
-                   dims: Int): DataFrame = {
+                   dims: Int, corpusPred: Option[Column] = None): DataFrame = {
     require(nprobe <= nCells, s"nprobe $nprobe exceeds nCells $nCells")
     val cells = IvfPq.coarseCells(df, idCol, vecCol, nCells).localCheckpoint()
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
@@ -130,8 +137,12 @@ object IvfAnn {
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
     // candidates bound by probed-cell membership; cosine on normalized
-    // sides so each pair is one fused dot product
-    val corpus = Similarity.withNormalized(base, "v", "cv")
+    // sides so each pair is one fused dot product. The optional corpus
+    // predicate prunes HERE — after the shared-index assignment,
+    // before any scoring — so the filter rides the candidate scan.
+    val corpusBase = corpusPred.map(df.filter).getOrElse(df)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val corpus = Similarity.withNormalized(corpusBase, "v", "cv")
       .select(col("vec_id"), col("cv"))
       .join(assign, "vec_id")
     val scored = corpus.join(broadcast(probes), Seq("cell"))
@@ -150,7 +161,12 @@ object IvfAnn {
     * assignment, nprobe probes) composed with the s1 cosine idiom
     * (normalize once per vector, fixed-order fold dot product). */
   def portableOracleSql(k: Int, nCells: Int, nprobe: Int, dims: Int,
-                        queryPredSql: String): String = {
+                        queryPredSql: String,
+                        corpusPredSql: String = ""): String = {
+    val corpusFilter =
+      if (corpusPredSql.isEmpty) ""
+      else s" AND nv.vec_id IN (SELECT vec_id FROM embeddings" +
+        s" WHERE $corpusPredSql)"
     def d2(a: String, b: String): String =
       s"""list_reduce(list_prepend(0.0,
          |      list_transform(range(1, $dims + 1),
@@ -190,7 +206,7 @@ object IvfAnn {
        |        (acc, x) -> acc + x) AS cos
        |  FROM q JOIN asg a ON a.cell = q.cell
        |  JOIN nv ON nv.vec_id = a.vec_id
-       |  WHERE q.query_id <> nv.vec_id),
+       |  WHERE q.query_id <> nv.vec_id$corpusFilter),
        |rk AS (
        |  SELECT query_id, cell, corpus_id, cos,
        |    row_number() OVER (PARTITION BY query_id

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** mm7's audio fingerprint must (1) be computed from REAL decoded
+  * samples — the bands equal the closed-form replay of the generator,
+  * so any codec bug (mis-walked chunk, wrong offset, endianness)
+  * changes them; (2) keep the planted structure the banded-LSH recall
+  * argument needs: within-group Hamming small enough that the ≤ 6
+  * query threshold keeps every pair, cross-group large enough that it
+  * rejects them. */
+class AudioNearDupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Closed-form replay of synthWavGroupPayload + the energy-delta
+    * fingerprint (the oracle's arithmetic, in Scala). */
+  private def expectedBands(id: Long): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val g = id / 8
+    val amp = Array.tabulate(32) { f =>
+      val dg = md.digest(s"$g:$f".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      (h % 80).toInt + 20 + (if (f == (id % 32).toInt) 17 else 0)
+    }
+    val e = amp.map(a => 8L * a * a)
+    val bands = new Array[Long](4)
+    (0 until 31).foreach { f =>
+      if (e(f + 1) > e(f)) bands(f / 8) |= 1L << (f % 8)
+    }
+    bands.toSeq
+  }
+
+  private def actualBands(ids: Seq[Long]): Map[Long, Seq[Long]] = {
+    val df = ids.toDF("doc_id")
+    Multimodal.audioFingerprintBands(
+        Multimodal.synthWavGroupPayload(df, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+  }
+
+  test("fingerprint from decoded bytes equals the closed-form replay") {
+    val ids = (0L until 32L)
+    val actual = actualBands(ids)
+    ids.foreach { id =>
+      assert(actual(id) == expectedBands(id),
+        s"id $id: decode-path bands ${actual(id)} != replay ${expectedBands(id)}")
+    }
+  }
+
+  test("within-group Hamming <= 4; cross-group above the query threshold") {
+    val ids = (0L until 32L) // 4 groups of 8
+    val bands = actualBands(ids)
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    for (i <- ids; j <- ids if i < j) {
+      val h = ham(bands(i), bands(j))
+      if (i / 8 == j / 8)
+        assert(h <= 4, s"within-group pair ($i,$j) Hamming $h > 4")
+      else
+        assert(h > 6, s"cross-group pair ($i,$j) Hamming $h within threshold")
+    }
+  }
+
+  test("a within-group pair always shares at least 2 clean bands") {
+    val ids = (0L until 16L)
+    val bands = actualBands(ids)
+    for (i <- ids; j <- ids if i < j && i / 8 == j / 8) {
+      val shared = bands(i).zip(bands(j)).count { case (x, y) => x == y }
+      assert(shared >= 2,
+        s"pair ($i,$j) shares only $shared bands — candidates would be missed")
+    }
+  }
+}
