@@ -349,20 +349,20 @@ object Multimodal {
 
   /** Deterministic GROUPED WAV payload for the audio near-dup tier
     * (round-14, mm7): docs in the same group of `groupSize` share one
-    * base waveform — the clip is 32 frames of 8 samples, every sample
+    * base waveform — the clip is 128 frames of 8 samples, every sample
     * of frame f holding the amplitude `md5("g:f")[0..3] mod 80 + 20`
     * (the portable-md5 idiom of [[synthPpmGroupPayload]]: a real hash,
     * because the fingerprint below is an energy-GRADIENT signature and
     * any closed-form amplitude curve leaves cross-group gradient
-    * structure) — and each doc bumps ONLY its own frame `id mod 32` by
-    * +17, which can flip at most the two energy-delta bits adjacent to
-    * that frame. So within a group the fingerprints differ in ≤ 4 bits
-    * while different groups are unrelated bit strings — the planted
-    * ground truth the banded-LSH recall argument needs, replayed
-    * exactly by the oracle's md5. Payload is a REAL RIFF/WAVE blob via
-    * [[Wav.encode]]. */
+    * structure) — and each doc bumps ONLY its own frame `id mod 128`
+    * by +17, which can flip at most the two energy-delta bits adjacent
+    * to that frame. So within a group the fingerprints differ in ≤ 4
+    * bits while different groups are unrelated bit strings — the
+    * planted ground truth the banded-LSH recall argument needs,
+    * replayed exactly by the oracle's md5. Payload is a REAL RIFF/WAVE
+    * blob via [[Wav.encode]]. */
   def synthWavGroupPayload(df: DataFrame, idCol: String,
-                           nFrames: Int = 32, frameLen: Int = 8,
+                           nFrames: Int = 128, frameLen: Int = 8,
                            groupSize: Int = 8): DataFrame = {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("payload", BinaryType)))
@@ -398,13 +398,15 @@ object Multimodal {
     * signature (the Shazam/Chromaprint family reduced to its portable
     * core): decode the WAV ([[Wav.decode]]), integer frame energies
     * E_f = Σ v² over 8-sample frames, bit f = 1 iff E_{f+1} > E_f — a
-    * 31-bit gradient string invariant to global gain scaling, emitted
-    * as FOUR 8-bit bands for the d2/d3 banded-LSH join (a ≤2-bit
-    * adjacent perturbation touches at most 2 bands, so ≥ 2 bands stay
-    * clean and candidates always surface from band equality). Narrow
-    * batched pass; emits `(id, bands array<long>)` with 4 elements in
-    * [0, 256). Band WIDTH is the corpus-size knob, exactly as in
-    * [[dHashBands]]. */
+    * 127-bit gradient string invariant to global gain scaling, emitted
+    * as EIGHT 16-bit bands for the d2/d3 banded-LSH join (a ≤2-bit
+    * adjacent perturbation touches at most 2 bands, so ≥ 6 bands stay
+    * clean and candidates always surface from band equality; 16-bit
+    * bands are the [[dHashBands]] width — 65536 buckets keep band
+    * buckets group-sized as the corpus grows, the measured fix for
+    * the quadratic bucket blow-up 8-bit bands showed at the sf1x
+    * 50k-doc spot check). Narrow batched pass; emits
+    * `(id, bands array<long>)` with 8 elements in [0, 65536). */
   def audioFingerprintBands(df: DataFrame, idCol: String = "id",
                             payloadCol: String = "payload",
                             frameLen: Int = 8): DataFrame = {
@@ -424,15 +426,15 @@ object Multimodal {
           energy(i / frameLen) += v * v
           i += 1
         }
-        val bands = new Array[Long](4)
-        // 4 bands × 8 bits: longer clips contribute only their first
-        // 32 frames to the signature (the fixed-length fingerprint
+        val bands = new Array[Long](8)
+        // 8 bands × 16 bits: longer clips contribute only their first
+        // 128 frames to the signature (the fixed-length fingerprint
         // contract; a longer-form variant would window the clip)
-        val nBits = math.min(nFrames - 1, 32)
+        val nBits = math.min(nFrames - 1, 128)
         var f = 0
         while (f < nBits) {
           if (energy(f + 1) > energy(f))
-            bands(f / 8) |= 1L << (f % 8)
+            bands(f / 16) |= 1L << (f % 16)
           f += 1
         }
         Row(r.getLong(idIdx), bands.toSeq)

@@ -1507,15 +1507,17 @@ object StreamMultimodalPack extends QueryPack {
     // modalities (text d2/d3, image mm5, audio mm7). Pipeline:
     // deterministic grouped waveforms (docs in a group of 8 share a
     // base clip, each bumps only its own frame) → REAL Wav.decode →
-    // energy-delta fingerprint from decoded samples (31 gradient
+    // energy-delta fingerprint from decoded samples (127 gradient
     // bits, gain-invariant — the Shazam/Chromaprint family's portable
-    // core) → FOUR 8-bit bands: candidates only from band-bucket
+    // core) → EIGHT 16-bit bands (the mm5 width — measured at the sf1x
+    // 50k-doc spot check, 8-bit bands' 256 buckets went quadratic,
+    // 16-bit bands keep buckets group-sized): candidates only from band-bucket
     // equality, Hamming verify only on candidates, keep pairs ≤ 4
     // bits apart — the exact in-group ceiling (two docs each flip ≤ 2
     // adjacent bits), so recall of the planted pairs is total by
-    // construction while the tight bound keeps 31-bit cross-group
-    // collisions out. A doc's ≤2-bit adjacent perturbation touches at
-    // most 2 bands, so every within-group pair surfaces from the ≥ 2
+    // construction while the tight bound keeps cross-group collisions
+    // out. A doc's ≤2-bit adjacent perturbation touches at
+    // most 2 bands, so every within-group pair surfaces from the ≥ 6
     // clean bands; band WIDTH is the corpus-size knob (the d2
     // argument verbatim). same_group exposes the planted truth.
     Q("mm7_audio_neardup",
@@ -1550,18 +1552,18 @@ object StreamMultimodalPack extends QueryPack {
              |    CAST(('0x' || substr(md5(
              |        CAST(d.doc_id // 8 AS VARCHAR) || ':' ||
              |        CAST(t.f AS VARCHAR)), 1, 8)) AS BIGINT) % 80 + 20 +
-             |    CASE WHEN t.f = d.doc_id % 32 THEN 17 ELSE 0 END AS a
-             |  FROM documents d, range(0, 32) t(f)),
+             |    CASE WHEN t.f = d.doc_id % 128 THEN 17 ELSE 0 END AS a
+             |  FROM documents d, range(0, 128) t(f)),
              |en AS (SELECT doc_id, f, 8 * a * a AS e FROM fr),
              |bt AS (
              |  SELECT a.doc_id, a.f,
              |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
              |  FROM en a JOIN en b
              |    ON b.doc_id = a.doc_id AND b.f = a.f + 1
-             |  WHERE a.f < 31),
+             |  WHERE a.f < 127),
              |bands AS (
-             |  SELECT doc_id, f // 8 AS k,
-             |    CAST(sum(bit * (1 << (f % 8))) AS BIGINT) AS band
+             |  SELECT doc_id, f // 16 AS k,
+             |    CAST(sum(bit * (1 << (f % 16))) AS BIGINT) AS band
              |  FROM bt GROUP BY 1, 2),
              |cand AS (
              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

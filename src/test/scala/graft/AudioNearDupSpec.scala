@@ -19,17 +19,17 @@ class AudioNearDupSpec extends AnyFunSuite {
   private def expectedBands(id: Long): Seq[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val g = id / 8
-    val amp = Array.tabulate(32) { f =>
+    val amp = Array.tabulate(128) { f =>
       val dg = md.digest(s"$g:$f".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
         ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
-      (h % 80).toInt + 20 + (if (f == (id % 32).toInt) 17 else 0)
+      (h % 80).toInt + 20 + (if (f == (id % 128).toInt) 17 else 0)
     }
     val e = amp.map(a => 8L * a * a)
-    val bands = new Array[Long](4)
-    (0 until 31).foreach { f =>
-      if (e(f + 1) > e(f)) bands(f / 8) |= 1L << (f % 8)
+    val bands = new Array[Long](8)
+    (0 until 127).foreach { f =>
+      if (e(f + 1) > e(f)) bands(f / 16) |= 1L << (f % 16)
     }
     bands.toSeq
   }
@@ -64,12 +64,12 @@ class AudioNearDupSpec extends AnyFunSuite {
     }
   }
 
-  test("a within-group pair always shares at least 2 clean bands") {
+  test("a within-group pair always shares at least 6 clean bands") {
     val ids = (0L until 16L)
     val bands = actualBands(ids)
     for (i <- ids; j <- ids if i < j && i / 8 == j / 8) {
       val shared = bands(i).zip(bands(j)).count { case (x, y) => x == y }
-      assert(shared >= 2,
+      assert(shared >= 6,
         s"pair ($i,$j) shares only $shared bands — candidates would be missed")
     }
   }
