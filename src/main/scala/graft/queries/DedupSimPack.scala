@@ -241,6 +241,83 @@ object DedupSimPack extends QueryPack {
               |SELECT comp.doc_id, comp.cluster, cs.cluster_size
               |FROM comp JOIN cs USING (cluster)""".stripMargin)),
 
+    // D17 (round-14): LEAKAGE-SAFE train/val/test split — the split a
+    // dedup-aware pipeline actually ships: WHOLE near-dup clusters
+    // (d6's components, singletons = their own cluster) are assigned
+    // to a split by a portable hash of the cluster id (~70/15/15), so
+    // a doc and its near-duplicates can never straddle train and
+    // eval — the leakage w16's row-wise split cannot rule out. The
+    // assignment is a pure function of the cluster id (no extra
+    // shuffle beyond d6's components + one count aggregate), so it is
+    // stable under corpus growth: adding docs never moves an existing
+    // cluster's split. Output audits the split: docs and clusters per
+    // side.
+    Q("d17_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val edges = verifiedPairs(s, dir)
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val comp = Dedup.components(edges)
+        val assigned = Tables.documents(s, dir).select($"doc_id")
+          .join(comp.select($"id".as("doc_id"), $"cluster"), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce($"cluster", $"doc_id"))
+          .withColumn("bucket",
+            TextOps.hash60($"cluster".cast("string")) % 100)
+          .withColumn("split", when($"bucket" < 70, "train")
+            .when($"bucket" < 85, "val").otherwise("test"))
+        assigned.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"cluster").as("n_clusters"))
+          .orderBy($"split")
+      },
+      Some(s"""WITH RECURSIVE $OracleSig,
+              |$OracleBand,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2),
+              |ed AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes za ON za.id = c.id_a
+              |  JOIN sizes zb ON zb.id = c.id_b
+              |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= 0.5),
+              |sym AS (
+              |  SELECT id_a AS a, id_b AS b FROM ed
+              |  UNION SELECT id_b, id_a FROM ed
+              |  UNION SELECT id_a, id_a FROM ed
+              |  UNION SELECT id_b, id_b FROM ed),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+              |comp AS (SELECT a AS doc_id, min(b) AS cluster
+              |         FROM reach GROUP BY a),
+              |asg AS (
+              |  SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+              |sp AS (
+              |  SELECT doc_id, cluster,
+              |    CASE WHEN b < 70 THEN 'train'
+              |         WHEN b < 85 THEN 'val' ELSE 'test' END AS split
+              |  FROM (SELECT *,
+              |      CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15))
+              |        AS BIGINT) % 100 AS b
+              |    FROM asg))
+              |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+              |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The dedup END PRODUCT: the kept corpus — every doc except
     // non-canonical members of a dup cluster (keep = cluster
     // representative or never-duplicated). This is the keep/drop
