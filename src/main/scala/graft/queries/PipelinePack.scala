@@ -754,6 +754,67 @@ object PipelinePack extends QueryPack {
     // top-10 share, Σ rank·count) reads the SAME ranked frame: two
     // shuffles total. All integers until the final share/Gini
     // divisions (Σ rank·count < 2^63 at any declared SF).
+    // DQ4 (round-14): k-ANONYMITY audit — the privacy/compliance pass a
+    // corpus release runs: group the quasi-identifier tuple (lang,
+    // source, length bucket) and flag every group smaller than k = 5,
+    // i.e. the documents whose metadata combination alone narrows them
+    // to fewer than k candidates. One hash aggregate over the corpus
+    // (the QI tuple is the shuffle key); the flagged-group list IS the
+    // suppression worklist a release pipeline acts on.
+    Q("dq4_kanonymity",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("len_bucket",
+            ($"n_chars" / lit(100)).cast("long") * 100)
+          .groupBy($"lang", $"source", $"len_bucket")
+          .agg(count(lit(1)).as("group_size"))
+          .filter($"group_size" < 5)
+          .orderBy($"lang", $"source", $"len_bucket")
+      },
+      Some("""SELECT lang, source,
+             |  (n_chars // 100) * 100 AS len_bucket,
+             |  CAST(count(*) AS BIGINT) AS group_size
+             |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // DQ5 (round-14): EMBEDDING-TABLE sanity audit — the health check
+    // a vector pipeline runs before (re)indexing: per label, the
+    // count, dimension violations, near-zero norms (degenerate vectors
+    // that poison cosine ranking), and the norm distribution envelope.
+    // Norms are per-row fixed-order folds (bit-identical in DuckDB);
+    // one narrow pass + a label-keyed aggregate.
+    Q("dq5_embedding_sanity",
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .select($"label", $"embedding".cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(aggregate(
+            transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            count(when(size($"v") =!= 64, 1)).as("n_bad_dim"),
+            count(when($"nrm" < 1e-6, 1)).as("n_zero_norm"),
+            r6(min($"nrm")).as("min_norm"),
+            r6(max($"nrm")).as("max_norm"),
+            r4(avg($"nrm")).as("mean_norm"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |n AS (SELECT label, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(v, x -> x * x)),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(count(*) FILTER (len(v) <> 64) AS BIGINT) AS n_bad_dim,
+             |  CAST(count(*) FILTER (nrm < 1e-6) AS BIGINT) AS n_zero_norm,
+             |  round(min(nrm) + 1e-9, 6) AS min_norm,
+             |  round(max(nrm) + 1e-9, 6) AS max_norm,
+             |  round(avg(nrm) + 1e-9, 4) AS mean_norm
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("dq2_skew",
       (s, dir) => {
         import s.implicits._
