@@ -27,10 +27,9 @@ import graft.text.TextOps
   */
 object Landmarks {
 
-  /** `(node, n_reach, harmonic)` for every node: over landmarks at
-    * finite distance, the count reaching it and Σ 1/d (self-landmark
-    * d=0 excluded from the harmonic sum). Edges must be symmetric. */
-  def harmonic(edges: DataFrame, nLandmarks: Int, k: Int): DataFrame = {
+  /** The shared K-round min-plus BFS frame: `(l, node, dist)` for
+    * every (landmark, reached node) pair within K hops. */
+  private def distances(edges: DataFrame, nLandmarks: Int, k: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
     val h = TextOps.hash60(col("node").cast("string"))
@@ -49,12 +48,32 @@ object Landmarks {
         .withColumnRenamed("node2", "node")
       if (i % 2 == 0) d = d.localCheckpoint()
     }
-    d.filter(col("dist") > 0)
+    d
+  }
+
+  /** `(node, n_reach, harmonic)` for every node: over landmarks at
+    * finite distance, the count reaching it and Σ 1/d (self-landmark
+    * d=0 excluded from the harmonic sum). Edges must be symmetric. */
+  def harmonic(edges: DataFrame, nLandmarks: Int, k: Int): DataFrame =
+    distances(edges, nLandmarks, k)
+      .filter(col("dist") > 0)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reach"),
         graft.queries.Rx.r6(sum(lit(1.0) / col("dist"))).as("harmonic"))
       .orderBy(col("node"))
-  }
+
+  /** `(node, n_reach, ecc_lb)` per node: landmark ECCENTRICITY lower
+    * bound — max distance to any landmark within the K-hop horizon,
+    * the standard landmark estimate whose max over nodes lower-bounds
+    * the diameter (any true eccentricity ≥ the max over a distance
+    * SUBSET). Same bounded landmarks × nodes state as [[harmonic]];
+    * n_reach keeps harmonic's finite-nonzero-distance convention. */
+  def eccentricity(edges: DataFrame, nLandmarks: Int, k: Int): DataFrame =
+    distances(edges, nLandmarks, k)
+      .groupBy(col("node"))
+      .agg(count(when(col("dist") > 0, 1)).as("n_reach"),
+        max(col("dist")).as("ecc_lb"))
+      .orderBy(col("node"))
 
   /** Chained-CTE replay of [[harmonic]]: expects `edges(src, dst)` in
     * scope; defines `nodes`, `lm`, `e2`, `d_0 … d_$k`, and `hm` (the
@@ -82,5 +101,19 @@ object Landmarks {
          |    round(sum(1.0 / dist) + 1e-9, 6) AS harmonic
          |  FROM d_$k WHERE dist > 0 GROUP BY 1)""".stripMargin
     (init +: rounds :+ tail).mkString(",\n")
+  }
+
+  /** [[oracleSqlSuffix]]'s BFS prefix with the [[eccentricity]] tail:
+    * defines `nodes`, `lm`, `e2`, `d_0 … d_$k`, and `ec`. */
+  def eccOracleSqlSuffix(nLandmarks: Int, k: Int): String = {
+    val base = oracleSqlSuffix(nLandmarks, k)
+    val prefix = base.substring(0, base.lastIndexOf(",\nhm AS ("))
+    val tail =
+      s"""ec AS (
+         |  SELECT node,
+         |    CAST(count(*) FILTER (dist > 0) AS BIGINT) AS n_reach,
+         |    CAST(max(dist) AS BIGINT) AS ecc_lb
+         |  FROM d_$k GROUP BY 1)""".stripMargin
+    prefix + ",\n" + tail
   }
 }

@@ -585,6 +585,39 @@ object MlPack extends QueryPack {
               |${graft.graph.Landmarks.oracleSqlSuffix(10, 6)}
               |SELECT node, n_reach, harmonic FROM hm ORDER BY node""".stripMargin)),
 
+    // G30 (round-14): landmark ECCENTRICITY lower bounds — the other
+    // product of m19's bounded BFS (shared distances code path,
+    // Landmarks.scala): per node, the max distance to any landmark
+    // within the 6-hop horizon. max over nodes lower-bounds the
+    // diameter from exact distances (the complement of g24's HyperANF
+    // effective-diameter estimate, which approximates from sketches) —
+    // the landmark-bound technique of the shortest-path-estimation
+    // literature. Same landmarks × nodes state bound; rides the
+    // shared corrGraph.
+    Q("g30_eccentricity",
+      (s, dir) => {
+        import s.implicits._
+        val und = corrGraph(s, dir).select($"ka", $"kb")
+        val edges = und.select($"ka".as("src"), $"kb".as("dst"))
+          .unionByName(und.select($"kb".as("src"), $"ka".as("dst")))
+        graft.graph.Landmarks.eccentricity(edges, nLandmarks = 10, k = 6)
+      },
+      Some(s"""WITH d AS (
+              |  SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+              |    sum(value) AS v
+              |  FROM events WHERE user_id < 200 GROUP BY 1, 2),
+              |c AS (
+              |  SELECT a.user_id AS ka, b.user_id AS kb,
+              |    round(corr(a.v, b.v) + 1e-9, 4) AS r
+              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+              |  GROUP BY 1, 2),
+              |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
+              |edges AS (
+              |  SELECT ka AS src, kb AS dst FROM e0
+              |  UNION ALL SELECT kb, ka FROM e0),
+              |${graft.graph.Landmarks.eccOracleSqlSuffix(10, 6)}
+              |SELECT node, n_reach, ecc_lb FROM ec ORDER BY node""".stripMargin)),
+
     // M17 (beyond-reference): multiple linear regression by
     // distributed normal equations — the single-pass OLS shape for
     // tall-skinny design matrices (aggregate the Gram moments, solve
