@@ -51,11 +51,40 @@ object Bench {
         }
       }
     }
+    // Block-manager occupancy probe (round-15, VERDICT items 1-2): the
+    // r14 rep pass ran 2.5-8× slower than first-pass on checkpoint-heavy
+    // lines because hundreds of localCheckpoint blocks accumulated over
+    // the 263-query suite. These two helpers make occupancy measurable
+    // and resettable. getRDDStorageInfo reads the async status store, so
+    // a snapshot can lag the last job by a beat — fine for a probe.
+    def storageSnap(): (Int, Long) = {
+      val inf = spark.sparkContext.getRDDStorageInfo
+      (inf.length, inf.map(i => i.memSize + i.diskSize).sum)
+    }
+    // Unpersisting is safe ONLY for reference-free blocks: a pack memo
+    // still holding a localCheckpointed frame would crash on next read
+    // (lineage is truncated — blocks are the only copy). Callers must
+    // clear the pack memo maps + PersistRegistry FIRST.
+    def unpersistAll(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    val storageMarks = scala.collection.mutable.LinkedHashMap[String, (Int, Long)]()
+    def markStorage(label: String): Unit = {
+      val s = storageSnap()
+      storageMarks(label) = s
+      System.err.println(
+        s"[bench] storage $label: ${s._1} rdds, ${s._2 / (1 << 20)} MiB")
+    }
     // Drop warm-scale cached frames (pack memo caches + internally
-    // persisted frames) before measuring: they only cost memory.
+    // persisted frames) before measuring: they only cost memory. Then
+    // unpersist the now reference-free warm-pass checkpoint blocks so
+    // the measured pass starts on an EMPTY block manager (round-15:
+    // previously they lingered until GC).
     graft.queries.DedupSimPack.clearCaches(spark)
     graft.queries.MlPack.clearCaches(spark)
     graft.io.PersistRegistry.clear(spark)
+    unpersistAll()
+    markStorage("after_warm_reset")
     // Deterministic name order: Map hash order reshuffles whenever the
     // query set changes, which silently re-attributes shared one-time
     // costs (feature caches, fitted models) to a different "first" query
@@ -128,9 +157,16 @@ object Bench {
         setup(name) = (System.nanoTime() - t0) / 1e9
       }
     }
+    // Per-query occupancy samples (round-15): storage bytes AFTER each
+    // query, so the end-of-suite growth the r14 reps paid for is a
+    // measured curve, not a hypothesis. Driver-side map read — free.
+    val storageByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val firstPass = selected.map { case (name, fn) =>
-      val (t, ok) = timeOne(name, fn); (name, t, ok)
+      val (t, ok) = timeOne(name, fn)
+      storageByQuery(name) = storageSnap()._2
+      (name, t, ok)
     }
+    markStorage("after_first_pass")
     // Stall defense (proven necessary in round 3: one GC/host pause
     // inflated g1 14.17s / g15 8.15s on unchanged code and poisoned the
     // headline). Any query measuring >2s AND >3× its warm-pass time is
@@ -163,20 +199,38 @@ object Bench {
         else (name, t, ok)
       } else (name, t, ok)
     }
-    // Rep-2 pass (round-12, VERDICT item 7; widened round-14, VERDICT
-    // item 1): lines swing run to run from cold file-cache/JIT
-    // effects, so round-over-round comparisons chase scheduling noise.
-    // Each line gets ONE additional WARM rep; BENCH_FULL carries the
-    // rep and the per-line median (for two samples, their midpoint) so
-    // comparisons can use the low-variance number. The driver-visible
-    // line and the headline total are UNCHANGED (first-pass numbers)
-    // — reps ride warm pack caches by design, which is the point, not
-    // a bias. Coverage order matters: the ≥2s lines are EXACTLY where
-    // drift keeps appearing (r12 m16, r13 s10/s12 all needed
-    // out-of-band ProfileQuery runs because `med == first` there), so
-    // they rep FIRST — most expensive first, under their own budget —
-    // then the sub-2s lines under the original budget. Cumulative
-    // budgets bound the extra wall time however many queries qualify.
+    // Rep-2 pass (round-12, VERDICT item 7; widened round-14; HYGIENE
+    // RESET round-15, VERDICT item 1): lines swing run to run from cold
+    // file-cache/JIT effects, so round-over-round comparisons chase
+    // scheduling noise. Each line gets ONE additional WARM rep;
+    // BENCH_FULL carries the rep, the per-line median (midpoint of two
+    // samples) and `lo` = min(first, rep) so comparisons can use a
+    // low-variance number. The driver-visible line and the headline
+    // total are UNCHANGED (first-pass numbers).
+    //
+    // The r14 reps ran AFTER the whole 263-query suite with hundreds of
+    // accumulated localCheckpoint blocks in the block manager, and the
+    // checkpoint-heavy lines paid eviction/GC the first pass never saw
+    // (s7 15.9s rep vs 2.0s first). So the rep pass now starts from the
+    // SAME state the measured pass did: pack memos + tracked persists
+    // cleared, every reference-free block dropped, shared stages
+    // rebuilt (their members' first-pass numbers were measured against
+    // freshly-built stages — symmetric). A rep that used to ride its
+    // own first pass's memo (m6b read ~0.1s in r13) now rebuilds it and
+    // reads ≈ first-pass — that is the point: `med` should track the
+    // first-pass number, not an incomparable cache state in either
+    // direction. Coverage order matters: the ≥2s lines are EXACTLY
+    // where drift keeps appearing, so they rep FIRST — most expensive
+    // first, on the freshest block manager, under their own budget —
+    // then the sub-2s lines under the original budget.
+    graft.queries.DedupSimPack.clearCaches(spark)
+    graft.queries.MlPack.clearCaches(spark)
+    graft.io.PersistRegistry.clear(spark)
+    unpersistAll()
+    sharedStages.foreach { case (name, members, build) =>
+      if (selected.exists(s => members.contains(s._1))) buildShared(name, build)
+    }
+    markStorage("after_rep_reset")
     val rep2 = scala.collection.mutable.LinkedHashMap[String, Double]()
     var repBigBudget = 300.0
     results.filter { case (_, t, ok) => ok && t >= 2.0 }
@@ -193,8 +247,15 @@ object Bench {
         if (ok2) { rep2(name) = t2; rep2Budget -= t2 }
       }
     }
+    markStorage("after_reps")
     val med: Map[String, Double] = results.map { case (name, t, _) =>
       name -> rep2.get(name).map(t2 => (t + t2) / 2.0).getOrElse(t)
+    }.toMap
+    // min(first, rep): the drift-comparison FLOOR (round-15, VERDICT
+    // item 1) — robust to a one-off stall in either sample, so a
+    // round-over-round regression in `lo` is a real plan/data change.
+    val lo: Map[String, Double] = results.map { case (name, t, _) =>
+      name -> rep2.get(name).map(t2 => math.min(t, t2)).getOrElse(t)
     }.toMap
     // 2-decimal formatting is load-bearing: the harness that captures this
     // output keeps only the final ~2000 characters, and at full double
@@ -344,7 +405,22 @@ object Bench {
         s""","rep2":${rep2.toSeq.map { case (k, v) =>
           "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
         s""","med":${med.toSeq.sortBy(_._1).map { case (k, v) =>
-          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}}""" + "\n")
+          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
+        s""","lo":${lo.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
+        // storage sidelines (round-15): block-manager occupancy at the
+        // four lifecycle marks + the growth curve over the measured
+        // pass (bytes after every 25th query, plus the peak) — the
+        // numbers behind the rep-pass contamination root-cause.
+        s""","storage_marks":${storageMarks.toSeq.map { case (k, (n, b)) =>
+          "\"" + k + "\":[" + n + "," + b + "]" }.mkString("{", ",", "}")}""" +
+        s""","storage_curve":${
+          val peak = if (storageByQuery.isEmpty) 0L
+                     else storageByQuery.values.max
+          storageByQuery.toSeq.zipWithIndex
+            .filter { case ((_, b), i) => i % 25 == 0 || b == peak }
+            .map { case ((k, b), _) => "\"" + k + "\":" + b }
+            .mkString("{", ",", "}")}}""" + "\n")
     catch { case _: Throwable => () }
     // Print AFTER spark.stop(): late task-kill WARNs from Spark's logger
     // thread can otherwise interleave mid-line and corrupt the one JSON

@@ -427,10 +427,14 @@ object Multimodal {
           i += 1
         }
         val bands = new Array[Long](8)
-        // 8 bands × 16 bits: longer clips contribute only their first
-        // 128 frames to the signature (the fixed-length fingerprint
-        // contract; a longer-form variant would window the clip)
-        val nBits = math.min(nFrames - 1, 128)
+        // 8 bands × 16 bits = 127 delta bits max: longer clips
+        // contribute only their first 128 frames (127 deltas) to the
+        // signature — the fixed-length fingerprint contract; a cap of
+        // 128 would set a 128th bit (index 127 in band 7's 16-bit
+        // window is fine, but bit 127 of the DELTA string contradicts
+        // the documented 127-bit / 8×16-band contract the oracle
+        // replays with f < 127). Round-15 ADVICE fix.
+        val nBits = math.min(nFrames - 1, 127)
         var f = 0
         while (f < nBits) {
           if (energy(f + 1) > energy(f))

@@ -81,7 +81,12 @@ object Wav {
           require(channels == 1, s"mono only (got $channels)")
           require(bits == 16, s"16-bit only (got $bits)")
           require(rate > 0, s"bad sample rate $rate")
-          bb.position(bb.position() + (n - 16) + (n & 1))
+          // the RIFF pad byte after an odd-size chunk is OPTIONAL at
+          // end-of-payload: bound the skip by what actually remains so
+          // a chunk ending exactly at the buffer edge stays inside the
+          // codec's own diagnostics (round-15 ADVICE fix)
+          bb.position(bb.position() +
+            math.min((n - 16) + (n & 1), bb.remaining()))
         case "data" =>
           require(rate > 0, "data chunk before fmt")
           require(n % 2 == 0, s"odd data size $n for 16-bit samples")
@@ -89,8 +94,9 @@ object Wav {
           var i = 0
           while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
           return Clip(rate, samples)
-        case _ => // LIST, fact, cue … — skip (sizes are word-aligned)
-          bb.position(bb.position() + n + (n & 1))
+        case _ => // LIST, fact, cue … — skip (sizes are word-aligned;
+          // pad byte bounded by remaining: optional at end-of-payload)
+          bb.position(bb.position() + math.min(n + (n & 1), bb.remaining()))
       }
     }
     throw new IllegalArgumentException("no data chunk")

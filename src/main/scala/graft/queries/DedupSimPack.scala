@@ -249,9 +249,11 @@ object DedupSimPack extends QueryPack {
     // eval — the leakage w16's row-wise split cannot rule out. The
     // assignment is a pure function of the cluster id (no extra
     // shuffle beyond d6's components + one count aggregate), so it is
-    // stable under corpus growth: adding docs never moves an existing
-    // cluster's split. Output audits the split: docs and clusters per
-    // side.
+    // stable under growth that does NOT merge existing clusters: a
+    // new doc whose dup edges bridge two clusters merges them, and
+    // the merged component's min-id label — hence its split — can
+    // change for one side's docs (round-15 ADVICE caveat). Output
+    // audits the split: docs and clusters per side.
     Q("d17_leakage_safe_split",
       (s, dir) => {
         import s.implicits._

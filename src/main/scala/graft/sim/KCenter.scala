@@ -55,6 +55,13 @@ object KCenter {
     var r = 1
     while (r < k) {
       val nxt = md.orderBy($"md".desc, $"vec_id").limit(1).collect()(0)
+      // Farthest distance 0 means every corpus point coincides with a
+      // chosen center — the argmax would re-select an already-chosen
+      // point and silently break the distinct-centers contract (k can
+      // exceed the number of DISTINCT points even when it is under the
+      // row count, e.g. duplicated embeddings). Fail loudly instead.
+      require(nxt.getDouble(2) > 0.0,
+        s"k=$k exceeds the number of distinct corpus points ($r found)")
       centers = centers :+ ((nxt.getLong(0),
         nxt.getSeq[Double](1).toVector, nxt.getDouble(2)))
       md = md.withColumn("md", least($"md", sqDistTo($"v", centers(r)._2)))

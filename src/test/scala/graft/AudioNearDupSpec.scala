@@ -50,6 +50,30 @@ class AudioNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint is capped at 127 delta bits: long clips match their " +
+      "first-128-frame truncation") {
+    // A 200-frame clip must fingerprint identically to its first 128
+    // frames (127 deltas) — a 128-bit cap would set delta bit 127 from
+    // frame 128, contradicting the documented 127-bit / 8×16-band
+    // contract the mm7 oracle replays with f < 127 (round-15 ADVICE fix).
+    import graft.multimodal.Wav
+    def bands(nFrames: Int): Seq[Long] = {
+      val samples = Array.tabulate(nFrames * 8) { i =>
+        val f = i / 8
+        (20 + (f * f * 31 + f * 7) % 80).toShort // energies vary per frame
+      }
+      val df = Seq((0L, Wav.encode(Wav.Clip(8000, samples))))
+        .toDF("id", "payload")
+      Multimodal.audioFingerprintBands(df).collect().head
+        .getSeq[Long](1).toSeq
+    }
+    val long = bands(200)
+    assert(long == bands(128),
+      "frames past 128 must not contribute delta bits")
+    assert((long(7) & (1L << 15)) == 0L,
+      "delta bit 127 must never be set (127-bit contract)")
+  }
+
   test("within-group Hamming <= 4; cross-group above the query threshold") {
     val ids = (0L until 32L) // 4 groups of 8
     val bands = actualBands(ids)

@@ -55,6 +55,22 @@ class KCenterSpec extends AnyFunSuite {
     assert(out.forall(_._3 <= 16.0), s"cover radius exceeds cluster spread: $out")
   }
 
+  test("k beyond the distinct-point count fails loudly, not with " +
+      "silently duplicated centers") {
+    // 4 rows but only 2 DISTINCT embeddings: once both are chosen every
+    // min-distance is 0 and the argmax would re-select a chosen point
+    // (round-15 ADVICE fix — the distinct-centers contract only holds
+    // for k <= #distinct points, so exceeding it must throw).
+    val dups = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)),
+      (2L, Seq(5.0, 5.0)), (3L, Seq(5.0, 5.0))).toDF("vec_id", "v")
+    val ok = KCenter.greedy(dups, "vec_id", "v", k = 2).collect()
+    assert(ok.map(_.getLong(1)).toSet == Set(0L, 2L))
+    val e = intercept[IllegalArgumentException](
+      KCenter.greedy(dups, "vec_id", "v", k = 3).collect())
+    assert(e.getMessage.contains("distinct corpus points"))
+  }
+
   test("deterministic across runs") {
     val a = KCenter.greedy(clustered, "vec_id", "v", k = 4).collect().toSeq
     val b = KCenter.greedy(clustered, "vec_id", "v", k = 4).collect().toSeq

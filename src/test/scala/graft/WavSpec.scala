@@ -38,6 +38,22 @@ class WavSpec extends AnyFunSuite {
       "a fixed-offset reader breaks here; the chunk walk must not")
   }
 
+  test("odd-size chunk ending at the payload edge gets the codec's own " +
+      "diagnostic (pad byte is optional at end-of-payload)") {
+    // RIFF + fmt, then a LIST chunk of ODD size whose last byte IS the
+    // last payload byte — no pad byte, no data chunk. The skip must be
+    // bounded by the remaining bytes (round-15 ADVICE fix) so decode
+    // reaches its own "no data chunk" require instead of tripping
+    // ByteBuffer.position's unlabeled bounds check.
+    val enc = Wav.encode(clip(4))
+    val trailer = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5) // odd, unpadded
+    val spliced = enc.take(36) ++ trailer
+    val e = intercept[IllegalArgumentException](Wav.decode(spliced))
+    assert(e.getMessage.contains("no data chunk"),
+      s"expected the codec diagnostic, got: ${e.getMessage}")
+  }
+
   test("malformed and adversarial payloads are rejected") {
     val good = Wav.encode(clip(8))
     intercept[IllegalArgumentException](Wav.decode(null))
