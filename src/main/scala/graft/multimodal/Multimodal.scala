@@ -191,11 +191,14 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** Format-dispatched decode + features over a mixed Netpbm payload
-    * column: [[Ppm.decodeAuto]] picks the codec from the magic bytes;
-    * per image the format tag, dimensions, channel count, mean sample
-    * value and a position-weighted checksum `Σ v·(1 + j mod 16)` —
-    * all integer/closed-form so a second engine replays them from the
+  /** Format-dispatched decode + features over a mixed image payload
+    * column: [[Images.decodeAuto]] picks the codec from the magic
+    * bytes (P6 / P5 since round-14; PNG since round-15 — a REAL
+    * zlib-inflate + un-filter decode, so for PNG rows the closed-form
+    * oracle checks the whole compressed round trip); per image the
+    * format tag, dimensions, channel count, mean sample value and a
+    * position-weighted checksum `Σ v·(1 + j mod 16)` — all
+    * integer/closed-form so a second engine replays them from the
     * generator formula without decoding a byte. Narrow batched pass;
     * emits `(id, format, width, height, channels, mean_v, cksum)`. */
   def netpbmFeatures(df: DataFrame, idCol: String = "id",
@@ -209,7 +212,7 @@ object Multimodal {
     val pIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val ras = Ppm.decodeAuto(r.getAs[Array[Byte]](pIdx))
+        val ras = Images.decodeAuto(r.getAs[Array[Byte]](pIdx))
         var sum = 0L; var cksum = 0L; var j = 0
         while (j < ras.data.length) {
           val v = ras.data(j) & 0xff
@@ -219,6 +222,40 @@ object Multimodal {
         }
         Row(r.getLong(idIdx), ras.format, ras.width, ras.height,
           ras.channels, sum.toDouble / ras.data.length, cksum)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic THREE-FORMAT payload (round-15): ids ≡ 0 (mod 3)
+    * encode as P6 color rasters, ≡ 1 as P5 grayscale, ≡ 2 as REAL
+    * PNG (8-bit RGB, zlib-deflated scanlines — [[Png.encode]]), all
+    * over the same closed-form bytes `(id·31 + j·7) mod 251` (3·w·h
+    * bytes for the color formats, w·h for grayscale). PNG rows cycle
+    * the forward filter type (None/Sub/Up/Average/Paeth, by id mod 5)
+    * so every un-filter path runs in the PRODUCTION query, not just
+    * the spec. The payload bytes are compressed and engine-specific,
+    * but the decoded PIXELS replay the formula exactly — which is the
+    * point: the oracle hash-checks the whole inflate + un-filter round
+    * trip. Emits `(id, payload binary)`. */
+  def synthMixedImagePayload(df: DataFrame, idCol: String,
+                             width: Int = 16, height: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = if (id % 3 == 1) width * height else 3 * width * height
+        val data = new Array[Byte](n)
+        var j = 0
+        while (j < n) { data(j) = ((id * 31 + j * 7) % 251).toByte; j += 1 }
+        val payload = (id % 3) match {
+          case 0 => Ppm.encode(Ppm.Image(width, height, 255, data))
+          case 1 => Ppm.encodePgm(width, height, 255, data)
+          case _ => Png.encode(width, height, 3, data,
+            filter = (id % 5).toInt)
+        }
+        Row(id, payload)
       }
     }(Encoders.row(schema))
   }
@@ -237,7 +274,16 @@ object Multimodal {
     * differs in ≤ 2 bits confined to one hash row, while different
     * groups are unrelated rasters — the ground-truth layout the
     * banded-LSH recall argument needs, replayed exactly by the
-    * oracle's md5. */
+    * oracle's md5.
+    *
+    * FORMAT MIX (round-15): odd ids encode the same raster as REAL
+    * PNG ([[Png.encode]], RGB, filter cycling by id mod 5) instead of
+    * P6 — the pixels (and so the dHash, the oracle and every query
+    * hash) are IDENTICAL, but the decode side must dispatch on magic
+    * bytes and run the zlib inflate + un-filter path on half the
+    * corpus. A near-dup pair now usually spans the two codecs, so a
+    * pixel-level disagreement between them would break the planted
+    * recall, not just one row's features. */
   def synthPpmGroupPayload(df: DataFrame, idCol: String,
                            width: Int = 18, height: Int = 8,
                            groupSize: Int = 8): DataFrame = {
@@ -273,14 +319,18 @@ object Multimodal {
           data(j) = ((base(j) + perturb) % 251).toByte
           j += 1
         }
-        Row(id, Ppm.encode(Ppm.Image(width, height, 255, data)))
+        val payload =
+          if (id % 2 == 0) Ppm.encode(Ppm.Image(width, height, 255, data))
+          else Png.encode(width, height, 3, data, filter = (id % 5).toInt)
+        Row(id, payload)
       }
     }(Encoders.row(schema))
   }
 
   /** dHash (difference hash) over REAL decoded pixels — the standard
     * perceptual fingerprint for image near-dup detection: decode the
-    * P6 payload ([[Ppm.decode]]), reduce to grayscale (per-pixel
+    * payload (magic-dispatched [[Images.decodeAuto]] — P6 or PNG;
+    * 3-channel rasters required), reduce to grayscale (per-pixel
     * channel sum — integer, no float pooling), box-downsample each row
     * pairwise to `width/2 = 9` cells, then bit (x, y) = 1 iff
     * cell x+1 > cell x — an 8×8 = 64-bit gradient signature that is
@@ -301,7 +351,9 @@ object Multimodal {
     val pIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val img = Ppm.decode(r.getAs[Array[Byte]](pIdx))
+        val img = Images.decodeAuto(r.getAs[Array[Byte]](pIdx))
+        require(img.channels == 3,
+          s"dHash expects 3-channel rasters, got ${img.channels} (${img.format})")
         val w = img.width; val h = img.height
         val cw = w / 2 // pooled cells per row; bits per row = cw - 1
         val cells = new Array[Long](cw * h)
