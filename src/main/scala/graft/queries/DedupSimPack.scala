@@ -381,13 +381,20 @@ object DedupSimPack extends QueryPack {
     // drop decisions ALL replay in DuckDB and the operator is
     // hash-checked end to end. Top-20 pairs shown (bounded heap);
     // d5 is the LSH-bucketed flavor of the same curation step.
+    // ADAPTIVE cell count since round-15 (VERDICT item 4):
+    // targetCell=64 keeps per-cell size — and with it the Σ cell²
+    // pair volume — constant as the corpus grows (nCells: 8 at
+    // sf0.01, 32 at sf0.1, ~313 at sf1x), closing the record's one
+    // measured super-linear line; the oracle's subquery LIMIT
+    // replays the same ceil(n/64) rule.
     Q("d14_semdedup",
       (s, dir) => {
         import s.implicits._
         graft.sim.SemDedup.pairs(
             Tables.embeddings(s, dir)
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
-            "vec_id", "v", dims = 64, nCells = 8, threshold = 0.9)
+            "vec_id", "v", dims = 64, nCells = 0, threshold = 0.9,
+            targetCell = 64)
           .orderBy(desc("cos"), $"id_a", $"id_b")
           .limit(20)
       },
@@ -399,7 +406,9 @@ object DedupSimPack extends QueryPack {
              |  FROM e),
              |cells AS (SELECT v AS cellv,
              |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
-             |  FROM hs ORDER BY h, vec_id LIMIT 8),
+             |  FROM hs ORDER BY h, vec_id
+             |  LIMIT greatest(1, CAST(ceil(
+             |    (SELECT count(*) FROM e) / 64.0) AS BIGINT))),
              |asg AS (SELECT vec_id, cell FROM (
              |    SELECT e.vec_id, c.cell,
              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -441,8 +450,8 @@ object DedupSimPack extends QueryPack {
         graft.sim.SemDedup.pairs(
             Tables.embeddings(s, dir)
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
-            "vec_id", "v", dims = 64, nCells = 8, threshold = 0.7,
-            paperRule = true)
+            "vec_id", "v", dims = 64, nCells = 0, threshold = 0.7,
+            paperRule = true, targetCell = 64)
           .orderBy(desc("cos"), $"id_a", $"id_b")
           .limit(20)
       },
@@ -454,7 +463,9 @@ object DedupSimPack extends QueryPack {
              |  FROM e),
              |cells AS (SELECT v AS cellv,
              |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
-             |  FROM hs ORDER BY h, vec_id LIMIT 8),
+             |  FROM hs ORDER BY h, vec_id
+             |  LIMIT greatest(1, CAST(ceil(
+             |    (SELECT count(*) FROM e) / 64.0) AS BIGINT))),
              |asg AS (SELECT vec_id, cell, round(cd2 + 1e-9, 6) AS dd
              |  FROM (
              |    SELECT e.vec_id, c.cell,

@@ -38,11 +38,29 @@ object SemDedup {
 
   /** All within-cluster candidate pairs with their cosine and the
     * SemDeDup decision. Output: `(cell, id_a, id_b, cos, drop_id)`
-    * with `cos` r6-rounded and `drop_id` NULL below threshold. */
+    * with `cos` r6-rounded and `drop_id` NULL below threshold.
+    *
+    * Cell-count modes (round-15, VERDICT item 4): pass `nCells` > 0
+    * for a FIXED cluster count, or `targetCell` > 0 for the ADAPTIVE
+    * mode — `nCells = ceil(n / targetCell)` from one count() before
+    * the fit, so per-cell size (and with it the Σ cell² pairwise
+    * cost) stays CONSTANT as the corpus grows instead of growing
+    * quadratically per cell. This closes the one measured
+    * super-linear line in the sf1x record: fixed nCells=8 inflated
+    * d14b ~100× in pair volume at 10× data; adaptive keeps the pair
+    * stage linear in n. The oracle replays the same rule with a
+    * subquery LIMIT (`LIMIT greatest(1, ceil(count(*)/targetCell))`),
+    * so the adaptive fit stays hash-checked cross-engine. */
   def pairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
             nCells: Int, threshold: Double,
-            paperRule: Boolean = false): DataFrame = {
-    val cells = IvfPq.coarseCells(df, idCol, vecCol, nCells)
+            paperRule: Boolean = false, targetCell: Int = 0): DataFrame = {
+    require((nCells > 0) ^ (targetCell > 0),
+      s"exactly one of nCells ($nCells) / targetCell ($targetCell) must be set")
+    val k =
+      if (targetCell > 0)
+        math.max(1L, (df.count() + targetCell - 1) / targetCell).toInt
+      else nCells
+    val cells = IvfPq.coarseCells(df, idCol, vecCol, k)
       .localCheckpoint()
     // nearest cell by exact squared L2 (the mm4 assignment idiom:
     // broadcast the nCells full vectors, min over a (cd2, cell) struct

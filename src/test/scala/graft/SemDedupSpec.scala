@@ -82,4 +82,27 @@ class SemDedupSpec extends AnyFunSuite {
     assert(paper != default,
       "fixture must exercise the farther-member-has-lower-id case")
   }
+
+  test("adaptive targetCell mode = fixed nCells at the implied count") {
+    import spark.implicits._
+    // 10 points, targetCell=3 → nCells = ceil(10/3) = 4: the adaptive
+    // mode must be bit-identical to fixed nCells=4 (same fit, same
+    // assignment, same pairs) — the rule the oracle's subquery LIMIT
+    // replays. Exactly-one-mode contract enforced.
+    val rows = (1L to 10L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 7.0 + d) * 3)))
+    val df = rows.toDF("vec_id", "v")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    val adaptive = SemDedup.pairs(df, "vec_id", "v", dims = 4, nCells = 0,
+      threshold = 0.9, targetCell = 3).collect().map(key).toSet
+    val fixed = SemDedup.pairs(df, "vec_id", "v", dims = 4, nCells = 4,
+      threshold = 0.9).collect().map(key).toSet
+    assert(adaptive == fixed)
+    intercept[IllegalArgumentException](
+      SemDedup.pairs(df, "vec_id", "v", 4, 0, 0.9))
+    intercept[IllegalArgumentException](
+      SemDedup.pairs(df, "vec_id", "v", 4, 2, 0.9, targetCell = 3))
+  }
 }
