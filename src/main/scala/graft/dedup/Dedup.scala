@@ -85,14 +85,11 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature array (bands × rowsPerBand =
     * numPerm), bucket-join on (band, band-key md5), keep each pair once.
-    * Only colliding buckets generate pairs. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = bandedKeys(sigs, bands, rowsPerBand)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-  }
+    * Only colliding buckets generate pairs (the shared
+    * [[BandedLsh.selfCandidates]] core — md5 band keys, so the bucket
+    * key-space is never the binding constraint here). */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    BandedLsh.selfCandidates(bandedKeys(sigs, bands, rowsPerBand))
 
   /** Incremental near-dedup candidates from SIGNATURE tables: bands both
     * sides, then delegates to [[lshCandidatesAgainstIndex]]. NOTE the
@@ -113,18 +110,11 @@ object Dedup {
     * bucket fan-in against the index, not a corpus re-pass. Pairs come
     * out normalized (id_a < id_b) and distinct; new–new pairs are found
     * once. At scale the banded index is the thing a production pipeline
-    * keeps materialized (bucketed by band_key) between batches. */
+    * keeps materialized (bucketed by band_key) between batches.
+    * Delegates to the shared [[BandedLsh.deltaCandidates]] core. */
   def lshCandidatesAgainstIndex(newBanded: DataFrame,
-                                indexBanded: DataFrame): DataFrame = {
-    val bn = newBanded.as("n")
-    val bi = indexBanded.as("i")
-    bn.join(bi,
-        col("n.band") === col("i.band") && col("n.band_key") === col("i.band_key") &&
-          col("n.id") =!= col("i.id"))
-      .select(least(col("n.id"), col("i.id")).as("id_a"),
-              greatest(col("n.id"), col("i.id")).as("id_b"))
-      .distinct()
-  }
+                                indexBanded: DataFrame): DataFrame =
+    BandedLsh.deltaCandidates(newBanded, indexBanded)
 
   /** Exact Jaccard verification of candidate pairs over distinct shingle
     * sets — joins only the candidate docs' shingles, not all pairs.

@@ -1438,7 +1438,9 @@ object StreamMultimodalPack extends QueryPack {
     // (Σ|bucket|² — never all-pairs), and band WIDTH is the knob that
     // keeps accidental buckets small as the corpus grows (16 bits per
     // band here; a web corpus widens bands / adds a second hash, the
-    // d2 banding argument verbatim). same_group exposes the planted
+    // d2 banding argument verbatim). Routed through the shared
+    // BandedLsh skeleton since round-15, which ENFORCES the
+    // bucket-count ≥ corpus rule. same_group exposes the planted
     // ground truth: recall of the within-group near-dups, and any
     // cross-group survivor is exactly what the Hamming verify stage
     // exists to reject.
@@ -1449,21 +1451,8 @@ object StreamMultimodalPack extends QueryPack {
             Multimodal.synthPpmGroupPayload(
               Tables.documents(s, dir), "doc_id"))
           .localCheckpoint() // decode once: band join + both hamming reads
-        val ex = bands.select($"id",
-          posexplode($"bands").as(Seq("k", "band")))
-        val cand = ex.as("a").join(ex.as("b"),
-            $"a.k" === $"b.k" && $"a.band" === $"b.band" &&
-              $"a.id" < $"b.id")
-          .select($"a.id".as("id_a"), $"b.id".as("id_b"))
-          .distinct()
-        cand
-          .join(bands.select($"id".as("id_a"), $"bands".as("ba")), "id_a")
-          .join(bands.select($"id".as("id_b"), $"bands".as("bb")), "id_b")
-          .withColumn("hamming", aggregate(
-            zip_with($"ba", $"bb",
-              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-            lit(0L), (acc, x) => acc + x))
-          .filter($"hamming" <= 6)
+        graft.dedup.BandedLsh.hammingPairs(bands, bandBits = 16,
+            maxHamming = 6)
           .select($"id_a", $"id_b", $"hamming",
             (($"id_a" - $"id_a" % 8) === ($"id_b" - $"id_b" % 8))
               .as("same_group"))
@@ -1563,7 +1552,9 @@ object StreamMultimodalPack extends QueryPack {
     // out. A doc's ≤2-bit adjacent perturbation touches at
     // most 2 bands, so every within-group pair surfaces from the ≥ 6
     // clean bands; band WIDTH is the corpus-size knob (the d2
-    // argument verbatim). same_group exposes the planted truth.
+    // argument verbatim), enforced structurally by the shared
+    // BandedLsh skeleton since round-15. same_group exposes the
+    // planted truth.
     Q("mm7_audio_neardup",
       (s, dir) => {
         import s.implicits._
@@ -1571,21 +1562,8 @@ object StreamMultimodalPack extends QueryPack {
             Multimodal.synthWavGroupPayload(
               Tables.documents(s, dir), "doc_id"))
           .localCheckpoint() // decode once: band join + both hamming reads
-        val ex = bands.select($"id",
-          posexplode($"bands").as(Seq("k", "band")))
-        val cand = ex.as("a").join(ex.as("b"),
-            $"a.k" === $"b.k" && $"a.band" === $"b.band" &&
-              $"a.id" < $"b.id")
-          .select($"a.id".as("id_a"), $"b.id".as("id_b"))
-          .distinct()
-        cand
-          .join(bands.select($"id".as("id_a"), $"bands".as("ba")), "id_a")
-          .join(bands.select($"id".as("id_b"), $"bands".as("bb")), "id_b")
-          .withColumn("hamming", aggregate(
-            zip_with($"ba", $"bb",
-              (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-            lit(0L), (acc, x) => acc + x))
-          .filter($"hamming" <= 4)
+        graft.dedup.BandedLsh.hammingPairs(bands, bandBits = 16,
+            maxHamming = 4)
           .select($"id_a", $"id_b", $"hamming",
             (($"id_a" - $"id_a" % 8) === ($"id_b" - $"id_b" % 8))
               .as("same_group"))
