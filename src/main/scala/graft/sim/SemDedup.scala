@@ -50,7 +50,16 @@ object SemDedup {
     * d14b ~100× in pair volume at 10× data; adaptive keeps the pair
     * stage linear in n. The oracle replays the same rule with a
     * subquery LIMIT (`LIMIT greatest(1, ceil(count(*)/targetCell))`),
-    * so the adaptive fit stays hash-checked cross-engine. */
+    * so the adaptive fit stays hash-checked cross-engine.
+    *
+    * Remaining scale knob: flat IVF ASSIGNMENT scans all nCells
+    * centroids per point — n·nCells = n²/targetCell distance
+    * evaluations (measured sublinear in wall at the sf1x decade:
+    * broadcast centroids, map-side argmin, one n-row shuffle). At
+    * another decade the fix is a hierarchical coarse fit — assign to
+    * ⌈√nCells⌉ super-cells first, then scan only that super-cell's
+    * members — trading exactness of the cell argmin (the paper's
+    * k-means is approximate anyway) for n·√nCells work. */
   def pairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
             nCells: Int, threshold: Double,
             paperRule: Boolean = false, targetCell: Int = 0): DataFrame = {

@@ -54,3 +54,71 @@ gen("embeddings", f"""
   ORDER BY vec_id""")
 
 print("done ->", DST)
+
+# ---------------------------------------------------------------------
+# Zipf-skew variant (round-15, VERDICT item 6): the uniform x10 replica
+# above is the banded-LSH worst case (every cluster exactly 10), but
+# real web corpora have Zipf-distributed duplicate-cluster sizes - a
+# few giant clusters and a long singleton tail. This writes a second
+# measurement-only documents table at target/sf1z with the same ~50k
+# row count but skewed clusters:
+#
+#   cluster i (1-based) holds max(1, floor(S / i^1.05)) identical
+#   copies of source text (i mod 5000), salted with a per-cluster
+#   prefix token so texts NEVER collide across clusters; S is
+#   calibrated so the head cluster is ~1.5% of the corpus and the
+#   total is padded with singletons to exactly 10x the source.
+#
+# events/embeddings are copied from sf1x (the skew axis is document
+# text; the pair-generating lines under test read documents only, and
+# a complete table set keeps ProfileQuery's sfdir contract).
+DSTZ = "/root/repo/target/sf1z"
+os.makedirs(DSTZ, exist_ok=True)
+
+n_src = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+total = n_src * REPS
+S = 800.0
+sizes = []
+acc = 0
+i = 1
+while acc < total:
+    c = max(1, int(S / i ** 1.05))
+    if acc + c > total:
+        c = total - acc
+    sizes.append(c)
+    acc += c
+    i += 1
+print(f"zipf plan: {len(sizes)} clusters, head={sizes[0]}, "
+      f"singletons={sum(1 for c in sizes if c == 1)}, total={acc}")
+con.execute("CREATE TABLE zplan (cluster BIGINT, csize BIGINT)")
+con.executemany("INSERT INTO zplan VALUES (?, ?)",
+                list(enumerate(sizes, start=1)))
+
+out = f"{DSTZ}/documents.parquet"
+con.execute(f"""
+  COPY (
+    WITH src AS (
+      SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, text, lang, source
+      FROM '{SRC}/documents.parquet'),
+    docs AS (
+      SELECT z.cluster, 'zc' || z.cluster || ' ' || s.text AS text,
+             s.lang, s.source,
+             row_number() OVER (ORDER BY z.cluster, r.i) - 1 AS doc_id
+      FROM zplan z
+      JOIN src s ON s.rn = z.cluster % {n_src}
+      CROSS JOIN range(0, {max(sizes)}) r(i)
+      WHERE r.i < z.csize)
+    SELECT doc_id, text, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM docs ORDER BY doc_id
+  ) TO '{out}' (FORMAT PARQUET)""")
+a = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/documents.parquet'").fetchall()
+b = con.sql(f"DESCRIBE SELECT * FROM '{out}'").fetchall()
+assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b], (a, b)
+nz = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+assert nz == total, (nz, total)
+print("documents(zipf)", nz)
+for t in ("events", "embeddings"):
+    con.execute(f"COPY (SELECT * FROM '{DST}/{t}.parquet') "
+                f"TO '{DSTZ}/{t}.parquet' (FORMAT PARQUET)")
+print("done ->", DSTZ)
