@@ -241,6 +241,78 @@ object DedupSimPack extends QueryPack {
               |SELECT comp.doc_id, comp.cluster, cs.cluster_size
               |FROM comp JOIN cs USING (cluster)""".stripMargin)),
 
+    // D18 (round-15): duplicate-cluster SIZE HISTOGRAM — the audit a
+    // curation pipeline runs before choosing a dedup strategy: how is
+    // duplicate mass distributed? A few giant clusters (crawler
+    // loops, boilerplate mirrors) call for cluster-cap policies; a
+    // long near-singleton tail means exact dedup alone recovers
+    // little. This is precisely the Zipf-vs-uniform distinction the
+    // sf1z scale fixture models — made a first-class queryable.
+    // Shape: d6's components (memoized verified-pairs stage),
+    // singletons = their own cluster via the d17 left-join idiom,
+    // then two bounded aggregates; output ≤ distinct cluster sizes
+    // (≤ √(2n) rows), so the histogram is driver-safe at any corpus
+    // size.
+    Q("d18_cluster_size_hist",
+      (s, dir) => {
+        import s.implicits._
+        val edges = verifiedPairs(s, dir)
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val comp = Dedup.components(edges)
+        val assigned = Tables.documents(s, dir).select($"doc_id")
+          .join(comp.select($"id".as("doc_id"), $"cluster"),
+            Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce($"cluster", $"doc_id"))
+        assigned.groupBy($"cluster")
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy($"cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            ($"cluster_size" * count(lit(1))).as("n_docs"))
+          .orderBy($"cluster_size".desc)
+      },
+      Some(s"""WITH RECURSIVE $OracleSig,
+              |$OracleBand,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2),
+              |ed AS (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes za ON za.id = c.id_a
+              |  JOIN sizes zb ON zb.id = c.id_b
+              |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= 0.5),
+              |sym AS (
+              |  SELECT id_a AS a, id_b AS b FROM ed
+              |  UNION SELECT id_b, id_a FROM ed
+              |  UNION SELECT id_a, id_a FROM ed
+              |  UNION SELECT id_b, id_b FROM ed),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+              |comp AS (SELECT a AS doc_id, min(b) AS cluster
+              |         FROM reach GROUP BY a),
+              |asg AS (
+              |  SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster
+              |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+              |cs AS (SELECT cluster, count(*) AS cluster_size
+              |       FROM asg GROUP BY cluster)
+              |SELECT cluster_size, count(*) AS n_clusters,
+              |  cluster_size * count(*) AS n_docs
+              |FROM cs GROUP BY cluster_size
+              |ORDER BY cluster_size DESC""".stripMargin)),
+
     // D17 (round-14): LEAKAGE-SAFE train/val/test split — the split a
     // dedup-aware pipeline actually ships: WHOLE near-dup clusters
     // (d6's components, singletons = their own cluster) are assigned
