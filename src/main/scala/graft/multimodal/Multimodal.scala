@@ -399,6 +399,31 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic wide-range PCM clip encoded as a REAL G.711 μ-law
+    * WAV payload (round-15): sample i of key `id` is
+    * `((id·131 + i·263) mod 60001) − 30000` — a signed waveform
+    * spanning nearly the full 16-bit range, so the companding
+    * exercises every exponent band and both signs — compressed by
+    * [[Wav.encodeUlaw]] into a fmt-7 RIFF container at 8 kHz. The
+    * encode is LOSSY (8-bit log quantization); the oracle replays the
+    * compress→expand round trip closed-form, so any bit of the
+    * companding tables being wrong hash-fails the features. Narrow
+    * batched pass; emits `(id, payload binary)`. */
+  def synthUlawPayload(df: DataFrame, idCol: String,
+                       nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 131 + i * 263) % 60001) - 30000).toShort)
+        Row(id, Wav.encodeUlaw(Wav.Clip(8000, samples)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic GROUPED WAV payload for the audio near-dup tier
     * (round-14, mm7): docs in the same group of `groupSize` share one
     * base waveform — the clip is 128 frames of 8 samples, every sample

@@ -1535,6 +1535,64 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(sum(v * v) AS BIGINT) AS energy
              |FROM w GROUP BY doc_id""".stripMargin)),
 
+    // MM8 (round-15): LOSSY audio decode made real — G.711 μ-law
+    // (fmt-7 WAV, the telephony standard's 8-bit companded PCM):
+    // wide-range 16-bit waveforms are COMPRESSED to μ-law bytes
+    // (sign + 3-bit exponent + 4-bit mantissa, logarithmic
+    // quantization — a genuine lossy encode), decoded back to
+    // bucket-midpoint samples by the real parser, and the signal
+    // features computed from the DECODED (distorted) samples. The
+    // waveform spans ±30000 so every exponent band and both signs
+    // run; the oracle replays the compress→expand round trip
+    // closed-form (threshold ladder for the exponent, shift/mask
+    // arithmetic for mantissa and expansion), so a single wrong bit
+    // anywhere in the companding hash-fails every row. After PCM WAV
+    // (lossless audio) and PNG (compressed images), decodeStub now
+    // stands in only for perceptual-transform formats (JPEG,
+    // MP3/AAC).
+    Q("mm8_ulaw_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.wavFeatures(
+            Multimodal.synthUlawPayload(Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"sample_rate",
+            r6($"mean_abs").as("mean_abs"), $"zero_crossings", $"peak",
+            $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    (d.doc_id * 131 + t.i * 263) % 60001 - 30000 AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |c AS (
+             |  SELECT doc_id, i,
+             |    least(abs(v), 32635) + 132 AS x,
+             |    CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+             |  FROM s),
+             |e AS (
+             |  SELECT doc_id, i, x, sgn,
+             |    CASE WHEN x >= 16384 THEN 7 WHEN x >= 8192 THEN 6
+             |         WHEN x >= 4096 THEN 5 WHEN x >= 2048 THEN 4
+             |         WHEN x >= 1024 THEN 3 WHEN x >= 512 THEN 2
+             |         WHEN x >= 256 THEN 1 ELSE 0 END AS ex
+             |  FROM c),
+             |dec AS (
+             |  SELECT doc_id, i,
+             |    sgn * ((((x >> (ex + 3)) & 15) * 8 + 132) * (1 << ex)
+             |           - 132) AS dv
+             |  FROM e),
+             |w AS (
+             |  SELECT doc_id, i, dv,
+             |    lag(dv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM dec)
+             |SELECT doc_id, CAST(256 AS INT) AS n_samples,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  round(avg(abs(dv)) + 1e-9, 6) AS mean_abs,
+             |  CAST(sum(CASE WHEN pv * dv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zero_crossings,
+             |  CAST(max(abs(dv)) AS INT) AS peak,
+             |  CAST(sum(dv * dv) AS BIGINT) AS energy
+             |FROM w GROUP BY doc_id""".stripMargin)),
+
     // MM7 (round-14): audio NEAR-DUP — the mm5 recipe on the real
     // audio path, completing banded-LSH near-dup across all three
     // modalities (text d2/d3, image mm5, audio mm7). Pipeline:

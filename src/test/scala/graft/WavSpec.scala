@@ -38,6 +38,38 @@ class WavSpec extends AnyFunSuite {
       "a fixed-offset reader breaks here; the chunk walk must not")
   }
 
+  test("mu-law: decode(encodeUlaw(c)) = expand . compress, and the " +
+      "companding is idempotent on bucket midpoints") {
+    val c = Wav.Clip(8000, Array[Short](0, 1, -1, 100, -100, 5000, -5000,
+      30000, -30000, 32767, -32768, 131, 132, 133))
+    val d = Wav.decode(Wav.encodeUlaw(c))
+    assert(d.sampleRate == 8000)
+    val expected = c.samples.map(s => Wav.ulawExpand(Wav.ulawCompress(s)))
+    assert(d.samples.sameElements(expected))
+    // lossy: at least one sample moved
+    assert(!d.samples.sameElements(c.samples), "companding must be lossy")
+    // idempotent: bucket midpoints re-encode to themselves
+    val d2 = Wav.decode(Wav.encodeUlaw(Wav.Clip(8000, d.samples)))
+    assert(d2.samples.sameElements(d.samples))
+    // G.711 reference points: silence is 0xFF, expand is its inverse
+    assert(Wav.ulawCompress(0) == 0xff.toByte)
+    assert(Wav.ulawExpand(0xff.toByte) == 0)
+    // monotone over magnitudes: compress-expand never reorders
+    val mags = Seq[Short](3, 50, 700, 9000, 28000)
+      .map(s => Wav.ulawExpand(Wav.ulawCompress(s)).toInt)
+    assert(mags == mags.sorted)
+    // error bound: quantization error < 2^e * 8 + bias slack; assert
+    // the coarse spec bound |err| <= 1000 over the full range
+    (-32768 to 32767 by 17).foreach { v =>
+      val r = Wav.ulawExpand(Wav.ulawCompress(v.toShort)).toInt
+      assert(math.abs(r - math.max(math.min(v, 32635), -32635)) <= 1000,
+        s"v=$v r=$r")
+    }
+    // odd sample count gets the RIFF pad byte and still parses
+    val odd = Wav.Clip(8000, Array[Short](10, -20, 30))
+    assert(Wav.decode(Wav.encodeUlaw(odd)).samples.length == 3)
+  }
+
   test("odd-size chunk ending at the payload edge gets the codec's own " +
       "diagnostic (pad byte is optional at end-of-payload)") {
     // RIFF + fmt, then a LIST chunk of ODD size whose last byte IS the
