@@ -505,6 +505,87 @@ object DedupSimPack extends QueryPack {
              |  CASE WHEN cos >= 0.9 THEN id_b END AS drop_id
              |FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
+    // D14c (round-15): SemDeDup with the HIERARCHICAL coarse fit —
+    // the 100 TB assignment path implemented, not just noted: flat
+    // IVF scans all nCells centroids per point (n·nCells = n²/64
+    // distance evals under the adaptive rule), so at another decade
+    // the assignment itself becomes the super-linear stage. Here
+    // S = ⌈√nCells⌉ super-cells (the md5-order PREFIX of the cell
+    // table — no second fit) route each point: nearest super (n·S),
+    // then nearest cell among that super's members — n·O(√nCells)
+    // work, the standard two-level IVF trade (a boundary point can
+    // land in a second-best cell, the same approximation the paper's
+    // k-means already accepts). Every argmin is the shared
+    // lexicographic (dist, id) struct-min, so the two-level routing,
+    // the within-cell pairs and the drop decisions ALL replay in
+    // DuckDB — the approximation is hash-checked, not hand-waved.
+    Q("d14c_semdedup_hier",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.SemDedup.pairsHier(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", dims = 64, targetCell = 64, threshold = 0.9)
+          .orderBy(desc("cos"), $"id_a", $"id_b")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |hs AS (SELECT vec_id, v,
+             |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM e),
+             |cells AS (SELECT v AS cellv,
+             |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+             |  FROM hs ORDER BY h, vec_id
+             |  LIMIT greatest(1, CAST(ceil(
+             |    (SELECT count(*) FROM e) / 64.0) AS BIGINT))),
+             |sup AS (SELECT cellv AS supv, cell AS sup FROM cells
+             |  WHERE cell < (SELECT greatest(1, CAST(ceil(sqrt(ceil(
+             |    count(*) / 64.0))) AS BIGINT)) FROM e)),
+             |casg AS (SELECT cell, sup FROM (
+             |    SELECT c.cell, s.sup,
+             |      row_number() OVER (PARTITION BY c.cell ORDER BY
+             |        list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 65),
+             |            i -> (c.cellv[i] - s.supv[i]) * (c.cellv[i] - s.supv[i]))),
+             |          (acc, x) -> acc + x), s.sup) AS rn
+             |    FROM cells c, sup s) WHERE rn = 1),
+             |psup AS (SELECT vec_id, sup FROM (
+             |    SELECT e.vec_id, s.sup,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 65),
+             |            i -> (e.v[i] - s.supv[i]) * (e.v[i] - s.supv[i]))),
+             |          (acc, x) -> acc + x), s.sup) AS rn
+             |    FROM e, sup s) WHERE rn = 1),
+             |asg AS (SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_reduce(list_prepend(0.0,
+             |          list_transform(range(1, 65),
+             |            i -> (e.v[i] - c.cellv[i]) * (e.v[i] - c.cellv[i]))),
+             |          (acc, x) -> acc + x), c.cell) AS rn
+             |    FROM e
+             |    JOIN psup p ON p.vec_id = e.vec_id
+             |    JOIN casg ca ON ca.sup = p.sup
+             |    JOIN cells c ON c.cell = ca.cell) WHERE rn = 1),
+             |nm AS (SELECT e.vec_id, a.cell,
+             |    list_transform(e.v, x -> x / sqrt(list_reduce(
+             |      list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))) AS nv
+             |  FROM e JOIN asg a USING (vec_id)),
+             |p AS (
+             |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, 65), i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
+             |  FROM nm a JOIN nm b ON a.cell = b.cell
+             |    AND a.vec_id < b.vec_id)
+             |SELECT cell, id_a, id_b, cos,
+             |  CASE WHEN cos >= 0.9 THEN id_b END AS drop_id
+             |FROM p ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
     // D14b (round-14): SemDeDup with the PAPER-EXACT drop rule — of a
     // pair above threshold, drop the member FARTHER from its cell
     // centroid (Abbas et al. 2023 §2: keep the point closest to the

@@ -81,6 +81,67 @@ object SemDedup {
       .agg(min(struct(col("__cd2"), col("cell"))).as("mn"))
       .select(col(idCol), col("mn.cell").as("cell"),
         round(col("mn.__cd2") + lit(1e-9), 6).as("__d"))
+    pairStage(df, idCol, vecCol, asg, threshold, paperRule)
+  }
+
+  /** SemDeDup with the HIERARCHICAL coarse fit (round-15) — the
+    * assignment path the flat scaladoc note promises at the next
+    * decade: nCells = ⌈n/targetCell⌉ as in the adaptive mode, but a
+    * point never scans all nCells centroids. Instead S = ⌈√nCells⌉
+    * SUPER-cells (the md5-order PREFIX of the cell table, so the
+    * supers need no second fit) partition the centroids: each cell is
+    * assigned to its nearest super (nCells·S distances, tiny), each
+    * point to its nearest super (n·S), then to the nearest cell AMONG
+    * that super's members (n·members) — n·O(√nCells) total distance
+    * work vs flat's n·nCells, at the price of an approximate cell
+    * argmin (a point near a super boundary can land in a second-best
+    * cell — the same trade the paper's k-means already makes). Every
+    * argmin is the shared lexicographic (dist, id) struct-min, so the
+    * whole two-level assignment — and the pairs and drop decisions
+    * downstream — replays in the DuckDB oracle verbatim. */
+  def pairsHier(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                targetCell: Int, threshold: Double,
+                paperRule: Boolean = false): DataFrame = {
+    require(targetCell > 0, s"targetCell $targetCell")
+    val k = math.max(1L, (df.count() + targetCell - 1) / targetCell).toInt
+    val s = math.ceil(math.sqrt(k.toDouble)).toInt.max(1)
+    val cells = IvfPq.coarseCells(df, idCol, vecCol, k)
+      .localCheckpoint()
+    // supers = md5-order prefix of the SAME cell table (cell < S):
+    // super s IS cell s, so every super has at least one member
+    // (itself, at distance 0) and no second fit pass exists
+    val supers = cells.filter(col("cell") < s)
+      .select(col("cell").as("sup"), col("cellv").as("supv"))
+    // cell → nearest super (nCells·S distances — driver-free, tiny)
+    val cellSup = cells.crossJoin(broadcast(supers))
+      .withColumn("__sd2", Pq.dist2Unrolled(col("cellv"), col("supv"), dims))
+      .groupBy(col("cell"), col("cellv"))
+      .agg(min(struct(col("__sd2"), col("sup"))).as("mn"))
+      .select(col("cell"), col("cellv"), col("mn.sup").as("sup"))
+      .localCheckpoint()
+    // point → nearest super (n·S)
+    val pSup = df.crossJoin(broadcast(supers))
+      .withColumn("__sd2", Pq.dist2Unrolled(col(vecCol), col("supv"), dims))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__sd2"), col("sup"))).as("mn"))
+      .select(col(idCol), col("mn.sup").as("sup"))
+    // point → nearest cell among its super's members (n·|members|)
+    val asg = df.join(pSup, idCol)
+      .join(broadcast(cellSup), "sup")
+      .withColumn("__cd2", Pq.dist2Unrolled(col(vecCol), col("cellv"), dims))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__cd2"), col("cell"))).as("mn"))
+      .select(col(idCol), col("mn.cell").as("cell"),
+        round(col("mn.__cd2") + lit(1e-9), 6).as("__d"))
+    pairStage(df, idCol, vecCol, asg, threshold, paperRule)
+  }
+
+  /** Shared within-cell pair + drop stage over an assignment
+    * `(idCol, cell, __d r6-rounded)` — identical for the flat and
+    * hierarchical fits. */
+  private def pairStage(df: DataFrame, idCol: String, vecCol: String,
+                        asg: DataFrame, threshold: Double,
+                        paperRule: Boolean): DataFrame = {
     // persisted: both sides of the within-cell self-join read it
     val e = graft.io.PersistRegistry.trackPersist(
       Similarity.withNormalized(df, vecCol, "__nv")

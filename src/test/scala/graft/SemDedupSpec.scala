@@ -83,6 +83,39 @@ class SemDedupSpec extends AnyFunSuite {
       "fixture must exercise the farther-member-has-lower-id case")
   }
 
+  test("hierarchical fit: planted near-dups still flagged; deterministic") {
+    import spark.implicits._
+    // 40 points in two tight far-apart blobs + one planted near-dup
+    // pair per blob; targetCell=10 → k=4 cells, S=2 supers. The
+    // two-level routing may split a blob across cells, but a planted
+    // pair (distance ~1e-3 apart) always lands in the SAME cell —
+    // both route to the same super and the same nearest cell.
+    val rows = (0L until 40L).map { i =>
+      val blob = if (i < 20) 0.0 else 100.0
+      val jitter = if (i % 20 < 2) (i % 20) * 1e-3 else (i % 20) * 0.1
+      (i, Array(blob + jitter, blob - jitter, 0.5, 0.5))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val out = graft.sim.SemDedup.pairsHier(df, "vec_id", "v", dims = 4,
+        targetCell = 10, threshold = 0.999)
+      .collect()
+    val flagged = out.filter(!_.isNullAt(4))
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(flagged.contains((0L, 1L)) && flagged.contains((20L, 21L)),
+      s"planted near-dup pairs must be flagged, got $flagged")
+    // every evaluated pair shares a cell by construction; assignment
+    // is a partition (each id appears under exactly one cell)
+    val cellOf = out.flatMap(r => Seq(
+      r.getLong(1) -> r.getInt(0), r.getLong(2) -> r.getInt(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(cellOf.values.forall(_.size == 1),
+      "a doc must pair only within its single assigned cell")
+    val again = graft.sim.SemDedup.pairsHier(df, "vec_id", "v", dims = 4,
+        targetCell = 10, threshold = 0.999).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("adaptive targetCell mode = fixed nCells at the implied count") {
     import spark.implicits._
     // 10 points, targetCell=3 → nCells = ceil(10/3) = 4: the adaptive
