@@ -68,6 +68,16 @@ class WavSpec extends AnyFunSuite {
     // odd sample count gets the RIFF pad byte and still parses
     val odd = Wav.Clip(8000, Array[Short](10, -20, 30))
     assert(Wav.decode(Wav.encodeUlaw(odd)).samples.length == 3)
+    // G.711 sign symmetry: negating a sample flips ONLY the sign bit
+    // of the companded byte, and expansion is odd-symmetric
+    Seq[Short](1, 99, 1234, 20000, 32124).foreach { v =>
+      assert(Wav.ulawCompress((-v).toShort) ==
+        (Wav.ulawCompress(v) ^ 0x80).toByte, s"v=$v")
+    }
+    (0 to 127).foreach { b =>
+      assert(Wav.ulawExpand((b | 0x80).toByte) ==
+        (-Wav.ulawExpand(b.toByte)).toShort, s"byte=$b")
+    }
   }
 
   test("odd-size chunk ending at the payload edge gets the codec's own " +
