@@ -52,14 +52,22 @@ object SemDedup {
     * subquery LIMIT (`LIMIT greatest(1, ceil(count(*)/targetCell))`),
     * so the adaptive fit stays hash-checked cross-engine.
     *
-    * Remaining scale knob: flat IVF ASSIGNMENT scans all nCells
-    * centroids per point — n·nCells = n²/targetCell distance
-    * evaluations (measured sublinear in wall at the sf1x decade:
-    * broadcast centroids, map-side argmin, one n-row shuffle). At
-    * another decade the fix is a hierarchical coarse fit — assign to
-    * ⌈√nCells⌉ super-cells first, then scan only that super-cell's
-    * members — trading exactness of the cell argmin (the paper's
-    * k-means is approximate anyway) for n·√nCells work. */
+    * Assignment topology (round-16, VERDICT item 2): flat IVF scans
+    * all nCells centroids per point — n·nCells = n²/targetCell
+    * distance evaluations, the one stage measured super-linear at the
+    * sf1x decade (flat adaptive read 8.0× warm at 10× data where the
+    * hierarchical two-level fit read 1.4× — docs/SCALING.md batch-2
+    * table). So `pairs` now AUTO-SWITCHES: when the (fixed or
+    * adaptive) cell count exceeds [[HierSwitch]] the assignment rides
+    * the measured-better hierarchical topology ([[pairsHier]]'s
+    * super-cell routing, n·O(√nCells) work); at or below it the flat
+    * exact argmin is kept — with ≤ 4 cells the super prefix IS most
+    * of the cell table, so two-level routing would add stages for no
+    * work saved. The oracle replays the SAME switch: both assignment
+    * CTEs guarded by the replayed `ceil(n/targetCell) > 4` predicate
+    * (UNION ALL of two mutually-exclusive branches), so the default
+    * path stays hash-checked at every SF on whichever side of the
+    * switch the corpus lands. */
   def pairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
             nCells: Int, threshold: Double,
             paperRule: Boolean = false, targetCell: Int = 0): DataFrame = {
@@ -71,18 +79,32 @@ object SemDedup {
       else nCells
     val cells = IvfPq.coarseCells(df, idCol, vecCol, k)
       .localCheckpoint()
-    // nearest cell by exact squared L2 (the mm4 assignment idiom:
-    // broadcast the nCells full vectors, min over a (cd2, cell) struct
-    // — lexicographic, ties to the smaller cell id on both engines);
-    // the winning distance rides along r6-rounded for the paper rule
-    val asg = df.crossJoin(broadcast(cells))
+    val asg = if (k > HierSwitch) assignHier(df, idCol, vecCol, dims, cells, k)
+              else assignFlat(df, idCol, vecCol, dims, cells)
+    pairStage(df, idCol, vecCol, asg, threshold, paperRule)
+  }
+
+  /** Cell count above which [[pairs]] routes assignment through the
+    * hierarchical super-cell topology. 4 keeps the gate-SF corpora
+    * (nCells 8 at sf0.01, 32 at sf0.1) on the hierarchical path — the
+    * default 100 TB topology is the one the correctness gate
+    * hash-checks — while tiny fits (the unit-test corpora, sf0.001's
+    * single cell) keep the exact flat argmin. */
+  val HierSwitch = 4
+
+  /** Flat exact assignment — nearest cell by exact squared L2 (the mm4
+    * assignment idiom: broadcast the nCells full vectors, min over a
+    * (cd2, cell) struct — lexicographic, ties to the smaller cell id on
+    * both engines); the winning distance rides along r6-rounded for the
+    * paper rule. n·nCells distance evaluations. */
+  private def assignFlat(df: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, cells: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cells))
       .withColumn("__cd2", Pq.dist2Unrolled(col(vecCol), col("cellv"), dims))
       .groupBy(col(idCol))
       .agg(min(struct(col("__cd2"), col("cell"))).as("mn"))
       .select(col(idCol), col("mn.cell").as("cell"),
         round(col("mn.__cd2") + lit(1e-9), 6).as("__d"))
-    pairStage(df, idCol, vecCol, asg, threshold, paperRule)
-  }
 
   /** SemDeDup with the HIERARCHICAL coarse fit (round-15) — the
     * assignment path the flat scaladoc note promises at the next
@@ -104,9 +126,16 @@ object SemDedup {
                 paperRule: Boolean = false): DataFrame = {
     require(targetCell > 0, s"targetCell $targetCell")
     val k = math.max(1L, (df.count() + targetCell - 1) / targetCell).toInt
-    val s = math.ceil(math.sqrt(k.toDouble)).toInt.max(1)
     val cells = IvfPq.coarseCells(df, idCol, vecCol, k)
       .localCheckpoint()
+    pairStage(df, idCol, vecCol,
+      assignHier(df, idCol, vecCol, dims, cells, k), threshold, paperRule)
+  }
+
+  /** Hierarchical two-level assignment over a fitted cell table. */
+  private def assignHier(df: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, cells: DataFrame, k: Int): DataFrame = {
+    val s = math.ceil(math.sqrt(k.toDouble)).toInt.max(1)
     // supers = md5-order prefix of the SAME cell table (cell < S):
     // super s IS cell s, so every super has at least one member
     // (itself, at distance 0) and no second fit pass exists
@@ -126,14 +155,13 @@ object SemDedup {
       .agg(min(struct(col("__sd2"), col("sup"))).as("mn"))
       .select(col(idCol), col("mn.sup").as("sup"))
     // point → nearest cell among its super's members (n·|members|)
-    val asg = df.join(pSup, idCol)
+    df.join(pSup, idCol)
       .join(broadcast(cellSup), "sup")
       .withColumn("__cd2", Pq.dist2Unrolled(col(vecCol), col("cellv"), dims))
       .groupBy(col(idCol))
       .agg(min(struct(col("__cd2"), col("cell"))).as("mn"))
       .select(col(idCol), col("mn.cell").as("cell"),
         round(col("mn.__cd2") + lit(1e-9), 6).as("__d"))
-    pairStage(df, idCol, vecCol, asg, threshold, paperRule)
   }
 
   /** Shared within-cell pair + drop stage over an assignment

