@@ -32,8 +32,37 @@ import org.apache.spark.sql.functions._
   */
 object BandedLsh {
 
-  /** Bucket key-space of a fixed-width integer band. */
-  def buckets(bandBits: Int): Long = 1L << bandBits
+  /** Bucket key-space of a fixed-width integer band. Valid for widths
+    * 1..62 — `1L << b` silently wraps mod 64 on the JVM, so wider
+    * requests are rejected rather than returning a meaningless size
+    * (62 already covers any feasible corpus count: 4.6e18 buckets). */
+  def buckets(bandBits: Int): Long = {
+    require(bandBits >= 1 && bandBits <= 62, s"bandBits $bandBits not in 1..62")
+    1L << bandBits
+  }
+
+  /** Smallest widening factor w ≥ 1 such that CONCATENATING w adjacent
+    * `bandBits`-wide bands yields a bucket key-space ≥ `n` (round-16,
+    * VERDICT item 3): the sizing rule as a derivation instead of only
+    * a refusal. Widening trades recall — fewer, wider bands need more
+    * of the fingerprint clean to collide (the S-curve note above) —
+    * which is the documented knob when the corpus outgrows a width;
+    * auto-applying it keeps the candidate stage sublinear at any
+    * corpus size while leaving sub-capacity corpora (every current
+    * fixture: 2^16 ≥ 50k sf1x) byte-identical to the unwidened path. */
+  def widenFactor(n: Long, bandBits: Int): Int = {
+    require(bandBits >= 1 && bandBits <= 62, s"bandBits $bandBits not in 1..62")
+    // concatenated width stays ≤ 62 bits so the shift-concat key is
+    // injective in a Long (no mod-64 wrap) — past that there is no
+    // wider key to widen into, so the original refusal returns
+    var w = 1
+    while (bandBits * (w + 1) <= 62 && (1L << (bandBits * w)) < n) w += 1
+    require((1L << (bandBits * w)) >= n,
+      s"corpus $n exceeds 2^${bandBits * w} buckets even at the widest " +
+        "≤62-bit band concat: candidate pairs go quadratic — use more " +
+        "band bits or add a second hash table")
+    w
+  }
 
   /** Candidate pairs from a banded index `(id, band, band_key)`: the
     * self-equi-join on (band, band_key), each pair once (id_a < id_b),
@@ -68,19 +97,41 @@ object BandedLsh {
     * (bit_count ∘ xor, codegen'd Column algebra) only on candidates,
     * keep pairs ≤ `maxHamming` bits apart. Callers should
     * localCheckpoint the input: the band join and both Hamming sides
-    * read it. Enforces the sizing rule above: `2^bandBits` must cover
-    * the corpus (one count over the materialized input). Output:
+    * read it. Enforces the sizing rule above with the count it already
+    * takes — and since round-16 (VERDICT item 3) DERIVES the band
+    * width from it instead of only failing: when `2^bandBits` falls
+    * below the corpus count, [[widenFactor]] adjacent bands are
+    * CONCATENATED into one wider band key (injective — each input
+    * band value is < 2^bandBits by the fixed-width contract), so the
+    * bucket space grows with the corpus automatically at the
+    * documented recall price of fewer, wider bands. Sub-capacity
+    * corpora (every current fixture) take w=1 and are byte-identical
+    * to the unwidened plan. The Hamming verify always runs on the
+    * ORIGINAL full-resolution band array. Output:
     * `(id_a, id_b, hamming)`. */
   def hammingPairs(bands: DataFrame, bandBits: Int, maxHamming: Int,
                    idCol: String = "id",
                    bandsCol: String = "bands"): DataFrame = {
     val n = bands.count()
-    require(buckets(bandBits) >= n,
-      s"bucket key-space 2^$bandBits = ${buckets(bandBits)} < corpus $n: " +
-        "band buckets exceed group size and candidate pairs go quadratic " +
-        "— widen the bands or add a hash table")
-    val ex = bands.select(col(idCol).as("id"),
-      posexplode(col(bandsCol)).as(Seq("band", "band_key")))
+    val w = widenFactor(n, bandBits)
+    val ex =
+      if (w == 1)
+        bands.select(col(idCol).as("id"),
+          posexplode(col(bandsCol)).as(Seq("band", "band_key")))
+      else {
+        // wide key j = shift-concat of the j-th group of w adjacent
+        // bands (order-significant, pure Column algebra — no shuffle
+        // added; the explode+join shape below is unchanged)
+        val nGroups = (size(col(bandsCol)) + lit(w) - 1) / lit(w)
+        val wide = transform(
+          sequence(lit(0), nGroups.cast("int") - 1),
+          j => aggregate(
+            slice(col(bandsCol), j * w + 1, lit(w)),
+            lit(0L),
+            (acc, x) => shiftleft(acc, bandBits).bitwiseOR(x)))
+        bands.select(col(idCol).as("id"),
+          posexplode(wide).as(Seq("band", "band_key")))
+      }
     val cand = selfCandidates(ex)
     cand
       .join(bands.select(col(idCol).as("id_a"), col(bandsCol).as("__ba")),

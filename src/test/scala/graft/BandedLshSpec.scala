@@ -46,24 +46,96 @@ class BandedLshSpec extends AnyFunSuite {
       !bands(a).zip(bands(b)).exists { case (x, y) => x == y } })
   }
 
-  test("bucket-sizing invariant: key-space below corpus size throws") {
-    // 12 docs but 3-bit bands = 8 buckets < 12: the mm7 lesson — the
-    // skeleton must refuse, not go quadratic
+  test("bucket-sizing invariant: sub-capacity widths AUTO-WIDEN") {
+    // 12 docs but 3-bit bands = 8 buckets < 12: the mm7 lesson, now a
+    // derivation instead of a refusal (round-16, VERDICT item 3) — the
+    // skeleton concatenates adjacent bands until the key-space covers
+    // the corpus (w=2 → 6-bit keys, 64 ≥ 12), so the run proceeds with
+    // candidates drawn only from WIDE-band equality. Own fixture: the
+    // shared one carries 16-bit values, and the fixed-width contract
+    // (every value < 2^bandBits) is what makes the concat key injective.
+    import spark.implicits._
+    val narrow = (0L until 12L).map { id =>
+      val b: Array[Long] =
+        if (id < 4) Array(1L, 2L, 3L, 4L)                  // shared bucket
+        else if (id < 8) Array(5L, 6L, id % 8, (id * 3) % 8) // bands 0-1 only
+        else Array(id % 8, (id * 3 + 1) % 8, (id * 5 + 2) % 8, (id * 7 + 3) % 8)
+      (id, b.toSeq)
+    }
+    val narrowDf = narrow.toDF("id", "bands")
+    val bands = narrow.toMap
+    val got = BandedLsh.hammingPairs(narrowDf, bandBits = 3, maxHamming = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a wide band (pair of adjacent 3-bit bands) must match as a UNIT:
+    // ids 0-3 match on both wide bands, ids 4-7 on wide band 0 only
+    // (bands 0-1 shared), 8-11 nowhere — exactly the widened recall
+    def wideCollide(a: Seq[Long], b: Seq[Long]): Boolean =
+      a.grouped(2).zip(b.grouped(2)).exists { case (x, y) => x == y }
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val expected = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      if wideCollide(bands(a), bands(b))
+      h = ham(bands(a), bands(b)) if h <= 20
+    } yield (a, b, h)).toSet
+    assert(got == expected, s"got $got want $expected")
+    assert(expected.nonEmpty, "fixture must plant wide-band collisions")
+    // and the un-widenable case still refuses: past the 62-bit concat
+    // ceiling there is no wider key, so the quadratic guard throws
     val e = intercept[IllegalArgumentException](
-      BandedLsh.hammingPairs(fixture, bandBits = 3, maxHamming = 2)
-        .collect())
+      BandedLsh.widenFactor(Long.MaxValue, 16))
     assert(e.getMessage.contains("quadratic"), e.getMessage)
-    assert(BandedLsh.buckets(16) == 65536L)
   }
 
-  test("production widths cover the measured sf1x corpus") {
+  test("widenFactor derives width from the corpus count") {
+    assert(BandedLsh.widenFactor(12, 3) == 2)       // 8 < 12 ≤ 64
+    assert(BandedLsh.widenFactor(50000, 16) == 1)   // sf1x: unchanged
+    assert(BandedLsh.widenFactor(65536, 16) == 1)   // exactly at capacity
+    assert(BandedLsh.widenFactor(65537, 16) == 2)   // first over → 32-bit
+    assert(BandedLsh.widenFactor(500000, 16) == 2)  // the next decade
+    assert(BandedLsh.widenFactor(1L << 40, 16) == 3) // and the one after
+    assert(BandedLsh.buckets(16) == 65536L)
+    intercept[IllegalArgumentException](BandedLsh.buckets(63))
+    intercept[IllegalArgumentException](BandedLsh.buckets(0))
+  }
+
+  test("production widths cover the measured sf1x corpus unwidened") {
     // mm5/mm7 ship 16-bit bands; the sf1x scale fixture is 50k docs.
     // This is the structural form of the band-width lesson: if a
-    // future fixture outgrows the width, THIS fails, not a 12x bench
-    // line at the sf1x spot check.
+    // future fixture outgrows the width, hammingPairs now WIDENS
+    // (hashes change with the band layout) — this pin makes that
+    // moment an explicit test failure to re-golden, not a silent flip.
     val sf1xDocs = 50000L
-    assert(BandedLsh.buckets(16) >= sf1xDocs,
-      "widen mm5/mm7 bands or add a second hash table")
+    assert(BandedLsh.widenFactor(sf1xDocs, 16) == 1,
+      "sf1x outgrew 16-bit bands: mm5/mm7 band layout will widen — " +
+        "re-check their planted-recall contracts and goldens")
+  }
+
+  test("500k-row corpus auto-widens and stays bucket-bounded") {
+    // The next-decade case the r15 guard could only fail on: 500k rows
+    // with 16-bit bands (65536 buckets < corpus). widenFactor=2 →
+    // 32-bit concatenated keys; each row's fingerprint is unique by
+    // construction except one planted triple sharing all bands, so the
+    // candidate stage must surface EXACTLY the 3 planted pairs — any
+    // quadratic bucket blow-up would time this test out, and any
+    // widened-key collision bug would add pairs the assert catches.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.range(500000L).select(col("id"),
+      array(pmod(col("id"), lit(65536L)),
+        col("id") / 65536L cast "long",
+        pmod(col("id") * 7919L + 13L, lit(65536L)),
+        pmod(col("id") * 104729L + 17L, lit(65536L))).as("bands"))
+    // planted triple: ids 500000/500001 clone id 42's fingerprint
+    val clones = spark.range(500000L, 500002L).select(col("id"),
+      array(lit(42L), lit(0L),
+        lit((42L * 7919L + 13L) % 65536L),
+        lit((42L * 104729L + 17L) % 65536L)).as("bands"))
+    val got = BandedLsh.hammingPairs(base.union(clones), bandBits = 16,
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((42L, 500000L), (42L, 500001L), (500000L, 500001L)),
+      s"got $got")
   }
 
   test("delta candidates touch the new batch only, normalized") {
