@@ -178,6 +178,35 @@ object StateMetrics {
     // rewrite fails the bench.
     "st24" -> Ceiling(0, 0.0))
 
+  /** Stream lines whose state is structurally ZERO (round-16, VERDICT
+    * item 5): st22 serves a broadcast-scored NB model (map-only per
+    * micro-batch, no state store) and st24 re-joins a static dimension
+    * frame per micro-batch (stream-static joins keep no join state).
+    * Declared explicitly so the two directions both alarm: state
+    * APPEARING on these lines trips their 0-row ceiling, and state
+    * VANISHING on every OTHER measured line — a dead listener, a
+    * stream accidentally rewritten stateless, a state-loss regression
+    * — trips [[shapeViolations]] instead of silently reading as
+    * "ceilings green on zero". */
+  val statelessByDesign: Set[String] = Set("st22", "st24")
+
+  /** Measured stream lines that violate their declared state SHAPE:
+    * a ceilinged stateful query that recorded ZERO peak rows (or zero
+    * bytes with nonzero rows). Only lines present in the snapshot are
+    * checked — a subset bench run doesn't false-trip on queries that
+    * never ran. */
+  def shapeViolations: Seq[String] = {
+    val snap = snapshot
+    snap.toSeq.sorted.collect {
+      case (name, rows) if !name.contains(":") &&
+          ceilings.contains(name) && !statelessByDesign(name) &&
+          (rows == 0L || snap.getOrElse(s"$name:bytes", 0L) == 0L) =>
+        s"$name: expected nonzero state (rows=$rows, " +
+          s"bytes=${snap.getOrElse(s"$name:bytes", 0L)}) — state-loss " +
+          "regression or dead metrics listener"
+    }
+  }
+
   /** Byte ceiling per state row: measured sf0.1 state averages ~100–400
     * bytes/row in the HDFS-backed store (events-shaped keys + agg
     * payloads); 4 KiB/row leaves ~10× headroom for payload growth while

@@ -109,10 +109,57 @@ class StateMetricsSpec extends AnyFunSuite {
   }
 
   test("every stream query with measured state has a declared ceiling") {
-    // the alarm can't rot by omission: the bench-measured set (st1-st22)
+    // the alarm can't rot by omission: the bench-measured set (st1-st24)
     // must all be present in the ceilings map
-    val want = (1 to 23).map(i => s"st$i").toSet
+    val want = (1 to 24).map(i => s"st$i").toSet
     assert(want.subsetOf(StateMetrics.ceilings.keySet),
       s"missing ceilings: ${want -- StateMetrics.ceilings.keySet}")
+  }
+
+  test("declared state shape covers all 24 st lines, including the zeros") {
+    // round-16, VERDICT item 5: st22 (broadcast NB model serving) and
+    // st24 (stream-static enrich) are the ONLY structurally stateless
+    // lines — their ceilings pin 0 so appearing state trips — and every
+    // other line declares a nonzero cap so vanished state trips the
+    // shape check instead of passing ceilings-green on an accidental 0.
+    assert(StateMetrics.statelessByDesign == Set("st22", "st24"))
+    StateMetrics.statelessByDesign.foreach { q =>
+      val c = StateMetrics.ceilings(q)
+      assert(c.abs == 0L && c.perInput == 0.0,
+        s"$q declared stateless but its ceiling admits state: $c")
+    }
+    (1 to 24).map(i => s"st$i")
+      .filterNot(StateMetrics.statelessByDesign).foreach { q =>
+        val c = StateMetrics.ceilings(q)
+        assert(c.abs > 0L || c.perInput > 0.0,
+          s"$q declared stateful but its ceiling pins zero: $c")
+      }
+  }
+
+  test("shapeViolations trips on vanished state, not on designed zeros") {
+    StateMetrics.reset()
+    try {
+      // st22/st24 at zero: by design — no shape violation
+      StateMetrics.recordRaw("st22", 0L)
+      StateMetrics.recordRaw("st22:bytes", 0L)
+      StateMetrics.recordRaw("st24", 0L)
+      StateMetrics.recordRaw("st24:bytes", 0L)
+      // st2 healthy: rows AND bytes nonzero
+      StateMetrics.recordRaw("st2", 100L)
+      StateMetrics.recordRaw("st2:bytes", 4096L)
+      assert(StateMetrics.shapeViolations.isEmpty,
+        s"healthy run flagged: ${StateMetrics.shapeViolations}")
+      // a stateful line reading zero rows IS a violation
+      StateMetrics.recordRaw("st3", 0L)
+      StateMetrics.recordRaw("st3:bytes", 0L)
+      // and zero BYTES at nonzero rows too (impossible store payload)
+      StateMetrics.recordRaw("st9", 50L)
+      val got = StateMetrics.shapeViolations
+      assert(got.size == 2 && got.exists(_.startsWith("st3:")) &&
+        got.exists(_.startsWith("st9:")), s"got $got")
+      // unmeasured lines (subset run) are never flagged: st1..st21
+      // absent from this snapshot and absent from the violations
+      assert(!got.exists(_.startsWith("st1:")))
+    } finally StateMetrics.reset()
   }
 }
