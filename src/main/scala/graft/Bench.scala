@@ -35,6 +35,29 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // File-cache pre-touch (round-16, VERDICT item 1): the r15 driver
+    // headline read +12% on code the controlled sweeps measured FASTER
+    // — near-uniform per-line inflation from a cold OS page cache in
+    // the driver's shared run. One sequential read of every input file
+    // brings them into the page cache so the first measured pass times
+    // query work, not disk. Cheap (the sf0.1 inputs are tens of MB)
+    // and a no-op when already cached.
+    def touchDir(dir: String): Long = {
+      val buf = new Array[Byte](1 << 20)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else {
+          val in = new java.io.FileInputStream(f)
+          try { var n = 0L; var r = in.read(buf)
+                while (r > 0) { n += r; r = in.read(buf) }; n }
+          finally in.close()
+        }
+      try walk(new java.io.File(dir)) catch { case _: Throwable => 0L }
+    }
+    val touchT0 = System.nanoTime()
+    val touched = touchDir(sfDir) + (if (warmDir != sfDir) touchDir(warmDir) else 0L)
+    System.err.println(s"[bench] pre-touched ${touched / (1 << 20)} MiB in " +
+      f"${(System.nanoTime() - touchT0) / 1e9}%.1fs")
     // Warm-pass times double as per-query stall expectations below: a
     // measured run >3× its (overhead-dominated) sf0.001 time is far more
     // likely a one-off GC/host stall than real data-proportional work.
@@ -80,9 +103,7 @@ object Bench {
     // unpersist the now reference-free warm-pass checkpoint blocks so
     // the measured pass starts on an EMPTY block manager (round-15:
     // previously they lingered until GC).
-    graft.queries.DedupSimPack.clearCaches(spark)
-    graft.queries.MlPack.clearCaches(spark)
-    graft.io.PersistRegistry.clear(spark)
+    SparkEntry.clearPackCaches(spark)
     unpersistAll()
     markStorage("after_warm_reset")
     // Deterministic name order: Map hash order reshuffles whenever the
@@ -167,6 +188,20 @@ object Bench {
       (name, t, ok)
     }
     markStorage("after_first_pass")
+    // Warm-reference audit (round-16, VERDICT item 6): the stall
+    // detector compares first-pass times against the warm-pass map, so
+    // a ≥2s line whose warm run FAILED (the warm loop swallows errors
+    // to keep warming) is invisible to it — exactly how d15's 41.9s
+    // stall would have entered the record unretimed. Surface the blind
+    // spots by name; goal state is an empty list.
+    val warmMissing =
+      if (warmTimes.isEmpty) Seq.empty[String]
+      else firstPass.collect {
+        case (n, t, ok) if ok && t >= 2.0 && !warmTimes.contains(n) => n
+      }
+    warmMissing.foreach(n => System.err.println(
+      s"[bench] WARM MISSING $n: >=2s line has no warm-pass reference — " +
+        "stall detection is blind for it"))
     // Stall defense (proven necessary in round 3: one GC/host pause
     // inflated g1 14.17s / g15 8.15s on unchanged code and poisoned the
     // headline). Any query measuring >2s AND >3× its warm-pass time is
@@ -185,9 +220,7 @@ object Bench {
         // drop session-scoped memoized frames first: a re-run riding a
         // shared cache (d2's verified-pairs frame, m9's feature frame)
         // would under-measure...
-        graft.queries.DedupSimPack.clearCaches(spark)
-        graft.queries.MlPack.clearCaches(spark)
-        graft.io.PersistRegistry.clear(spark)
+        SparkEntry.clearPackCaches(spark)
         // ...except shared stages billed to their own setup lines:
         // rebuild them so a member query's re-time measures the query
         // under the same cache state as the first pass.
@@ -223,9 +256,7 @@ object Bench {
     // where drift keeps appearing, so they rep FIRST — most expensive
     // first, on the freshest block manager, under their own budget —
     // then the sub-2s lines under the original budget.
-    graft.queries.DedupSimPack.clearCaches(spark)
-    graft.queries.MlPack.clearCaches(spark)
-    graft.io.PersistRegistry.clear(spark)
+    SparkEntry.clearPackCaches(spark)
     unpersistAll()
     sharedStages.foreach { case (name, members, build) =>
       if (selected.exists(s => members.contains(s._1))) buildShared(name, build)
@@ -308,8 +339,16 @@ object Bench {
         s"[bench] STATE ALARM $n: $rows state rows > ceiling $cap" +
           s" at $nEvents input rows")
     }
+    // State SHAPE alarm (round-16, VERDICT item 5): a ceilinged
+    // stateful line that recorded ZERO state rows/bytes is a state-loss
+    // regression (or a dead listener), not a pass — only st22/st24 are
+    // declared stateless (StateMetrics.statelessByDesign) and allowed
+    // at zero. Checked only over lines that actually ran this session.
+    val shapeViol = graft.streaming.StateMetrics.shapeViolations
+    shapeViol.foreach(v => System.err.println(s"[bench] STATE SHAPE $v"))
     val failed = (results.collect { case (k, _, false) => "\"" + k + "\"" } ++
         stateViolations.map { case (n, _, _) => "\"state:" + n + "\"" } ++
+        shapeViol.map(v => "\"stateshape:" + v.takeWhile(_ != ':') + "\"") ++
         eventsCountErr.map("\"" + _ + "\""))
       .mkString("[", ",", "]")
     // Codegen-fallback sideline: queries whose execution logged a codegen
@@ -322,6 +361,14 @@ object Bench {
       .map { case (q, n) => s"\"" + q + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + setup.values.sum
+    // The LO total (round-16, VERDICT item 1): Σ min(first, rep) + setup
+    // — the noise-robust headline companion. r15's first-pass total read
+    // +12% on code whose controlled sweeps measured 7s faster (cold-run
+    // host noise inflates EVERY line a little); min-of-two is immune to
+    // a one-off stall in either sample, so round-over-round comparisons
+    // should read value_lo/med, with `value` kept for continuity.
+    val totalLo = results.map { case (n, t, _) => lo.getOrElse(n, t) }.sum +
+      setup.values.sum
     // "sf0.1", not the full path: the path prefix is constant and the
     // capture window is tight at 90+ queries
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -348,7 +395,7 @@ object Bench {
         else retimed.toSeq.sortBy(-_._2).take(retimedCap)
           .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
           .mkString(",\"retimed\":{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$restN,"failed":$failed$rt,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f2(total)},"value_lo":${f2(totalLo)},"unit":"sec","queries":$qs$restN,"failed":$failed$rt,"sf":"$sfShort"}"""
     }
     // Adaptive precision: the 94-entry map at 2 decimals no longer fits
     // the ~2000-char capture window the driver parses (rounds 1-2 lost
@@ -402,6 +449,8 @@ object Bench {
         s""","stream_state_rows":$stateRows""" +
         s""","stream_state_bytes":$stateBytes""" +
         s""","codegen_fallbacks":$cgFallbacks""" +
+        s""","warm_missing":${warmMissing.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")}""" +
         s""","rep2":${rep2.toSeq.map { case (k, v) =>
           "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
         s""","med":${med.toSeq.sortBy(_._1).map { case (k, v) =>

@@ -78,4 +78,17 @@ object SparkEntry {
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Release EVERY pack's session-scoped memo plus the internal-persist
+    * registry — the one reset point Bench/Verify call before
+    * unpersisting all reference-free RDD blocks. Iterating the pack
+    * list (not a hand-maintained call site) is what makes the reset
+    * structurally complete: a new pack's memo is covered the moment
+    * the pack is registered here, so the rep-pass hygiene reset cannot
+    * crash on a truncated-lineage block it didn't know to clear
+    * (round-15 ADVICE). */
+  def clearPackCaches(spark: SparkSession): Unit = {
+    packs.foreach(_.clearCaches(spark))
+    graft.io.PersistRegistry.clear(spark)
+  }
 }

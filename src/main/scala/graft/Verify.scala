@@ -46,9 +46,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // release memoized/persisted frames before shutdown — keeps the
     // registries from pinning the session if this main is embedded
-    graft.queries.DedupSimPack.clearCaches(spark)
-    graft.queries.MlPack.clearCaches(spark)
-    graft.io.PersistRegistry.clear(spark)
+    SparkEntry.clearPackCaches(spark)
     spark.stop()
   }
 }

@@ -180,7 +180,7 @@ object MlPack extends QueryPack {
     * semantics omitted, everything): unpersists the cached feature frames
     * and drops the model references, so long-lived library sessions that
     * touch many data dirs don't accumulate RDD blocks indefinitely. */
-  def clearCaches(session: SparkSession): Unit = {
+  override def clearCaches(session: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     featCache.asScala.toList.foreach { case (k, df) =>
       if (k._1 eq session) { df.unpersist(); featCache.remove(k) }
