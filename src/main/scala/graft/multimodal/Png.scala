@@ -55,8 +55,15 @@ object Png {
     require(filter >= 0 && filter <= 4, s"filter $filter")
     val bpp = channels
     val stride = width * channels
-    // forward-filter into the scanline stream: 1 filter byte + stride
-    val raw = new Array[Byte](height * (1 + stride))
+    // forward-filter into the scanline stream: 1 filter byte + stride.
+    // Sized in Long first: data.length alone passes the raster require
+    // near 2 GiB, where the Int sum data.length + height wraps negative
+    // and would throw NegativeArraySizeException instead of a codec
+    // diagnostic (round-15 ADVICE).
+    val rawLen = height.toLong * (1L + stride.toLong)
+    require(rawLen <= Int.MaxValue,
+      s"scanline stream $rawLen bytes exceeds the 2 GiB array ceiling")
+    val raw = new Array[Byte](rawLen.toInt)
     var y = 0
     while (y < height) {
       raw(y * (1 + stride)) = filter.toByte

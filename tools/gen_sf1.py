@@ -118,7 +118,66 @@ assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b], (a, b)
 nz = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
 assert nz == total, (nz, total)
 print("documents(zipf)", nz)
-for t in ("events", "embeddings"):
-    con.execute(f"COPY (SELECT * FROM '{DST}/{t}.parquet') "
-                f"TO '{DSTZ}/{t}.parquet' (FORMAT PARQUET)")
+con.execute(f"COPY (SELECT * FROM '{DST}/events.parquet') "
+            f"TO '{DSTZ}/events.parquet' (FORMAT PARQUET)")
+
+# ---------------------------------------------------------------------
+# Embedding-axis Zipf variant (round-16, VERDICT item 4): sf1z used to
+# copy the uniform-replica embeddings, so the embedding-space dedup
+# family (d5, d14*, mm4, s-tier) had only been measured on clusters of
+# exactly 10 identical vectors. Real semantic-dup clusters are (a)
+# Zipf-sized and (b) NEAR-duplicates, not byte-copies. Same size law as
+# the documents axis (max(1, floor(S/i^1.05)), S chosen so the head
+# cluster is ~1.5% of the corpus): cluster i takes source vector
+# (i mod n_src) as its base and each member adds deterministic
+# md5-derived jitter, amplitude 1e-2 per dim on unit-norm vectors —
+# within-cluster cosine ≈ 0.998 (above every query threshold), cross-
+# base cosine ~N(0, 1/8) (far below). Row count matches sf1x so the
+# 10x ratio comparisons stay apples-to-apples.
+n_src_e = con.sql(f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+total_e = n_src_e * REPS
+SE = total_e * 0.016
+esizes = []
+acc = 0
+i = 1
+while acc < total_e:
+    c = max(1, int(SE / i ** 1.05))
+    if acc + c > total_e:
+        c = total_e - acc
+    esizes.append(c)
+    acc += c
+    i += 1
+print(f"zipf embedding plan: {len(esizes)} clusters, head={esizes[0]}, "
+      f"singletons={sum(1 for c in esizes if c == 1)}, total={acc}")
+con.execute("CREATE TABLE ezplan (cluster BIGINT, csize BIGINT)")
+con.executemany("INSERT INTO ezplan VALUES (?, ?)",
+                list(enumerate(esizes, start=1)))
+oute = f"{DSTZ}/embeddings.parquet"
+con.execute(f"""
+  COPY (
+    WITH src AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+             CAST(embedding AS DOUBLE[]) AS v, label
+      FROM '{SRC}/embeddings.parquet'),
+    mem AS (
+      SELECT z.cluster, r.i AS j, s.v, s.label,
+             row_number() OVER (ORDER BY z.cluster, r.i) - 1 AS vec_id
+      FROM ezplan z
+      JOIN src s ON s.rn = z.cluster % {n_src_e}
+      CROSS JOIN range(0, {max(esizes)}) r(i)
+      WHERE r.i < z.csize)
+    SELECT vec_id,
+           CAST(list_transform(range(1, 65), k ->
+             v[k] + (CAST(('0x' || substr(md5(
+                 cluster || ':' || j || ':' || k), 1, 8)) AS BIGINT)
+               % 201 - 100) * 1e-4) AS FLOAT[]) AS embedding,
+           label
+    FROM mem ORDER BY vec_id
+  ) TO '{oute}' (FORMAT PARQUET)""")
+a = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/embeddings.parquet'").fetchall()
+b = con.sql(f"DESCRIBE SELECT * FROM '{oute}'").fetchall()
+assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b], (a, b)
+ne = con.sql(f"SELECT count(*) FROM '{oute}'").fetchone()[0]
+assert ne == total_e, (ne, total_e)
+print("embeddings(zipf)", ne)
 print("done ->", DSTZ)
