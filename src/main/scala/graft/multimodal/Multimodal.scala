@@ -12,13 +12,18 @@ import org.apache.spark.sql.types._
   * analogue of `mapInPandas`: one iterator pass per partition, vectorized
   * batch shape, no per-row UDF dispatch).
   *
-  * Decoding: PPM images decode for REAL ([[Ppm]], dependency-free —
-  * mm3b exercises the full encode→decode→resize path, hash-checked
-  * cross-engine); formats the container genuinely cannot decode
-  * without libraries (JPEG/PNG/audio) remain STUBBED (`decodeStub`),
-  * with the Spark-side plumbing (schema, partitioning, batch
-  * signature, deterministic feature contract) real and tested either
-  * way. Swapping in another decoder means replacing ONLY the
+  * Decoding is REAL for the whole image tier and uncompressed/companded
+  * audio: Netpbm ([[Ppm]]), PNG ([[Png]]), baseline JPEG ([[Jpeg]],
+  * round-16) and WAV PCM + G.711 μ-law ([[Wav]]) are dependency-free
+  * codecs exercised end to end by production queries. `decodeStub`
+  * stands in ONLY for perceptual-transform compressed audio (MP3/AAC),
+  * which is CLOSED out of the dependency-free scope permanently: a
+  * conforming decoder needs polyphase filterbanks + psychoacoustic
+  * tables whose outputs no closed-form oracle can replay, so it would
+  * be untestable here by construction — the Spark-side plumbing
+  * (schema, partitioning, batch signature, deterministic feature
+  * contract) is real and tested either way, and swapping in a real
+  * decoder on a cluster with codec libraries means replacing ONLY the
   * byte→feature function.
   */
 object Multimodal {
@@ -39,11 +44,14 @@ object Multimodal {
         length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
         col(sourceCol).as("source")).as("meta"))
 
-  /** === STUB ===
-    * Deterministic fake "decode": real deployments replace this with an
-    * image/audio decoder (e.g. JPEG dimensions, mel spectrogram, frame
-    * sampling). Signature contract: bytes in → fixed-width feature
-    * vector out. Kept pure + deterministic so the plumbing is testable. */
+  /** === STUB (permanent, MP3/AAC only) ===
+    * Deterministic fake "decode" for perceptual-transform compressed
+    * AUDIO — the one boundary deliberately left outside the
+    * dependency-free codec tier (see the object scaladoc; images and
+    * PCM/μ-law audio all decode for real). Real deployments replace
+    * this with a codec-library call (mel spectrogram, frame sampling).
+    * Signature contract: bytes in → fixed-width feature vector out.
+    * Kept pure + deterministic so the plumbing is testable. */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     if (payload == null) return Array(0.0, 0.0, 0.0, 0.0)
     var sum = 0L; var i = 0
@@ -256,6 +264,39 @@ object Multimodal {
             filter = (id % 5).toInt)
         }
         Row(id, payload)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic per-block-constant GRAYSCALE raster encoded as a
+    * REAL baseline JPEG payload (round-16): 8×8 block b of doc id
+    * holds the constant `128 + 4·((id·7 + b·13) mod 25 − 12)` —
+    * exactly the profile [[Jpeg]]'s lossy pipeline reproduces
+    * BIT-EXACTLY (every AC coefficient quantizes to zero on a
+    * constant block; a DC that is a multiple of 64 survives the
+    * /16 quantizer and the IDCT round integrally — see the Jpeg
+    * scaladoc). So the decoded pixels replay closed-form in the
+    * DuckDB oracle and the whole Huffman + dequant + IDCT round trip
+    * is hash-checked, the first time for a lossy image codec here.
+    * Emits `(id, payload binary)`; narrow batched pass. */
+  def synthJpegPayload(df: DataFrame, idCol: String,
+                       width: Int = 16, height: Int = 8): DataFrame = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"block-aligned dims only: ${width}x$height")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val data = new Array[Byte](width * height)
+        var j = 0
+        while (j < data.length) {
+          val b = (j / width / 8) * (width / 8) + (j % width) / 8
+          data(j) = (128 + 4 * ((id * 7 + b * 13) % 25 - 12)).toByte
+          j += 1
+        }
+        Row(id, Jpeg.encode(width, height, data))
       }
     }(Encoders.row(schema))
   }

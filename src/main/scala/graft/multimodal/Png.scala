@@ -1,9 +1,9 @@
 package graft.multimodal
 
 /** Dependency-free PNG codec in plain Scala (round-15) — the web's
-  * most common image format made REAL behind the multimodal tier,
-  * shrinking [[Multimodal.decodeStub]] to genuinely-lossy formats
-  * (JPEG, lossy audio).
+  * most common image format made REAL behind the multimodal tier.
+  * (Since round-16 baseline JPEG is real too — [[Jpeg]] — leaving
+  * [[Multimodal.decodeStub]] only for perceptual-transform audio.)
   *
   * The container ships no image libraries, but PNG's compression is
   * zlib — and zlib inflate ships IN the JDK (`java.util.zip.Inflater`).
@@ -240,10 +240,12 @@ object Png {
 
 /** Magic-byte dispatch across ALL the real image codecs — the decode
   * boundary the multimodal queries call when one binary column mixes
-  * formats (mm3c Netpbm family; mm3d + mm5 add PNG). Adding a codec
-  * means adding a magic branch here; callers never change. */
+  * formats (mm3c Netpbm family; mm3d + mm5 add PNG; mm9 adds baseline
+  * JPEG). Adding a codec means adding a magic branch here; callers
+  * never change. */
 object Images {
   def decodeAuto(bytes: Array[Byte]): Ppm.Raster =
     if (Png.isPng(bytes)) Png.decode(bytes)
+    else if (Jpeg.isJpeg(bytes)) Jpeg.decode(bytes)
     else Ppm.decodeAuto(bytes)
 }

@@ -13,9 +13,10 @@ package graft.multimodal
   * → 1 byte per sample). Both formats share ONE header tokenizer and
   * dispatch on the magic bytes ([[decodeAuto]]), which is the point
   * of the second codec: the decode boundary is an interface keyed on
-  * the payload, not a P6 one-off. [[Multimodal.decodeStub]] remains
-  * the honestly-documented stand-in for formats a dependency-free
-  * container genuinely cannot decode (JPEG/PNG/audio).
+  * the payload, not a P6 one-off. The family has since grown PNG
+  * ([[Png]], round-15) and baseline JPEG ([[Jpeg]], round-16);
+  * [[Multimodal.decodeStub]] remains the honestly-documented stand-in
+  * only for perceptual-transform audio (MP3/AAC).
   *
   * Scale shape: encode/decode run inside the batched per-partition
   * transform ([[Multimodal.extractFeatures]]'s mapInPandas shape) —

@@ -11,8 +11,10 @@ package graft.multimodal
   *    (logarithmic quantization) and expanded back on decode. Pure
   *    integer bit-twiddling from the G.711 spec, so the round trip —
   *    including the quantization loss — replays closed-form in the
-  *    oracle. This makes "lossy audio" REAL and shrinks decodeStub
-  *    to perceptual-transform formats (JPEG, MP3/AAC).
+  *    oracle. This makes "lossy audio" REAL; with baseline JPEG also
+  *    real since round-16, decodeStub stands in ONLY for
+  *    perceptual-transform audio (MP3/AAC) — closed permanently out
+  *    of the dependency-free scope (see Multimodal's scaladoc).
   *
   * The container ships no audio libraries, but neither format needs
   * one: a RIFF container header, a `fmt ` chunk declaring the layout,

@@ -1392,8 +1392,8 @@ object StreamMultimodalPack extends QueryPack {
     // inflate + un-filter round trip: a wrong Paeth tie-break, a
     // mis-walked chunk, an off-by-one scanline offset each hash-fail
     // a third of the rows. Narrow batched decode, no shuffle until
-    // the final agg; decodeStub now stands in ONLY for genuinely
-    // lossy formats (JPEG, compressed audio).
+    // the final agg; with mm9's baseline JPEG (round-16) decodeStub
+    // stands in ONLY for perceptual-transform audio (MP3/AAC).
     Q("mm3d_png_mixed",
       (s, dir) => {
         import s.implicits._
@@ -1547,9 +1547,9 @@ object StreamMultimodalPack extends QueryPack {
     // closed-form (threshold ladder for the exponent, shift/mask
     // arithmetic for mantissa and expansion), so a single wrong bit
     // anywhere in the companding hash-fails every row. After PCM WAV
-    // (lossless audio) and PNG (compressed images), decodeStub now
-    // stands in only for perceptual-transform formats (JPEG,
-    // MP3/AAC).
+    // (lossless audio), PNG (compressed images) and mm9's baseline
+    // JPEG (round-16), decodeStub now stands in only for
+    // perceptual-transform audio (MP3/AAC).
     Q("mm8_ulaw_features",
       (s, dir) => {
         import s.implicits._
@@ -1659,5 +1659,40 @@ object StreamMultimodalPack extends QueryPack {
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, hamming,
              |  (id_a // 8 = id_b // 8) AS same_group
-             |FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin)))
+             |FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // MM9 (round-16, VERDICT item 7): REAL baseline JPEG decode —
+    // the codec tier closed. Every doc's payload is a genuine JFIF
+    // stream (Annex-K quant + Huffman tables, differential DC,
+    // run-length AC, byte stuffing) decoded by the dependency-free
+    // Jpeg codec via the magic dispatch. The DCT is lossy, so unlike
+    // PNG arbitrary pixels can't be hash-checked — but the loss is
+    // exactly characterized: per-8×8-block CONSTANT rasters with
+    // offsets divisible by 4 survive the quantize→dequantize→IDCT
+    // round trip BIT-EXACTLY (ACs quantize to zero; DC/16 integral).
+    // The generator plants exactly such rasters, so DuckDB replays
+    // the decoded pixels closed-form and any defect in the marker
+    // walk, Huffman tables, entropy reader, dequant or IDCT
+    // hash-fails every row. decodeStub is now MP3/AAC only — the
+    // documented permanent boundary. Narrow batched decode, no
+    // shuffle until the final agg.
+    Q("mm9_jpeg_gray",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.netpbmFeatures(
+            Multimodal.synthJpegPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"format", $"width", $"height",
+            $"channels", r6($"mean_v").as("mean_v"), $"cksum")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j,
+             |    128 + 4 * ((d.doc_id * 7 + ((t.j % 16) // 8) * 13) % 25
+             |               - 12) AS v
+             |  FROM documents d, range(0, 128) t(j))
+             |SELECT doc_id, 'JPEG' AS format, CAST(16 AS INT) AS width,
+             |  CAST(8 AS INT) AS height, CAST(1 AS INT) AS channels,
+             |  round(avg(v) + 1e-9, 6) AS mean_v,
+             |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
+             |FROM px GROUP BY doc_id""".stripMargin)))
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{Images, Jpeg, Png, Ppm}
+
+/** Baseline-JPEG codec contracts behind mm9: the EXACTNESS property
+  * the oracle relies on (block-constant rasters with offsets divisible
+  * by 4 survive the lossy round trip bit-identically), bounded error
+  * on smooth content, magic dispatch across the now four-codec image
+  * family, byte stuffing actually exercised, and rejection of
+  * malformed / adversarial / out-of-profile payloads. */
+class JpegSpec extends AnyFunSuite {
+
+  /** md5-derived raster (the repo's portable-noise idiom). */
+  private def noise(n: Int, seed: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(n) { i =>
+      md.reset()
+      val h = md.digest(s"$seed:$i".getBytes)
+      h(0)
+    }
+  }
+
+  test("block-constant rasters with 4-divisible offsets round-trip EXACTLY") {
+    // the mm9 oracle contract: per-8x8-block constant value 128+4t
+    // (t in -12..12) -> all AC quantize to 0, DC/16 integral -> the
+    // decoded pixel equals the source pixel bit-exactly despite the
+    // lossy pipeline. Checked across every t and a multi-block layout.
+    for (t <- -12 to 12) {
+      val c = (128 + 4 * t).toByte
+      val px = Array.fill(64)(c)
+      val dec = Jpeg.decode(Jpeg.encode(8, 8, px))
+      assert(dec.format == "JPEG" && dec.width == 8 && dec.height == 8 &&
+        dec.channels == 1)
+      assert(dec.data.sameElements(px), s"constant $c not exact")
+    }
+    // 4x2 blocks, distinct constants per block
+    val w = 32; val h = 16
+    val px = Array.tabulate(w * h) { i =>
+      val b = (i / w / 8) * 4 + (i % w) / 8
+      (128 + 4 * ((b * 7) % 25 - 12)).toByte
+    }
+    val dec = Jpeg.decode(Jpeg.encode(w, h, px))
+    assert(dec.data.sameElements(px), "multi-block constants not exact")
+  }
+
+  test("smooth content round-trips with small bounded error") {
+    // a horizontal ramp is low-frequency: the Annex-K table keeps the
+    // error within a few levels (high-frequency noise would not be —
+    // that is what LOSSY means, and why mm9 plants constants instead)
+    val w = 24; val h = 16
+    val px = Array.tabulate(w * h)(i => (40 + 7 * (i % w)).toByte)
+    val dec = Jpeg.decode(Jpeg.encode(w, h, px))
+    val maxErr = px.indices.map(i =>
+      math.abs((px(i) & 0xff) - (dec.data(i) & 0xff))).max
+    assert(maxErr <= 12, s"ramp max error $maxErr")
+  }
+
+  test("noise content survives the pipeline structurally (50 payloads)") {
+    // md5 noise is the DCT worst case: values differ, but dimensions,
+    // marker structure, Huffman stream and EOI must all hold — and
+    // across 50 payloads the entropy stream statistically contains
+    // 0xFF bytes, so the stuffing path (FF 00) runs in both directions
+    var stuffed = 0
+    for (seed <- 0 until 50) {
+      val px = noise(15 * 9, seed) // non-8-aligned: edge replication path
+      val enc = Jpeg.encode(15, 9, px)
+      // count FF 00 sequences strictly inside the entropy segment
+      val sos = {
+        var i = 2
+        while (!(enc(i) == 0xff.toByte && enc(i + 1) == 0xda.toByte)) i += 1
+        i + 2 + (((enc(i + 2) & 0xff) << 8) | (enc(i + 3) & 0xff))
+      }
+      var i = sos
+      while (i + 1 < enc.length - 2) {
+        if (enc(i) == 0xff.toByte && enc(i + 1) == 0x00.toByte) stuffed += 1
+        i += 1
+      }
+      val dec = Jpeg.decode(enc)
+      assert(dec.width == 15 && dec.height == 9 &&
+        dec.data.length == 15 * 9, s"seed $seed")
+    }
+    assert(stuffed > 0, "no payload exercised byte stuffing")
+  }
+
+  test("Images.decodeAuto dispatches JPEG next to PNG / P6 / P5") {
+    val px = Array.fill(64)(132.toByte)
+    val jp = Images.decodeAuto(Jpeg.encode(8, 8, px))
+    assert(jp.format == "JPEG" && jp.channels == 1 && jp.data.sameElements(px))
+    val png = Images.decodeAuto(Png.encode(8, 8, 1, px))
+    assert(png.format == "PNG" && png.data.sameElements(px))
+    val p5 = Images.decodeAuto(Ppm.encodePgm(8, 8, 255, px))
+    assert(p5.format == "P5" && p5.data.sameElements(px))
+  }
+
+  test("malformed, adversarial and out-of-profile payloads are rejected") {
+    val good = Jpeg.encode(16, 8, noise(128, 99))
+    intercept[IllegalArgumentException](Jpeg.decode(null))
+    intercept[IllegalArgumentException](Jpeg.decode(Array[Byte](1, 2, 3)))
+    // truncated mid-segment and mid-entropy
+    intercept[IllegalArgumentException](Jpeg.decode(good.take(8)))
+    intercept[IllegalArgumentException](Jpeg.decode(good.dropRight(6)))
+    // a segment declaring more bytes than remain
+    val overrun = good.clone()
+    // DQT is the first segment after APP0 (2 + 2+16+2): its length field
+    // sits right after the FF DB marker — find it and inflate it
+    val dqtAt = {
+      var i = 2
+      while (!(overrun(i) == 0xff.toByte && overrun(i + 1) == 0xdb.toByte))
+        i += 1
+      i + 2
+    }
+    overrun(dqtAt) = 0x7f.toByte // 0x7fxx bytes: far past the payload end
+    intercept[IllegalArgumentException](Jpeg.decode(overrun))
+    // progressive (SOF2) is rejected by profile, not mis-decoded
+    val prog = good.clone()
+    val sofAt = {
+      var i = 2
+      while (!(prog(i) == 0xff.toByte && prog(i + 1) == 0xc0.toByte)) i += 1
+      i + 1
+    }
+    prog(sofAt) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e.getMessage.contains("SOF"), e.getMessage)
+    // EOI must terminate the stream where the geometry says
+    intercept[IllegalArgumentException](
+      Jpeg.decode(good.dropRight(2) ++ Array[Byte](0, 0)))
+    // encode-side geometry guards
+    intercept[IllegalArgumentException](Jpeg.encode(0, 8, Array.empty))
+    intercept[IllegalArgumentException](Jpeg.encode(4, 4, new Array[Byte](15)))
+  }
+}
