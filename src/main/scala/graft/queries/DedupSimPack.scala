@@ -1413,6 +1413,33 @@ object DedupSimPack extends QueryPack {
         k = 5, nCells = 8, nprobe = 3, dims = 64,
         queryPredSql = "vec_id < 10", corpusPredSql = "label = 2"))),
 
+    // S17 (round-16): HIERARCHICAL IVF ANN — the d14c two-level
+    // routing applied to SEARCH. Flat IVF's assignment and probing
+    // both scan all nCells centroids per vector; with the adaptive
+    // nCells = ⌈n/64⌉ rule that is n²/64 distance evaluations — the
+    // same stage d14c measured 8× vs 1.4× warm at 10× data. Here
+    // corpus rows AND queries route point → nearest super-cell
+    // (⌈√nCells⌉ of them, the md5-order prefix) → that super's member
+    // cells, so the whole index build and probe path is n·O(√nCells).
+    // The recall trade (a boundary query probes only its super's
+    // cells) is the standard two-level IVF argument and is replayed
+    // verbatim by the oracle, so the approximation itself is
+    // hash-checked end to end at both gate SFs.
+    Q("s17_ann_ivf_hier",
+      (s, dir) => {
+        import s.implicits._
+        graft.sim.IvfAnn.hierTopK(
+            Tables.embeddings(s, dir)
+              .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+            "vec_id", "v", queryPred = col("vec_id") < 10,
+            k = 5, targetCell = 64, nprobe = 3, dims = 64)
+          .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"),
+            $"rank")
+      },
+      Some(graft.sim.IvfAnn.hierOracleSql(
+        k = 5, targetCell = 64, nprobe = 3, dims = 64,
+        queryPredSql = "e.vec_id < 10"))),
+
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per
     // vector (16× compression); queries scan CODES via per-query ADC

@@ -216,6 +216,157 @@ object IvfAnn {
        |FROM rk WHERE rank <= $k""".stripMargin
   }
 
+  /** [[portableTopK]] with the HIERARCHICAL coarse routing (round-16)
+    * — the d14c/SemDedup two-level topology applied to SEARCH, so the
+    * ANN tier carries the same 100 TB assignment argument the dedup
+    * tier measured (1.4× warm at 10× data vs flat's 8×): nCells =
+    * ⌈n/targetCell⌉ ADAPTIVE cells (per-cell size constant as the
+    * corpus grows), S = ⌈√nCells⌉ super-cells taken as the md5-order
+    * PREFIX of the cell table (no second fit; super s IS cell s), and
+    * BOTH the corpus assignment and the query probing route
+    * point → nearest super → that super's member cells — n·O(√nCells)
+    * distance evaluations end to end instead of flat IVF's n·nCells.
+    * A query ranks only its super's member cells and probes the
+    * `nprobe` nearest of those (a super owning fewer cells probes
+    * them all) — the standard two-level IVF recall trade, identical
+    * to FAISS's IVF-on-IVF sharding argument, and every argmin is the
+    * shared lexicographic (dist, id) struct-min so the whole routing
+    * replays in the DuckDB oracle verbatim. */
+  def hierTopK(df: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, k: Int, targetCell: Int, nprobe: Int,
+               dims: Int): DataFrame = {
+    require(targetCell > 0 && nprobe > 0, s"targetCell $targetCell nprobe $nprobe")
+    val kc = math.max(1L,
+      (df.count() + targetCell - 1) / targetCell).toInt
+    val sCount = math.ceil(math.sqrt(kc.toDouble)).toInt.max(1)
+    val cells = IvfPq.coarseCells(df, idCol, vecCol, kc).localCheckpoint()
+    val supers = cells.filter(col("cell") < sCount)
+      .select(col("cell").as("sup"), col("cellv").as("supv"))
+    // cell → nearest super (kc·S distances — tiny, driver-free)
+    val cellSup = cells.crossJoin(broadcast(supers))
+      .withColumn("__sd2", Pq.dist2Unrolled(col("cellv"), col("supv"), dims))
+      .groupBy(col("cell"), col("cellv"))
+      .agg(min(struct(col("__sd2"), col("sup"))).as("mn"))
+      .select(col("cell"), col("cellv"), col("mn.sup").as("sup"))
+      .localCheckpoint()
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // point → nearest super (n·S)
+    def toSup(fr: DataFrame): DataFrame = fr
+      .crossJoin(broadcast(supers))
+      .withColumn("__sd2", Pq.dist2Unrolled(col("v"), col("supv"), dims))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__sd2"), col("sup"))).as("mn"))
+      .select(col("vec_id"), col("mn.sup").as("sup"))
+    // corpus row → nearest cell AMONG its super's members
+    val assign = base.join(toSup(base), "vec_id")
+      .join(broadcast(cellSup), "sup")
+      .withColumn("cd2", Pq.dist2Unrolled(col("v"), col("cellv"), dims))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd2"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell").as("cell"))
+    // query → nprobe nearest cells among its super's members
+    val qbase = Similarity.withNormalized(base.filter(queryPred), "v", "qv")
+      .select(col("vec_id").as("query_id"), col("v"), col("qv"))
+    val qsup = toSup(qbase.select(col("query_id").as("vec_id"), col("v")))
+      .withColumnRenamed("vec_id", "query_id")
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("cd2"), col("cell"))
+    val probes = qbase.join(qsup, "query_id")
+      .join(broadcast(cellSup), "sup")
+      .withColumn("cd2", Pq.dist2Unrolled(col("v"), col("cellv"), dims))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // scoring tail — identical to portableTopK: candidates bound by
+    // probed-cell membership, one fused dot per normalized pair
+    val corpus = Similarity.withNormalized(base, "v", "cv")
+      .select(col("vec_id"), col("cv"))
+      .join(assign, "vec_id")
+    val scored = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("vec_id").as("corpus_id"),
+        col("cos"))
+    graft.operators.TopK.perKey(scored, Seq("query_id"),
+        Seq(graft.operators.TopK.descNullsLast(col("cos")), col("corpus_id")), k)
+      .select(col("query_id"), col("cell"), col("corpus_id"), col("cos"),
+        col("rank"))
+  }
+
+  /** DuckDB oracle for [[hierTopK]] over the `embeddings` view: the
+    * d14c two-level routing CTEs (adaptive cell LIMIT, super prefix,
+    * cell→super, point→super, within-super argmin/rank) composed with
+    * [[portableOracleSql]]'s cosine scoring tail. */
+  def hierOracleSql(k: Int, targetCell: Int, nprobe: Int, dims: Int,
+                    queryPredSql: String): String = {
+    def d2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, $dims + 1),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |          FROM embeddings),
+       |nc AS (SELECT greatest(1, CAST(ceil(count(*) / $targetCell.0)
+       |         AS BIGINT)) AS kc FROM e),
+       |hs AS (SELECT vec_id, v,
+       |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM e),
+       |cells AS (SELECT v AS cellv,
+       |    row_number() OVER (ORDER BY h, vec_id) - 1 AS cell
+       |  FROM hs ORDER BY h, vec_id
+       |  LIMIT (SELECT kc FROM nc)),
+       |sup AS (SELECT cellv AS supv, cell AS sup FROM cells
+       |  WHERE cell < (SELECT CAST(ceil(sqrt(kc)) AS BIGINT) FROM nc)),
+       |casg AS (SELECT cell, cellv, sup FROM (
+       |    SELECT c.cell, c.cellv, s.sup,
+       |      row_number() OVER (PARTITION BY c.cell
+       |        ORDER BY ${d2("c.cellv", "s.supv")}, s.sup) AS rn
+       |    FROM cells c, sup s) WHERE rn = 1),
+       |psup AS (SELECT vec_id, sup FROM (
+       |    SELECT e.vec_id, s.sup,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "s.supv")}, s.sup) AS rn
+       |    FROM e, sup s) WHERE rn = 1),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, ca.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "ca.cellv")}, ca.cell) AS arn
+       |    FROM e
+       |    JOIN psup p ON p.vec_id = e.vec_id
+       |    JOIN casg ca ON ca.sup = p.sup) WHERE arn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, ca.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "ca.cellv")}, ca.cell) AS prn
+       |    FROM e
+       |    JOIN psup p ON p.vec_id = e.vec_id
+       |    JOIN casg ca ON ca.sup = p.sup
+       |    WHERE $queryPredSql) WHERE prn <= $nprobe),
+       |nm AS (SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM e),
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nm),
+       |q AS (SELECT p.query_id, p.cell, nv.nv AS qv
+       |  FROM probes p JOIN nv ON nv.vec_id = p.query_id),
+       |sc AS (
+       |  SELECT q.query_id, a.cell, nv.vec_id AS corpus_id,
+       |    list_reduce(list_prepend(0.0,
+       |        list_transform(range(1, len(qv) + 1), i -> qv[i] * nv.nv[i])),
+       |        (acc, x) -> acc + x) AS cos
+       |  FROM q JOIN asg a ON a.cell = q.cell
+       |  JOIN nv ON nv.vec_id = a.vec_id
+       |  WHERE q.query_id <> nv.vec_id),
+       |rk AS (
+       |  SELECT query_id, cell, corpus_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, cell, corpus_id, round(cos + 1e-9, 6) AS cos, rank
+       |FROM rk WHERE rank <= $k""".stripMargin
+  }
+
   /** Rename to the (vec_id, v) convention and add the ML-vector view.
     * NOT normalization: the quantizer bins RAW vectors (cosine ranking
     * re-normalizes per pair inside Similarity.cosine). */
