@@ -1424,7 +1424,10 @@ object DedupSimPack extends QueryPack {
     // The recall trade (a boundary query probes only its super's
     // cells) is the standard two-level IVF argument and is replayed
     // verbatim by the oracle, so the approximation itself is
-    // hash-checked end to end at both gate SFs.
+    // hash-checked end to end at both gate SFs. nprobeSup=2 probes
+    // the two nearest supers per query — 2S extra distances buys back
+    // most of the flat recall (AnnRecallSpec: 0.38 at nprobeSup=1 vs
+    // flat s3's 0.56; the pinned floor rides the 2-super setting).
     Q("s17_ann_ivf_hier",
       (s, dir) => {
         import s.implicits._
@@ -1432,13 +1435,13 @@ object DedupSimPack extends QueryPack {
             Tables.embeddings(s, dir)
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
             "vec_id", "v", queryPred = col("vec_id") < 10,
-            k = 5, targetCell = 64, nprobe = 3, dims = 64)
+            k = 5, targetCell = 64, nprobe = 3, dims = 64, nprobeSup = 2)
           .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"),
             $"rank")
       },
       Some(graft.sim.IvfAnn.hierOracleSql(
         k = 5, targetCell = 64, nprobe = 3, dims = 64,
-        queryPredSql = "e.vec_id < 10"))),
+        queryPredSql = "e.vec_id < 10", nprobeSup = 2))),
 
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per

@@ -30,6 +30,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.4, s"IVF recall@5 = $ivfRecall")
   }
 
+  test("hierarchical IVF (s17) keeps recall@5 >= 0.4 at nprobe=3") {
+    // the two-level routing's recall price vs flat s3 (same nprobe):
+    // a query sees only its nprobeSup supers' member cells, so recall
+    // can only be <= flat's (0.56 here). Measured at the gate corpus
+    // (8 cells, 3 supers): 0.38 with nprobeSup=1, 0.46 with the
+    // declared query's nprobeSup=2 — the second-level knob buying
+    // recall back, which is what the floor pins: a knob, not a cliff.
+    val exact = pairs("s1_cosine_topk")
+    assert(exact.nonEmpty)
+    val hier = pairs("s17_ann_ivf_hier")
+    val recall = (exact & hier).size.toDouble / exact.size
+    info(s"s17 hierarchical recall@5 = $recall")
+    assert(recall >= 0.4, s"hier IVF recall@5 = $recall")
+  }
+
   test("the IVF nprobe knob raises recall@5 to >= 0.6 at nprobe=3") {
     import org.apache.spark.sql.functions.col
     val exact = pairs("s1_cosine_topk")
