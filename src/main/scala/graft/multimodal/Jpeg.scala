@@ -5,18 +5,20 @@ package graft.multimodal
   * the codec tier: [[Multimodal.decodeStub]] now stands in for
   * compressed AUDIO (MP3) only.
   *
-  * Scope is the baseline sequential GRAYSCALE profile (ITU-T T.81:
-  * SOF0, 8-bit precision, one component, Huffman entropy coding, no
-  * restart intervals): enough to encode→decode real JFIF payloads end
-  * to end with the exact machinery every baseline JPEG uses — 8×8
-  * FDCT/IDCT (Annex A), the Annex-K luminance quantization and
-  * Huffman tables, zigzag ordering, differential DC, run-length AC
-  * with ZRL/EOB, byte stuffing (FF→FF 00) — while color, subsampling,
-  * progressive (SOF2) and restart markers are REJECTED with the
+  * Scope is the baseline sequential profile (ITU-T T.81: SOF0, 8-bit
+  * precision, Huffman entropy coding, no restart intervals) in TWO
+  * layouts — GRAYSCALE (one component) and COLOR (YCbCr 4:4:4, three
+  * components in interleaved MCUs, per-component DC predictors,
+  * BT.601 full-range JFIF transform) — with the exact machinery every
+  * baseline JPEG uses: 8×8 FDCT/IDCT (Annex A), the Annex-K
+  * luminance + chrominance quantization tables, zigzag ordering,
+  * differential DC, run-length AC with ZRL/EOB, byte stuffing
+  * (FF→FF 00). Chroma subsampling (4:2:0), progressive (SOF2),
+  * arithmetic coding and restart markers are REJECTED with the
   * codec's own diagnostic, never mis-decoded. The decoder builds its
   * Huffman tables from the stream's OWN DHT segments (spec F.2.2.3
   * MINCODE/MAXCODE/VALPTR), so it decodes third-party baseline
-  * grayscale JPEGs, not just this encoder's output.
+  * 4:4:4/grayscale JPEGs, not just this encoder's output.
   *
   * Cross-engine replay despite lossiness: JPEG has no CRC and its DCT
   * is lossy, so unlike PNG the raster can't be hash-checked from
@@ -60,6 +62,17 @@ object Jpeg {
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Annex K.2 chrominance quantization table, natural order. */
+  private val QChrom: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
 
   /** Zigzag position → natural (row-major) index (spec Figure A.6). */
   private val Zigzag: Array[Int] = Array(
@@ -156,76 +169,64 @@ object Jpeg {
     }
   }
 
-  /** Serialize an 8-bit grayscale raster as a baseline JFIF payload.
-    * Width/height need not be block-aligned: partial edge blocks are
-    * edge-replicated (the standard convention; the decoder crops back
-    * to the declared dimensions). */
-  def encode(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
-    require(width > 0 && height > 0 && width <= (1 << 13) &&
-      height <= (1 << 13), s"bad dimensions ${width}x$height")
-    require(data.length.toLong == width.toLong * height,
-      s"raster ${data.length} != $width*$height")
-    val dcT = encodeTable(DcBits, DcVals)
-    val acT = encodeTable(AcBits, AcVals)
-    val entropy = new java.io.ByteArrayOutputStream()
-    val bw = new BitWriter(entropy)
-    val mcusX = (width + 7) / 8
-    val mcusY = (height + 7) / 8
-    val block = new Array[Double](64)
+  /** Encode one LEVEL-SHIFTED 8×8 block against quant table `q`
+    * through the shared Huffman tables; returns the new DC predictor
+    * (spec F.1.2: differential DC category + magnitude, run-length AC
+    * with ZRL for 16-zero runs, EOB tail). */
+  private def encodeBlock(block: Array[Double], q: Array[Int], prevDc: Int,
+                          dcT: Map[Int, (Int, Int)],
+                          acT: Map[Int, (Int, Int)],
+                          bw: BitWriter): Int = {
+    fdct(block)
     val coef = new Array[Int](64)
-    var prevDc = 0
-    var by = 0
-    while (by < mcusY) {
-      var bx = 0
-      while (bx < mcusX) {
-        // level-shifted source block, edge pixels replicated outward
-        var i = 0
-        while (i < 64) {
-          val y = math.min(by * 8 + i / 8, height - 1)
-          val x = math.min(bx * 8 + i % 8, width - 1)
-          block(i) = (data(y * width + x) & 0xff) - 128.0
-          i += 1
-        }
-        fdct(block)
-        i = 0
-        while (i < 64) {
-          val nat = Zigzag(i)
-          coef(i) = math.round(block(nat) / QLum(nat)).toInt
-          i += 1
-        }
-        // DC: differential, category + magnitude bits
-        val diff = coef(0) - prevDc
-        prevDc = coef(0)
-        val ds = category(diff)
-        val (dc, dl) = dcT(ds)
-        bw.put(dc, dl)
-        if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
-        // AC: (run, size) symbols with ZRL for 16-zero runs, EOB tail
-        var last = 63
-        while (last > 0 && coef(last) == 0) last -= 1
-        var k = 1
-        var run = 0
-        while (k <= last) {
-          if (coef(k) == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
-            }
-            val s = category(coef(k))
-            val (c, l) = acT((run << 4) | s)
-            bw.put(c, l)
-            bw.put(if (coef(k) >= 0) coef(k) else coef(k) + (1 << s) - 1, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (last < 63) { val (ec, el) = acT(0x00); bw.put(ec, el) }
-        bx += 1
-      }
-      by += 1
+    var i = 0
+    while (i < 64) {
+      val nat = Zigzag(i)
+      coef(i) = math.round(block(nat) / q(nat)).toInt
+      i += 1
     }
-    bw.flush()
-    val out = new java.io.ByteArrayOutputStream()
+    val diff = coef(0) - prevDc
+    val ds = category(diff)
+    val (dc, dl) = dcT(ds)
+    bw.put(dc, dl)
+    if (ds > 0) bw.put(if (diff >= 0) diff else diff + (1 << ds) - 1, ds)
+    var last = 63
+    while (last > 0 && coef(last) == 0) last -= 1
+    var k = 1
+    var run = 0
+    while (k <= last) {
+      if (coef(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val s = category(coef(k))
+        val (c, l) = acT((run << 4) | s)
+        bw.put(c, l)
+        bw.put(if (coef(k) >= 0) coef(k) else coef(k) + (1 << s) - 1, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (last < 63) { val (ec, el) = acT(0x00); bw.put(ec, el) }
+    coef(0)
+  }
+
+  /** Copy the edge-replicated level-shifted 8×8 block at (bx, by) of
+    * `plane` (width×height doubles) into `block`. */
+  private def loadBlock(plane: Array[Double], width: Int, height: Int,
+                        bx: Int, by: Int, block: Array[Double]): Unit = {
+    var i = 0
+    while (i < 64) {
+      val y = math.min(by * 8 + i / 8, height - 1)
+      val x = math.min(bx * 8 + i % 8, width - 1)
+      block(i) = plane(y * width + x)
+      i += 1
+    }
+  }
+
+  private def writeSegments(out: java.io.ByteArrayOutputStream,
+                            width: Int, height: Int, color: Boolean): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def segment(m: Int, body: Array[Byte]): Unit = {
       marker(m)
@@ -237,16 +238,121 @@ object Jpeg {
       ++ Array[Byte](0, 1, 1, // APP0 v1.1
         0, 0, 1, 0, 1, 0, 0)) // no density units, no thumbnail
     segment(0xdb, (Array(0) ++ Zigzag.map(QLum)).map(_.toByte)) // DQT id 0
+    if (color)
+      segment(0xdb, (Array(1) ++ Zigzag.map(QChrom)).map(_.toByte)) // DQT id 1
+    val comps: Array[Byte] =
+      if (color) Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+      else Array[Byte](1, 1, 0x11, 0) // 4:4:4 throughout; Y→q0, chroma→q1
     segment(0xc0, Array[Byte](8, // SOF0: precision
       (height >> 8).toByte, (height & 0xff).toByte,
-      (width >> 8).toByte, (width & 0xff).toByte,
-      1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, quant table 0
+      (width >> 8).toByte, (width & 0xff).toByte) ++ comps)
     segment(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)) // DHT DC 0
     segment(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)) // DHT AC 0
-    segment(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, tables 0/0
+    // SOS: every component reads the shared table pair 0/0 — legal
+    // per the spec (tables are per-scan-component references) and it
+    // keeps the encoder to the two Annex-K luminance tables
+    val scan: Array[Byte] =
+      if (color) Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
+      else Array[Byte](1, 1, 0x00, 0, 63, 0)
+    segment(0xda, scan)
+  }
+
+  /** Serialize an 8-bit grayscale raster as a baseline JFIF payload.
+    * Width/height need not be block-aligned: partial edge blocks are
+    * edge-replicated (the standard convention; the decoder crops back
+    * to the declared dimensions). */
+  def encode(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= (1 << 13) &&
+      height <= (1 << 13), s"bad dimensions ${width}x$height")
+    require(data.length.toLong == width.toLong * height,
+      s"raster ${data.length} != $width*$height")
+    val dcT = encodeTable(DcBits, DcVals)
+    val acT = encodeTable(AcBits, AcVals)
+    val plane = new Array[Double](width * height)
+    var i = 0
+    while (i < plane.length) { plane(i) = (data(i) & 0xff) - 128.0; i += 1 }
+    val entropy = new java.io.ByteArrayOutputStream()
+    val bw = new BitWriter(entropy)
+    val block = new Array[Double](64)
+    var prevDc = 0
+    var by = 0
+    while (by < (height + 7) / 8) {
+      var bx = 0
+      while (bx < (width + 7) / 8) {
+        loadBlock(plane, width, height, bx, by, block)
+        prevDc = encodeBlock(block, QLum, prevDc, dcT, acT, bw)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    val out = new java.io.ByteArrayOutputStream()
+    writeSegments(out, width, height, color = false)
     val eb = entropy.toByteArray
     out.write(eb, 0, eb.length)
-    marker(0xd9) // EOI
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Serialize an 8-bit interleaved-RGB raster as a baseline COLOR
+    * JFIF payload (round-16b): YCbCr 4:4:4, no subsampling —
+    * interleaved MCUs of one Y + one Cb + one Cr block, each
+    * component with its own DC predictor, Y against the K.1 luminance
+    * quant table and chroma against K.2. The BT.601 full-range JFIF
+    * transform runs in doubles with no intermediate rounding, which
+    * is what preserves the exactness subspace the mm10 oracle uses:
+    * a GRAY-constant RGB block (R=G=B=c, c−128 divisible by 4) maps
+    * to Y ≈ c (±1 ulp) and Cb=Cr ≈ 128 (±1 ulp), the chroma blocks
+    * quantize to all-zero, the Y DC survives /16 integrally, and the
+    * inverse transform adds exactly 0 chroma back — so the decoded
+    * RGB equals the source bit-for-bit through a LOSSY color
+    * pipeline. */
+  def encodeColor(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= (1 << 13) &&
+      height <= (1 << 13), s"bad dimensions ${width}x$height")
+    require(data.length.toLong == 3L * width * height,
+      s"raster ${data.length} != 3*$width*$height")
+    val dcT = encodeTable(DcBits, DcVals)
+    val acT = encodeTable(AcBits, AcVals)
+    val n = width * height
+    val py = new Array[Double](n)
+    val pcb = new Array[Double](n)
+    val pcr = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = data(3 * i) & 0xff
+      val g = data(3 * i + 1) & 0xff
+      val b = data(3 * i + 2) & 0xff
+      // JFIF full-range BT.601, level-shifted (Y−128, Cb−128, Cr−128)
+      py(i) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+      pcb(i) = -0.168736 * r - 0.331264 * g + 0.5 * b
+      pcr(i) = 0.5 * r - 0.418688 * g - 0.081312 * b
+      i += 1
+    }
+    val entropy = new java.io.ByteArrayOutputStream()
+    val bw = new BitWriter(entropy)
+    val block = new Array[Double](64)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var by = 0
+    while (by < (height + 7) / 8) {
+      var bx = 0
+      while (bx < (width + 7) / 8) {
+        loadBlock(py, width, height, bx, by, block)
+        dcY = encodeBlock(block, QLum, dcY, dcT, acT, bw)
+        loadBlock(pcb, width, height, bx, by, block)
+        dcCb = encodeBlock(block, QChrom, dcCb, dcT, acT, bw)
+        loadBlock(pcr, width, height, bx, by, block)
+        dcCr = encodeBlock(block, QChrom, dcCr, dcT, acT, bw)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    val out = new java.io.ByteArrayOutputStream()
+    writeSegments(out, width, height, color = true)
+    val eb = entropy.toByteArray
+    out.write(eb, 0, eb.length)
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 
@@ -393,7 +499,10 @@ object Jpeg {
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
-    var qId = -1; var dcId = -1; var acId = -1
+    var nComp = -1
+    var compQ: Array[Int] = null // per component: quant / DC / AC slots
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
     var sosAt = -1
     def u16(p: Int): Int = {
       require(p + 1 < bytes.length, "truncated segment header")
@@ -454,14 +563,21 @@ object Jpeg {
           require(bodyLen >= 8, "truncated SOF0")
           require((bytes(body) & 0xff) == 8, "only 8-bit precision supported")
           val h = u16(body + 1); val w = u16(body + 3)
-          require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
-            s"bad dimensions ${w}x$h")
           val nc = bytes(body + 5) & 0xff
-          require(nc == 1,
-            s"$nc components: only baseline GRAYSCALE supported")
-          require((bytes(body + 7) & 0xff) == 0x11,
-            "subsampling not supported for a single component")
-          qId = bytes(body + 8) & 0xff
+          require(nc == 1 || nc == 3,
+            s"$nc components: baseline grayscale or YCbCr 4:4:4 only")
+          require(w > 0 && h > 0 && nc.toLong * w * h <= (1L << 26),
+            s"bad dimensions ${w}x$h ($nc components)")
+          require(bodyLen >= 6 + 3 * nc, "truncated SOF0 component list")
+          compQ = new Array[Int](nc)
+          var c = 0
+          while (c < nc) {
+            require((bytes(body + 7 + 3 * c) & 0xff) == 0x11,
+              "subsampling not supported (4:4:4 only)")
+            compQ(c) = bytes(body + 8 + 3 * c) & 0xff
+            c += 1
+          }
+          nComp = nc
           width = w; height = h
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
@@ -469,69 +585,113 @@ object Jpeg {
             f"SOF FF$m%02x: only baseline sequential (SOF0) supported")
         case 0xdd =>
           throw new IllegalArgumentException("restart intervals not supported")
-        case 0xda => // SOS
+        case 0xda => // SOS — one interleaved scan over all components
           require(width > 0, "SOS before SOF0")
-          require(bodyLen >= 4 && (bytes(body) & 0xff) == 1,
-            "scan must cover exactly the one component")
-          dcId = (bytes(body + 2) & 0xff) >> 4
-          acId = bytes(body + 2) & 0x0f
+          require(bodyLen >= 1 + 2 * nComp + 3 &&
+            (bytes(body) & 0xff) == nComp,
+            s"scan must cover exactly the $nComp SOF components")
+          compDc = new Array[Int](nComp)
+          compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compDc(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
+            compAc(c) = bytes(body + 2 + 2 * c) & 0x0f
+            c += 1
+          }
           sosAt = body + bodyLen
         case _ => // APPn / COM / others: length-skipped
       }
       pos += len
     }
-    require(qId >= 0 && quant(qId) != null, s"missing quant table $qId")
-    require(dcTabs(dcId) != null && acTabs(acId) != null,
-      s"missing Huffman tables dc=$dcId ac=$acId")
-    val q = quant(qId)
-    val dcT = dcTabs(dcId); val acT = acTabs(acId)
+    var c0 = 0
+    while (c0 < nComp) {
+      require(compQ(c0) < 4 && quant(compQ(c0)) != null,
+        s"missing quant table ${compQ(c0)} (component $c0)")
+      require(dcTabs(compDc(c0)) != null && acTabs(compAc(c0)) != null,
+        s"missing Huffman tables dc=${compDc(c0)} ac=${compAc(c0)}")
+      c0 += 1
+    }
     val br = new BitReader(bytes, sosAt)
     val mcusX = (width + 7) / 8
     val mcusY = (height + 7) / 8
-    val px = new Array[Byte](width * height)
+    // one byte plane per component (4:4:4 — plane dims = image dims);
+    // interleaved MCUs: Y, Cb, Cr blocks in SOF order, each component
+    // with its own DC predictor (spec A.2.3)
+    val planes = Array.fill(nComp)(new Array[Byte](width * height))
+    val prevDc = new Array[Int](nComp)
     val blk = new Array[Double](64)
-    var prevDc = 0
     var by = 0
     while (by < mcusY) {
       var bx = 0
       while (bx < mcusX) {
-        java.util.Arrays.fill(blk, 0.0)
-        val ds = br.huff(dcT)
-        require(ds <= 11, s"DC category $ds out of range")
-        prevDc += extend(br.bits(ds), ds)
-        blk(0) = prevDc.toDouble * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.huff(acT)
-          val run = rs >> 4; val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += run
-            require(k < 64, s"AC run overflows the block at $k")
-            val nat = Zigzag(k)
-            blk(nat) = extend(br.bits(size), size).toDouble * q(nat)
-            k += 1
+        var c = 0
+        while (c < nComp) {
+          val q = quant(compQ(c))
+          val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
+          java.util.Arrays.fill(blk, 0.0)
+          val ds = br.huff(dcT)
+          require(ds <= 11, s"DC category $ds out of range")
+          prevDc(c) += extend(br.bits(ds), ds)
+          blk(0) = prevDc(c).toDouble * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.huff(acT)
+            val run = rs >> 4; val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += run
+              require(k < 64, s"AC run overflows the block at $k")
+              val nat = Zigzag(k)
+              blk(nat) = extend(br.bits(size), size).toDouble * q(nat)
+              k += 1
+            }
           }
-        }
-        idct(blk)
-        // level shift, clamp, crop partial edge blocks
-        var i = 0
-        while (i < 64) {
-          val y = by * 8 + i / 8
-          val x = bx * 8 + i % 8
-          if (y < height && x < width) {
-            val v = math.round(blk(i) + 128.0).toInt
-            px(y * width + x) = math.max(0, math.min(255, v)).toByte
+          idct(blk)
+          // level shift, clamp, crop partial edge blocks
+          val plane = planes(c)
+          var i = 0
+          while (i < 64) {
+            val y = by * 8 + i / 8
+            val x = bx * 8 + i % 8
+            if (y < height && x < width) {
+              val v = math.round(blk(i) + 128.0).toInt
+              plane(y * width + x) = math.max(0, math.min(255, v)).toByte
+            }
+            i += 1
           }
-          i += 1
+          c += 1
         }
         bx += 1
       }
       by += 1
     }
+    // grayscale: the Y plane IS the raster. Color: full-range BT.601
+    // inverse per pixel (the exact inverse of encodeColor's forward) —
+    // a zero chroma plane (the mm10 exactness subspace) contributes
+    // exactly 0.0, so gray-constant content survives bit-for-bit.
+    val px =
+      if (nComp == 1) planes(0)
+      else {
+        val out = new Array[Byte](3 * width * height)
+        var i = 0
+        while (i < width * height) {
+          val y = (planes(0)(i) & 0xff).toDouble
+          val cb = (planes(1)(i) & 0xff) - 128.0
+          val cr = (planes(2)(i) & 0xff) - 128.0
+          def clamp(v: Double): Byte = {
+            val r = math.round(v).toInt
+            math.max(0, math.min(255, r)).toByte
+          }
+          out(3 * i) = clamp(y + 1.402 * cr)
+          out(3 * i + 1) = clamp(y - 0.344136 * cb - 0.714136 * cr)
+          out(3 * i + 2) = clamp(y + 1.772 * cb)
+          i += 1
+        }
+        out
+      }
     // the stream must END where the geometry says it does: the next
     // marker after the entropy data (FF fills allowed) is EOI — a
     // wrong MCU count or trailing garbage fails parse, not features
@@ -540,6 +700,6 @@ object Jpeg {
         (bytes(p + 1) & 0xff) == 0xff) p += 1
     require(p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
       (bytes(p + 1) & 0xff) == 0xd9, "missing EOI after entropy data")
-    Ppm.Raster("JPEG", width, height, 1, 255, px)
+    Ppm.Raster("JPEG", width, height, nComp, 255, px)
   }
 }

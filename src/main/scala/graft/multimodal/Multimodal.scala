@@ -301,6 +301,50 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic MIXED gray/color JPEG payload (round-16b): even
+    * ids encode as grayscale baseline JPEG (the [[synthJpegPayload]]
+    * per-block-constant formula), odd ids as COLOR (YCbCr 4:4:4)
+    * baseline JPEG whose RGB raster is GRAY-CONSTANT per block
+    * (R=G=B=c, same formula) — the color pipeline's exactness
+    * subspace: chroma blocks quantize to all-zero and the BT.601
+    * round trip returns the RGB bit-for-bit (see [[Jpeg.encodeColor]]).
+    * One binary column, two SOF layouts, every stage of the
+    * interleaved-MCU color path (3 DC predictors, chroma quant table,
+    * inverse color transform) exercised in a hash-checked production
+    * query. Emits `(id, payload binary)`. */
+  def synthJpegMixedPayload(df: DataFrame, idCol: String,
+                            width: Int = 16, height: Int = 8): DataFrame = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"block-aligned dims only: ${width}x$height")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        def cAt(j: Int): Byte = {
+          val b = (j / width / 8) * (width / 8) + (j % width) / 8
+          (128 + 4 * ((id * 7 + b * 13) % 25 - 12)).toByte
+        }
+        val payload =
+          if (id % 2 == 0) {
+            val data = Array.tabulate(width * height)(cAt)
+            Jpeg.encode(width, height, data)
+          } else {
+            val rgb = new Array[Byte](3 * width * height)
+            var i = 0
+            while (i < width * height) {
+              val c = cAt(i)
+              rgb(3 * i) = c; rgb(3 * i + 1) = c; rgb(3 * i + 2) = c
+              i += 1
+            }
+            Jpeg.encodeColor(width, height, rgb)
+          }
+        Row(id, payload)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic GROUPED raster payload for the perceptual-hash
     * near-dup tier (round-14): docs in the same group of `groupSize`
     * share one base image — byte j of the width×height P6 raster is

@@ -1694,5 +1694,46 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(8 AS INT) AS height, CAST(1 AS INT) AS channels,
              |  round(avg(v) + 1e-9, 6) AS mean_v,
              |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
+    // MM10 (round-16b): COLOR baseline JPEG in the mix — even ids
+    // grayscale JFIF, odd ids YCbCr 4:4:4 COLOR JFIF whose RGB raster
+    // is gray-constant per 8×8 block. Gray-constant RGB is the color
+    // pipeline's exactness subspace: Y ≈ c and Cb=Cr ≈ 128 within an
+    // ulp, so the chroma blocks quantize to exactly zero, the Y DC
+    // survives /16 integrally, and the BT.601 inverse adds exactly
+    // zero chroma back — the decoded RGB equals the source
+    // bit-for-bit THROUGH the lossy color path. So the oracle replays
+    // both layouts closed-form and a defect anywhere in the
+    // interleaved-MCU decode (3 DC predictors, chroma quant table,
+    // component table routing, inverse transform) hash-fails half the
+    // corpus. Narrow batched decode, no shuffle until the final agg.
+    Q("mm10_jpeg_color_mixed",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.netpbmFeatures(
+            Multimodal.synthJpegMixedPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"format", $"width", $"height",
+            $"channels", r6($"mean_v").as("mean_v"), $"cksum")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j,
+             |    128 + 4 * ((d.doc_id * 7 + ((t.j % 16) // 8) * 13) % 25
+             |               - 12) AS v
+             |  FROM documents d, range(0, 128) t(j)
+             |  WHERE d.doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT d.doc_id, t.j,
+             |    128 + 4 * ((d.doc_id * 7 + (((t.j // 3) % 16) // 8) * 13)
+             |               % 25 - 12) AS v
+             |  FROM documents d, range(0, 384) t(j)
+             |  WHERE d.doc_id % 2 = 1)
+             |SELECT doc_id, 'JPEG' AS format, CAST(16 AS INT) AS width,
+             |  CAST(8 AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+             |    AS channels,
+             |  round(avg(v) + 1e-9, 6) AS mean_v,
+             |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
              |FROM px GROUP BY doc_id""".stripMargin)))
 }

@@ -83,6 +83,48 @@ class JpegSpec extends AnyFunSuite {
     assert(stuffed > 0, "no payload exercised byte stuffing")
   }
 
+  test("COLOR: gray-constant RGB blocks round-trip EXACTLY through YCbCr") {
+    // the mm10 oracle contract: R=G=B=c per block (c−128 divisible by
+    // 4) → Y≈c, Cb=Cr≈128 within an ulp → chroma quantizes to zero →
+    // decoded RGB bit-identical despite the lossy color pipeline
+    val w = 16; val h = 8
+    for (id <- 0L until 50L) {
+      val rgb = new Array[Byte](3 * w * h)
+      var i = 0
+      while (i < w * h) {
+        val b = (i % w) / 8
+        val c = (128 + 4 * ((id * 7 + b * 13) % 25 - 12)).toByte
+        rgb(3 * i) = c; rgb(3 * i + 1) = c; rgb(3 * i + 2) = c
+        i += 1
+      }
+      val dec = Jpeg.decode(Jpeg.encodeColor(w, h, rgb))
+      assert(dec.format == "JPEG" && dec.channels == 3 &&
+        dec.width == w && dec.height == h, s"id $id meta")
+      assert(dec.data.sameElements(rgb), s"id $id not exact")
+    }
+  }
+
+  test("COLOR: smooth content bounded error; noise survives structurally") {
+    val rw = 24; val rh = 16
+    val rgb = Array.tabulate(3 * rw * rh) { j =>
+      val i = j / 3; val ch = j % 3
+      ((40 + 5 * (i % rw) + 20 * ch) & 0xff).toByte
+    }
+    val dec = Jpeg.decode(Jpeg.encodeColor(rw, rh, rgb))
+    val maxErr = rgb.indices.map(i =>
+      math.abs((rgb(i) & 0xff) - (dec.data(i) & 0xff))).max
+    assert(maxErr <= 12, s"color gradient max error $maxErr")
+    // md5 noise through the interleaved-MCU path, non-8-aligned dims
+    for (seed <- 0 until 10) {
+      val px = noise(3 * 15 * 9, 1000 + seed)
+      val d2 = Jpeg.decode(Jpeg.encodeColor(15, 9, px))
+      assert(d2.channels == 3 && d2.data.length == 3 * 15 * 9, s"seed $seed")
+    }
+    // encode-side geometry guard
+    intercept[IllegalArgumentException](
+      Jpeg.encodeColor(4, 4, new Array[Byte](47)))
+  }
+
   test("Images.decodeAuto dispatches JPEG next to PNG / P6 / P5") {
     val px = Array.fill(64)(132.toByte)
     val jp = Images.decodeAuto(Jpeg.encode(8, 8, px))
