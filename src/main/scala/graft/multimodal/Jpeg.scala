@@ -585,6 +585,8 @@ object Jpeg {
             f"SOF FF$m%02x: only baseline sequential (SOF0) supported")
         case 0xdd =>
           throw new IllegalArgumentException("restart intervals not supported")
+        case 0xcc =>
+          throw new IllegalArgumentException("arithmetic coding not supported")
         case 0xda => // SOS — one interleaved scan over all components
           require(width > 0, "SOS before SOF0")
           require(bodyLen >= 1 + 2 * nComp + 3 &&
@@ -596,6 +598,12 @@ object Jpeg {
           while (c < nComp) {
             compDc(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
             compAc(c) = bytes(body + 2 + 2 * c) & 0x0f
+            // 4-bit selectors admit 0..15 but baseline allows slots
+            // 0..3 — bound HERE so an adversarial selector is a codec
+            // diagnostic, not an ArrayIndexOutOfBounds on the lookup
+            require(compDc(c) < 4 && compAc(c) < 4,
+              s"scan component $c selects tables dc=${compDc(c)} " +
+                s"ac=${compAc(c)} outside the baseline 0..3 slots")
             c += 1
           }
           sosAt = body + bodyLen

@@ -167,6 +167,19 @@ class JpegSpec extends AnyFunSuite {
     // EOI must terminate the stream where the geometry says
     intercept[IllegalArgumentException](
       Jpeg.decode(good.dropRight(2) ++ Array[Byte](0, 0)))
+    // adversarial SOS table selectors (4-bit fields admit 0..15 but
+    // baseline slots are 0..3) must be a diagnostic, not an
+    // ArrayIndexOutOfBounds on the table lookup
+    val badSel = good.clone()
+    val selAt = {
+      var i = 2
+      while (!(badSel(i) == 0xff.toByte && badSel(i + 1) == 0xda.toByte))
+        i += 1
+      i + 6 // FF DA len(2) ns comp-id TABLES
+    }
+    badSel(selAt) = 0x77.toByte
+    val eSel = intercept[IllegalArgumentException](Jpeg.decode(badSel))
+    assert(eSel.getMessage.contains("slots"), eSel.getMessage)
     // encode-side geometry guards
     intercept[IllegalArgumentException](Jpeg.encode(0, 8, Array.empty))
     intercept[IllegalArgumentException](Jpeg.encode(4, 4, new Array[Byte](15)))
