@@ -1735,5 +1735,59 @@ object StreamMultimodalPack extends QueryPack {
              |    AS channels,
              |  round(avg(v) + 1e-9, 6) AS mean_v,
              |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
-             |FROM px GROUP BY doc_id""".stripMargin)))
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
+    // ST25 (round-16b): STREAMING MEDIA DECODE — the codec tier meets
+    // the streaming tier. Documents arrive as a file stream, each
+    // micro-batch synthesizes + REAL-decodes mixed gray/color JPEG
+    // payloads inside the stateless per-partition transform (decode
+    // is narrow — bytes never leave the partition that read them, the
+    // exact shape a landing-zone media pipeline has), and the only
+    // stateful operator is the windowless complete-mode feature
+    // aggregate: 8 (channels, bucket) groups, so state is
+    // input-independent (ceiling abs=64, the sketch-line convention).
+    // The drained table replays closed-form through the mm10
+    // exactness subspace — a codec defect, a lost micro-batch or a
+    // state-store regression each hash-fail the final aggregate.
+    Q("st25_stream_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st25_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.documentsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val feats = Multimodal.netpbmFeatures(
+          Multimodal.synthJpegMixedPayload(stream, "doc_id"))
+        val agg = feats
+          .groupBy($"channels", ($"id" % 8).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum($"cksum").as("sum_cksum"),
+            Rx.r4(avg($"mean_v")).as("avg_mean_v"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).orderBy($"channels", $"bucket")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j,
+             |    128 + 4 * ((d.doc_id * 7 + ((t.j % 16) // 8) * 13) % 25
+             |               - 12) AS v
+             |  FROM documents d, range(0, 128) t(j)
+             |  WHERE d.doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT d.doc_id, t.j,
+             |    128 + 4 * ((d.doc_id * 7 + (((t.j // 3) % 16) // 8) * 13)
+             |               % 25 - 12) AS v
+             |  FROM documents d, range(0, 384) t(j)
+             |  WHERE d.doc_id % 2 = 1),
+             |f AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+             |      AS channels,
+             |    avg(v) AS mean_v,
+             |    sum(v * (1 + j % 16)) AS cksum
+             |  FROM px GROUP BY doc_id)
+             |SELECT channels, doc_id % 8 AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cksum) AS BIGINT) AS sum_cksum,
+             |  round(avg(mean_v) + 1e-9, 4) AS avg_mean_v
+             |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

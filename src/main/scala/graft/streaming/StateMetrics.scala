@@ -176,7 +176,12 @@ object StateMetrics {
     // dimension is a batch frame re-joined per micro-batch, no state
     // store); pinned at 0 like st22 so an accidentally stateful
     // rewrite fails the bench.
-    "st24" -> Ceiling(0, 0.0))
+    "st24" -> Ceiling(0, 0.0),
+    // st25's state is the complete-mode feature aggregate over
+    // exactly 8 (channels, bucket) groups — input-independent like
+    // the sketch lines (the JPEG decode itself is stateless
+    // per-partition work).
+    "st25" -> Ceiling(64, 0.0))
 
   /** Stream lines whose state is structurally ZERO (round-16, VERDICT
     * item 5): st22 serves a broadcast-scored NB model (map-only per

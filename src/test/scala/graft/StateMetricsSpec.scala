@@ -109,14 +109,14 @@ class StateMetricsSpec extends AnyFunSuite {
   }
 
   test("every stream query with measured state has a declared ceiling") {
-    // the alarm can't rot by omission: the bench-measured set (st1-st24)
+    // the alarm can't rot by omission: the bench-measured set (st1-st25)
     // must all be present in the ceilings map
-    val want = (1 to 24).map(i => s"st$i").toSet
+    val want = (1 to 25).map(i => s"st$i").toSet
     assert(want.subsetOf(StateMetrics.ceilings.keySet),
       s"missing ceilings: ${want -- StateMetrics.ceilings.keySet}")
   }
 
-  test("declared state shape covers all 24 st lines, including the zeros") {
+  test("declared state shape covers all 25 st lines, including the zeros") {
     // round-16, VERDICT item 5: st22 (broadcast NB model serving) and
     // st24 (stream-static enrich) are the ONLY structurally stateless
     // lines — their ceilings pin 0 so appearing state trips — and every
@@ -128,7 +128,7 @@ class StateMetricsSpec extends AnyFunSuite {
       assert(c.abs == 0L && c.perInput == 0.0,
         s"$q declared stateless but its ceiling admits state: $c")
     }
-    (1 to 24).map(i => s"st$i")
+    (1 to 25).map(i => s"st$i")
       .filterNot(StateMetrics.statelessByDesign).foreach { q =>
         val c = StateMetrics.ceilings(q)
         assert(c.abs > 0L || c.perInput > 0.0,
