@@ -294,6 +294,63 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Serialize three 8-bit YCbCr planes DIRECTLY as a baseline COLOR
+    * JFIF payload (round-17, VERDICT item 3): [[encodeColor]] minus
+    * the forward BT.601 step, so a caller can plant EXACT integer
+    * Y/Cb/Cr constants — the route to a hash-checkable decode with
+    * NONZERO chroma. The chroma exactness subspace: a per-8×8-block
+    * CONSTANT Cb (or Cr) plane whose offset from 128 is a multiple of
+    * the chroma DC quant step (K.2 q00 = 17, so Δ ∈ {0, ±17, ±34})
+    * has all-zero ACs and a DC of 8Δ that survives /17 integrally, so
+    * the decoder reconstructs the plane bit-exactly and the BT.601
+    * INVERSE then synthesizes genuinely nonzero color that replays
+    * closed-form (floor(x + 0.5) per channel) in the oracle. */
+  def encodeColorYcc(width: Int, height: Int, y: Array[Byte],
+                     cb: Array[Byte], cr: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= (1 << 13) &&
+      height <= (1 << 13), s"bad dimensions ${width}x$height")
+    val n = width * height
+    require(y.length == n && cb.length == n && cr.length == n,
+      s"planes ${y.length}/${cb.length}/${cr.length} != $width*$height")
+    val dcT = encodeTable(DcBits, DcVals)
+    val acT = encodeTable(AcBits, AcVals)
+    val py = new Array[Double](n)
+    val pcb = new Array[Double](n)
+    val pcr = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      py(i) = (y(i) & 0xff) - 128.0
+      pcb(i) = (cb(i) & 0xff) - 128.0
+      pcr(i) = (cr(i) & 0xff) - 128.0
+      i += 1
+    }
+    val entropy = new java.io.ByteArrayOutputStream()
+    val bw = new BitWriter(entropy)
+    val block = new Array[Double](64)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var by = 0
+    while (by < (height + 7) / 8) {
+      var bx = 0
+      while (bx < (width + 7) / 8) {
+        loadBlock(py, width, height, bx, by, block)
+        dcY = encodeBlock(block, QLum, dcY, dcT, acT, bw)
+        loadBlock(pcb, width, height, bx, by, block)
+        dcCb = encodeBlock(block, QChrom, dcCb, dcT, acT, bw)
+        loadBlock(pcr, width, height, bx, by, block)
+        dcCr = encodeBlock(block, QChrom, dcCr, dcT, acT, bw)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    val out = new java.io.ByteArrayOutputStream()
+    writeSegments(out, width, height, color = true)
+    val eb = entropy.toByteArray
+    out.write(eb, 0, eb.length)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Serialize an 8-bit interleaved-RGB raster as a baseline COLOR
     * JFIF payload (round-16b): YCbCr 4:4:4, no subsampling —
     * interleaved MCUs of one Y + one Cb + one Cr block, each
@@ -501,6 +558,7 @@ object Jpeg {
     val acTabs = new Array[HuffTable](4)
     var nComp = -1
     var compQ: Array[Int] = null // per component: quant / DC / AC slots
+    var compId: Array[Int] = null // SOF component ids (Ci) in frame order
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var sosAt = -1
@@ -570,8 +628,10 @@ object Jpeg {
             s"bad dimensions ${w}x$h ($nc components)")
           require(bodyLen >= 6 + 3 * nc, "truncated SOF0 component list")
           compQ = new Array[Int](nc)
+          compId = new Array[Int](nc)
           var c = 0
           while (c < nc) {
+            compId(c) = bytes(body + 6 + 3 * c) & 0xff
             require((bytes(body + 7 + 3 * c) & 0xff) == 0x11,
               "subsampling not supported (4:4:4 only)")
             compQ(c) = bytes(body + 8 + 3 * c) & 0xff
@@ -596,6 +656,14 @@ object Jpeg {
           compAc = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {
+            // the scan's Csj must name the SOF component at the same
+            // index: the decode loop below routes quant/Huffman tables
+            // and DC predictors POSITIONALLY, so a reordered scan would
+            // otherwise be silently mis-decoded instead of rejected
+            require((bytes(body + 1 + 2 * c) & 0xff) == compId(c),
+              s"scan component $c selects id ${bytes(body + 1 + 2 * c) & 0xff}" +
+                s" but SOF declares id ${compId(c)} at that position " +
+                "(reordered scans not supported)")
             compDc(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
             compAc(c) = bytes(body + 2 + 2 * c) & 0x0f
             // 4-bit selectors admit 0..15 but baseline allows slots
@@ -606,6 +674,15 @@ object Jpeg {
                 s"ac=${compAc(c)} outside the baseline 0..3 slots")
             c += 1
           }
+          // baseline sequential fixes the spectral-selection tail
+          // (T.81 Table B.3): Ss=0, Se=63, Ah=Al=0. Anything else is a
+          // progressive/partial scan this decoder would mis-route.
+          val ss = bytes(body + 1 + 2 * nComp) & 0xff
+          val se = bytes(body + 2 + 2 * nComp) & 0xff
+          val ahal = bytes(body + 3 + 2 * nComp) & 0xff
+          require(ss == 0 && se == 63 && ahal == 0,
+            s"non-baseline scan tail Ss=$ss Se=$se AhAl=$ahal " +
+              "(expected 0/63/0)")
           sosAt = body + bodyLen
         case _ => // APPn / COM / others: length-skipped
       }
@@ -647,8 +724,10 @@ object Jpeg {
             val rs = br.huff(acT)
             val run = rs >> 4; val size = rs & 0x0f
             if (size == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true
+              if (run == 15) { // ZRL: 16 zeros; may legally land k AT 64
+                k += 16       // (block full) but never past it
+                require(k <= 64, s"ZRL overflows the block at $k")
+              } else eob = true
             } else {
               k += run
               require(k < 64, s"AC run overflows the block at $k")

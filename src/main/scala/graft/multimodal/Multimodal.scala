@@ -345,6 +345,49 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic NONZERO-CHROMA color JPEG payload (round-17,
+    * VERDICT item 3): each 8×8 block of doc id carries EXACT integer
+    * YCbCr constants planted via [[Jpeg.encodeColorYcc]] —
+    * Y = 128 + 4·((id·7 + b·13) mod 25 − 12) (the mm9 luma subspace,
+    * DC multiple of the K.1 q00 = 16) and Cb/Cr = 128 + 17·δ with
+    * δ ∈ {−2..2} (multiples of the K.2 chroma DC quant step q00 = 17,
+    * so the chroma DC of 8·17δ survives /17 integrally and the ACs
+    * quantize to zero). Unlike mm10's gray-constant subspace the
+    * chroma planes here are NONZERO, so the decode exercises the
+    * chroma dequant, the chroma IDCT and the BT.601 inverse actually
+    * reconstructing color — and every output pixel is still the
+    * closed form floor(x + 0.5) of a linear combination of the three
+    * block constants, replayable in SQL. Emits `(id, payload)`. */
+  def synthJpegChromaPayload(df: DataFrame, idCol: String,
+                             width: Int = 16, height: Int = 8): DataFrame = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"block-aligned dims only: ${width}x$height")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = width * height
+        val y = new Array[Byte](n)
+        val cb = new Array[Byte](n)
+        val cr = new Array[Byte](n)
+        var j = 0
+        while (j < n) {
+          val b = (j / width / 8) * (width / 8) + (j % width) / 8
+          y(j) = (128 + 4 * ((id * 7 + b * 13) % 25 - 12)).toByte
+          // block multipliers coprime to the mod-5 range so the chroma
+          // constants VARY block to block — the chroma DC differential
+          // predictor must carry nonzero deltas, not a chain of zeros
+          cb(j) = (128 + 17 * ((id * 3 + b * 2) % 5 - 2)).toByte
+          cr(j) = (128 + 17 * ((id * 11 + b * 3) % 5 - 2)).toByte
+          j += 1
+        }
+        Row(id, Jpeg.encodeColorYcc(width, height, y, cb, cr))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic GROUPED raster payload for the perceptual-hash
     * near-dup tier (round-14): docs in the same group of `groupSize`
     * share one base image — byte j of the width×height P6 raster is

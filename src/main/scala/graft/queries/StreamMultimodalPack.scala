@@ -1737,6 +1737,50 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // MM11 (round-17, VERDICT item 3): NONZERO-CHROMA color JPEG —
+    // the one path mm10's gray-constant subspace left unexercised
+    // under hash: chroma dequant against the K.2 table, the chroma
+    // IDCT reconstructing a nonzero plane, and the BT.601 inverse
+    // actually synthesizing color. Each 8×8 block carries exact
+    // integer YCbCr constants (Y on the mm9 ×4 luma lattice; Cb/Cr at
+    // 128 + 17δ, multiples of the chroma DC quant step, planted via
+    // Jpeg.encodeColorYcc) that round-trip the lossy pipeline
+    // bit-exactly, so every decoded RGB pixel is the closed form
+    // floor(x + 0.5) of the three block constants and the oracle
+    // replays the full color decode. Narrow batched decode, no
+    // shuffle until the final agg.
+    Q("mm11_jpeg_chroma",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.netpbmFeatures(
+            Multimodal.synthJpegChromaPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"format", $"width", $"height",
+            $"channels", r6($"mean_v").as("mean_v"), $"cksum")
+      },
+      Some("""WITH bl AS (
+             |  SELECT d.doc_id, t.p,
+             |    CAST(128 + 4 * ((d.doc_id * 7 + ((t.p % 16) // 8) * 13)
+             |           % 25 - 12) AS DOUBLE) AS yv,
+             |    CAST(17 * ((d.doc_id * 3 + ((t.p % 16) // 8) * 2)
+             |           % 5 - 2) AS DOUBLE) AS cb,
+             |    CAST(17 * ((d.doc_id * 11 + ((t.p % 16) // 8) * 3)
+             |           % 5 - 2) AS DOUBLE) AS cr
+             |  FROM documents d, range(0, 128) t(p)),
+             |px AS (
+             |  SELECT doc_id, 3 * p + c.ch AS j,
+             |    greatest(0, least(255, CAST(floor(
+             |      CASE c.ch
+             |        WHEN 0 THEN yv + 1.402 * cr
+             |        WHEN 1 THEN yv - 0.344136 * cb - 0.714136 * cr
+             |        ELSE yv + 1.772 * cb END + 0.5) AS BIGINT))) AS v
+             |  FROM bl, range(0, 3) c(ch))
+             |SELECT doc_id, 'JPEG' AS format, CAST(16 AS INT) AS width,
+             |  CAST(8 AS INT) AS height, CAST(3 AS INT) AS channels,
+             |  round(avg(v) + 1e-9, 6) AS mean_v,
+             |  CAST(sum(v * (1 + j % 16)) AS BIGINT) AS cksum
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     // ST25 (round-16b): STREAMING MEDIA DECODE — the codec tier meets
     // the streaming tier. Documents arrive as a file stream, each
     // micro-batch synthesizes + REAL-decodes mixed gray/color JPEG

@@ -125,6 +125,103 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.encodeColor(4, 4, new Array[Byte](47)))
   }
 
+  test("COLOR: NONZERO-chroma YCbCr constants round-trip to the exact " +
+      "closed-form RGB (mm11 contract)") {
+    // the round-17 chroma exactness subspace: block-constant planes
+    // with Y on the ×4 luma lattice and Cb/Cr offsets multiples of
+    // the K.2 chroma DC quant step (17) reconstruct bit-exactly, so
+    // the decoded RGB is floor(x + 0.5) of the BT.601 inverse of the
+    // planted constants — the formula the mm11 oracle replays.
+    val w = 16; val h = 8
+    for (id <- 0L until 50L) {
+      val n = w * h
+      val y = new Array[Byte](n); val cb = new Array[Byte](n)
+      val cr = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val b = (i % w) / 8
+        y(i) = (128 + 4 * ((id * 7 + b * 13) % 25 - 12)).toByte
+        cb(i) = (128 + 17 * ((id * 3 + b * 2) % 5 - 2)).toByte
+        cr(i) = (128 + 17 * ((id * 11 + b * 3) % 5 - 2)).toByte
+        i += 1
+      }
+      val dec = Jpeg.decode(Jpeg.encodeColorYcc(w, h, y, cb, cr))
+      assert(dec.channels == 3 && dec.width == w && dec.height == h)
+      def clamp(v: Double): Int =
+        math.max(0, math.min(255, math.round(v).toInt))
+      var p = 0
+      var sawColor = false
+      while (p < n) {
+        val yv = (y(p) & 0xff).toDouble
+        val cbv = (cb(p) & 0xff) - 128.0
+        val crv = (cr(p) & 0xff) - 128.0
+        val r = clamp(yv + 1.402 * crv)
+        val g = clamp(yv - 0.344136 * cbv - 0.714136 * crv)
+        val bb = clamp(yv + 1.772 * cbv)
+        assert((dec.data(3 * p) & 0xff) == r &&
+          (dec.data(3 * p + 1) & 0xff) == g &&
+          (dec.data(3 * p + 2) & 0xff) == bb, s"id $id pixel $p")
+        if (r != g || g != bb) sawColor = true
+        p += 1
+      }
+      // the point of mm11: the decode must SYNTHESIZE color, not just
+      // pass gray through. The two blocks' δCb differ by 2 (mod 5), so
+      // no id can be chroma-free in BOTH blocks — color is guaranteed.
+      assert(sawColor, s"id $id decoded all-gray")
+    }
+  }
+
+  test("reordered scan components and non-baseline scan tails are " +
+      "rejected, not mis-decoded") {
+    val n = 16 * 8
+    val gray = Array.fill(n)(132.toByte)
+    val color = Jpeg.encodeColorYcc(16, 8, gray, gray, gray)
+    def sosAt(b: Array[Byte]): Int = {
+      var i = 2
+      while (!(b(i) == 0xff.toByte && b(i + 1) == 0xda.toByte)) i += 1
+      i + 4 // skip FF DA len(2) → scan body (ns byte)
+    }
+    // swap the first two scan component ids (1,2,3 → 2,1,3): the SOF
+    // routing is positional, so this MUST be a diagnostic
+    val reordered = color.clone()
+    val at = sosAt(reordered)
+    val tmp = reordered(at + 1) // comp-id of scan slot 0
+    reordered(at + 1) = reordered(at + 3)
+    reordered(at + 3) = tmp
+    val eR = intercept[IllegalArgumentException](Jpeg.decode(reordered))
+    assert(eR.getMessage.contains("reordered"), eR.getMessage)
+    // non-baseline spectral selection (Ss=1): a partial scan this
+    // decoder would route wrongly — reject by profile
+    val partial = color.clone()
+    partial(sosAt(partial) + 1 + 2 * 3) = 1.toByte
+    val eS = intercept[IllegalArgumentException](Jpeg.decode(partial))
+    assert(eS.getMessage.contains("scan tail"), eS.getMessage)
+  }
+
+  test("an entropy stream whose ZRL run overflows the block is rejected") {
+    // hand-built entropy data: DC category 0 ('00' under the Annex-K
+    // DC table) followed by five ZRLs ('11111111001' under the K.3.2
+    // AC table). k walks 1→17→33→49→65: the fourth ZRL passes 64 and
+    // must fail parse — the pre-round-17 loop exited silently and
+    // accepted the truncated block.
+    val good = Jpeg.encode(8, 8, Array.fill(64)(132.toByte))
+    var i = 2
+    while (!(good(i) == 0xff.toByte && good(i + 1) == 0xda.toByte)) i += 1
+    val entStart = i + 2 + ((good(i + 2) & 0xff) << 8 | (good(i + 3) & 0xff))
+    val bits = "00" + "11111111001" * 5
+    val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+    val ent = new java.io.ByteArrayOutputStream()
+    padded.grouped(8).foreach { s =>
+      val b = Integer.parseInt(s, 2)
+      ent.write(b)
+      if (b == 0xff) ent.write(0x00) // byte stuffing
+    }
+    val forged = good.take(entStart) ++ ent.toByteArray ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val e = intercept[IllegalArgumentException](Jpeg.decode(forged))
+    assert(e.getMessage.contains("ZRL"), e.getMessage)
+  }
+
   test("Images.decodeAuto dispatches JPEG next to PNG / P6 / P5") {
     val px = Array.fill(64)(132.toByte)
     val jp = Images.decodeAuto(Jpeg.encode(8, 8, px))
