@@ -112,8 +112,27 @@ object BandedLsh {
   def hammingPairs(bands: DataFrame, bandBits: Int, maxHamming: Int,
                    idCol: String = "id",
                    bandsCol: String = "bands"): DataFrame = {
-    val n = bands.count()
+    // one aggregate pass yields the corpus count AND the band-array
+    // shape: the widened path's ≥n bucket guarantee only holds when
+    // every row contributes FULL w-band groups, so a ragged or
+    // non-divisible band count must be rejected here, not silently
+    // grouped short (round-16 ADVICE: a trailing group of rem < w
+    // bands has key-space 2^(bandBits*rem) < n and its candidate
+    // pairs can go quadratic; an EMPTY bands array would make
+    // sequence(0,-1) emit spurious descending keys [0,-1]).
+    val shape = bands.agg(
+      count(lit(1)), min(size(col(bandsCol))), max(size(col(bandsCol)))).head()
+    val n = shape.getLong(0)
     val w = widenFactor(n, bandBits)
+    if (w > 1) {
+      val minB = shape.getInt(1); val maxB = shape.getInt(2)
+      require(minB == maxB,
+        s"widened banding needs a uniform band count; saw $minB..$maxB")
+      require(minB > 0 && minB % w == 0,
+        s"band count $minB not divisible by widen factor $w — the " +
+          "trailing short group would break the ≥corpus bucket bound; " +
+          "size fingerprints in multiples of the widen factor")
+    }
     val ex =
       if (w == 1)
         bands.select(col(idCol).as("id"),
@@ -121,8 +140,9 @@ object BandedLsh {
       else {
         // wide key j = shift-concat of the j-th group of w adjacent
         // bands (order-significant, pure Column algebra — no shuffle
-        // added; the explode+join shape below is unchanged)
-        val nGroups = (size(col(bandsCol)) + lit(w) - 1) / lit(w)
+        // added; the explode+join shape below is unchanged).
+        // size % w == 0 is guaranteed above, so every group is full.
+        val nGroups = size(col(bandsCol)) / lit(w)
         val wide = transform(
           sequence(lit(0), nGroups.cast("int") - 1),
           j => aggregate(

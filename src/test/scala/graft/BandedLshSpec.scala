@@ -138,6 +138,36 @@ class BandedLshSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("widened path rejects ragged, non-divisible and empty band " +
+      "arrays instead of silently under-bucketing") {
+    // round-16 ADVICE: a trailing group of rem < w bands has key-space
+    // 2^(bandBits·rem) < n — the ≥corpus bucket bound silently fails
+    // for it and its candidates can go quadratic; an EMPTY bands array
+    // would make sequence(0,-1) emit spurious descending keys. Both
+    // are now diagnostics when widening engages (w > 1 needs >65536
+    // rows at 16-bit bands; 3 bands % w=2 ≠ 0).
+    import org.apache.spark.sql.functions._
+    val odd = spark.range(70000L).select(col("id"),
+      array(pmod(col("id"), lit(65536L)),
+        (col("id") / 65536L).cast("long"),
+        pmod(col("id") * 7919L + 13L, lit(65536L))).as("bands"))
+    val e = intercept[IllegalArgumentException](
+      BandedLsh.hammingPairs(odd, bandBits = 16, maxHamming = 0).collect())
+    assert(e.getMessage.contains("not divisible"), e.getMessage)
+    // empty arrays under widening: rejected (band count 0)
+    val empty = spark.range(70000L).select(col("id"),
+      array().cast("array<long>").as("bands"))
+    val e2 = intercept[IllegalArgumentException](
+      BandedLsh.hammingPairs(empty, bandBits = 16, maxHamming = 0).collect())
+    assert(e2.getMessage.contains("band count"), e2.getMessage)
+    // sub-capacity (w=1) keeps the permissive explode path: empty
+    // arrays simply contribute no candidates
+    val small = spark.range(10L).select(col("id"),
+      array().cast("array<long>").as("bands"))
+    assert(BandedLsh.hammingPairs(small, bandBits = 16, maxHamming = 0)
+      .count() == 0L)
+  }
+
   test("delta candidates touch the new batch only, normalized") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, posexplode}
