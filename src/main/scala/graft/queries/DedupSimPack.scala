@@ -1427,7 +1427,12 @@ object DedupSimPack extends QueryPack {
     // hash-checked end to end at both gate SFs. nprobeSup=2 probes
     // the two nearest supers per query — 2S extra distances buys back
     // most of the flat recall (AnnRecallSpec: 0.38 at nprobeSup=1 vs
-    // flat s3's 0.56; the pinned floor rides the 2-super setting).
+    // flat s3's 0.56). nAssignSup=2 (round-17, VERDICT item 5) routes
+    // each CORPUS point to its nearest cell under BOTH of its two
+    // nearest supers — a boundary point whose true cell lives across
+    // the super boundary becomes reachable from either side — at a
+    // bounded ×2 inverted-list duplication, deduplicated before the
+    // re-rank (both the dup and the dedup replay in the oracle).
     Q("s17_ann_ivf_hier",
       (s, dir) => {
         import s.implicits._
@@ -1435,13 +1440,14 @@ object DedupSimPack extends QueryPack {
             Tables.embeddings(s, dir)
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
             "vec_id", "v", queryPred = col("vec_id") < 10,
-            k = 5, targetCell = 64, nprobe = 3, dims = 64, nprobeSup = 2)
+            k = 5, targetCell = 64, nprobe = 3, dims = 64, nprobeSup = 2,
+            nAssignSup = 2)
           .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"),
             $"rank")
       },
       Some(graft.sim.IvfAnn.hierOracleSql(
         k = 5, targetCell = 64, nprobe = 3, dims = 64,
-        queryPredSql = "e.vec_id < 10", nprobeSup = 2))),
+        queryPredSql = "e.vec_id < 10", nprobeSup = 2, nAssignSup = 2))),
 
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per

@@ -238,9 +238,10 @@ object IvfAnn {
     * in the DuckDB oracle verbatim. */
   def hierTopK(df: DataFrame, idCol: String, vecCol: String,
                queryPred: Column, k: Int, targetCell: Int, nprobe: Int,
-               dims: Int, nprobeSup: Int = 1): DataFrame = {
-    require(targetCell > 0 && nprobe > 0 && nprobeSup > 0,
-      s"targetCell $targetCell nprobe $nprobe nprobeSup $nprobeSup")
+               dims: Int, nprobeSup: Int = 1, nAssignSup: Int = 1): DataFrame = {
+    require(targetCell > 0 && nprobe > 0 && nprobeSup > 0 && nAssignSup > 0,
+      s"targetCell $targetCell nprobe $nprobe nprobeSup $nprobeSup" +
+        s" nAssignSup $nAssignSup")
     val kc = math.max(1L,
       (df.count() + targetCell - 1) / targetCell).toInt
     val sCount = math.ceil(math.sqrt(kc.toDouble)).toInt.max(1)
@@ -255,18 +256,27 @@ object IvfAnn {
       .select(col("cell"), col("cellv"), col("mn.sup").as("sup"))
       .localCheckpoint()
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    // point → nearest super (n·S)
-    def toSup(fr: DataFrame): DataFrame = fr
+    // corpus row → its nAssignSup nearest supers (round-17, VERDICT
+    // item 5): at nAssignSup=1 this is the plain argmin routing; at 2
+    // a BOUNDARY point — one whose true nearest cell lives under its
+    // second-nearest super — is additionally assigned to its nearest
+    // cell under that super, so queries probing either side of the
+    // super boundary can reach it. Bounded ×nAssignSup duplication in
+    // the inverted lists (still n·O(√nCells) assignment distances),
+    // deduplicated at scoring below.
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sd2"), col("sup"))
+    val corpSup = base
       .crossJoin(broadcast(supers))
       .withColumn("__sd2", Pq.dist2Unrolled(col("v"), col("supv"), dims))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("__sd2"), col("sup"))).as("mn"))
-      .select(col("vec_id"), col("mn.sup").as("sup"))
-    // corpus row → nearest cell AMONG its super's members
-    val assign = base.join(toSup(base), "vec_id")
+      .withColumn("srank", row_number().over(wa))
+      .filter(col("srank") <= nAssignSup)
+      .select(col("vec_id"), col("sup"))
+    // corpus row → nearest cell among EACH routed super's members
+    val assign = base.join(corpSup, "vec_id")
       .join(broadcast(cellSup), "sup")
       .withColumn("cd2", Pq.dist2Unrolled(col("v"), col("cellv"), dims))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("sup"))
       .agg(min(struct(col("cd2"), col("cell"))).as("mn"))
       .select(col("vec_id"), col("mn.cell").as("cell"))
     // query → nprobe nearest cells among its nprobeSup supers' members
@@ -292,11 +302,20 @@ object IvfAnn {
     val corpus = Similarity.withNormalized(base, "v", "cv")
       .select(col("vec_id"), col("cv"))
       .join(assign, "vec_id")
-    val scored = corpus.join(broadcast(probes), Seq("cell"))
+    val scoredRaw = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", Similarity.dot(col("qv"), col("cv")))
       .select(col("query_id"), col("cell"), col("vec_id").as("corpus_id"),
         col("cos"))
+    // multi-super assignment can surface the same (query, corpus) pair
+    // through two cells — keep one (min cell; cos is the identical
+    // fused dot on both rows). Skipped at nAssignSup=1 where no
+    // duplicate can exist: the extra shuffle would buy nothing.
+    val scored =
+      if (nAssignSup == 1) scoredRaw
+      else scoredRaw.groupBy(col("query_id"), col("corpus_id"))
+        .agg(min(col("cell")).as("cell"), min(col("cos")).as("cos"))
+        .select(col("query_id"), col("cell"), col("corpus_id"), col("cos"))
     graft.operators.TopK.perKey(scored, Seq("query_id"),
         Seq(graft.operators.TopK.descNullsLast(col("cos")), col("corpus_id")), k)
       .select(col("query_id"), col("cell"), col("corpus_id"), col("cos"),
@@ -308,7 +327,8 @@ object IvfAnn {
     * cell→super, point→super, within-super argmin/rank) composed with
     * [[portableOracleSql]]'s cosine scoring tail. */
   def hierOracleSql(k: Int, targetCell: Int, nprobe: Int, dims: Int,
-                    queryPredSql: String, nprobeSup: Int = 1): String = {
+                    queryPredSql: String, nprobeSup: Int = 1,
+                    nAssignSup: Int = 1): String = {
     def d2(a: String, b: String): String =
       s"""list_reduce(list_prepend(0.0,
          |      list_transform(range(1, $dims + 1),
@@ -337,10 +357,10 @@ object IvfAnn {
        |    SELECT e.vec_id, s.sup,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${d2("e.v", "s.supv")}, s.sup) AS rn
-       |    FROM e, sup s) WHERE rn = 1),
+       |    FROM e, sup s) WHERE rn <= $nAssignSup),
        |asg AS (SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, ca.cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
+       |    SELECT e.vec_id, p.sup, ca.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id, p.sup
        |        ORDER BY ${d2("e.v", "ca.cellv")}, ca.cell) AS arn
        |    FROM e
        |    JOIN psup p ON p.vec_id = e.vec_id
@@ -366,7 +386,7 @@ object IvfAnn {
        |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM nm),
        |q AS (SELECT p.query_id, p.cell, nv.nv AS qv
        |  FROM probes p JOIN nv ON nv.vec_id = p.query_id),
-       |sc AS (
+       |sc0 AS (
        |  SELECT q.query_id, a.cell, nv.vec_id AS corpus_id,
        |    list_reduce(list_prepend(0.0,
        |        list_transform(range(1, len(qv) + 1), i -> qv[i] * nv.nv[i])),
@@ -374,6 +394,17 @@ object IvfAnn {
        |  FROM q JOIN asg a ON a.cell = q.cell
        |  JOIN nv ON nv.vec_id = a.vec_id
        |  WHERE q.query_id <> nv.vec_id),
+       |${
+        // multi-super assignment can reach one (query, corpus) pair
+        // through two cells — replay the Spark-side dedup (min cell;
+        // cos identical on both rows). At nAssignSup=1 the pass-through
+        // keeps the plan byte-identical to the round-16 oracle.
+        if (nAssignSup == 1) "sc AS (SELECT * FROM sc0),"
+        else
+          """sc AS (
+            |  SELECT query_id, min(cell) AS cell, corpus_id, min(cos) AS cos
+            |  FROM sc0 GROUP BY query_id, corpus_id),""".stripMargin
+      }
        |rk AS (
        |  SELECT query_id, cell, corpus_id, cos,
        |    row_number() OVER (PARTITION BY query_id

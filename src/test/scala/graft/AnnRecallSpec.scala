@@ -30,19 +30,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.4, s"IVF recall@5 = $ivfRecall")
   }
 
-  test("hierarchical IVF (s17) keeps recall@5 >= 0.4 at nprobe=3") {
+  test("hierarchical IVF (s17) keeps recall@5 >= 0.6 at nprobe=3") {
     // the two-level routing's recall price vs flat s3 (same nprobe):
-    // a query sees only its nprobeSup supers' member cells, so recall
-    // can only be <= flat's (0.56 here). Measured at the gate corpus
-    // (8 cells, 3 supers): 0.38 with nprobeSup=1, 0.46 with the
-    // declared query's nprobeSup=2 — the second-level knob buying
-    // recall back, which is what the floor pins: a knob, not a cliff.
+    // a query sees only its nprobeSup supers' member cells. Measured
+    // at the gate corpus (8 cells, 3 supers): 0.38 with
+    // nprobeSup=1/nAssignSup=1, 0.46 at nprobeSup=2, and 0.74 with
+    // the declared query's nAssignSup=2 (round-17, VERDICT item 5:
+    // boundary corpus points are additionally indexed under their
+    // second-nearest super, so the probe side can reach them from
+    // either side of the super boundary) — above flat s3's 0.56,
+    // because the ×2 inverted-list duplication widens the candidate
+    // pool the exact re-rank sees. The floor pins the two knobs at
+    // their declared settings: a revert to single-super routing
+    // (0.38) or single-super assignment (0.46) fails it.
     val exact = pairs("s1_cosine_topk")
     assert(exact.nonEmpty)
     val hier = pairs("s17_ann_ivf_hier")
     val recall = (exact & hier).size.toDouble / exact.size
     info(s"s17 hierarchical recall@5 = $recall")
-    assert(recall >= 0.4, s"hier IVF recall@5 = $recall")
+    assert(recall >= 0.6, s"hier IVF recall@5 = $recall")
   }
 
   test("the IVF nprobe knob raises recall@5 to >= 0.6 at nprobe=3") {
