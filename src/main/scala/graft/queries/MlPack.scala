@@ -176,6 +176,21 @@ object MlPack extends QueryPack {
     userFeatures(s, dir).count(); ()
   }
 
+  /** Materialize the shared graph sketches g24/g26/g27/m12 read: the
+    * HyperANF register rounds and the per-node triangle counts (round-17,
+    * VERDICT item 2). These were pack-memoized but NOT a Bench shared
+    * stage, so Bench's rep-pass hygiene reset evicted them and the
+    * FIRST repped member (g27, which out-times g24 first-pass) paid the
+    * rebuild the first pass had billed to g24 — the only rep-contract
+    * (med ≤ 1.3× first) breach in BENCH_r16. Billed as its own
+    * "setup_graph_shared" line, symmetric first-pass/rep. The register
+    * frames and triangle counts are already localCheckpointed by their
+    * builders; the count() forces any lazy tail. */
+  def buildAnfStage(s: SparkSession, dir: String): Unit = {
+    anfRounds(s, dir).foreach(_.count())
+    triPerNode(s, dir).count(); ()
+  }
+
   /** Release all memoized state for a session (or, with `session = null`
     * semantics omitted, everything): unpersists the cached feature frames
     * and drops the model references, so long-lived library sessions that
