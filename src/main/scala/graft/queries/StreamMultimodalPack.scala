@@ -1497,6 +1497,91 @@ object StreamMultimodalPack extends QueryPack {
              |  (id_a // 8 = id_b // 8) AS same_group
              |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
 
+    // MM12 (round-17): the AUTO-WIDENED banded-LSH path as a DECLARED,
+    // hash-checked query — every prior fixture sat under bucket
+    // capacity and took the w=1 short-circuit (the widened concat ran
+    // only in BandedLshSpec and the 120k-doc sf2w spot check). Here
+    // the mm5 dHash is sliced into EIGHT 8-bit row-bands (band j =
+    // row-j gradient bits), so 2^8 = 256 buckets undershoot both gate
+    // corpora (500 / 5000 docs) and hammingPairs DERIVES w=2: adjacent
+    // row-bands concatenate back into the 16-bit row-pair keys, whose
+    // equality classes are exactly mm5's. The oracle replays the
+    // DERIVATION itself, not just one branch — the r16 d14 idiom: both
+    // the w=1 and w=2 candidate stages as CTEs, each guarded by the
+    // corpus-count predicate the Scala widenFactor applies — so the
+    // count-adaptive plan switch is itself under hash at every SF
+    // (sf0.001's 50 docs take w=1, the gate SFs take w=2). Hamming
+    // verify always runs on the full-resolution 8-band array.
+    Q("mm12_dhash_widened",
+      (s, dir) => {
+        import s.implicits._
+        val b16 = Multimodal.dHashBands(
+            Multimodal.synthPpmGroupPayload(
+              Tables.documents(s, dir), "doc_id"))
+        // 4×16-bit packed row-pairs → 8×8-bit row bands: band 2k is
+        // the even row (low byte), band 2k+1 the odd row (high byte)
+        val b8 = b16.select($"id",
+            flatten(transform($"bands", b =>
+              array(b.bitwiseAND(lit(255L)), shiftright(b, 8)))).as("bands"))
+          .localCheckpoint() // decode once: band join + both hamming reads
+        graft.dedup.BandedLsh.hammingPairs(b8, bandBits = 8, maxHamming = 6)
+          .select($"id_a", $"id_b", $"hamming",
+            (($"id_a" - $"id_a" % 8) === ($"id_b" - $"id_b" % 8))
+              .as("same_group"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j,
+             |    (CAST(('0x' || substr(md5(
+             |        CAST(d.doc_id // 8 AS VARCHAR) || ':' ||
+             |        CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT) +
+             |     CASE WHEN (t.j // 3) // 18 = d.doc_id % 8
+             |           AND (t.j // 3) % 18 < 2 THEN 97 ELSE 0 END) % 251
+             |      AS v
+             |  FROM documents d, range(0, 432) t(j)),
+             |cells AS (
+             |  SELECT doc_id, (j // 3) // 18 AS y, ((j // 3) % 18) // 2 AS cx,
+             |    sum(v) AS p
+             |  FROM px GROUP BY 1, 2, 3),
+             |bts AS (
+             |  SELECT a.doc_id, a.y, a.cx AS x,
+             |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bt
+             |  FROM cells a JOIN cells b
+             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.cx = a.cx + 1
+             |  WHERE a.cx < 8),
+             |b8 AS (
+             |  SELECT doc_id, y AS k,
+             |    CAST(sum(bt * (1 << x)) AS BIGINT) AS band
+             |  FROM bts GROUP BY 1, 2),
+             |nc AS (SELECT count(*) AS n FROM documents),
+             |cand1 AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM b8 a JOIN b8 b
+             |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+             |  WHERE (SELECT n FROM nc) <= 256),
+             |wb AS (
+             |  SELECT doc_id, k // 2 AS k2,
+             |    CAST(sum(band * CASE WHEN k % 2 = 0 THEN 256 ELSE 1 END)
+             |      AS BIGINT) AS wband
+             |  FROM b8 GROUP BY 1, 2),
+             |cand2 AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM wb a JOIN wb b
+             |    ON a.k2 = b.k2 AND a.wband = b.wband AND a.doc_id < b.doc_id
+             |  WHERE (SELECT n FROM nc) > 256),
+             |cand AS (SELECT * FROM cand1 UNION ALL SELECT * FROM cand2),
+             |ham AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT)
+             |      AS hamming
+             |  FROM cand c
+             |  JOIN b8 x ON x.doc_id = c.id_a
+             |  JOIN b8 y ON y.doc_id = c.id_b AND y.k = x.k
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, hamming,
+             |  (id_a // 8 = id_b // 8) AS same_group
+             |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
+
     // MM6 (round-14): the AUDIO decode path made real — a
     // dependency-free PCM WAV codec (multimodal/Wav.scala: RIFF chunk
     // walk, fmt validation, Long-bounded adversarial sizes) run end to
