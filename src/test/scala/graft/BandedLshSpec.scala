@@ -168,6 +168,36 @@ class BandedLshSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("second (strided) table recovers pairs the contiguous widening " +
+      "loses") {
+    // the widening recall cliff in miniature: a planted pair agreeing
+    // on bands {0,2} but one bit off in bands {1,3} dirties BOTH
+    // contiguous groups (01)(23) — invisible to table 0 — while the
+    // strided table's group (0,2) is clean. tables=1 must MISS it
+    // (that is the documented price, not a bug), tables=2 must find
+    // it at hamming 2.
+    import org.apache.spark.sql.functions._
+    val base = spark.range(70000L).select(col("id"),
+      array(pmod(col("id"), lit(65536L)),
+        (col("id") / 65536L).cast("long"),
+        pmod(col("id") * 7919L + 13L, lit(65536L)),
+        pmod(col("id") * 104729L + 17L, lit(65536L))).as("bands"))
+    val b0 = 42L % 65536L; val b1 = 42L / 65536L
+    val b2 = (42L * 7919L + 13L) % 65536L
+    val b3 = (42L * 104729L + 17L) % 65536L
+    val boundary = spark.range(70000L, 70001L).select(col("id"),
+      array(lit(b0), lit(b1 ^ 1L), lit(b2), lit(b3 ^ 1L)).as("bands"))
+    val all = base.union(boundary).localCheckpoint()
+    def pairs(t: Int) = BandedLsh.hammingPairsTables(all, bandBits = 16,
+        maxHamming = 2, tables = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    assert(!one.contains((42L, 70000L)),
+      s"single-table should miss the straddling pair; got $one")
+    val two = pairs(2)
+    assert(two.contains((42L, 70000L)), s"two-table missed it: $two")
+  }
+
   test("delta candidates touch the new batch only, normalized") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, posexplode}
