@@ -1,0 +1,519 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Dependency-free FLAC codec (RFC 9639 subset) in plain Scala — the
+  * LOSSLESS-COMPRESSION member of the audio tier, next to [[Wav]]'s
+  * PCM (uncompressed) and G.711 μ-law (lossy companding). This is the
+  * real bitstream: `fLaC` marker, STREAMINFO metadata block, fixed-
+  * blocksize frames with CRC-8-guarded headers and CRC-16-guarded
+  * bodies, UTF-8-style coded frame numbers, and subframes of type
+  * CONSTANT, VERBATIM and FIXED (polynomial predictor orders 0–4) with
+  * Rice-coded residuals — the complete "Subset" fixed-predictor layer
+  * of the spec (RFC 9639 §9; LPC subframes and stereo decorrelation
+  * are outside this codec's scope and are REJECTED with diagnostics,
+  * not mis-decoded).
+  *
+  * Why this closes a tier: WAV PCM is lossless but uncompressed and
+  * μ-law compresses but lossily; FLAC is the standard that does both —
+  * lossless AND compressed — so with it the audio boundary of
+  * [[Multimodal.decodeStub]] shrinks to perceptual-transform codecs
+  * only (MP3/AAC, which have no closed-form oracle by construction).
+  *
+  * Oracle strategy (mm13): losslessness means the decoded samples ARE
+  * the planted closed form — no exactness subspace needed (the JPEG
+  * trick) — and the ENCODER is deterministic enough to replay the
+  * compressed size itself in SQL:
+  *
+  *  - fixed predictor residuals are pure integer differences
+  *    (order 2: `r_i = x_i − 2x_{i−1} + x_{i−2}`), expressible with
+  *    `lag()`;
+  *  - the Rice parameter is chosen by an integer-only rule — k =
+  *    ⌊log2(Σ zigzag / n_res)⌋ (position of the mean's top set bit),
+  *    capped at 14 — a CASE ladder in SQL, no float in sight;
+  *  - the Rice bit count is `Σ (zz_i >> k) + n_res·(k+1)`, and every
+  *    container field above it is a constant — so `encoded_bytes` is
+  *    a closed-form integer the oracle recomputes from the samples.
+  *
+  * Scale shape: encode/decode run inside the batched per-partition
+  * transform (the [[Wav]] argument) — narrow, no shuffle, bytes never
+  * leave the partition that read them. FlacSpec pins multi-frame
+  * round trips over all subframe types, the golden byte layout, CRC
+  * tamper detection and the adversarial-parse rejections.
+  */
+object Flac {
+
+  /** Decoded stream: 16-bit signed mono samples at `sampleRate` Hz. */
+  final case class Stream(sampleRate: Int, samples: Array[Short])
+
+  // ---------------------------------------------------------------
+  // CRCs (RFC 9639 §9.1.1 / §9.3: both initialized to 0, MSB-first)
+  // ---------------------------------------------------------------
+
+  /** CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), over frame headers. */
+  def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+        else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), over frames. */
+  def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---------------------------------------------------------------
+  // Bit I/O
+  // ---------------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new ArrayBuffer[Byte]()
+    private var acc = 0L
+    private var nAcc = 0
+    def writeBits(value: Long, n: Int): Unit = {
+      require(n >= 0 && n <= 56, s"writeBits width $n")
+      require(n == 56 || (value >> n) == 0, s"value $value overflows $n bits")
+      acc = (acc << n) | value
+      nAcc += n
+      while (nAcc >= 8) {
+        out += ((acc >> (nAcc - 8)) & 0xff).toByte
+        nAcc -= 8
+      }
+    }
+    /** q zero bits followed by a one bit (RFC 9639 unary). */
+    def writeUnary(q: Int): Unit = {
+      var r = q
+      while (r >= 32) { writeBits(0L, 32); r -= 32 }
+      writeBits(1L, r + 1)
+    }
+    def alignByte(): Unit = if (nAcc > 0) writeBits(0L, 8 - nAcc)
+    def bytes: Array[Byte] = { require(nAcc == 0, "unaligned"); out.toArray }
+  }
+
+  private final class BitReader(val bytes: Array[Byte], var pos: Int) {
+    private var acc = 0L
+    private var nAcc = 0
+    def bitAligned: Boolean = nAcc == 0
+    def remainingBits: Long = nAcc.toLong + 8L * (bytes.length - pos)
+    def readBits(n: Int): Long = {
+      require(n >= 0 && n <= 56, s"readBits width $n")
+      while (nAcc < n) {
+        require(pos < bytes.length, "truncated payload")
+        acc = (acc << 8) | (bytes(pos) & 0xffL)
+        pos += 1
+        nAcc += 8
+      }
+      val v = (acc >> (nAcc - n)) & (if (n == 56) -1L >>> 8 else (1L << n) - 1)
+      nAcc -= n
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val u = readBits(n)
+      ((u << (64 - n)).toLong >> (64 - n)).toInt
+    }
+    def readUnary(maxQ: Int): Int = {
+      var q = 0
+      while (readBits(1) == 0L) {
+        q += 1
+        require(q <= maxQ, s"unary run exceeds $maxQ (corrupt Rice stream)")
+      }
+      q
+    }
+    def alignByte(): Unit = if (nAcc % 8 != 0) { readBits(nAcc % 8); () }
+    /** Byte offset of the next unread byte (only valid when aligned). */
+    def byteOffset: Int = { require(nAcc % 8 == 0, "unaligned"); pos - nAcc / 8 }
+  }
+
+  // ---------------------------------------------------------------
+  // Fixed predictors (RFC 9639 §9.2.2)
+  // ---------------------------------------------------------------
+
+  /** Residuals of fixed polynomial order `o` over `x` (length n − o). */
+  def fixedResiduals(x: Array[Short], o: Int): Array[Long] = {
+    val n = x.length
+    val r = new Array[Long](n - o)
+    var i = o
+    while (i < n) {
+      r(i - o) = o match {
+        case 0 => x(i).toLong
+        case 1 => x(i).toLong - x(i - 1)
+        case 2 => x(i).toLong - 2L * x(i - 1) + x(i - 2)
+        case 3 => x(i).toLong - 3L * x(i - 1) + 3L * x(i - 2) - x(i - 3)
+        case 4 => x(i).toLong - 4L * x(i - 1) + 6L * x(i - 2) -
+          4L * x(i - 3) + x(i - 4)
+      }
+      i += 1
+    }
+    r
+  }
+
+  private def zigzag(r: Long): Long = (r << 1) ^ (r >> 63)
+  private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+
+  /** The deterministic Rice parameter: top-set-bit position of the
+    * mean zigzag residual (integer division), capped at 14 so the
+    * 4-bit parameter field never needs the escape code. Replayable as
+    * a SQL CASE ladder — the property mm13's size oracle rests on. */
+  def riceParam(sumZz: Long, nRes: Int): Int = {
+    if (nRes == 0) return 0
+    val mean = sumZz / nRes
+    if (mean < 1) 0 else math.min(63 - java.lang.Long.numberOfLeadingZeros(mean), 14)
+  }
+
+  /** Exact bit cost of Rice-coding `rs` with parameter k. */
+  def riceBits(rs: Array[Long], k: Int): Long =
+    rs.foldLeft(0L)((acc, r) => acc + (zigzag(r) >>> k) + 1 + k)
+
+  // ---------------------------------------------------------------
+  // Encoder
+  // ---------------------------------------------------------------
+
+  /** Encode as a single-channel 16-bit FLAC stream, fixed `blockSize`
+    * frames (last frame may be short). `forceOrder` pins every
+    * subframe to FIXED order o (the oracle-replayable configuration
+    * mm13 uses); when None the encoder picks per block: CONSTANT for
+    * flat blocks, else the fixed order 0–4 minimizing Σ|residual|
+    * (ties to the lower order), falling back to VERBATIM when Rice
+    * would not beat raw — the standard fixed-predictor search. */
+  def encode(stream: Stream, blockSize: Int = 4096,
+             forceOrder: Option[Int] = None): Array[Byte] = {
+    val n = stream.samples.length
+    require(n > 0, "empty stream")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+    require(stream.sampleRate > 0 && stream.sampleRate < (1 << 20),
+      s"sampleRate ${stream.sampleRate}")
+    forceOrder.foreach(o => require(o >= 0 && o <= 4, s"order $o"))
+    val out = new ArrayBuffer[Byte]()
+    out ++= "fLaC".getBytes("US-ASCII")
+    // STREAMINFO: last-block flag set, type 0, length 34
+    out += 0x80.toByte; out += 0; out += 0; out += 34
+    val lastBlock = if (n % blockSize == 0) blockSize else n % blockSize
+    val si = new BitWriter
+    si.writeBits(math.min(blockSize, lastBlock).toLong, 16) // min blocksize
+    si.writeBits(blockSize.toLong, 16) // max blocksize
+    si.writeBits(0L, 24); si.writeBits(0L, 24) // frame sizes unknown
+    si.writeBits(stream.sampleRate.toLong, 20)
+    si.writeBits(0L, 3) // channels - 1
+    si.writeBits(15L, 5) // bits per sample - 1
+    si.writeBits(n.toLong, 36)
+    (0 until 16).foreach(_ => si.writeBits(0L, 8)) // md5 unknown (spec-legal)
+    out ++= si.bytes
+    def encodeFrame(x: Array[Short], frameNo: Long): Array[Byte] = {
+      val h = new BitWriter
+      h.writeBits(0x3ffeL, 14) // sync
+      h.writeBits(0L, 1) // reserved
+      h.writeBits(0L, 1) // fixed blocksize strategy
+      h.writeBits(7L, 4) // blocksize: 16-bit (value - 1) at header end
+      h.writeBits(0L, 4) // sample rate: from STREAMINFO
+      h.writeBits(0L, 4) // channels: mono
+      h.writeBits(4L, 3) // sample size: 16-bit
+      h.writeBits(0L, 1) // reserved
+      codedNumber(h, frameNo)
+      h.writeBits((x.length - 1).toLong, 16)
+      val head = h.bytes
+      val body = new BitWriter
+      body.writeBits(0L, 1) // subframe pad bit
+      // a short last frame can undercut a forced order; clamp so the
+      // warmup never swallows the whole block
+      val order = math.min(forceOrder.getOrElse(pickOrder(x)), x.length - 1)
+      if (forceOrder.isEmpty && x.forall(_ == x(0))) {
+        body.writeBits(0L, 6) // CONSTANT
+        body.writeBits(0L, 1) // no wasted bits
+        body.writeBits(x(0).toLong & 0xffff, 16)
+      } else {
+        val rs = fixedResiduals(x, order)
+        val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
+        val riceCost = 6L + 4 + riceBits(rs, k) // res header + param + codes
+        if (forceOrder.isEmpty && riceCost + 16L * order >= 16L * x.length) {
+          body.writeBits(1L, 6) // VERBATIM
+          body.writeBits(0L, 1)
+          x.foreach(s => body.writeBits(s.toLong & 0xffff, 16))
+        } else {
+          body.writeBits(8L | order, 6) // FIXED, order 0-4
+          body.writeBits(0L, 1) // no wasted bits
+          (0 until order).foreach(i => body.writeBits(x(i).toLong & 0xffff, 16))
+          body.writeBits(0L, 2) // residual method: 4-bit Rice
+          body.writeBits(0L, 4) // partition order 0
+          body.writeBits(k.toLong, 4)
+          rs.foreach { r =>
+            val zz = zigzag(r)
+            body.writeUnary((zz >>> k).toInt)
+            if (k > 0) body.writeBits(zz & ((1L << k) - 1), k)
+          }
+        }
+      }
+      body.alignByte()
+      val frame = new ArrayBuffer[Byte]()
+      frame ++= head
+      frame += crc8(head, 0, head.length).toByte
+      frame ++= body.bytes
+      val fa = frame.toArray
+      val c16 = crc16(fa, 0, fa.length)
+      (frame += ((c16 >> 8) & 0xff).toByte += (c16 & 0xff).toByte).toArray
+    }
+
+    var frameNo = 0L
+    var off = 0
+    while (off < n) {
+      val bs = math.min(blockSize, n - off)
+      val block = java.util.Arrays.copyOfRange(stream.samples, off, off + bs)
+      out ++= encodeFrame(block, frameNo)
+      frameNo += 1
+      off += bs
+    }
+    out.toArray
+  }
+
+  /** Fixed order minimizing Σ|residual|, ties to the lower order. */
+  private def pickOrder(x: Array[Short]): Int = {
+    val maxO = math.min(4, x.length - 1)
+    var best = 0
+    var bestSum = Long.MaxValue
+    var o = 0
+    while (o <= maxO) {
+      val s = fixedResiduals(x, o).foldLeft(0L)((a, r) => a + math.abs(r))
+      if (s < bestSum) { bestSum = s; best = o }
+      o += 1
+    }
+    best
+  }
+
+  /** UTF-8-style coded number (RFC 9639 §9.1.5), up to 31 bits. */
+  private def codedNumber(w: BitWriter, v: Long): Unit = {
+    require(v >= 0 && v < (1L << 31), s"coded number $v")
+    if (v < 0x80) w.writeBits(v, 8)
+    else {
+      val nBytes =
+        if (v < 0x800) 2 else if (v < 0x10000) 3
+        else if (v < 0x200000) 4 else if (v < 0x4000000) 5 else 6
+      val lead = (0xff << (8 - nBytes)) & 0xff
+      w.writeBits((lead | (v >> (6 * (nBytes - 1)))) & 0xffL, 8)
+      var i = nBytes - 2
+      while (i >= 0) {
+        w.writeBits(0x80L | ((v >> (6 * i)) & 0x3f), 8)
+        i -= 1
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Decoder
+  // ---------------------------------------------------------------
+
+  /** Parse a FLAC payload produced by any encoder of this subset:
+    * mono, 16-bit, fixed-blocksize frames, CONSTANT / VERBATIM /
+    * FIXED subframes (Rice method 0 or 1, any partition order, escape
+    * partitions included). Verifies the frame-header CRC-8 and the
+    * frame CRC-16; throws IllegalArgumentException with a diagnostic
+    * on anything malformed, truncated, out of subset (LPC, stereo,
+    * non-16-bit), or CRC-corrupt — adversarial input is rejected,
+    * never mis-decoded. */
+  def decode(bytes: Array[Byte]): Stream = {
+    require(bytes != null && bytes.length >= 4 + 4 + 34, "payload too short")
+    require(new String(bytes, 0, 4, "US-ASCII") == "fLaC", "not a fLaC stream")
+    var pos = 4
+    // metadata blocks: STREAMINFO first (spec-mandatory), skip others
+    var last = false
+    var haveSi = false
+    var sampleRate = -1
+    var maxBlock = -1
+    var totalSamples = -1L
+    while (!last) {
+      require(pos + 4 <= bytes.length, "truncated metadata header")
+      val flags = bytes(pos) & 0xff
+      last = (flags & 0x80) != 0
+      val btype = flags & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      pos += 4
+      require(len <= bytes.length - pos,
+        s"metadata block declares $len of ${bytes.length - pos} bytes")
+      require(btype != 0x7f, "invalid metadata block type 127")
+      if (!haveSi) {
+        require(btype == 0, s"first metadata block must be STREAMINFO, got $btype")
+        require(len == 34, s"STREAMINFO length $len != 34")
+        val r = new BitReader(bytes, pos)
+        r.readBits(16) // min blocksize
+        maxBlock = r.readBits(16).toInt
+        r.readBits(24); r.readBits(24) // frame sizes
+        sampleRate = r.readBits(20).toInt
+        val channels = r.readBits(3).toInt + 1
+        val bps = r.readBits(5).toInt + 1
+        totalSamples = r.readBits(36)
+        require(channels == 1, s"mono subset (got $channels channels)")
+        require(bps == 16, s"16-bit subset (got $bps)")
+        require(sampleRate > 0, s"bad sample rate $sampleRate")
+        require(maxBlock >= 16, s"bad max blocksize $maxBlock")
+        require(totalSamples > 0, "zero total samples")
+        haveSi = true
+      }
+      pos += len
+    }
+    require(haveSi, "no STREAMINFO")
+    val outSamples = new Array[Short](
+      math.toIntExact(totalSamples))
+    var got = 0
+    var expectFrame = 0L
+    while (got < totalSamples) {
+      val frameStart = pos
+      val r = new BitReader(bytes, pos)
+      require(r.readBits(14) == 0x3ffeL, "bad frame sync")
+      require(r.readBits(1) == 0L, "reserved bit set in frame header")
+      require(r.readBits(1) == 0L, "variable-blocksize strategy out of subset")
+      val bsCode = r.readBits(4).toInt
+      require(bsCode != 0, "reserved blocksize code 0")
+      val srCode = r.readBits(4).toInt
+      require(srCode != 15, "invalid sample-rate code 15")
+      val chCode = r.readBits(4).toInt
+      require(chCode == 0, s"mono subset (channel code $chCode)")
+      val ssCode = r.readBits(3).toInt
+      require(ssCode == 4, s"16-bit subset (sample-size code $ssCode)")
+      require(r.readBits(1) == 0L, "reserved bit set in frame header")
+      val frameNo = readCodedNumber(r)
+      require(frameNo == expectFrame,
+        s"frame number $frameNo, expected $expectFrame")
+      val bs = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.readBits(8).toInt + 1
+        case 7 => r.readBits(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      if (srCode == 12) r.readBits(8)
+      else if (srCode == 13 || srCode == 14) r.readBits(16)
+      require(bs <= maxBlock, s"frame blocksize $bs > STREAMINFO max $maxBlock")
+      require(bs <= totalSamples - got,
+        s"frame blocksize $bs overruns remaining ${totalSamples - got}")
+      val headEnd = r.byteOffset
+      val declaredCrc8 = r.readBits(8).toInt
+      require(declaredCrc8 == crc8(bytes, frameStart, headEnd),
+        "frame header CRC-8 mismatch")
+      // one subframe (mono)
+      require(r.readBits(1) == 0L, "subframe padding bit set")
+      val sfType = r.readBits(6).toInt
+      require(r.readBits(1) == 0L, "wasted-bits flag out of subset")
+      val x = new Array[Short](bs)
+      if (sfType == 0) { // CONSTANT
+        val v = r.readSigned(16).toShort
+        java.util.Arrays.fill(x, v)
+      } else if (sfType == 1) { // VERBATIM
+        var i = 0
+        while (i < bs) { x(i) = r.readSigned(16).toShort; i += 1 }
+      } else if ((sfType & 0x38) == 8 && (sfType & 0x07) <= 4) { // FIXED
+        val order = sfType & 0x07
+        require(order < bs, s"predictor order $order >= blocksize $bs")
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(16).toShort; i += 1 }
+        val method = r.readBits(2).toInt
+        require(method <= 1, s"reserved residual method $method")
+        val pBits = if (method == 0) 4 else 5
+        val escape = (1 << pBits) - 1
+        val po = r.readBits(4).toInt
+        val nParts = 1 << po
+        require(bs % nParts == 0, s"blocksize $bs not divisible into $nParts")
+        require(bs / nParts > (if (po == 0) order else 0),
+          s"partition order $po leaves no samples after warmup")
+        val res = new Array[Long](bs - order)
+        var ri = 0
+        var p = 0
+        while (p < nParts) {
+          val cnt = bs / nParts - (if (p == 0) order else 0)
+          val k = r.readBits(pBits).toInt
+          if (k == escape) {
+            val rawBits = r.readBits(5).toInt
+            var j = 0
+            while (j < cnt) {
+              res(ri) = if (rawBits == 0) 0L else r.readSigned(rawBits).toLong
+              ri += 1; j += 1
+            }
+          } else {
+            var j = 0
+            while (j < cnt) {
+              // quotient bounded by the bits that can remain: a corrupt
+              // stream cannot spin past the payload
+              val q = r.readUnary(
+                math.toIntExact(math.min(r.remainingBits, Int.MaxValue.toLong)))
+              val zz = (q.toLong << k) |
+                (if (k > 0) r.readBits(k) else 0L)
+              res(ri) = unzigzag(zz)
+              ri += 1; j += 1
+            }
+          }
+          p += 1
+        }
+        // reconstruct through the predictor
+        var t = order
+        while (t < bs) {
+          val pred = order match {
+            case 0 => 0L
+            case 1 => x(t - 1).toLong
+            case 2 => 2L * x(t - 1) - x(t - 2)
+            case 3 => 3L * x(t - 1) - 3L * x(t - 2) + x(t - 3)
+            case 4 => 4L * x(t - 1) - 6L * x(t - 2) + 4L * x(t - 3) -
+              x(t - 4)
+          }
+          val v = pred + res(t - order)
+          require(v >= Short.MinValue && v <= Short.MaxValue,
+            s"reconstructed sample $v overflows 16 bits (corrupt stream)")
+          x(t) = v.toShort
+          t += 1
+        }
+      } else if ((sfType & 0x20) != 0) {
+        throw new IllegalArgumentException(
+          s"LPC subframe (type $sfType) out of the fixed-predictor subset")
+      } else {
+        throw new IllegalArgumentException(s"reserved subframe type $sfType")
+      }
+      r.alignByte()
+      val bodyEnd = r.byteOffset
+      val declaredCrc16 = r.readBits(16).toInt
+      require(declaredCrc16 == crc16(bytes, frameStart, bodyEnd),
+        "frame CRC-16 mismatch")
+      System.arraycopy(x, 0, outSamples, got, bs)
+      got += bs
+      expectFrame += 1
+      pos = r.byteOffset
+    }
+    Stream(sampleRate, outSamples)
+  }
+
+  private def readCodedNumber(r: BitReader): Long = {
+    val b0 = r.readBits(8).toInt
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var nCont = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0 && nCont < 7) { nCont += 1; mask >>= 1 }
+    require(nCont >= 1 && nCont <= 6, s"malformed coded number lead $b0")
+    var v = (b0 & (mask - 1)).toLong
+    var i = 0
+    while (i < nCont) {
+      val c = r.readBits(8).toInt
+      require((c & 0xc0) == 0x80, s"malformed coded-number continuation $c")
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+}

@@ -692,6 +692,76 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic PCM clip compressed into a REAL FLAC payload
+    * (round-17): sample i of key `id` is
+    * `((id·7 + i·(13 + id mod 5)) mod 201) − 100` — the mm6 wrapping
+    * ramp with an id-dependent slope, so every doc compresses to a
+    * DIFFERENT size (slope moves the wrap count, hence the Rice
+    * parameter and residual mass) — encoded by [[Flac.encode]] with
+    * the oracle-replayable configuration: one 256-sample frame, FIXED
+    * order 2, partition order 0, the deterministic Rice-k rule
+    * ([[Flac.riceParam]]). Lossless, so the oracle replays the
+    * DECODED samples as the closed form directly, and the encoder's
+    * determinism lets it replay the COMPRESSED SIZE too. Narrow
+    * batched pass; emits `(id, payload binary)`. */
+  def synthFlacPayload(df: DataFrame, idCol: String,
+                       nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val slope = 13 + (id % 5)
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 7 + i * slope) % 201) - 100).toShort)
+        Row(id, Flac.encode(Flac.Stream(8000, samples),
+          blockSize = nSamples, forceOrder = Some(2)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** [[wavFeatures]] for FLAC payloads, plus the compression columns:
+    * parse with [[Flac.decode]] (CRC-verified Rice/fixed-predictor
+    * decode — a single wrong bit anywhere changes every output), then
+    * per stream the `encoded_bytes` (payload size — deterministic,
+    * closed-form replayable: Flac scaladoc) and `ratio` vs raw 16-bit
+    * PCM, and the waveform features over the DECODED samples — which
+    * losslessness makes the planted closed form, so the oracle checks
+    * the whole codec without touching a byte. Narrow batched pass. */
+  def flacFeatures(df: DataFrame, idCol: String = "id",
+                   payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("encoded_bytes", IntegerType),
+      StructField("ratio", DoubleType),
+      StructField("mean_abs", DoubleType),
+      StructField("peak", IntegerType),
+      StructField("energy", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val s = Flac.decode(bytes)
+        var absSum = 0L; var peak = 0; var energy = 0L
+        var i = 0
+        while (i < s.samples.length) {
+          val v = s.samples(i).toInt
+          absSum += math.abs(v)
+          energy += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        val n = s.samples.length
+        Row(r.getLong(idIdx), n, bytes.length,
+          bytes.length.toDouble / (2.0 * n),
+          absSum.toDouble / math.max(n, 1), peak, energy)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Batched feature extraction: one partition = one batch, iterator in /
     * iterator out (the mapInPandas shape). Appends `features
     * array<double>`. */

@@ -138,6 +138,47 @@ object PipelinePack extends QueryPack {
         "events", "event_type", "event_type", "value",
         nBins = 1024, qs = Seq(0.5, 0.99)))),
 
+    // KMV / bottom-k theta sketch SET ALGEBRA — the sketch family's
+    // missing third member (CMS: frequency; HLL: distinct-union; KMV:
+    // intersection/Jaccard). Pairwise audience overlap between order-
+    // priority segments: per-segment customer sets sketched to k=256
+    // retained hashes, every unordered segment pair estimated for
+    // union size, intersection size and Jaccard from the k-sample of
+    // the pair union (ThetaKmv scaladoc has the estimator argument;
+    // RSE ≈ 1/√k ≈ 6%). The register build is the TopKRewrite heap
+    // aggregate (combine state ≤ k per group per partition); the pair
+    // expansion broadcasts a ≤ groups²/2-row frame — so the 100 TB
+    // shape is: one scan of raw keys, then k·groups-row algebra. The
+    // estimates THEMSELVES hash-check (md5-derived 52-bit hashes,
+    // exactly double-representable; exact-count branch below k
+    // replayed by the oracle's CASE). ThetaKmvSpec pins accuracy vs
+    // exact overlap and the ±1/√k contract.
+    Q("th1_theta_overlap",
+      (s, dir) => graft.sketch.ThetaKmv.pairwiseOverlap(
+        Tables.orders(s, dir).select(
+          col("o_orderpriority"), col("o_custkey")),
+        "o_orderpriority", "o_custkey", k = 256),
+      Some(graft.sketch.ThetaKmv.pairwiseSql(
+        "orders", "o_orderpriority", "o_custkey", k = 256))),
+
+    // KMV MERGE — associativity under hash, the property that makes
+    // bottom-k sketches a 100 TB rollup primitive (the hll3 argument):
+    // per-priority registers max-merged into one sketch retain EXACTLY
+    // the global bottom-k (any hash in the global bottom-k is in its
+    // own group's bottom-k), so partial sketches per shard/day combine
+    // without re-scanning raw data. Emits both paths' retained counts
+    // and estimates plus their difference (structurally 0.0); k=4096
+    // puts sf0.01 (1.5k customers) on the exact-count branch and
+    // sf0.1 (15k) on the estimator branch — the oracle replays the
+    // branch switch, the d14 idiom.
+    Q("th2_theta_merge",
+      (s, dir) => graft.sketch.ThetaKmv.mergeVsDirect(
+        Tables.orders(s, dir).select(
+          col("o_orderpriority"), col("o_custkey")),
+        "o_orderpriority", "o_custkey", k = 4096),
+      Some(graft.sketch.ThetaKmv.mergeSql(
+        "orders", "o_orderpriority", "o_custkey", k = 4096))),
+
     // Changelog → SCD2 dimension history: events as per-user change
     // records, consecutive same-state changes collapsed (a no-op
     // update opens no version), validity intervals chained by lead().

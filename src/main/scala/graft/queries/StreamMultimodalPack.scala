@@ -1678,6 +1678,72 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(sum(dv * dv) AS BIGINT) AS energy
              |FROM w GROUP BY doc_id""".stripMargin)),
 
+    // MM13 (round-17): LOSSLESS audio COMPRESSION made real — a
+    // dependency-free FLAC codec (RFC 9639 subset: STREAMINFO,
+    // CRC-8/CRC-16-guarded frames, FIXED polynomial predictors,
+    // Rice-coded residuals; Flac.scala scaladoc). With WAV PCM
+    // (uncompressed lossless, mm6) and G.711 μ-law (lossy, mm8) this
+    // completes the audio codec triangle, shrinking decodeStub's
+    // boundary to perceptual-transform audio only. The oracle checks
+    // MORE than any prior codec query: losslessness means the decoded
+    // samples ARE the planted closed form (no exactness subspace
+    // needed), and the deterministic Rice-parameter rule lets DuckDB
+    // recompute the COMPRESSED SIZE itself — lag() for the order-2
+    // residuals, zigzag + integer-mean CASE ladder for k, Σ(zz>>k)+
+    // n(k+1) for the bits, constants for the container — so a wrong
+    // bit ANYWHERE in encoder or decoder (predictor, Rice, CRC,
+    // container) hash-fails either the features or the size. Decode
+    // is narrow per-partition work; bytes never leave the partition.
+    Q("mm13_flac_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.flacFeatures(
+            Multimodal.synthFlacPayload(Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"encoded_bytes",
+            r6($"ratio").as("ratio"), r6($"mean_abs").as("mean_abs"),
+            $"peak", $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100 AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |r AS (
+             |  SELECT doc_id, i, v,
+             |    v - 2 * lag(v, 1) OVER w + lag(v, 2) OVER w AS res
+             |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |z AS (
+             |  SELECT doc_id,
+             |    CASE WHEN res < 0 THEN -2 * res - 1 ELSE 2 * res END AS zz
+             |  FROM r WHERE i >= 2),
+             |kp AS (
+             |  SELECT doc_id, sum(zz) // 254 AS m FROM z GROUP BY 1),
+             |kk AS (
+             |  SELECT doc_id, CASE
+             |    WHEN m >= 16384 THEN 14 WHEN m >= 8192 THEN 13
+             |    WHEN m >= 4096 THEN 12 WHEN m >= 2048 THEN 11
+             |    WHEN m >= 1024 THEN 10 WHEN m >= 512 THEN 9
+             |    WHEN m >= 256 THEN 8 WHEN m >= 128 THEN 7
+             |    WHEN m >= 64 THEN 6 WHEN m >= 32 THEN 5
+             |    WHEN m >= 16 THEN 4 WHEN m >= 8 THEN 3
+             |    WHEN m >= 4 THEN 2 WHEN m >= 2 THEN 1 ELSE 0 END AS k
+             |  FROM kp),
+             |rb AS (
+             |  SELECT z.doc_id,
+             |    CAST(42 + 8 + ((50 + sum((zz >> k) + 1 + k) + 7) // 8) + 2
+             |         AS INT) AS encoded_bytes
+             |  FROM z JOIN kk ON z.doc_id = kk.doc_id
+             |  GROUP BY z.doc_id, kk.k),
+             |f AS (
+             |  SELECT doc_id, avg(abs(v)) AS mean_abs,
+             |    max(abs(v)) AS peak, sum(v * v) AS energy
+             |  FROM s GROUP BY doc_id)
+             |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
+             |  rb.encoded_bytes,
+             |  round(rb.encoded_bytes / 512.0 + 1e-9, 6) AS ratio,
+             |  round(f.mean_abs + 1e-9, 6) AS mean_abs,
+             |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
+             |FROM f JOIN rb ON f.doc_id = rb.doc_id""".stripMargin)),
+
     // MM7 (round-14): audio NEAR-DUP — the mm5 recipe on the real
     // audio path, completing banded-LSH near-dup across all three
     // modalities (text d2/d3, image mm5, audio mm7). Pipeline:
@@ -1918,5 +1984,71 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(cksum) AS BIGINT) AS sum_cksum,
              |  round(avg(mean_v) + 1e-9, 4) AS avg_mean_v
-             |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ST26 (round-17): FLAC decode under Structured Streaming — the
+    // st25 contract for the audio codec: the full CRC-verified
+    // Rice/fixed-predictor decode (Flac.decode) runs inside a
+    // streaming microbatch as narrow per-row work (encode→decode
+    // round trip per document), aggregated into per-bucket compression
+    // and energy rollups in complete mode. State is the 8-row agg —
+    // input-independent — and the oracle replays the mm13 closed form
+    // (samples AND compressed sizes) through the same bucketing.
+    Q("st26_stream_flac",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st26_out_${counter.incrementAndGet()}"
+        val stream = s.readStream.schema(Tables.documentsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val feats = Multimodal.flacFeatures(
+          Multimodal.synthFlacPayload(stream, "doc_id"))
+        val agg = feats
+          .groupBy(($"id" % 8).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum($"encoded_bytes").as("sum_bytes"),
+            Rx.r4(avg($"ratio")).as("avg_ratio"),
+            sum($"energy").as("sum_energy"))
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).orderBy($"bucket")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100 AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |r AS (
+             |  SELECT doc_id, i, v,
+             |    v - 2 * lag(v, 1) OVER w + lag(v, 2) OVER w AS res
+             |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |z AS (
+             |  SELECT doc_id,
+             |    CASE WHEN res < 0 THEN -2 * res - 1 ELSE 2 * res END AS zz
+             |  FROM r WHERE i >= 2),
+             |kp AS (
+             |  SELECT doc_id, sum(zz) // 254 AS m FROM z GROUP BY 1),
+             |kk AS (
+             |  SELECT doc_id, CASE
+             |    WHEN m >= 16384 THEN 14 WHEN m >= 8192 THEN 13
+             |    WHEN m >= 4096 THEN 12 WHEN m >= 2048 THEN 11
+             |    WHEN m >= 1024 THEN 10 WHEN m >= 512 THEN 9
+             |    WHEN m >= 256 THEN 8 WHEN m >= 128 THEN 7
+             |    WHEN m >= 64 THEN 6 WHEN m >= 32 THEN 5
+             |    WHEN m >= 16 THEN 4 WHEN m >= 8 THEN 3
+             |    WHEN m >= 4 THEN 2 WHEN m >= 2 THEN 1 ELSE 0 END AS k
+             |  FROM kp),
+             |rb AS (
+             |  SELECT z.doc_id,
+             |    CAST(42 + 8 + ((50 + sum((zz >> k) + 1 + k) + 7) // 8) + 2
+             |         AS INT) AS encoded_bytes
+             |  FROM z JOIN kk ON z.doc_id = kk.doc_id
+             |  GROUP BY z.doc_id, kk.k),
+             |f AS (
+             |  SELECT doc_id, sum(v * v) AS energy FROM s GROUP BY doc_id)
+             |SELECT f.doc_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(rb.encoded_bytes) AS BIGINT) AS sum_bytes,
+             |  round(avg(rb.encoded_bytes / 512.0) + 1e-9, 4) AS avg_ratio,
+             |  CAST(sum(f.energy) AS BIGINT) AS sum_energy
+             |FROM f JOIN rb ON f.doc_id = rb.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

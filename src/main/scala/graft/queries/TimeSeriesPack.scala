@@ -1091,5 +1091,55 @@ object TimeSeriesPack extends QueryPack {
              |FROM b
              |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
              |       wt AS (PARTITION BY user_id ORDER BY value, event_id)
-             |ORDER BY user_id, value, event_id""".stripMargin)))
+             |ORDER BY user_id, value, event_id""".stripMargin)),
+
+    // W35 (round-17): Lo–MacKinlay variance-ratio test (1988) — the
+    // canonical random-walk diagnostic the autocorr (w22) / half-life
+    // (w27) tier was missing: under a random walk the variance of
+    // q-period differences is q× the 1-period variance, so
+    // VR(q) = Var(Δ_q)/(q·Var(Δ_1)) ≈ 1; VR < 1 flags mean reversion,
+    // VR > 1 momentum. Overlapping 4-period differences (the paper's
+    // estimator), population variances, and the homoskedastic z-stat
+    // z = (VR−1)·√(3qn/(2(2q−1)(q−1))) = (VR−1)·√(2n/7) at q=4.
+    // Ratio and z computed from r6-rounded variances and the
+    // r4-rounded VR (the w27/w33 convention — cross-engine float
+    // discipline at every derived step). ONE user-keyed exchange: the
+    // lag window and the variance aggregate share the partitioning.
+    Q("w35_variance_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val d = ev(s, dir)
+          .select($"user_id", $"t", $"event_id", $"value")
+          .withColumn("r1", $"value" - lag($"value", 1).over(w))
+          .withColumn("rq", $"value" - lag($"value", 4).over(w))
+        val g = d.groupBy($"user_id")
+          .agg(count($"r1").as("n1"), count($"rq").as("n4"),
+            r6(var_pop($"r1")).as("var1"), r6(var_pop($"rq")).as("var4"))
+          .filter($"n1" >= 16 && $"var1" > 0)
+        val vr = r4($"var4" / (lit(4.0) * $"var1"))
+        g.select($"user_id", $"n1", $"n4", $"var1", $"var4",
+          vr.as("vr4"),
+          r4((vr - lit(1.0)) *
+            sqrt($"n4".cast("double") * lit(2.0) / lit(7.0))).as("z4"))
+      },
+      Some(s"""WITH e AS ($OracleEv),
+             |d AS (
+             |  SELECT user_id, value,
+             |    value - lag(value, 1) OVER w AS r1,
+             |    value - lag(value, 4) OVER w AS rq
+             |  FROM e $OracleWin),
+             |g AS (
+             |  SELECT user_id, count(r1) AS n1, count(rq) AS n4,
+             |    round(var_pop(r1) + 1e-9, 6) AS var1,
+             |    round(var_pop(rq) + 1e-9, 6) AS var4
+             |  FROM d GROUP BY 1
+             |  HAVING count(r1) >= 16
+             |     AND round(var_pop(r1) + 1e-9, 6) > 0),
+             |v AS (
+             |  SELECT *, round(var4 / (4.0 * var1) + 1e-9, 4) AS vr4
+             |  FROM g)
+             |SELECT user_id, n1, n4, var1, var4, vr4,
+             |  round((vr4 - 1.0) * sqrt(n4 * 2.0 / 7.0) + 1e-9, 4) AS z4
+             |FROM v""".stripMargin)))
 }

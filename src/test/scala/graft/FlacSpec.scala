@@ -1,0 +1,237 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Flac
+
+/** Contracts for the dependency-free FLAC codec (RFC 9639 subset).
+  * The declared query (mm13_flac_features) hash-gates losslessness AND
+  * the compressed size against the DuckDB replay; these specs pin what
+  * the hash can't see — round trips across every subframe type and
+  * blocking shape, the deterministic Rice-parameter rule, CRC tamper
+  * detection, and the adversarial-parse rejections (out-of-subset and
+  * malformed streams fail with diagnostics, never mis-decode). */
+class FlacSpec extends AnyFunSuite {
+
+  /** Deterministic 16-bit pseudo-random samples (LCG, fixed seed). */
+  private def lcgSamples(n: Int, seed: Long = 42L,
+                         amp: Int = 30000): Array[Short] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % (2 * amp + 1) - amp).toShort
+    }
+  }
+
+  /** Smooth compressible waveform: wrapping ramp (small 2nd diffs). */
+  private def rampSamples(n: Int): Array[Short] =
+    Array.tabulate(n)(i => (((i * 13) % 201) - 100).toShort)
+
+  test("round trip: smooth multi-frame stream, adaptive encoder") {
+    val x = rampSamples(1000) // blockSize 256 -> frames 256,256,256,232
+    val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 256)
+    val dec = Flac.decode(enc)
+    assert(dec.sampleRate == 8000)
+    assert(dec.samples.toSeq == x.toSeq)
+    assert(enc.length < 2 * x.length,
+      s"smooth signal did not compress: ${enc.length} vs raw ${2 * x.length}")
+  }
+
+  test("round trip: every forced fixed order 0-4") {
+    val x = lcgSamples(512, amp = 120) // small-amplitude noise
+    (0 to 4).foreach { o =>
+      val enc = Flac.encode(Flac.Stream(16000, x),
+        blockSize = 256, forceOrder = Some(o))
+      val dec = Flac.decode(enc)
+      assert(dec.samples.toSeq == x.toSeq, s"order $o round trip failed")
+    }
+  }
+
+  test("constant block takes the CONSTANT subframe (tiny payload)") {
+    val x = Array.fill(4096)(1234.toShort)
+    val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 4096)
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+    // stream header 42 + frame header 8 + subframe (1 byte + 16-bit
+    // constant) + crc16 = 42 + 8 + 3 + 2 = 55
+    assert(enc.length == 55, s"constant frame not minimal: ${enc.length}")
+  }
+
+  test("incompressible noise falls back to VERBATIM, never expands past raw") {
+    val x = lcgSamples(256) // full-range noise
+    val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 256)
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+    // verbatim frame: 42 + 8 + ceil((8 + 256*16)/8) + 2 = 42 + 8 + 513 + 2
+    assert(enc.length == 42 + 8 + 513 + 2,
+      s"expected verbatim fallback size, got ${enc.length}")
+  }
+
+  test("wide-range residuals (order forced on noise) still round trip") {
+    // order-4 residuals of full-range noise reach ~16x amplitude; the
+    // capped k=14 Rice path must still encode/decode exactly
+    val x = lcgSamples(300)
+    val enc = Flac.encode(Flac.Stream(8000, x),
+      blockSize = 256, forceOrder = Some(4))
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+  }
+
+  test("multi-byte coded frame numbers (>127 frames) round trip") {
+    val x = rampSamples(16 * 130) // 130 frames of 16
+    val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 16)
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+  }
+
+  test("rice parameter rule: top-set-bit of the mean zigzag, capped 14") {
+    assert(Flac.riceParam(0L, 100) == 0)
+    assert(Flac.riceParam(99L, 100) == 0) // mean 0
+    assert(Flac.riceParam(100L, 100) == 0) // mean 1 -> k=0
+    assert(Flac.riceParam(200L, 100) == 1) // mean 2
+    assert(Flac.riceParam(300L, 100) == 1) // mean 3
+    assert(Flac.riceParam(400L, 100) == 2) // mean 4
+    assert(Flac.riceParam(Long.MaxValue / 4, 2) == 14) // capped
+  }
+
+  test("riceBits is the exact encoded residual width") {
+    val rs = Array(0L, -1L, 1L, -2L, 5L, -100L)
+    // zigzag: 0,1,2,3,10,199 ; k=2 -> (zz>>2)+3 each
+    val expect = rs.map { r =>
+      val zz = (r << 1) ^ (r >> 63)
+      (zz >>> 2) + 3
+    }.sum
+    assert(Flac.riceBits(rs, 2) == expect)
+  }
+
+  test("fixed residuals match the polynomial definitions") {
+    val x = Array[Short](3, 7, 12, 20, 33)
+    assert(Flac.fixedResiduals(x, 0).toSeq == Seq(3L, 7L, 12L, 20L, 33L))
+    assert(Flac.fixedResiduals(x, 1).toSeq == Seq(4L, 5L, 8L, 13L))
+    assert(Flac.fixedResiduals(x, 2).toSeq == Seq(1L, 3L, 5L))
+    assert(Flac.fixedResiduals(x, 3).toSeq == Seq(2L, 2L))
+    assert(Flac.fixedResiduals(x, 4).toSeq == Seq(0L))
+  }
+
+  // ----------------------------------------------------------------
+  // Adversarial parsing: reject, never mis-decode
+  // ----------------------------------------------------------------
+
+  private def valid(): Array[Byte] =
+    Flac.encode(Flac.Stream(8000, rampSamples(256)), blockSize = 256)
+
+  private def rejects(bytes: Array[Byte], fragment: String): Unit = {
+    val e = intercept[IllegalArgumentException](Flac.decode(bytes))
+    assert(e.getMessage.contains(fragment),
+      s"wrong diagnostic: ${e.getMessage}")
+  }
+
+  test("wrong magic rejected") {
+    val b = valid(); b(0) = 'g'.toByte
+    rejects(b, "not a fLaC stream")
+  }
+
+  test("header tamper fails the frame CRC-8") {
+    val b = valid()
+    // low byte of the 16-bit blocksize-1 (255 -> 254 stays semantically
+    // plausible, so the CRC is the check that must catch it)
+    b(48) = (b(48) ^ 0x01).toByte
+    rejects(b, "CRC-8")
+  }
+
+  test("body tamper fails the frame CRC-16") {
+    val b = valid()
+    b(b.length - 5) = (b(b.length - 5) ^ 0x40).toByte // residual bits
+    rejects(b, "CRC-16")
+  }
+
+  test("truncated payload rejected") {
+    val b = valid()
+    rejects(java.util.Arrays.copyOf(b, b.length - 3), "truncated")
+  }
+
+  test("metadata block overrunning the payload rejected") {
+    val b = valid()
+    b(5) = 0x01.toByte // STREAMINFO declared length 34 -> 65570
+    rejects(b, "declares")
+  }
+
+  test("non-34-byte STREAMINFO rejected") {
+    val b = valid()
+    b(7) = 0x30.toByte // declared length 48, still inside the payload
+    rejects(b, "STREAMINFO length")
+  }
+
+  /** Assemble a stream with a handcrafted frame header (correct CRCs)
+    * to reach the decoder's out-of-subset diagnostics. `patch` edits
+    * the 7 header bytes before the CRC-8 is computed. */
+  private def crafted(patch: Array[Byte] => Unit): Array[Byte] = {
+    val good = valid()
+    val out = java.util.Arrays.copyOf(good, good.length)
+    // frame starts at byte 42; header bytes 42..48, crc8 at 49
+    patch(out)
+    val c8 = Flac.crc8(out, 42, 49)
+    out(49) = c8.toByte
+    out
+  }
+
+  test("stereo channel assignment rejected as out of subset") {
+    rejects(crafted(b => b(45) = 0x14.toByte), "mono subset") // ch code 1
+  }
+
+  test("non-16-bit sample size rejected as out of subset") {
+    rejects(crafted(b => b(45) = 0x02.toByte), "16-bit subset") // 8-bit code
+  }
+
+  test("reserved blocksize code 0 rejected") {
+    rejects(crafted(b => b(44) = 0x00.toByte), "reserved blocksize")
+  }
+
+  test("variable-blocksize strategy rejected as out of subset") {
+    rejects(crafted(b => b(43) = (b(43) | 0x01).toByte), "out of subset")
+  }
+
+  test("frame numbers must be sequential") {
+    rejects(crafted(b => b(46) = 0x05.toByte), "expected 0")
+  }
+
+  test("LPC subframe type rejected with a subset diagnostic") {
+    // rebuild subframe header byte (offset 50: pad(1)+type(6)+wasted(1))
+    // as LPC order 1 (type 0b100000) with both CRCs fixed up — the
+    // decoder must name the subset boundary, not mis-parse
+    val good = valid()
+    val out = java.util.Arrays.copyOf(good, good.length)
+    out(50) = 0x40.toByte // 0|100000|0
+    val c8 = Flac.crc8(out, 42, 49)
+    out(49) = c8.toByte
+    val c16 = Flac.crc16(out, 42, out.length - 2)
+    out(out.length - 2) = ((c16 >> 8) & 0xff).toByte
+    out(out.length - 1) = (c16 & 0xff).toByte
+    rejects(out, "fixed-predictor subset")
+  }
+
+  test("reserved subframe type rejected") {
+    val good = valid()
+    val out = java.util.Arrays.copyOf(good, good.length)
+    out(50) = 0x04.toByte // 0|000010|0 reserved
+    val c16 = Flac.crc16(out, 42, out.length - 2)
+    out(out.length - 2) = ((c16 >> 8) & 0xff).toByte
+    out(out.length - 1) = (c16 & 0xff).toByte
+    rejects(out, "reserved subframe type")
+  }
+
+  test("golden byte layout: container constants of the mm13 shape") {
+    val enc = Flac.encode(Flac.Stream(8000, rampSamples(256)),
+      blockSize = 256, forceOrder = Some(2))
+    assert(new String(enc, 0, 4, "US-ASCII") == "fLaC")
+    assert((enc(4) & 0xff) == 0x80 && enc(7) == 34) // last-block STREAMINFO
+    // frame sync at 42: 0xFF 0xF8 (14-bit sync + 0 + 0)
+    assert((enc(42) & 0xff) == 0xff && (enc(43) & 0xff) == 0xf8)
+    assert((enc(44) & 0xff) == 0x70) // blocksize code 7, rate from SI
+    assert((enc(45) & 0xff) == 0x08) // mono, 16-bit
+    assert((enc(46) & 0xff) == 0x00) // frame number 0
+    // 16-bit blocksize-1 = 255
+    assert((enc(47) & 0xff) == 0x00 && (enc(48) & 0xff) == 0xff)
+    // the closed-form size the mm13 oracle recomputes:
+    // 42 + 8 + ceil((8+32+10+riceBits)/8) + 2
+    val rs = Flac.fixedResiduals(rampSamples(256), 2)
+    val k = Flac.riceParam(rs.map(r => (r << 1) ^ (r >> 63)).sum, rs.length)
+    val bits = 8 + 32 + 10 + Flac.riceBits(rs, k)
+    assert(enc.length == 42 + 8 + (bits + 7) / 8 + 2)
+  }
+}
