@@ -7,12 +7,15 @@ import scala.collection.mutable.ArrayBuffer
   * PCM (uncompressed) and G.711 μ-law (lossy companding). This is the
   * real bitstream: `fLaC` marker, STREAMINFO metadata block, fixed-
   * blocksize frames with CRC-8-guarded headers and CRC-16-guarded
-  * bodies, UTF-8-style coded frame numbers, and subframes of type
+  * bodies, UTF-8-style coded frame numbers, subframes of type
   * CONSTANT, VERBATIM and FIXED (polynomial predictor orders 0–4) with
-  * Rice-coded residuals — the complete "Subset" fixed-predictor layer
-  * of the spec (RFC 9639 §9; LPC subframes and stereo decorrelation
-  * are outside this codec's scope and are REJECTED with diagnostics,
-  * not mis-decoded).
+  * Rice-coded residuals, and — since the stereo extension — all four
+  * two-channel assignments (independent, left-side, right-side,
+  * mid-side inter-channel decorrelation, the side channel carried at
+  * 17 bits as the spec requires). That is the complete "Subset"
+  * fixed-predictor layer of RFC 9639 §9 for one and two channels; LPC
+  * subframes and 3+ channels are outside this codec's scope and are
+  * REJECTED with diagnostics, not mis-decoded.
   *
   * Why this closes a tier: WAV PCM is lossless but uncompressed and
   * μ-law compresses but lossily; FLAC is the standard that does both —
@@ -20,31 +23,38 @@ import scala.collection.mutable.ArrayBuffer
   * [[Multimodal.decodeStub]] shrinks to perceptual-transform codecs
   * only (MP3/AAC, which have no closed-form oracle by construction).
   *
-  * Oracle strategy (mm13): losslessness means the decoded samples ARE
-  * the planted closed form — no exactness subspace needed (the JPEG
-  * trick) — and the ENCODER is deterministic enough to replay the
-  * compressed size itself in SQL:
+  * Oracle strategy (mm13 mono, mm14 stereo): losslessness means the
+  * decoded samples ARE the planted closed form — no exactness
+  * subspace needed (the JPEG trick) — and the ENCODER is
+  * deterministic enough to replay the compressed size itself in SQL:
   *
   *  - fixed predictor residuals are pure integer differences
   *    (order 2: `r_i = x_i − 2x_{i−1} + x_{i−2}`), expressible with
-  *    `lag()`;
+  *    `lag()`; the mid/side decorrelation is integer too
+  *    (`m = (l+r) >> 1` = floor((l+r)/2), `s = l − r`);
   *  - the Rice parameter is chosen by an integer-only rule — k =
   *    ⌊log2(Σ zigzag / n_res)⌋ (position of the mean's top set bit),
   *    capped at 14 — a CASE ladder in SQL, no float in sight;
   *  - the Rice bit count is `Σ (zz_i >> k) + n_res·(k+1)`, and every
   *    container field above it is a constant — so `encoded_bytes` is
-  *    a closed-form integer the oracle recomputes from the samples.
+  *    a closed-form integer the oracle recomputes from the samples,
+  *    per channel.
   *
   * Scale shape: encode/decode run inside the batched per-partition
   * transform (the [[Wav]] argument) — narrow, no shuffle, bytes never
   * leave the partition that read them. FlacSpec pins multi-frame
-  * round trips over all subframe types, the golden byte layout, CRC
-  * tamper detection and the adversarial-parse rejections.
+  * round trips over all subframe types and channel assignments, the
+  * golden byte layout, CRC tamper detection and the adversarial-parse
+  * rejections.
   */
 object Flac {
 
-  /** Decoded stream: 16-bit signed mono samples at `sampleRate` Hz. */
+  /** Decoded mono stream: 16-bit signed samples at `sampleRate` Hz. */
   final case class Stream(sampleRate: Int, samples: Array[Short])
+
+  /** Decoded stereo stream: per-channel 16-bit signed samples. */
+  final case class StereoStream(sampleRate: Int, left: Array[Short],
+                                right: Array[Short])
 
   // ---------------------------------------------------------------
   // CRCs (RFC 9639 §9.1.1 / §9.3: both initialized to 0, MSB-first)
@@ -115,7 +125,6 @@ object Flac {
   private final class BitReader(val bytes: Array[Byte], var pos: Int) {
     private var acc = 0L
     private var nAcc = 0
-    def bitAligned: Boolean = nAcc == 0
     def remainingBits: Long = nAcc.toLong + 8L * (bytes.length - pos)
     def readBits(n: Int): Long = {
       require(n >= 0 && n <= 56, s"readBits width $n")
@@ -131,7 +140,7 @@ object Flac {
     }
     def readSigned(n: Int): Int = {
       val u = readBits(n)
-      ((u << (64 - n)).toLong >> (64 - n)).toInt
+      ((u << (64 - n)) >> (64 - n)).toInt
     }
     def readUnary(maxQ: Int): Int = {
       var q = 0
@@ -150,8 +159,7 @@ object Flac {
   // Fixed predictors (RFC 9639 §9.2.2)
   // ---------------------------------------------------------------
 
-  /** Residuals of fixed polynomial order `o` over `x` (length n − o). */
-  def fixedResiduals(x: Array[Short], o: Int): Array[Long] = {
+  private def fixedResidualsI(x: Array[Int], o: Int): Array[Long] = {
     val n = x.length
     val r = new Array[Long](n - o)
     var i = o
@@ -169,26 +177,142 @@ object Flac {
     r
   }
 
+  /** Residuals of fixed polynomial order `o` over `x` (length n − o). */
+  def fixedResiduals(x: Array[Short], o: Int): Array[Long] =
+    fixedResidualsI(x.map(_.toInt), o)
+
   private def zigzag(r: Long): Long = (r << 1) ^ (r >> 63)
   private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
 
   /** The deterministic Rice parameter: top-set-bit position of the
     * mean zigzag residual (integer division), capped at 14 so the
     * 4-bit parameter field never needs the escape code. Replayable as
-    * a SQL CASE ladder — the property mm13's size oracle rests on. */
+    * a SQL CASE ladder — the property the mm13/mm14 size oracles rest
+    * on. */
   def riceParam(sumZz: Long, nRes: Int): Int = {
     if (nRes == 0) return 0
     val mean = sumZz / nRes
-    if (mean < 1) 0 else math.min(63 - java.lang.Long.numberOfLeadingZeros(mean), 14)
+    if (mean < 1) 0
+    else math.min(63 - java.lang.Long.numberOfLeadingZeros(mean), 14)
   }
 
   /** Exact bit cost of Rice-coding `rs` with parameter k. */
   def riceBits(rs: Array[Long], k: Int): Long =
     rs.foldLeft(0L)((acc, r) => acc + (zigzag(r) >>> k) + 1 + k)
 
+  /** Fixed order minimizing Σ|residual|, ties to the lower order. */
+  private def pickOrderI(x: Array[Int]): Int = {
+    val maxO = math.min(4, x.length - 1)
+    var best = 0
+    var bestSum = Long.MaxValue
+    var o = 0
+    while (o <= maxO) {
+      val s = fixedResidualsI(x, o).foldLeft(0L)((a, r) => a + math.abs(r))
+      if (s < bestSum) { bestSum = s; best = o }
+      o += 1
+    }
+    best
+  }
+
+  /** Σ|residual| at the best fixed order — the deterministic cost
+    * proxy the adaptive stereo-mode choice ranks on. */
+  private def bestCost(x: Array[Int]): Long = {
+    val o = pickOrderI(x)
+    fixedResidualsI(x, o).foldLeft(0L)((a, r) => a + math.abs(r))
+  }
+
   // ---------------------------------------------------------------
   // Encoder
   // ---------------------------------------------------------------
+
+  /** One subframe at `bps` bits/sample: CONSTANT for flat blocks (when
+    * not order-forced), else the fixed order minimizing Σ|residual|
+    * with Rice partition order 0 and the deterministic k, falling back
+    * to VERBATIM when Rice would not beat raw. `forceOrder` pins FIXED
+    * order o unconditionally (the oracle-replayable configuration). */
+  private def writeSubframe(body: BitWriter, x: Array[Int], bps: Int,
+                            forceOrder: Option[Int]): Unit = {
+    val mask = (1L << bps) - 1
+    body.writeBits(0L, 1) // subframe pad bit
+    // a short last frame can undercut a forced order; clamp so the
+    // warmup never swallows the whole block
+    val order = math.min(forceOrder.getOrElse(pickOrderI(x)), x.length - 1)
+    if (forceOrder.isEmpty && x.forall(_ == x(0))) {
+      body.writeBits(0L, 6) // CONSTANT
+      body.writeBits(0L, 1) // no wasted bits
+      body.writeBits(x(0).toLong & mask, bps)
+    } else {
+      val rs = fixedResidualsI(x, order)
+      val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
+      val riceCost = 6L + 4 + riceBits(rs, k) // res header + param + codes
+      if (forceOrder.isEmpty &&
+        riceCost + bps.toLong * order >= bps.toLong * x.length) {
+        body.writeBits(1L, 6) // VERBATIM
+        body.writeBits(0L, 1)
+        x.foreach(s => body.writeBits(s.toLong & mask, bps))
+      } else {
+        body.writeBits(8L | order, 6) // FIXED, order 0-4
+        body.writeBits(0L, 1) // no wasted bits
+        (0 until order).foreach(i => body.writeBits(x(i).toLong & mask, bps))
+        body.writeBits(0L, 2) // residual method: 4-bit Rice
+        body.writeBits(0L, 4) // partition order 0
+        body.writeBits(k.toLong, 4)
+        rs.foreach { r =>
+          val zz = zigzag(r)
+          body.writeUnary((zz >>> k).toInt)
+          if (k > 0) body.writeBits(zz & ((1L << k) - 1), k)
+        }
+      }
+    }
+  }
+
+  /** One frame: header (sync, codes, coded frame number, 16-bit
+    * blocksize, CRC-8), `subframes` as (samples, bps) pairs in channel
+    * order, byte-align, CRC-16. */
+  private def buildFrame(chCode: Int, subframes: Seq[(Array[Int], Int)],
+                         bs: Int, frameNo: Long,
+                         forceOrder: Option[Int]): Array[Byte] = {
+    val h = new BitWriter
+    h.writeBits(0x3ffeL, 14) // sync
+    h.writeBits(0L, 1) // reserved
+    h.writeBits(0L, 1) // fixed blocksize strategy
+    h.writeBits(7L, 4) // blocksize: 16-bit (value - 1) at header end
+    h.writeBits(0L, 4) // sample rate: from STREAMINFO
+    h.writeBits(chCode.toLong, 4)
+    h.writeBits(4L, 3) // sample size: 16-bit
+    h.writeBits(0L, 1) // reserved
+    codedNumber(h, frameNo)
+    h.writeBits((bs - 1).toLong, 16)
+    val head = h.bytes
+    val body = new BitWriter
+    subframes.foreach { case (x, bps) => writeSubframe(body, x, bps, forceOrder) }
+    body.alignByte()
+    val frame = new ArrayBuffer[Byte]()
+    frame ++= head
+    frame += crc8(head, 0, head.length).toByte
+    frame ++= body.bytes
+    val fa = frame.toArray
+    val c16 = crc16(fa, 0, fa.length)
+    (frame += ((c16 >> 8) & 0xff).toByte += (c16 & 0xff).toByte).toArray
+  }
+
+  private def streamHeader(out: ArrayBuffer[Byte], sampleRate: Int,
+                           channels: Int, blockSize: Int, n: Int): Unit = {
+    out ++= "fLaC".getBytes("US-ASCII")
+    // STREAMINFO: last-block flag set, type 0, length 34
+    out += 0x80.toByte; out += 0; out += 0; out += 34
+    val lastBlock = if (n % blockSize == 0) blockSize else n % blockSize
+    val si = new BitWriter
+    si.writeBits(math.min(blockSize, lastBlock).toLong, 16) // min blocksize
+    si.writeBits(blockSize.toLong, 16) // max blocksize
+    si.writeBits(0L, 24); si.writeBits(0L, 24) // frame sizes unknown
+    si.writeBits(sampleRate.toLong, 20)
+    si.writeBits((channels - 1).toLong, 3)
+    si.writeBits(15L, 5) // bits per sample - 1
+    si.writeBits(n.toLong, 36)
+    (0 until 16).foreach(_ => si.writeBits(0L, 8)) // md5 unknown (spec-legal)
+    out ++= si.bytes
+  }
 
   /** Encode as a single-channel 16-bit FLAC stream, fixed `blockSize`
     * frames (last frame may be short). `forceOrder` pins every
@@ -206,98 +330,77 @@ object Flac {
       s"sampleRate ${stream.sampleRate}")
     forceOrder.foreach(o => require(o >= 0 && o <= 4, s"order $o"))
     val out = new ArrayBuffer[Byte]()
-    out ++= "fLaC".getBytes("US-ASCII")
-    // STREAMINFO: last-block flag set, type 0, length 34
-    out += 0x80.toByte; out += 0; out += 0; out += 34
-    val lastBlock = if (n % blockSize == 0) blockSize else n % blockSize
-    val si = new BitWriter
-    si.writeBits(math.min(blockSize, lastBlock).toLong, 16) // min blocksize
-    si.writeBits(blockSize.toLong, 16) // max blocksize
-    si.writeBits(0L, 24); si.writeBits(0L, 24) // frame sizes unknown
-    si.writeBits(stream.sampleRate.toLong, 20)
-    si.writeBits(0L, 3) // channels - 1
-    si.writeBits(15L, 5) // bits per sample - 1
-    si.writeBits(n.toLong, 36)
-    (0 until 16).foreach(_ => si.writeBits(0L, 8)) // md5 unknown (spec-legal)
-    out ++= si.bytes
-    def encodeFrame(x: Array[Short], frameNo: Long): Array[Byte] = {
-      val h = new BitWriter
-      h.writeBits(0x3ffeL, 14) // sync
-      h.writeBits(0L, 1) // reserved
-      h.writeBits(0L, 1) // fixed blocksize strategy
-      h.writeBits(7L, 4) // blocksize: 16-bit (value - 1) at header end
-      h.writeBits(0L, 4) // sample rate: from STREAMINFO
-      h.writeBits(0L, 4) // channels: mono
-      h.writeBits(4L, 3) // sample size: 16-bit
-      h.writeBits(0L, 1) // reserved
-      codedNumber(h, frameNo)
-      h.writeBits((x.length - 1).toLong, 16)
-      val head = h.bytes
-      val body = new BitWriter
-      body.writeBits(0L, 1) // subframe pad bit
-      // a short last frame can undercut a forced order; clamp so the
-      // warmup never swallows the whole block
-      val order = math.min(forceOrder.getOrElse(pickOrder(x)), x.length - 1)
-      if (forceOrder.isEmpty && x.forall(_ == x(0))) {
-        body.writeBits(0L, 6) // CONSTANT
-        body.writeBits(0L, 1) // no wasted bits
-        body.writeBits(x(0).toLong & 0xffff, 16)
-      } else {
-        val rs = fixedResiduals(x, order)
-        val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
-        val riceCost = 6L + 4 + riceBits(rs, k) // res header + param + codes
-        if (forceOrder.isEmpty && riceCost + 16L * order >= 16L * x.length) {
-          body.writeBits(1L, 6) // VERBATIM
-          body.writeBits(0L, 1)
-          x.foreach(s => body.writeBits(s.toLong & 0xffff, 16))
-        } else {
-          body.writeBits(8L | order, 6) // FIXED, order 0-4
-          body.writeBits(0L, 1) // no wasted bits
-          (0 until order).foreach(i => body.writeBits(x(i).toLong & 0xffff, 16))
-          body.writeBits(0L, 2) // residual method: 4-bit Rice
-          body.writeBits(0L, 4) // partition order 0
-          body.writeBits(k.toLong, 4)
-          rs.foreach { r =>
-            val zz = zigzag(r)
-            body.writeUnary((zz >>> k).toInt)
-            if (k > 0) body.writeBits(zz & ((1L << k) - 1), k)
-          }
-        }
-      }
-      body.alignByte()
-      val frame = new ArrayBuffer[Byte]()
-      frame ++= head
-      frame += crc8(head, 0, head.length).toByte
-      frame ++= body.bytes
-      val fa = frame.toArray
-      val c16 = crc16(fa, 0, fa.length)
-      (frame += ((c16 >> 8) & 0xff).toByte += (c16 & 0xff).toByte).toArray
-    }
-
+    streamHeader(out, stream.sampleRate, 1, blockSize, n)
     var frameNo = 0L
     var off = 0
     while (off < n) {
       val bs = math.min(blockSize, n - off)
-      val block = java.util.Arrays.copyOfRange(stream.samples, off, off + bs)
-      out ++= encodeFrame(block, frameNo)
+      val block = new Array[Int](bs)
+      var i = 0
+      while (i < bs) { block(i) = stream.samples(off + i).toInt; i += 1 }
+      out ++= buildFrame(0, Seq((block, 16)), bs, frameNo, forceOrder)
       frameNo += 1
       off += bs
     }
     out.toArray
   }
 
-  /** Fixed order minimizing Σ|residual|, ties to the lower order. */
-  private def pickOrder(x: Array[Short]): Int = {
-    val maxO = math.min(4, x.length - 1)
-    var best = 0
-    var bestSum = Long.MaxValue
-    var o = 0
-    while (o <= maxO) {
-      val s = fixedResiduals(x, o).foldLeft(0L)((a, r) => a + math.abs(r))
-      if (s < bestSum) { bestSum = s; best = o }
-      o += 1
+  /** Stereo channel-assignment modes (RFC 9639 §9.1.3): `independent`
+    * (L, R), `left-side` (L, S=L−R), `right-side` (S, R), `mid-side`
+    * (M=(L+R)>>1, S) — the side channel carried at 17 bits — or
+    * `adaptive`, which ranks the four by the Σ|residual|-at-best-order
+    * proxy per channel (deterministic, ties in the order listed). */
+  def encodeStereo(st: StereoStream, blockSize: Int = 4096,
+                   mode: String = "adaptive",
+                   forceOrder: Option[Int] = None): Array[Byte] = {
+    val n = st.left.length
+    require(n > 0, "empty stream")
+    require(st.right.length == n,
+      s"channel length mismatch: ${st.left.length} vs ${st.right.length}")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+    require(st.sampleRate > 0 && st.sampleRate < (1 << 20),
+      s"sampleRate ${st.sampleRate}")
+    forceOrder.foreach(o => require(o >= 0 && o <= 4, s"order $o"))
+    val modes = Seq("independent", "left-side", "right-side", "mid-side")
+    require(mode == "adaptive" || modes.contains(mode), s"mode $mode")
+    val out = new ArrayBuffer[Byte]()
+    streamHeader(out, st.sampleRate, 2, blockSize, n)
+    var frameNo = 0L
+    var off = 0
+    while (off < n) {
+      val bs = math.min(blockSize, n - off)
+      val l = new Array[Int](bs)
+      val r = new Array[Int](bs)
+      val s = new Array[Int](bs)
+      val m = new Array[Int](bs)
+      var i = 0
+      while (i < bs) {
+        l(i) = st.left(off + i).toInt
+        r(i) = st.right(off + i).toInt
+        s(i) = l(i) - r(i)
+        m(i) = (l(i) + r(i)) >> 1
+        i += 1
+      }
+      val chosen = if (mode == "adaptive") {
+        val costs = Seq(
+          "independent" -> (bestCost(l) + bestCost(r)),
+          "left-side" -> (bestCost(l) + bestCost(s)),
+          "right-side" -> (bestCost(s) + bestCost(r)),
+          "mid-side" -> (bestCost(m) + bestCost(s)))
+        costs.minBy(_._2)._1 // Seq.minBy keeps the first minimum: the
+        // documented tie order
+      } else mode
+      val (chCode, subframes) = chosen match {
+        case "independent" => (1, Seq((l, 16), (r, 16)))
+        case "left-side" => (8, Seq((l, 16), (s, 17)))
+        case "right-side" => (9, Seq((s, 17), (r, 16)))
+        case "mid-side" => (10, Seq((m, 16), (s, 17)))
+      }
+      out ++= buildFrame(chCode, subframes, bs, frameNo, forceOrder)
+      frameNo += 1
+      off += bs
     }
-    best
+    out.toArray
   }
 
   /** UTF-8-style coded number (RFC 9639 §9.1.5), up to 31 bits. */
@@ -322,15 +425,30 @@ object Flac {
   // Decoder
   // ---------------------------------------------------------------
 
-  /** Parse a FLAC payload produced by any encoder of this subset:
-    * mono, 16-bit, fixed-blocksize frames, CONSTANT / VERBATIM /
-    * FIXED subframes (Rice method 0 or 1, any partition order, escape
-    * partitions included). Verifies the frame-header CRC-8 and the
-    * frame CRC-16; throws IllegalArgumentException with a diagnostic
-    * on anything malformed, truncated, out of subset (LPC, stereo,
-    * non-16-bit), or CRC-corrupt — adversarial input is rejected,
-    * never mis-decoded. */
+  /** Parse a mono FLAC payload of this subset. Verifies the
+    * frame-header CRC-8 and the frame CRC-16; throws
+    * IllegalArgumentException with a diagnostic on anything malformed,
+    * truncated, out of subset (LPC, 3+ channels, non-16-bit), or
+    * CRC-corrupt — adversarial input is rejected, never mis-decoded. */
   def decode(bytes: Array[Byte]): Stream = {
+    val (rate, chs) = decodeChannels(bytes)
+    require(chs.length == 1,
+      s"${chs.length}-channel stream — use decodeStereo")
+    Stream(rate, chs(0).map(_.toShort))
+  }
+
+  /** Parse a stereo FLAC payload of this subset — all four channel
+    * assignments (independent / left-side / right-side / mid-side)
+    * decoded and de-correlated back to L/R. Same adversarial
+    * contract as [[decode]]. */
+  def decodeStereo(bytes: Array[Byte]): StereoStream = {
+    val (rate, chs) = decodeChannels(bytes)
+    require(chs.length == 2,
+      s"${chs.length}-channel stream — use decode")
+    StereoStream(rate, chs(0).map(_.toShort), chs(1).map(_.toShort))
+  }
+
+  private def decodeChannels(bytes: Array[Byte]): (Int, Array[Array[Int]]) = {
     require(bytes != null && bytes.length >= 4 + 4 + 34, "payload too short")
     require(new String(bytes, 0, 4, "US-ASCII") == "fLaC", "not a fLaC stream")
     var pos = 4
@@ -339,6 +457,7 @@ object Flac {
     var haveSi = false
     var sampleRate = -1
     var maxBlock = -1
+    var nChannels = -1
     var totalSamples = -1L
     while (!last) {
       require(pos + 4 <= bytes.length, "truncated metadata header")
@@ -359,10 +478,11 @@ object Flac {
         maxBlock = r.readBits(16).toInt
         r.readBits(24); r.readBits(24) // frame sizes
         sampleRate = r.readBits(20).toInt
-        val channels = r.readBits(3).toInt + 1
+        nChannels = r.readBits(3).toInt + 1
         val bps = r.readBits(5).toInt + 1
         totalSamples = r.readBits(36)
-        require(channels == 1, s"mono subset (got $channels channels)")
+        require(nChannels <= 2,
+          s"mono/stereo subset (got $nChannels channels)")
         require(bps == 16, s"16-bit subset (got $bps)")
         require(sampleRate > 0, s"bad sample rate $sampleRate")
         require(maxBlock >= 16, s"bad max blocksize $maxBlock")
@@ -372,8 +492,8 @@ object Flac {
       pos += len
     }
     require(haveSi, "no STREAMINFO")
-    val outSamples = new Array[Short](
-      math.toIntExact(totalSamples))
+    val nTotal = math.toIntExact(totalSamples)
+    val out = Array.ofDim[Int](nChannels, nTotal)
     var got = 0
     var expectFrame = 0L
     while (got < totalSamples) {
@@ -387,7 +507,14 @@ object Flac {
       val srCode = r.readBits(4).toInt
       require(srCode != 15, "invalid sample-rate code 15")
       val chCode = r.readBits(4).toInt
-      require(chCode == 0, s"mono subset (channel code $chCode)")
+      if (nChannels == 1) require(chCode == 0,
+        s"channel code $chCode on a 1-channel stream (mono subset frame)")
+      else require(chCode == 1 || (chCode >= 8 && chCode <= 10),
+        if (chCode >= 2 && chCode <= 7)
+          s"${chCode + 1}-channel assignment out of the mono/stereo subset"
+        else if (chCode == 0)
+          "mono frame in a 2-channel stream"
+        else s"reserved channel assignment $chCode")
       val ssCode = r.readBits(3).toInt
       require(ssCode == 4, s"16-bit subset (sample-size code $ssCode)")
       require(r.readBits(1) == 0L, "reserved bit set in frame header")
@@ -410,93 +537,145 @@ object Flac {
       val declaredCrc8 = r.readBits(8).toInt
       require(declaredCrc8 == crc8(bytes, frameStart, headEnd),
         "frame header CRC-8 mismatch")
-      // one subframe (mono)
-      require(r.readBits(1) == 0L, "subframe padding bit set")
-      val sfType = r.readBits(6).toInt
-      require(r.readBits(1) == 0L, "wasted-bits flag out of subset")
-      val x = new Array[Short](bs)
-      if (sfType == 0) { // CONSTANT
-        val v = r.readSigned(16).toShort
-        java.util.Arrays.fill(x, v)
-      } else if (sfType == 1) { // VERBATIM
-        var i = 0
-        while (i < bs) { x(i) = r.readSigned(16).toShort; i += 1 }
-      } else if ((sfType & 0x38) == 8 && (sfType & 0x07) <= 4) { // FIXED
-        val order = sfType & 0x07
-        require(order < bs, s"predictor order $order >= blocksize $bs")
-        var i = 0
-        while (i < order) { x(i) = r.readSigned(16).toShort; i += 1 }
-        val method = r.readBits(2).toInt
-        require(method <= 1, s"reserved residual method $method")
-        val pBits = if (method == 0) 4 else 5
-        val escape = (1 << pBits) - 1
-        val po = r.readBits(4).toInt
-        val nParts = 1 << po
-        require(bs % nParts == 0, s"blocksize $bs not divisible into $nParts")
-        require(bs / nParts > (if (po == 0) order else 0),
-          s"partition order $po leaves no samples after warmup")
-        val res = new Array[Long](bs - order)
-        var ri = 0
-        var p = 0
-        while (p < nParts) {
-          val cnt = bs / nParts - (if (p == 0) order else 0)
-          val k = r.readBits(pBits).toInt
-          if (k == escape) {
-            val rawBits = r.readBits(5).toInt
-            var j = 0
-            while (j < cnt) {
-              res(ri) = if (rawBits == 0) 0L else r.readSigned(rawBits).toLong
-              ri += 1; j += 1
+      // subframes: the side channel of assignments 8/9/10 carries one
+      // extra bit (RFC 9639 §9.2: the difference of two n-bit values
+      // needs n+1)
+      val chans: Array[Array[Int]] =
+        if (nChannels == 1) Array(parseSubframe(r, bs, 16))
+        else chCode match {
+          case 1 =>
+            Array(parseSubframe(r, bs, 16), parseSubframe(r, bs, 16))
+          case 8 => // left-side: L, S -> R = L - S
+            val l = parseSubframe(r, bs, 16)
+            val s = parseSubframe(r, bs, 17)
+            Array(l, Array.tabulate(bs)(i => l(i) - s(i)))
+          case 9 => // right-side: S, R -> L = S + R
+            val s = parseSubframe(r, bs, 17)
+            val rr = parseSubframe(r, bs, 16)
+            Array(Array.tabulate(bs)(i => s(i) + rr(i)), rr)
+          case 10 => // mid-side: M, S -> shift the dropped LSB back in
+            val m = parseSubframe(r, bs, 16)
+            val s = parseSubframe(r, bs, 17)
+            val l = new Array[Int](bs)
+            val rr = new Array[Int](bs)
+            var i = 0
+            while (i < bs) {
+              val mm = (m(i) << 1) | (s(i) & 1)
+              l(i) = (mm + s(i)) >> 1
+              rr(i) = (mm - s(i)) >> 1
+              i += 1
             }
-          } else {
-            var j = 0
-            while (j < cnt) {
-              // quotient bounded by the bits that can remain: a corrupt
-              // stream cannot spin past the payload
-              val q = r.readUnary(
-                math.toIntExact(math.min(r.remainingBits, Int.MaxValue.toLong)))
-              val zz = (q.toLong << k) |
-                (if (k > 0) r.readBits(k) else 0L)
-              res(ri) = unzigzag(zz)
-              ri += 1; j += 1
-            }
-          }
-          p += 1
+            Array(l, rr)
         }
-        // reconstruct through the predictor
-        var t = order
-        while (t < bs) {
-          val pred = order match {
-            case 0 => 0L
-            case 1 => x(t - 1).toLong
-            case 2 => 2L * x(t - 1) - x(t - 2)
-            case 3 => 3L * x(t - 1) - 3L * x(t - 2) + x(t - 3)
-            case 4 => 4L * x(t - 1) - 6L * x(t - 2) + 4L * x(t - 3) -
-              x(t - 4)
-          }
-          val v = pred + res(t - order)
-          require(v >= Short.MinValue && v <= Short.MaxValue,
-            s"reconstructed sample $v overflows 16 bits (corrupt stream)")
-          x(t) = v.toShort
-          t += 1
+      var c = 0
+      while (c < chans.length) {
+        var i = 0
+        val ch = chans(c)
+        while (i < bs) {
+          require(ch(i) >= Short.MinValue && ch(i) <= Short.MaxValue,
+            s"decorrelated sample ${ch(i)} overflows 16 bits (corrupt stream)")
+          i += 1
         }
-      } else if ((sfType & 0x20) != 0) {
-        throw new IllegalArgumentException(
-          s"LPC subframe (type $sfType) out of the fixed-predictor subset")
-      } else {
-        throw new IllegalArgumentException(s"reserved subframe type $sfType")
+        c += 1
       }
       r.alignByte()
       val bodyEnd = r.byteOffset
       val declaredCrc16 = r.readBits(16).toInt
       require(declaredCrc16 == crc16(bytes, frameStart, bodyEnd),
         "frame CRC-16 mismatch")
-      System.arraycopy(x, 0, outSamples, got, bs)
+      var cc = 0
+      while (cc < nChannels) {
+        System.arraycopy(chans(cc), 0, out(cc), got, bs)
+        cc += 1
+      }
       got += bs
       expectFrame += 1
       pos = r.byteOffset
     }
-    Stream(sampleRate, outSamples)
+    (sampleRate, out)
+  }
+
+  /** One subframe at `bps` bits/sample: CONSTANT / VERBATIM / FIXED
+    * with Rice method 0 or 1, any partition order, escape partitions
+    * included. LPC and reserved types are rejected by name. */
+  private def parseSubframe(r: BitReader, bs: Int, bps: Int): Array[Int] = {
+    require(r.readBits(1) == 0L, "subframe padding bit set")
+    val sfType = r.readBits(6).toInt
+    require(r.readBits(1) == 0L, "wasted-bits flag out of subset")
+    val lo = -(1L << (bps - 1))
+    val hi = (1L << (bps - 1)) - 1
+    val x = new Array[Int](bs)
+    if (sfType == 0) { // CONSTANT
+      java.util.Arrays.fill(x, r.readSigned(bps))
+    } else if (sfType == 1) { // VERBATIM
+      var i = 0
+      while (i < bs) { x(i) = r.readSigned(bps); i += 1 }
+    } else if ((sfType & 0x38) == 8 && (sfType & 0x07) <= 4) { // FIXED
+      val order = sfType & 0x07
+      require(order < bs, s"predictor order $order >= blocksize $bs")
+      var i = 0
+      while (i < order) { x(i) = r.readSigned(bps); i += 1 }
+      val method = r.readBits(2).toInt
+      require(method <= 1, s"reserved residual method $method")
+      val pBits = if (method == 0) 4 else 5
+      val escape = (1 << pBits) - 1
+      val po = r.readBits(4).toInt
+      val nParts = 1 << po
+      require(bs % nParts == 0, s"blocksize $bs not divisible into $nParts")
+      require(bs / nParts > (if (po == 0) order else 0),
+        s"partition order $po leaves no samples after warmup")
+      val res = new Array[Long](bs - order)
+      var ri = 0
+      var p = 0
+      while (p < nParts) {
+        val cnt = bs / nParts - (if (p == 0) order else 0)
+        val k = r.readBits(pBits).toInt
+        if (k == escape) {
+          val rawBits = r.readBits(5).toInt
+          var j = 0
+          while (j < cnt) {
+            res(ri) = if (rawBits == 0) 0L else r.readSigned(rawBits).toLong
+            ri += 1; j += 1
+          }
+        } else {
+          var j = 0
+          while (j < cnt) {
+            // quotient bounded by the bits that can remain: a corrupt
+            // stream cannot spin past the payload
+            val q = r.readUnary(
+              math.toIntExact(math.min(r.remainingBits, Int.MaxValue.toLong)))
+            val zz = (q.toLong << k) |
+              (if (k > 0) r.readBits(k) else 0L)
+            res(ri) = unzigzag(zz)
+            ri += 1; j += 1
+          }
+        }
+        p += 1
+      }
+      // reconstruct through the predictor
+      var t = order
+      while (t < bs) {
+        val pred = order match {
+          case 0 => 0L
+          case 1 => x(t - 1).toLong
+          case 2 => 2L * x(t - 1) - x(t - 2)
+          case 3 => 3L * x(t - 1) - 3L * x(t - 2) + x(t - 3)
+          case 4 => 4L * x(t - 1) - 6L * x(t - 2) + 4L * x(t - 3) -
+            x(t - 4)
+        }
+        val v = pred + res(t - order)
+        require(v >= lo && v <= hi,
+          s"reconstructed sample $v overflows $bps bits (corrupt stream)")
+        x(t) = v.toInt
+        t += 1
+      }
+    } else if ((sfType & 0x20) != 0) {
+      throw new IllegalArgumentException(
+        s"LPC subframe (type $sfType) out of the fixed-predictor subset")
+    } else {
+      throw new IllegalArgumentException(s"reserved subframe type $sfType")
+    }
+    x
   }
 
   private def readCodedNumber(r: BitReader): Long = {

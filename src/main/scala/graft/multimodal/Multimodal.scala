@@ -762,6 +762,77 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic correlated STEREO clip compressed into a REAL
+    * mid-side FLAC payload (round-17): left channel is the mm13 ramp
+    * `L = ((id·7 + i·(13 + id mod 5)) mod 201) − 100`, right channel
+    * is `L − d` with the small difference signal
+    * `d = ((id·11 + i·3) mod 41) − 20` — exactly the inter-channel
+    * correlation mid-side decorrelation exists for (the side channel
+    * IS d, tiny; the mid channel rides the ramp). Encoded by
+    * [[Flac.encodeStereo]] in the oracle-replayable configuration:
+    * one 256-sample frame, mid-side assignment, FIXED order 2 on both
+    * subframes, deterministic Rice k per channel. Emits
+    * `(id, payload binary)`. */
+  def synthFlacStereoPayload(df: DataFrame, idCol: String,
+                             nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val slope = 13 + (id % 5)
+        val left = Array.tabulate(nSamples)(i =>
+          (((id * 7 + i * slope) % 201) - 100).toShort)
+        val right = Array.tabulate(nSamples)(i =>
+          (left(i) - (((id * 11 + i * 3) % 41) - 20)).toShort)
+        Row(id, Flac.encodeStereo(Flac.StereoStream(8000, left, right),
+          blockSize = nSamples, mode = "mid-side", forceOrder = Some(2)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** [[flacFeatures]] for stereo payloads: full CRC-verified mid-side
+    * decode back to L/R, per-channel waveform features plus the
+    * compression columns — `encoded_bytes` again closed-form
+    * replayable (two subframes, two Rice parameters; Flac scaladoc),
+    * `ratio` vs raw interleaved 16-bit PCM (4 bytes per sample
+    * frame). Narrow batched pass. */
+  def flacStereoFeatures(df: DataFrame, idCol: String = "id",
+                         payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("encoded_bytes", IntegerType),
+      StructField("ratio", DoubleType),
+      StructField("mean_abs_l", DoubleType),
+      StructField("mean_abs_r", DoubleType),
+      StructField("energy_l", LongType),
+      StructField("energy_r", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val st = Flac.decodeStereo(bytes)
+        var absL = 0L; var absR = 0L; var enL = 0L; var enR = 0L
+        var i = 0
+        val n = st.left.length
+        while (i < n) {
+          val l = st.left(i).toInt
+          val rr = st.right(i).toInt
+          absL += math.abs(l); absR += math.abs(rr)
+          enL += l.toLong * l; enR += rr.toLong * rr
+          i += 1
+        }
+        Row(r.getLong(idIdx), n, bytes.length,
+          bytes.length.toDouble / (4.0 * n),
+          absL.toDouble / math.max(n, 1), absR.toDouble / math.max(n, 1),
+          enL, enR)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Batched feature extraction: one partition = one batch, iterator in /
     * iterator out (the mapInPandas shape). Appends `features
     * array<double>`. */

@@ -1744,6 +1744,94 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
              |FROM f JOIN rb ON f.doc_id = rb.doc_id""".stripMargin)),
 
+    // MM14 (round-17): STEREO FLAC with mid-side decorrelation — the
+    // inter-channel half of RFC 9639's subset layer. The planted pair
+    // is exactly the shape decorrelation exists for (right = left −
+    // small difference signal, so the side channel is tiny and the
+    // mid channel rides the ramp), and the oracle replays the WHOLE
+    // path closed-form: the integer mid/side transform (m =
+    // floor((l+r)/2), s = l−r — the dropped LSB rides the side
+    // channel's parity on decode), per-channel order-2 residuals,
+    // TWO deterministic Rice parameters, the two-subframe size
+    // formula (mid at 16 bits, side at 17 as the spec requires), and
+    // per-channel features of the losslessly decoded L/R. A wrong bit
+    // in the decorrelation, either predictor, either Rice stream, or
+    // the 17-bit side width hash-fails size or features.
+    Q("mm14_flac_stereo",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.flacStereoFeatures(
+            Multimodal.synthFlacStereoPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"encoded_bytes",
+            r6($"ratio").as("ratio"),
+            r6($"mean_abs_l").as("mean_abs_l"),
+            r6($"mean_abs_r").as("mean_abs_r"),
+            $"energy_l", $"energy_r")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100 AS l,
+             |    (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100
+             |      - ((d.doc_id * 11 + t.i * 3) % 41 - 20) AS r
+             |  FROM documents d, range(0, 256) t(i)),
+             |ms AS (
+             |  SELECT doc_id, i, l, r,
+             |    CAST(floor((l + r) / 2.0) AS BIGINT) AS m,
+             |    l - r AS sd
+             |  FROM s),
+             |res AS (
+             |  SELECT doc_id, i,
+             |    m - 2 * lag(m, 1) OVER w + lag(m, 2) OVER w AS rm,
+             |    sd - 2 * lag(sd, 1) OVER w + lag(sd, 2) OVER w AS rs
+             |  FROM ms WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |z AS (
+             |  SELECT doc_id,
+             |    CASE WHEN rm < 0 THEN -2 * rm - 1 ELSE 2 * rm END AS zm,
+             |    CASE WHEN rs < 0 THEN -2 * rs - 1 ELSE 2 * rs END AS zs
+             |  FROM res WHERE i >= 2),
+             |km AS (
+             |  SELECT doc_id, sum(zm) // 254 AS avm, sum(zs) // 254 AS avs
+             |  FROM z GROUP BY 1),
+             |kk AS (
+             |  SELECT doc_id, CASE
+             |    WHEN avm >= 16384 THEN 14 WHEN avm >= 8192 THEN 13
+             |    WHEN avm >= 4096 THEN 12 WHEN avm >= 2048 THEN 11
+             |    WHEN avm >= 1024 THEN 10 WHEN avm >= 512 THEN 9
+             |    WHEN avm >= 256 THEN 8 WHEN avm >= 128 THEN 7
+             |    WHEN avm >= 64 THEN 6 WHEN avm >= 32 THEN 5
+             |    WHEN avm >= 16 THEN 4 WHEN avm >= 8 THEN 3
+             |    WHEN avm >= 4 THEN 2 WHEN avm >= 2 THEN 1 ELSE 0 END AS km,
+             |  CASE
+             |    WHEN avs >= 16384 THEN 14 WHEN avs >= 8192 THEN 13
+             |    WHEN avs >= 4096 THEN 12 WHEN avs >= 2048 THEN 11
+             |    WHEN avs >= 1024 THEN 10 WHEN avs >= 512 THEN 9
+             |    WHEN avs >= 256 THEN 8 WHEN avs >= 128 THEN 7
+             |    WHEN avs >= 64 THEN 6 WHEN avs >= 32 THEN 5
+             |    WHEN avs >= 16 THEN 4 WHEN avs >= 8 THEN 3
+             |    WHEN avs >= 4 THEN 2 WHEN avs >= 2 THEN 1 ELSE 0 END AS ks
+             |  FROM km),
+             |rb AS (
+             |  SELECT z.doc_id,
+             |    CAST(42 + 8 + ((102 + sum((zm >> km) + 1 + km
+             |                             + (zs >> ks) + 1 + ks) + 7) // 8)
+             |         + 2 AS INT) AS encoded_bytes
+             |  FROM z JOIN kk ON z.doc_id = kk.doc_id
+             |  GROUP BY z.doc_id, kk.km, kk.ks),
+             |f AS (
+             |  SELECT doc_id,
+             |    avg(abs(l)) AS mean_abs_l, avg(abs(r)) AS mean_abs_r,
+             |    sum(l * l) AS energy_l, sum(r * r) AS energy_r
+             |  FROM s GROUP BY doc_id)
+             |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
+             |  rb.encoded_bytes,
+             |  round(rb.encoded_bytes / 1024.0 + 1e-9, 6) AS ratio,
+             |  round(f.mean_abs_l + 1e-9, 6) AS mean_abs_l,
+             |  round(f.mean_abs_r + 1e-9, 6) AS mean_abs_r,
+             |  CAST(f.energy_l AS BIGINT) AS energy_l,
+             |  CAST(f.energy_r AS BIGINT) AS energy_r
+             |FROM f JOIN rb ON f.doc_id = rb.doc_id""".stripMargin)),
+
     // MM7 (round-14): audio NEAR-DUP — the mm5 recipe on the real
     // audio path, completing banded-LSH near-dup across all three
     // modalities (text d2/d3, image mm5, audio mm7). Pipeline:

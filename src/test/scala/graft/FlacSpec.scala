@@ -215,6 +215,101 @@ class FlacSpec extends AnyFunSuite {
     rejects(out, "reserved subframe type")
   }
 
+  // ----------------------------------------------------------------
+  // Stereo: the four channel assignments
+  // ----------------------------------------------------------------
+
+  /** Correlated stereo pair: R = L − d with a small difference signal
+    * (the shape inter-channel decorrelation exists for). */
+  private def stereo(n: Int): Flac.StereoStream = {
+    val l = rampSamples(n)
+    val r = Array.tabulate(n)(i => (l(i) - (((i * 3) % 41) - 20)).toShort)
+    Flac.StereoStream(8000, l, r)
+  }
+
+  test("stereo round trip: every channel assignment") {
+    val st = stereo(1000) // multi-frame at blockSize 256
+    Seq("independent", "left-side", "right-side", "mid-side", "adaptive")
+      .foreach { mode =>
+        val enc = Flac.encodeStereo(st, blockSize = 256, mode = mode)
+        val dec = Flac.decodeStereo(enc)
+        assert(dec.sampleRate == 8000, mode)
+        assert(dec.left.toSeq == st.left.toSeq, s"$mode left")
+        assert(dec.right.toSeq == st.right.toSeq, s"$mode right")
+      }
+  }
+
+  test("adaptive picks decorrelation for correlated channels") {
+    val st = stereo(512)
+    val adaptive = Flac.encodeStereo(st, blockSize = 256).length
+    val indep = Flac.encodeStereo(st, blockSize = 256,
+      mode = "independent").length
+    assert(adaptive < indep,
+      s"adaptive ($adaptive B) did not beat independent ($indep B)")
+  }
+
+  test("mid-side floors odd negative sums correctly") {
+    // l + r odd and negative: (l+r)>>1 floors, the dropped LSB rides
+    // the side channel's parity — exactness here is the whole trick
+    val pairs = Array((-3, 0), (-5, 2), (7, -2), (-32768, 32767),
+      (32767, -32768), (0, -1), (-1, 0), (1, 2),
+      (-101, 100), (99, -100), (-32768, -32767), (32767, 32766),
+      (-1, -2), (3, -4), (-7, 8), (15, -16))
+    val st = Flac.StereoStream(8000,
+      pairs.map(_._1.toShort), pairs.map(_._2.toShort))
+    val enc = Flac.encodeStereo(st, blockSize = 16, mode = "mid-side")
+    val dec = Flac.decodeStereo(enc)
+    assert(dec.left.toSeq == st.left.toSeq)
+    assert(dec.right.toSeq == st.right.toSeq)
+  }
+
+  test("17-bit side channel: extreme difference round trips") {
+    val l = Array.fill(64)(32767.toShort)
+    val r = Array.fill(64)((-32768).toShort)
+    Seq("left-side", "right-side", "mid-side").foreach { mode =>
+      val st = Flac.StereoStream(8000, l, r)
+      val dec = Flac.decodeStereo(
+        Flac.encodeStereo(st, blockSize = 64, mode = mode))
+      assert(dec.left.toSeq == l.toSeq && dec.right.toSeq == r.toSeq, mode)
+    }
+  }
+
+  test("uncorrelated noise channels round trip (verbatim path)") {
+    val st = Flac.StereoStream(8000, lcgSamples(256, seed = 1),
+      lcgSamples(256, seed = 2))
+    val dec = Flac.decodeStereo(Flac.encodeStereo(st, blockSize = 256))
+    assert(dec.left.toSeq == st.left.toSeq)
+    assert(dec.right.toSeq == st.right.toSeq)
+  }
+
+  test("mono/stereo entry points reject the other layout by name") {
+    val mono = valid()
+    val st = Flac.encodeStereo(stereo(256), blockSize = 256)
+    assert(intercept[IllegalArgumentException](Flac.decodeStereo(mono))
+      .getMessage.contains("use decode"))
+    assert(intercept[IllegalArgumentException](Flac.decode(st))
+      .getMessage.contains("use decodeStereo"))
+  }
+
+  test("stereo golden: mm14 mid-side size matches the closed form") {
+    val n = 256
+    val st = stereo(n)
+    val enc = Flac.encodeStereo(st, blockSize = n, mode = "mid-side",
+      forceOrder = Some(2))
+    assert(Flac.decodeStereo(enc).left.toSeq == st.left.toSeq)
+    val m = Array.tabulate(n)(i => (st.left(i) + st.right(i)) >> 1)
+    val s = Array.tabulate(n)(i => st.left(i) - st.right(i))
+    def rbits(x: Array[Int]): Long = {
+      val rs = Flac.fixedResiduals(x.map(_.toShort), 2)
+      // mid/side fit in Short here; fixedResiduals is width-agnostic
+      val k = Flac.riceParam(rs.map(r => (r << 1) ^ (r >> 63)).sum, rs.length)
+      Flac.riceBits(rs, k)
+    }
+    val bits = 50 + rbits(m) + 52 + rbits(s)
+    assert(enc.length == 42 + 8 + (bits + 7) / 8 + 2,
+      s"stereo size ${enc.length} != closed form")
+  }
+
   test("golden byte layout: container constants of the mm13 shape") {
     val enc = Flac.encode(Flac.Stream(8000, rampSamples(256)),
       blockSize = 256, forceOrder = Some(2))
