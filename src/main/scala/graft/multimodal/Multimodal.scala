@@ -721,6 +721,54 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Three signal families through the ADAPTIVE FLAC encoder
+    * (round-17, mm15): family = id mod 3 —
+    *
+    *  - '''0: constant''' `c = (id mod 201) − 100` → the encoder must
+    *    take the CONSTANT subframe (55-byte stream);
+    *  - '''1: ramp''' (the mm13 waveform) → FIXED at the
+    *    Σ|residual|-argmin order with the deterministic Rice k;
+    *  - '''2: md5 noise''' `(md5("id:i")[0..7] mod 60001) − 30000`
+    *    (full-range, incompressible — a REAL hash, portable to SQL
+    *    like synthWavGroupPayload's) → Rice cannot beat raw and the
+    *    encoder must fall back to VERBATIM (565 bytes).
+    *
+    * No forceOrder: this payload exists so the declared query puts the
+    * encoder's whole DECISION TREE under hash — the oracle replays the
+    * constant check, all five residual sums, the argmin (ties to the
+    * lower order), the Rice-vs-raw comparison, and the three size
+    * formulas as mutually exclusive CASE branches (the d14 idiom). */
+  def synthFlacAdaptivePayload(df: DataFrame, idCol: String,
+                               nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = (id % 3).toInt match {
+          case 0 =>
+            Array.fill(nSamples)(((id % 201) - 100).toShort)
+          case 1 =>
+            val slope = 13 + (id % 5)
+            Array.tabulate(nSamples)(i =>
+              (((id * 7 + i * slope) % 201) - 100).toShort)
+          case _ =>
+            Array.tabulate(nSamples) { i =>
+              val dg = md.digest(s"$id:$i".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+                ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+              ((h % 60001) - 30000).toShort
+            }
+        }
+        Row(id, Flac.encode(Flac.Stream(8000, samples),
+          blockSize = nSamples))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** [[wavFeatures]] for FLAC payloads, plus the compression columns:
     * parse with [[Flac.decode]] (CRC-verified Rice/fixed-predictor
     * decode — a single wrong bit anywhere changes every output), then

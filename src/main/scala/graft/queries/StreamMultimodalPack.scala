@@ -1832,6 +1832,112 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(f.energy_r AS BIGINT) AS energy_r
              |FROM f JOIN rb ON f.doc_id = rb.doc_id""".stripMargin)),
 
+    // MM15 (round-17): the ADAPTIVE encoder's decision tree under
+    // hash. mm13/mm14 pin one encoder configuration; here three
+    // planted signal families (constant / ramp / md5 noise, id mod 3)
+    // run the UNPINNED encoder, and the oracle replays every decision
+    // it makes: the constant check (min=max), all FIVE fixed-order
+    // residual sums, the argmin with ties to the lower order
+    // (pickOrder's exact rule), the deterministic Rice k of the
+    // chosen order, the Rice-vs-raw fallback comparison, and the
+    // three mutually exclusive size formulas (55-byte CONSTANT /
+    // order-dependent FIXED / 565-byte VERBATIM — the d14
+    // branch-switch idiom, applied to a codec's mode choice). A wrong
+    // branch ANYWHERE — a biased order tie, an off-by-one in the
+    // Rice-vs-raw threshold, a wrong warmup width — lands a different
+    // encoded_bytes and hash-fails.
+    Q("mm15_flac_adaptive",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.flacFeatures(
+            Multimodal.synthFlacAdaptivePayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"encoded_bytes",
+            r6($"ratio").as("ratio"), r6($"mean_abs").as("mean_abs"),
+            $"peak", $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    CASE
+             |      WHEN d.doc_id % 3 = 0 THEN d.doc_id % 201 - 100
+             |      WHEN d.doc_id % 3 = 1 THEN
+             |        (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100
+             |      ELSE ('0x' || substr(md5(d.doc_id || ':' || t.i), 1, 8))
+             |             ::BIGINT % 60001 - 30000
+             |    END AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |lg AS (
+             |  SELECT doc_id, i, v,
+             |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
+             |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |res AS (
+             |  SELECT doc_id, i, v AS r0,
+             |    v - l1 AS r1,
+             |    v - 2 * l1 + l2 AS r2,
+             |    v - 3 * l1 + 3 * l2 - l3 AS r3,
+             |    v - 4 * l1 + 6 * l2 - 4 * l3 + l4 AS r4
+             |  FROM lg),
+             |so AS (
+             |  SELECT doc_id,
+             |    sum(abs(r0)) AS s0,
+             |    sum(CASE WHEN i >= 1 THEN abs(r1) ELSE 0 END) AS s1,
+             |    sum(CASE WHEN i >= 2 THEN abs(r2) ELSE 0 END) AS s2,
+             |    sum(CASE WHEN i >= 3 THEN abs(r3) ELSE 0 END) AS s3,
+             |    sum(CASE WHEN i >= 4 THEN abs(r4) ELSE 0 END) AS s4,
+             |    min(r0) AS vmin, max(r0) AS vmax
+             |  FROM res GROUP BY 1),
+             |od AS (
+             |  SELECT doc_id, vmin = vmax AS is_const,
+             |    CASE WHEN s0 = m THEN 0 WHEN s1 = m THEN 1
+             |         WHEN s2 = m THEN 2 WHEN s3 = m THEN 3
+             |         ELSE 4 END AS o
+             |  FROM (SELECT *, least(s0, s1, s2, s3, s4) AS m FROM so)),
+             |zs AS (
+             |  SELECT res.doc_id, od.o, od.is_const,
+             |    CASE od.o WHEN 0 THEN res.r0 WHEN 1 THEN res.r1
+             |              WHEN 2 THEN res.r2 WHEN 3 THEN res.r3
+             |              ELSE res.r4 END AS rr,
+             |    CASE WHEN rr < 0 THEN -2 * rr - 1 ELSE 2 * rr END AS z
+             |  FROM res JOIN od ON res.doc_id = od.doc_id
+             |  WHERE res.i >= od.o),
+             |kv AS (
+             |  SELECT doc_id, o, is_const, nres,
+             |    CASE
+             |      WHEN mz >= 16384 THEN 14 WHEN mz >= 8192 THEN 13
+             |      WHEN mz >= 4096 THEN 12 WHEN mz >= 2048 THEN 11
+             |      WHEN mz >= 1024 THEN 10 WHEN mz >= 512 THEN 9
+             |      WHEN mz >= 256 THEN 8 WHEN mz >= 128 THEN 7
+             |      WHEN mz >= 64 THEN 6 WHEN mz >= 32 THEN 5
+             |      WHEN mz >= 16 THEN 4 WHEN mz >= 8 THEN 3
+             |      WHEN mz >= 4 THEN 2 WHEN mz >= 2 THEN 1 ELSE 0 END AS k
+             |  FROM (SELECT doc_id, o, is_const, count(*) AS nres,
+             |          sum(z) // (256 - o) AS mz
+             |        FROM zs GROUP BY 1, 2, 3)),
+             |rc AS (
+             |  SELECT z.doc_id, kv.o, kv.is_const,
+             |    10 + sum(z.z >> kv.k) + kv.nres * (1 + kv.k) AS rice_cost
+             |  FROM zs z JOIN kv ON z.doc_id = kv.doc_id
+             |  GROUP BY z.doc_id, kv.o, kv.is_const, kv.k, kv.nres),
+             |sz AS (
+             |  SELECT doc_id,
+             |    CAST(CASE
+             |      WHEN is_const THEN 55
+             |      WHEN rice_cost + 16 * o >= 4096 THEN 565
+             |      ELSE 52 + (8 + 16 * o + rice_cost + 7) // 8
+             |    END AS INT) AS encoded_bytes
+             |  FROM rc),
+             |f AS (
+             |  SELECT doc_id, avg(abs(v)) AS mean_abs,
+             |    max(abs(v)) AS peak, sum(v * v) AS energy
+             |  FROM s GROUP BY doc_id)
+             |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
+             |  sz.encoded_bytes,
+             |  round(sz.encoded_bytes / 512.0 + 1e-9, 6) AS ratio,
+             |  round(f.mean_abs + 1e-9, 6) AS mean_abs,
+             |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
+             |FROM f JOIN sz ON f.doc_id = sz.doc_id""".stripMargin)),
+
     // MM7 (round-14): audio NEAR-DUP — the mm5 recipe on the real
     // audio path, completing banded-LSH near-dup across all three
     // modalities (text d2/d3, image mm5, audio mm7). Pipeline:
