@@ -906,5 +906,82 @@ object PipelinePack extends QueryPack {
              |    - CAST(s.n_keys + 1 AS DOUBLE) / s.n_keys + 1e-9, 6)
              |    AS gini
              |FROM r, s
-             |GROUP BY s.n_keys, s.n_rows, s.max_cnt, s.src""".stripMargin)))
+             |GROUP BY s.n_keys, s.n_rows, s.max_cnt, s.src""".stripMargin)),
+
+    // DQ6 (round-17): Benford first-digit audit — the classic
+    // fabricated-data / unit-mixup screen (Nigrini's forensic
+    // standard): the leading significant digit of naturally-occurring
+    // amounts follows P(d) = log10(1+1/d); a corrupted or synthetic
+    // feed drifts. Cross-engine discipline: prices are moved onto the
+    // integer-cents lattice first (round(p·100) — both engines round
+    // half away from zero), the leading digit is a pure integer
+    // CASE/div ladder (no float log10 anywhere near the hash), and
+    // the Benford expectations are nine shared LITERALS cast to
+    // double, so the only arithmetic is exact IEEE division of longs.
+    // One scan + a 9-row aggregate + a broadcast total — the
+    // dq2-style bounded-output audit shape.
+    Q("dq6_benford",
+      (s, dir) => {
+        import s.implicits._
+        val cents = Tables.lineitem(s, dir)
+          .select(round($"l_extendedprice" * 100).cast("long").as("c"))
+          .filter($"c" > 0)
+        val dig = cents.withColumn("digit",
+          when($"c" < 10L, $"c").when($"c" < 100L, expr("c div 10"))
+            .when($"c" < 1000L, expr("c div 100"))
+            .when($"c" < 10000L, expr("c div 1000"))
+            .when($"c" < 100000L, expr("c div 10000"))
+            .when($"c" < 1000000L, expr("c div 100000"))
+            .when($"c" < 10000000L, expr("c div 1000000"))
+            .when($"c" < 100000000L, expr("c div 10000000"))
+            .when($"c" < 1000000000L, expr("c div 100000000"))
+            .when($"c" < 10000000000L, expr("c div 1000000000"))
+            .when($"c" < 100000000000L, expr("c div 10000000000"))
+            .otherwise(expr("c div 100000000000")))
+        val byd = dig.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        val tot = byd.agg(sum($"n_obs").as("n_total"))
+        val benford = when($"digit" === 1, 0.30103)
+          .when($"digit" === 2, 0.176091).when($"digit" === 3, 0.124939)
+          .when($"digit" === 4, 0.09691).when($"digit" === 5, 0.079181)
+          .when($"digit" === 6, 0.066947).when($"digit" === 7, 0.057992)
+          .when($"digit" === 8, 0.051153).otherwise(0.045757)
+        byd.crossJoin(broadcast(tot))
+          .select($"digit", $"n_obs",
+            r6($"n_obs".cast("double") / $"n_total").as("share_obs"),
+            benford.as("share_benford"),
+            r6(abs(r6($"n_obs".cast("double") / $"n_total") - benford))
+              .as("abs_dev"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem WHERE l_extendedprice > 0),
+             |d AS (
+             |  SELECT CASE
+             |    WHEN c < 10 THEN c WHEN c < 100 THEN c // 10
+             |    WHEN c < 1000 THEN c // 100
+             |    WHEN c < 10000 THEN c // 1000
+             |    WHEN c < 100000 THEN c // 10000
+             |    WHEN c < 1000000 THEN c // 100000
+             |    WHEN c < 10000000 THEN c // 1000000
+             |    WHEN c < 100000000 THEN c // 10000000
+             |    WHEN c < 1000000000 THEN c // 100000000
+             |    WHEN c < 10000000000 THEN c // 1000000000
+             |    WHEN c < 100000000000 THEN c // 10000000000
+             |    ELSE c // 100000000000 END AS digit
+             |  FROM c),
+             |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g),
+             |b AS (
+             |  SELECT digit, n_obs,
+             |    round(CAST(n_obs AS DOUBLE) / n_total + 1e-9, 6)
+             |      AS share_obs,
+             |    CAST(CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+             |      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+             |      WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+             |      WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+             |      ELSE 0.045757 END AS DOUBLE) AS share_benford
+             |  FROM g, t)
+             |SELECT digit, n_obs, share_obs, share_benford,
+             |  round(abs(share_obs - share_benford) + 1e-9, 6) AS abs_dev
+             |FROM b""".stripMargin)))
 }
