@@ -2244,5 +2244,39 @@ object StreamMultimodalPack extends QueryPack {
              |  round(avg(rb.encoded_bytes / 512.0) + 1e-9, 4) AS avg_ratio,
              |  CAST(sum(f.energy) AS BIGINT) AS sum_energy
              |FROM f JOIN rb ON f.doc_id = rb.doc_id
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ST27 (round-17): the KMV theta sketch under Structured
+    // Streaming — distinct users per event type, sketched as the
+    // stream flows. Bottom-k registers are a CRDT under
+    // (union, keep-k-smallest), so per-group state is ≤ k longs
+    // REGARDLESS of stream volume (StreamOps.kmvRegisterStream
+    // scaladoc has the dedupe-by-bottom-k argument for the emitted
+    // batches), and the drained emissions reduce batch-side to
+    // EXACTLY the batch sketch — hash-checked against the unchanged
+    // grouped-estimate oracle. k=256 puts sf0.01 (150 users/type) on
+    // the exact branch and sf0.1 (1500) on the estimator — the th2
+    // branch-switch, now across the streaming boundary.
+    Q("st27_stream_theta",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st27_out_${counter.incrementAndGet()}"
+        val k = 256
+        val stream = s.readStream.schema(Tables.eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val rows = stream.select($"event_type".cast("string").as("g"),
+            graft.sketch.ThetaKmv.hash52($"user_id").as("h"))
+          .as[StreamOps.KmvRow]
+        val q = StreamOps.kmvRegisterStream(rows, k)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        val emitted = s.table(name).select($"g", $"h").distinct()
+        val regs = graft.operators.TopK.perKey(
+            emitted, Seq("g"), Seq(col("h")), k, rankCol = "rn")
+          .select($"g", $"h", $"rn")
+        graft.sketch.ThetaKmv.estimateFromRegisters(regs, k)
+      },
+      Some(graft.sketch.ThetaKmv.groupedEstimateSql(
+        "events", "event_type", "user_id", k = 256))))
 }

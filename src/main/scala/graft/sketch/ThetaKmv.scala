@@ -113,6 +113,25 @@ object ThetaKmv {
     s"CASE WHEN $nRet < $k THEN CAST($nRet AS DOUBLE) " +
       s"ELSE ${(k - 1).toDouble * M} / CAST(greatest($hk, 1) AS DOUBLE) END"
 
+  /** DuckDB oracle for a grouped distinct estimate over `from`
+    * (mirrors [[estimate]]; also the batch truth st27's streaming
+    * register path must land on exactly). */
+  def groupedEstimateSql(from: String, groupExpr: String, keyExpr: String,
+                         k: Int): String =
+    s"""WITH regs AS (
+       |  SELECT g, h, rn FROM (
+       |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT CAST($groupExpr AS VARCHAR) AS g,
+       |                 ${hash52Sql(keyExpr)} AS h FROM $from))
+       |  WHERE rn <= $k),
+       |a AS (
+       |  SELECT g, count(*) AS n_ret,
+       |    max(CASE WHEN rn = $k THEN h END) AS hk
+       |  FROM regs GROUP BY 1)
+       |SELECT g, n_ret,
+       |  round(${estSqlExpr("n_ret", "hk", k)} + 1e-9, 4) AS est_distinct
+       |FROM a""".stripMargin
+
   /** Pairwise set-overlap estimates between every unordered pair of
     * groups: `(ga, gb, n_common bigint, jaccard double r6, est_union
     * double r4, est_intersection double r4)` for ga < gb.

@@ -181,7 +181,15 @@ object StateMetrics {
     // exactly 8 (channels, bucket) groups — input-independent like
     // the sketch lines (the JPEG decode itself is stateless
     // per-partition work).
-    "st25" -> Ceiling(64, 0.0))
+    "st25" -> Ceiling(64, 0.0),
+    // st26 mirrors st25 for the FLAC decode: an 8-row complete-mode
+    // bucket aggregate, input-independent.
+    "st26" -> Ceiling(64, 0.0),
+    // st27's state is one KMV register SET per group (5 event types,
+    // each an Array[Long] of ≤ k=256 hashes in a single state-store
+    // row) — the kmvRegisterStream CRDT bound: rows = group count,
+    // bytes ≤ groups × k × 8 ≈ 10 KiB, both input-independent.
+    "st27" -> Ceiling(64, 0.0))
 
   /** Stream lines whose state is structurally ZERO (round-16, VERDICT
     * item 5): st22 serves a broadcast-scored NB model (map-only per

@@ -371,6 +371,39 @@ object StreamOps {
       }
   }
 
+  case class KmvRow(g: String, h: Long)
+  case class KmvOut(g: String, h: Long)
+
+  /** Streaming KMV registers: the bottom-k distinct hashes per group
+    * are a CRDT under (union, keep-k-smallest) — the k-th smallest
+    * only ever decreases — so keying the stream BY GROUP with a sorted
+    * bounded state set IS the batch sketch of everything ever seen
+    * (the [[hllRegisterStream]] argument, for order statistics).
+    * State ≤ k longs per group; each micro-batch emits the post-batch
+    * retained set of touched groups, and emissions dedupe downstream
+    * with a plain bottom-k-distinct: every final register was emitted
+    * on its arrival batch or later, and every emitted non-final hash
+    * is ≥ the final h_(k), so the batch-side bottom-k of the union of
+    * emissions IS the final retained set. Distinct-hash insertion is
+    * order-insensitive → streaming ≡ batch against the unchanged
+    * grouped-estimate oracle (st27), no event-time caveat. */
+  def kmvRegisterStream(rows: Dataset[KmvRow], k: Int): Dataset[KmvOut] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KmvRow], state: GroupState[Array[Long]]) =>
+          val cur = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(a => cur ++= a)
+          it.foreach { r =>
+            cur += r.h
+            if (cur.size > k) cur -= cur.last
+          }
+          val arr = cur.toArray
+          state.update(arr)
+          arr.iterator.map(h => KmvOut(g, h))
+      }
+  }
+
   case class BucketRow(bucket: Long)
   case class BucketCount(bucket: Long, c: Long)
 
