@@ -8,14 +8,17 @@ import scala.collection.mutable.ArrayBuffer
   * real bitstream: `fLaC` marker, STREAMINFO metadata block, fixed-
   * blocksize frames with CRC-8-guarded headers and CRC-16-guarded
   * bodies, UTF-8-style coded frame numbers, subframes of type
-  * CONSTANT, VERBATIM and FIXED (polynomial predictor orders 0–4) with
-  * Rice-coded residuals, and — since the stereo extension — all four
-  * two-channel assignments (independent, left-side, right-side,
-  * mid-side inter-channel decorrelation, the side channel carried at
-  * 17 bits as the spec requires). That is the complete "Subset"
-  * fixed-predictor layer of RFC 9639 §9 for one and two channels; LPC
-  * subframes and 3+ channels are outside this codec's scope and are
-  * REJECTED with diagnostics, not mis-decoded.
+  * CONSTANT, VERBATIM, FIXED (polynomial predictor orders 0–4) and —
+  * since round 18 — quantized LPC (orders 1–32, header-declared
+  * coefficient precision and shift, RFC 9639 §9.2.4) with Rice-coded
+  * residuals, and all four two-channel assignments (independent,
+  * left-side, right-side, mid-side inter-channel decorrelation, the
+  * side channel carried at 17 bits as the spec requires). That covers
+  * every subframe type RFC 9639 §9 defines for one and two channels —
+  * wild FLAC is predominantly LPC, so the decode path now accepts
+  * real-world mono/stereo 16-bit streams; 3+ channels and non-16-bit
+  * depths remain outside this codec's scope and are REJECTED with
+  * diagnostics, not mis-decoded.
   *
   * Why this closes a tier: WAV PCM is lossless but uncompressed and
   * μ-law compresses but lossily; FLAC is the standard that does both —
@@ -200,6 +203,31 @@ object Flac {
   def riceBits(rs: Array[Long], k: Int): Long =
     rs.foldLeft(0L)((acc, r) => acc + (zigzag(r) >>> k) + 1 + k)
 
+  private def lpcResidualsI(x: Array[Int], coefs: Array[Int],
+                            shift: Int): Array[Long] = {
+    val order = coefs.length
+    val n = x.length
+    val r = new Array[Long](n - order)
+    var t = order
+    while (t < n) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coefs(j).toLong * x(t - 1 - j); j += 1 }
+      r(t - order) = x(t).toLong - (acc >> shift)
+      t += 1
+    }
+    r
+  }
+
+  /** Quantized-LPC residuals (RFC 9639 §9.2.4):
+    * `r_t = x_t − ((Σ coefs(j)·x_{t−1−j}) >> shift)` — coefficient j
+    * multiplies the sample j+1 steps back, the wire order. Public so
+    * specs and the mm16 closed-form oracle derivation can replay the
+    * exact integer chain. */
+  def lpcResiduals(x: Array[Short], coefs: Array[Int],
+                   shift: Int): Array[Long] =
+    lpcResidualsI(x.map(_.toInt), coefs, shift)
+
   /** Fixed order minimizing Σ|residual|, ties to the lower order. */
   private def pickOrderI(x: Array[Int]): Int = {
     val maxO = math.min(4, x.length - 1)
@@ -268,10 +296,11 @@ object Flac {
 
   /** One frame: header (sync, codes, coded frame number, 16-bit
     * blocksize, CRC-8), `subframes` as (samples, bps) pairs in channel
-    * order, byte-align, CRC-16. */
+    * order written by `writeSf`, byte-align, CRC-16. */
   private def buildFrame(chCode: Int, subframes: Seq[(Array[Int], Int)],
                          bs: Int, frameNo: Long,
-                         forceOrder: Option[Int]): Array[Byte] = {
+                         writeSf: (BitWriter, Array[Int], Int) => Unit)
+  : Array[Byte] = {
     val h = new BitWriter
     h.writeBits(0x3ffeL, 14) // sync
     h.writeBits(0L, 1) // reserved
@@ -285,7 +314,7 @@ object Flac {
     h.writeBits((bs - 1).toLong, 16)
     val head = h.bytes
     val body = new BitWriter
-    subframes.foreach { case (x, bps) => writeSubframe(body, x, bps, forceOrder) }
+    subframes.foreach { case (x, bps) => writeSf(body, x, bps) }
     body.alignByte()
     val frame = new ArrayBuffer[Byte]()
     frame ++= head
@@ -301,9 +330,16 @@ object Flac {
     out ++= "fLaC".getBytes("US-ASCII")
     // STREAMINFO: last-block flag set, type 0, length 34
     out += 0x80.toByte; out += 0; out += 0; out += 34
-    val lastBlock = if (n % blockSize == 0) blockSize else n % blockSize
+    // RFC 9639 §8.2: the minimum-blocksize field EXCLUDES the last
+    // (possibly short) block and must be in 16..65535 — so a fixed-
+    // blocksize stream writes min == max == blockSize; only a
+    // single-frame stream whose lone (last) block is >= 16 samples may
+    // narrow it to n. Writing n % blockSize here (the pre-round-18
+    // bug) produced spec-invalid streams conformant third-party
+    // decoders could reject whenever the tail was 1..15 samples.
+    val minBlock = if (n <= blockSize && n >= 16) n else blockSize
     val si = new BitWriter
-    si.writeBits(math.min(blockSize, lastBlock).toLong, 16) // min blocksize
+    si.writeBits(minBlock.toLong, 16) // min blocksize
     si.writeBits(blockSize.toLong, 16) // max blocksize
     si.writeBits(0L, 24); si.writeBits(0L, 24) // frame sizes unknown
     si.writeBits(sampleRate.toLong, 20)
@@ -338,7 +374,81 @@ object Flac {
       val block = new Array[Int](bs)
       var i = 0
       while (i < bs) { block(i) = stream.samples(off + i).toInt; i += 1 }
-      out ++= buildFrame(0, Seq((block, 16)), bs, frameNo, forceOrder)
+      out ++= buildFrame(0, Seq((block, 16)), bs, frameNo,
+        (b, x, bps) => writeSubframe(b, x, bps, forceOrder))
+      frameNo += 1
+      off += bs
+    }
+    out.toArray
+  }
+
+  /** One LPC subframe with a CALLER-SUPPLIED quantized predictor:
+    * warmup, precision/shift/coefficient header fields, Rice partition
+    * order 0 with the deterministic k — the oracle-replayable LPC
+    * configuration (mm16). Unlike [[writeSubframe]] there is no
+    * CONSTANT/VERBATIM fallback: the caller pinned the predictor, so
+    * the subframe type is pinned too. */
+  private def writeLpcSubframe(body: BitWriter, x: Array[Int], bps: Int,
+                               coefs: Array[Int], shift: Int,
+                               prec: Int): Unit = {
+    val order = coefs.length
+    val mask = (1L << bps) - 1
+    body.writeBits(0L, 1) // subframe pad bit
+    body.writeBits((0x20 | (order - 1)).toLong, 6) // LPC, order 1..32
+    body.writeBits(0L, 1) // no wasted bits
+    (0 until order).foreach(i => body.writeBits(x(i).toLong & mask, bps))
+    body.writeBits((prec - 1).toLong, 4)
+    body.writeBits(shift.toLong & 0x1f, 5)
+    coefs.foreach(c => body.writeBits(c.toLong & ((1L << prec) - 1), prec))
+    val rs = lpcResidualsI(x, coefs, shift)
+    val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
+    body.writeBits(0L, 2) // residual method: 4-bit Rice
+    body.writeBits(0L, 4) // partition order 0
+    body.writeBits(k.toLong, 4)
+    rs.foreach { r =>
+      val zz = zigzag(r)
+      body.writeUnary((zz >>> k).toInt)
+      if (k > 0) body.writeBits(zz & ((1L << k) - 1), k)
+    }
+  }
+
+  /** Encode mono 16-bit with a PINNED quantized-LPC predictor on every
+    * subframe (RFC 9639 §9.2.4): `coefs(j)` multiplies the sample j+1
+    * back, prediction is `(Σ coefs(j)·x_{t−1−j}) >> shift`. This is
+    * the codec-tier answer to "wild FLAC is mostly LPC": the decoder
+    * accepts ANY in-range LPC subframe; this encoder emits the
+    * deterministic configuration whose residual chain, Rice parameter
+    * and compressed size DuckDB replays closed-form (mm16). Every coef
+    * must fit signed `precision` bits; shift is the wire field's
+    * non-negative range 0..15. */
+  def encodeLpc(stream: Stream, blockSize: Int, coefs: Array[Int],
+                shift: Int, precision: Int): Array[Byte] = {
+    val n = stream.samples.length
+    require(n > 0, "empty stream")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+    require(stream.sampleRate > 0 && stream.sampleRate < (1 << 20),
+      s"sampleRate ${stream.sampleRate}")
+    val order = coefs.length
+    require(order >= 1 && order <= 32, s"LPC order $order")
+    require(precision >= 2 && precision <= 15, s"precision $precision")
+    require(shift >= 0 && shift <= 15, s"shift $shift")
+    coefs.foreach(c => require(
+      c >= -(1 << (precision - 1)) && c < (1 << (precision - 1)),
+      s"coefficient $c overflows signed $precision bits"))
+    val lastBs = if (n % blockSize == 0) blockSize else n % blockSize
+    require(order < lastBs,
+      s"LPC order $order >= last frame blocksize $lastBs")
+    val out = new ArrayBuffer[Byte]()
+    streamHeader(out, stream.sampleRate, 1, blockSize, n)
+    var frameNo = 0L
+    var off = 0
+    while (off < n) {
+      val bs = math.min(blockSize, n - off)
+      val block = new Array[Int](bs)
+      var i = 0
+      while (i < bs) { block(i) = stream.samples(off + i).toInt; i += 1 }
+      out ++= buildFrame(0, Seq((block, 16)), bs, frameNo,
+        (b, x, bps) => writeLpcSubframe(b, x, bps, coefs, shift, precision))
       frameNo += 1
       off += bs
     }
@@ -396,7 +506,8 @@ object Flac {
         case "right-side" => (9, Seq((s, 17), (r, 16)))
         case "mid-side" => (10, Seq((m, 16), (s, 17)))
       }
-      out ++= buildFrame(chCode, subframes, bs, frameNo, forceOrder)
+      out ++= buildFrame(chCode, subframes, bs, frameNo,
+        (b, x, bps) => writeSubframe(b, x, bps, forceOrder))
       frameNo += 1
       off += bs
     }
@@ -428,7 +539,7 @@ object Flac {
   /** Parse a mono FLAC payload of this subset. Verifies the
     * frame-header CRC-8 and the frame CRC-16; throws
     * IllegalArgumentException with a diagnostic on anything malformed,
-    * truncated, out of subset (LPC, 3+ channels, non-16-bit), or
+    * truncated, out of subset (3+ channels, non-16-bit), or
     * CRC-corrupt — adversarial input is rejected, never mis-decoded. */
   def decode(bytes: Array[Byte]): Stream = {
     val (rate, chs) = decodeChannels(bytes)
@@ -492,6 +603,17 @@ object Flac {
       pos += len
     }
     require(haveSi, "no STREAMINFO")
+    // resource-exhaustion guard: STREAMINFO's 36-bit total-samples
+    // field is attacker-controlled, so bound it against what the
+    // payload could physically carry BEFORE the sample buffers are
+    // allocated (a ~60-byte payload claiming 2^31 samples would
+    // otherwise demand gigabytes). A frame yields at most maxBlock
+    // samples and costs at least ~10 bytes (6-byte minimum header +
+    // CRC-8 + 2-byte minimum subframe + CRC-16) — a bound a CONSTANT
+    // frame's extreme compression still satisfies, unlike a naive
+    // bits-per-sample floor.
+    require(totalSamples <= maxBlock.toLong * (bytes.length / 10 + 1),
+      s"STREAMINFO claims $totalSamples samples in a ${bytes.length}-byte payload")
     val nTotal = math.toIntExact(totalSamples)
     val out = Array.ofDim[Int](nChannels, nTotal)
     var got = 0
@@ -595,9 +717,9 @@ object Flac {
     (sampleRate, out)
   }
 
-  /** One subframe at `bps` bits/sample: CONSTANT / VERBATIM / FIXED
-    * with Rice method 0 or 1, any partition order, escape partitions
-    * included. LPC and reserved types are rejected by name. */
+  /** One subframe at `bps` bits/sample: CONSTANT / VERBATIM / FIXED /
+    * quantized LPC with Rice method 0 or 1, any partition order,
+    * escape partitions included. Reserved types are rejected by name. */
   private def parseSubframe(r: BitReader, bs: Int, bps: Int): Array[Int] = {
     require(r.readBits(1) == 0L, "subframe padding bit set")
     val sfType = r.readBits(6).toInt
@@ -615,43 +737,7 @@ object Flac {
       require(order < bs, s"predictor order $order >= blocksize $bs")
       var i = 0
       while (i < order) { x(i) = r.readSigned(bps); i += 1 }
-      val method = r.readBits(2).toInt
-      require(method <= 1, s"reserved residual method $method")
-      val pBits = if (method == 0) 4 else 5
-      val escape = (1 << pBits) - 1
-      val po = r.readBits(4).toInt
-      val nParts = 1 << po
-      require(bs % nParts == 0, s"blocksize $bs not divisible into $nParts")
-      require(bs / nParts > (if (po == 0) order else 0),
-        s"partition order $po leaves no samples after warmup")
-      val res = new Array[Long](bs - order)
-      var ri = 0
-      var p = 0
-      while (p < nParts) {
-        val cnt = bs / nParts - (if (p == 0) order else 0)
-        val k = r.readBits(pBits).toInt
-        if (k == escape) {
-          val rawBits = r.readBits(5).toInt
-          var j = 0
-          while (j < cnt) {
-            res(ri) = if (rawBits == 0) 0L else r.readSigned(rawBits).toLong
-            ri += 1; j += 1
-          }
-        } else {
-          var j = 0
-          while (j < cnt) {
-            // quotient bounded by the bits that can remain: a corrupt
-            // stream cannot spin past the payload
-            val q = r.readUnary(
-              math.toIntExact(math.min(r.remainingBits, Int.MaxValue.toLong)))
-            val zz = (q.toLong << k) |
-              (if (k > 0) r.readBits(k) else 0L)
-            res(ri) = unzigzag(zz)
-            ri += 1; j += 1
-          }
-        }
-        p += 1
-      }
+      val res = readResiduals(r, bs, order)
       // reconstruct through the predictor
       var t = order
       while (t < bs) {
@@ -669,13 +755,90 @@ object Flac {
         x(t) = v.toInt
         t += 1
       }
-    } else if ((sfType & 0x20) != 0) {
-      throw new IllegalArgumentException(
-        s"LPC subframe (type $sfType) out of the fixed-predictor subset")
+    } else if ((sfType & 0x20) != 0) { // LPC, order 1..32 (RFC 9639 §9.2.4)
+      val order = (sfType & 0x1f) + 1
+      require(order < bs, s"LPC order $order >= blocksize $bs")
+      var i = 0
+      while (i < order) { x(i) = r.readSigned(bps); i += 1 }
+      val precM1 = r.readBits(4).toInt
+      require(precM1 != 15, "invalid LPC coefficient precision escape (15)")
+      val prec = precM1 + 1
+      val shift = r.readSigned(5)
+      // the field is signed 5-bit on the wire but RFC 9639 §9.2.4
+      // forbids negative shifts in valid streams
+      require(shift >= 0, s"negative LPC shift $shift")
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = r.readSigned(prec); i += 1 }
+      val res = readResiduals(r, bs, order)
+      // quantized-LPC reconstruction: pred = (Σ coef_j · x_{t−1−j}) >> shift,
+      // pure 64-bit-safe integer arithmetic (order ≤ 32, |coef| < 2^15,
+      // |x| < 2^17 → |Σ| < 2^37)
+      var t = order
+      while (t < bs) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * x(t - 1 - j); j += 1 }
+        val v = (acc >> shift) + res(t - order)
+        require(v >= lo && v <= hi,
+          s"reconstructed sample $v overflows $bps bits (corrupt stream)")
+        x(t) = v.toInt
+        t += 1
+      }
     } else {
       throw new IllegalArgumentException(s"reserved subframe type $sfType")
     }
     x
+  }
+
+  /** The coded-residual section shared by FIXED and LPC subframes
+    * (RFC 9639 §9.2.7): 2-bit method (4- or 5-bit Rice parameters),
+    * 4-bit partition order, per-partition parameter with the
+    * all-ones escape to raw `rawBits`-wide residuals. The partition
+    * constraint `bs / 2^po > order` is enforced UNCONDITIONALLY (the
+    * RFC requires it for every partition order, not just 0 — with
+    * po > 0 and order ≥ bs/2^po a crafted stream would otherwise
+    * drive the first partition's count negative and overflow `res`
+    * with an undeclared ArrayIndexOutOfBoundsException). */
+  private def readResiduals(r: BitReader, bs: Int, order: Int): Array[Long] = {
+    val method = r.readBits(2).toInt
+    require(method <= 1, s"reserved residual method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val po = r.readBits(4).toInt
+    val nParts = 1 << po
+    require(bs % nParts == 0, s"blocksize $bs not divisible into $nParts")
+    require(bs / nParts > order,
+      s"partition order $po leaves no samples after warmup (order $order)")
+    val res = new Array[Long](bs - order)
+    var ri = 0
+    var p = 0
+    while (p < nParts) {
+      val cnt = bs / nParts - (if (p == 0) order else 0)
+      val k = r.readBits(pBits).toInt
+      if (k == escape) {
+        val rawBits = r.readBits(5).toInt
+        var j = 0
+        while (j < cnt) {
+          res(ri) = if (rawBits == 0) 0L else r.readSigned(rawBits).toLong
+          ri += 1; j += 1
+        }
+      } else {
+        var j = 0
+        while (j < cnt) {
+          // quotient bounded by the bits that can remain: a corrupt
+          // stream cannot spin past the payload
+          val q = r.readUnary(
+            math.toIntExact(math.min(r.remainingBits, Int.MaxValue.toLong)))
+          val zz = (q.toLong << k) |
+            (if (k > 0) r.readBits(k) else 0L)
+          res(ri) = unzigzag(zz)
+          ri += 1; j += 1
+        }
+      }
+      p += 1
+    }
+    res
   }
 
   private def readCodedNumber(r: BitReader): Long = {

@@ -769,6 +769,35 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** The mm13 waveform compressed through the QUANTIZED-LPC path
+    * (round 18, mm16): [[Flac.encodeLpc]] with the pinned predictor
+    * `pred_t = (3·x_{t−1} − x_{t−2}) >> shift`, coefficient precision
+    * 4, and an ID-DEPENDENT shift `1 + id mod 2` — so both wire
+    * shifts run and the oracle must replay the shift selection, the
+    * floor-division prediction, the residual chain, the Rice-k ladder
+    * and the 67-bit LPC header prefix to land the same
+    * `encoded_bytes`. Wild FLAC is predominantly LPC; this payload
+    * puts that decode path under the hash gate. Lossless, so decoded
+    * samples remain the planted closed form. Narrow batched pass;
+    * emits `(id, payload binary)`. */
+  def synthFlacLpcPayload(df: DataFrame, idCol: String,
+                          nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val slope = 13 + (id % 5)
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 7 + i * slope) % 201) - 100).toShort)
+        Row(id, Flac.encodeLpc(Flac.Stream(8000, samples),
+          blockSize = nSamples, coefs = Array(3, -1),
+          shift = 1 + (id % 2).toInt, precision = 4))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** [[wavFeatures]] for FLAC payloads, plus the compression columns:
     * parse with [[Flac.decode]] (CRC-verified Rice/fixed-predictor
     * decode — a single wrong bit anywhere changes every output), then

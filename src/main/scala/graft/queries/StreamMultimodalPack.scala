@@ -1938,6 +1938,73 @@ object StreamMultimodalPack extends QueryPack {
              |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
              |FROM f JOIN sz ON f.doc_id = sz.doc_id""".stripMargin)),
 
+    // MM16 (round-18, VERDICT item 1): QUANTIZED-LPC FLAC — the codec
+    // tier's last real gap closed. Wild FLAC is predominantly LPC
+    // subframes; the decoder now accepts the full RFC 9639 §9.2.4
+    // layer (orders 1–32, header-declared coefficient precision and
+    // shift), and this query pins the path under the hash gate with
+    // the mm13 recipe extended to the LPC chain: the pinned predictor
+    // pred = (3·x_{t−1} − x_{t−2}) >> shift with an ID-DEPENDENT
+    // shift (1 + id mod 2 — both wire shifts run), so the oracle
+    // replays the shift selection (pow(2, 1 + id%2) under floor
+    // division — two's-complement >> IS floor division by 2^s), the
+    // integer residual chain via lag(), the Rice-k ladder, and the
+    // 67-bit LPC subframe prefix (8 hdr + 32 warmup + 4 precision +
+    // 5 shift + 8 coefs + 10 residual hdr) in the size formula. A
+    // wrong bit in the LPC header fields, the coefficient
+    // sign-extension, the shift arithmetic or the Rice stream
+    // hash-fails size or features. Decode stays narrow per-partition.
+    Q("mm16_flac_lpc",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.flacFeatures(
+            Multimodal.synthFlacLpcPayload(Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"encoded_bytes",
+            r6($"ratio").as("ratio"), r6($"mean_abs").as("mean_abs"),
+            $"peak", $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100 AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |r AS (
+             |  SELECT doc_id, i, v,
+             |    v - CAST(floor((3.0 * lag(v, 1) OVER w - lag(v, 2) OVER w)
+             |             / pow(2, 1 + doc_id % 2)) AS BIGINT) AS res
+             |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |z AS (
+             |  SELECT doc_id,
+             |    CASE WHEN res < 0 THEN -2 * res - 1 ELSE 2 * res END AS zz
+             |  FROM r WHERE i >= 2),
+             |kp AS (
+             |  SELECT doc_id, sum(zz) // 254 AS m FROM z GROUP BY 1),
+             |kk AS (
+             |  SELECT doc_id, CASE
+             |    WHEN m >= 16384 THEN 14 WHEN m >= 8192 THEN 13
+             |    WHEN m >= 4096 THEN 12 WHEN m >= 2048 THEN 11
+             |    WHEN m >= 1024 THEN 10 WHEN m >= 512 THEN 9
+             |    WHEN m >= 256 THEN 8 WHEN m >= 128 THEN 7
+             |    WHEN m >= 64 THEN 6 WHEN m >= 32 THEN 5
+             |    WHEN m >= 16 THEN 4 WHEN m >= 8 THEN 3
+             |    WHEN m >= 4 THEN 2 WHEN m >= 2 THEN 1 ELSE 0 END AS k
+             |  FROM kp),
+             |rb AS (
+             |  SELECT z.doc_id,
+             |    CAST(42 + 8 + ((67 + sum((zz >> k) + 1 + k) + 7) // 8) + 2
+             |         AS INT) AS encoded_bytes
+             |  FROM z JOIN kk ON z.doc_id = kk.doc_id
+             |  GROUP BY z.doc_id, kk.k),
+             |f AS (
+             |  SELECT doc_id, avg(abs(v)) AS mean_abs,
+             |    max(abs(v)) AS peak, sum(v * v) AS energy
+             |  FROM s GROUP BY doc_id)
+             |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
+             |  rb.encoded_bytes,
+             |  round(rb.encoded_bytes / 512.0 + 1e-9, 6) AS ratio,
+             |  round(f.mean_abs + 1e-9, 6) AS mean_abs,
+             |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
+             |FROM f JOIN rb ON f.doc_id = rb.doc_id""".stripMargin)),
+
     // MM7 (round-14): audio NEAR-DUP — the mm5 recipe on the real
     // audio path, completing banded-LSH near-dup across all three
     // modalities (text d2/d3, image mm5, audio mm7). Pipeline:

@@ -58,6 +58,12 @@ class FlacFuzzSpec extends AnyFunSuite {
     sweep(enc, Flac.decodeStereo, "stereo")
   }
 
+  test("lpc: every single-byte frame corruption is rejected") {
+    val enc = Flac.encodeLpc(Flac.Stream(8000, ramp(600)), blockSize = 256,
+      coefs = Array(3, -1), shift = 1, precision = 4)
+    sweep(enc, Flac.decode, "lpc")
+  }
+
   test("stereo independent: every single-byte frame corruption is rejected") {
     val l = ramp(300)
     val r = Array.tabulate(300)(i => (l(i) - (((i * 3) % 41) - 20)).toShort)

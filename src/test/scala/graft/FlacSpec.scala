@@ -190,21 +190,6 @@ class FlacSpec extends AnyFunSuite {
     rejects(crafted(b => b(46) = 0x05.toByte), "expected 0")
   }
 
-  test("LPC subframe type rejected with a subset diagnostic") {
-    // rebuild subframe header byte (offset 50: pad(1)+type(6)+wasted(1))
-    // as LPC order 1 (type 0b100000) with both CRCs fixed up — the
-    // decoder must name the subset boundary, not mis-parse
-    val good = valid()
-    val out = java.util.Arrays.copyOf(good, good.length)
-    out(50) = 0x40.toByte // 0|100000|0
-    val c8 = Flac.crc8(out, 42, 49)
-    out(49) = c8.toByte
-    val c16 = Flac.crc16(out, 42, out.length - 2)
-    out(out.length - 2) = ((c16 >> 8) & 0xff).toByte
-    out(out.length - 1) = (c16 & 0xff).toByte
-    rejects(out, "fixed-predictor subset")
-  }
-
   test("reserved subframe type rejected") {
     val good = valid()
     val out = java.util.Arrays.copyOf(good, good.length)
@@ -213,6 +198,106 @@ class FlacSpec extends AnyFunSuite {
     out(out.length - 2) = ((c16 >> 8) & 0xff).toByte
     out(out.length - 1) = (c16 & 0xff).toByte
     rejects(out, "reserved subframe type")
+  }
+
+  // ----------------------------------------------------------------
+  // Quantized LPC (round 18): orders 1..32, precision/shift fields
+  // ----------------------------------------------------------------
+
+  test("lpc residuals match the quantized-predictor definition") {
+    val x = Array[Short](10, 20, 35, 50, 70)
+    // coefs (3, -1), shift 1: pred_t = (3·x_{t−1} − x_{t−2}) >> 1
+    val rs = Flac.lpcResiduals(x, Array(3, -1), 1)
+    // t=2: (60-10)>>1=25 -> 10 ; t=3: (105-20)>>1=42 -> 8
+    // t=4: (150-35)>>1=57 -> 13
+    assert(rs.toSeq == Seq(10L, 8L, 13L))
+    // shift 0, coef (1): plain first difference
+    assert(Flac.lpcResiduals(x, Array(1), 0).toSeq ==
+      Seq(10L, 15L, 15L, 20L))
+  }
+
+  test("lpc round trip: order sweep with smooth and noisy signals") {
+    val smooth = rampSamples(600) // multi-frame at 256
+    val noisy = lcgSamples(600, amp = 500)
+    val cases = Seq(
+      (Array(1), 0, 2), // order 1, trivial
+      (Array(2, -1), 0, 3), // the FIXED order-2 predictor as LPC
+      (Array(3, -1), 1, 4), // genuine shifted predictor
+      (Array(5, -3, 1), 2, 5), // order 3
+      (Array(7, -5, 2, -1), 3, 5), // order 4
+      (Array.fill(8)(1), 3, 4), // order 8 moving-average-ish
+      (Array.tabulate(32)(j => if (j == 0) 9 else -1), 3, 6)) // order 32
+    cases.foreach { case (coefs, shift, prec) =>
+      Seq(smooth, noisy).foreach { x =>
+        val enc = Flac.encodeLpc(Flac.Stream(8000, x), blockSize = 256,
+          coefs = coefs, shift = shift, precision = prec)
+        val dec = Flac.decode(enc)
+        assert(dec.samples.toSeq == x.toSeq,
+          s"LPC order ${coefs.length} shift $shift round trip failed")
+      }
+    }
+  }
+
+  test("lpc golden: compressed size matches the mm16 closed form") {
+    val n = 256
+    val x = rampSamples(n)
+    val coefs = Array(3, -1)
+    val enc = Flac.encodeLpc(Flac.Stream(8000, x), blockSize = n,
+      coefs = coefs, shift = 1, precision = 4)
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+    val rs = Flac.lpcResiduals(x, coefs, 1)
+    val k = Flac.riceParam(rs.map(r => (r << 1) ^ (r >> 63)).sum, rs.length)
+    // body prefix: subframe hdr 8 + warmup 2·16 + precision 4 +
+    // shift 5 + coefs 2·4 + method 2 + part order 4 + k 4 = 67 bits
+    val bits = 67 + Flac.riceBits(rs, k)
+    assert(enc.length == 42 + 8 + (bits + 7) / 8 + 2,
+      s"LPC size ${enc.length} != closed form")
+  }
+
+  test("lpc encoder rejects out-of-range parameters by name") {
+    val x = rampSamples(256)
+    val s = Flac.Stream(8000, x)
+    assert(intercept[IllegalArgumentException](
+      Flac.encodeLpc(s, 256, Array(3, -1), shift = -1, precision = 4))
+      .getMessage.contains("shift"))
+    assert(intercept[IllegalArgumentException](
+      Flac.encodeLpc(s, 256, Array(9, -1), shift = 0, precision = 4))
+      .getMessage.contains("overflows signed 4 bits"))
+    assert(intercept[IllegalArgumentException](
+      Flac.encodeLpc(s, 256, Array.fill(33)(1), shift = 0, precision = 4))
+      .getMessage.contains("LPC order"))
+    assert(intercept[IllegalArgumentException](
+      Flac.encodeLpc(s, 256, Array(3, -1), shift = 0, precision = 16))
+      .getMessage.contains("precision"))
+  }
+
+  /** A valid single-frame LPC stream (order 2, precision 4, shift 1)
+    * with byte 55 = precision(4)+shift[4..1] and byte 56's MSB =
+    * shift[0] — the header fields the adversarial patches target. */
+  private def validLpc(): Array[Byte] =
+    Flac.encodeLpc(Flac.Stream(8000, rampSamples(256)), blockSize = 256,
+      coefs = Array(3, -1), shift = 1, precision = 4)
+
+  private def patchLpcBody(edit: Array[Byte] => Unit): Array[Byte] = {
+    val v = validLpc()
+    val out = java.util.Arrays.copyOf(v, v.length)
+    edit(out)
+    val c16 = Flac.crc16(out, 42, out.length - 2)
+    out(out.length - 2) = ((c16 >> 8) & 0xff).toByte
+    out(out.length - 1) = (c16 & 0xff).toByte
+    out
+  }
+
+  test("lpc coefficient-precision escape (15) rejected") {
+    rejects(patchLpcBody(b => b(55) = ((b(55) & 0x0f) | 0xf0).toByte),
+      "precision escape")
+  }
+
+  test("negative lpc shift rejected") {
+    rejects(patchLpcBody { b =>
+      b(55) = (b(55) | 0x0f).toByte // shift bits 4..1 -> 1111
+      b(56) = (b(56) | 0x80).toByte // shift bit 0 -> 1 => shift = -1
+    }, "negative LPC shift")
   }
 
   // ----------------------------------------------------------------
