@@ -492,6 +492,17 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       line(f4, Int.MaxValue, 0.0).dropRight(1) +
+        // Stall-attribution record (round-18, VERDICT item 6): every
+        // accepted retime carries its warm sf0.001 reference IN the
+        // record, so "host load, not plan change" is provable from
+        // BENCH_FULL alone — a stalled line whose warm time is tiny
+        // (overhead-dominated) cannot be a plan regression; a retime
+        // with a GROWN warm time would be one, and now shows itself.
+        // -1 marks a retime whose warm pass failed (warm_missing
+        // already names those).
+        s""","retimed_warm":${retimed.keys.map(k =>
+          "\"" + k + "\":" + f4(warmTimes.getOrElse(k, -1.0)))
+          .mkString("{", ",", "}")}""" +
         s""","stream_state_rows":$stateRows""" +
         s""","stream_state_bytes":$stateBytes""" +
         s""","codegen_fallbacks":$cgFallbacks""" +

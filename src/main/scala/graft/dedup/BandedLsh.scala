@@ -134,7 +134,11 @@ object BandedLsh {
     * extra tables add nothing and the single-table plan is used
     * regardless. More than two tables needs a fingerprint-family
     * redesign (independent hashes, the d2 MinHash-seed route) — out
-    * of scope for fixed fingerprints, so `tables` is capped at 2. */
+    * of scope for fixed fingerprints, so `tables` is capped at 2.
+    * Shipped in the declared surface since round-18:
+    * mm17_dhash_twotable runs tables = 2 past the wall against a
+    * perturbation that makes the strided table load-bearing, with
+    * both compositions replayed in its oracle. */
   def hammingPairsTables(bands: DataFrame, bandBits: Int, maxHamming: Int,
                          tables: Int, idCol: String = "id",
                          bandsCol: String = "bands"): DataFrame = {
@@ -149,11 +153,21 @@ object BandedLsh {
     val shape = bands.agg(
       count(lit(1)), min(size(col(bandsCol))), max(size(col(bandsCol)))).head()
     val n = shape.getLong(0)
-    val w = widenFactor(n, bandBits)
+    var w = widenFactor(n, bandBits)
     if (w > 1) {
       val minB = shape.getInt(1); val maxB = shape.getInt(2)
       require(minB == maxB,
         s"widened banding needs a uniform band count; saw $minB..$maxB")
+      // Divisor bump (round-18): the minimal capacity width need not
+      // tile the fingerprint (8×8-bit bands at 120k docs derive w=3);
+      // widening FURTHER to the next width that divides the band count
+      // is always capacity-safe (buckets only grow with w) and keeps
+      // the no-short-group invariant. Bump only while ≥2 groups remain
+      // — at one group the scheme degenerates to exact-signature match
+      // (zero band redundancy, the recall cliff), so that case stays a
+      // rejection rather than a silent semantics change.
+      while (minB > 0 && minB % w != 0 && bandBits * (w + 1) <= 62 &&
+        minB / (w + 1) >= 2) w += 1
       require(minB > 0 && minB % w == 0,
         s"band count $minB not divisible by widen factor $w — the " +
           "trailing short group would break the ≥corpus bucket bound; " +

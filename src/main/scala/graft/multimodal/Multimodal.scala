@@ -455,6 +455,65 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** [[synthPpmGroupPayload]] with a GROUP-STRADDLING perturbation
+    * (round-18, mm17): doc `id` bumps the two leftmost pixels of BOTH
+    * rows `y ≡ id mod 4 (mod 4)` — i.e. rows r and r+4 with
+    * r = id mod 4 — instead of one row. Each bump moves only cell 0
+    * of its row, so a doc dirties at most gradient bit x=0 of exactly
+    * rows {r, r+4}, and a within-group pair (r_a ≠ r_b) differs in
+    * ≤ 4 bits spread over 4 DIFFERENT hash rows. The geometry is the
+    * point: under the widened w=2 8-bit banding, the pair's dirty
+    * rows hit contiguous groups {⌊r_a/2⌋, ⌊r_a/2⌋+2, ⌊r_b/2⌋,
+    * ⌊r_b/2⌋+2} — ALL FOUR groups whenever one r is in {0,1} and the
+    * other in {2,3}, so the single-table contiguous composition is
+    * structurally BLIND to those pairs — while the strided
+    * composition's group g = rows {g, g+4} is dirty only at
+    * {r_a, r_b}, leaving ≥ 2 clean strided keys per pair. The
+    * two-table path must therefore recover pairs the one-table path
+    * cannot, making the strided concat load-bearing in the mm17
+    * hash, not a no-op rider. Same md5 base, group size and PPM/PNG
+    * format mix as the parent generator. */
+  def synthPpmStraddlePayload(df: DataFrame, idCol: String,
+                              width: Int = 18, height: Int = 8,
+                              groupSize: Int = 8): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var lastG = -1L
+      var base: Array[Int] = null
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val g = id / groupSize
+        if (g != lastG || base == null) {
+          base = Array.tabulate(3 * width * height) { j =>
+            val dg = md.digest(s"$g:$j".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            (h % 251).toInt
+          }
+          lastG = g
+        }
+        val rd = (id % 4).toInt // dirty rows rd and rd + 4
+        val data = new Array[Byte](3 * width * height)
+        var j = 0
+        while (j < data.length) {
+          val p = j / 3
+          val perturb =
+            if ((p / width) % 4 == rd && p % width < 2) 97 else 0
+          data(j) = ((base(j) + perturb) % 251).toByte
+          j += 1
+        }
+        val payload =
+          if (id % 2 == 0) Ppm.encode(Ppm.Image(width, height, 255, data))
+          else Png.encode(width, height, 3, data, filter = (id % 5).toInt)
+        Row(id, payload)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** dHash (difference hash) over REAL decoded pixels — the standard
     * perceptual fingerprint for image near-dup detection: decode the
     * payload (magic-dispatched [[Images.decodeAuto]] — P6 or PNG;

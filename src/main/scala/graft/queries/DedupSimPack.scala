@@ -1168,6 +1168,71 @@ object DedupSimPack extends QueryPack {
              |SELECT label, id_a, id_b, cos FROM p
              |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
+    // D20 (round-18): d5's hyperplane LSH with the bucket width
+    // DERIVED from the corpus count — the widenFactor lesson applied
+    // to the embedding tier. d5 pins nBits=4, which the sf3d decade
+    // measured as the scaling soft spot: 16 cells × 10 labels left
+    // ~1.3k vectors per cell at 200k vectors and the candidate stage
+    // went near-linear per decade. Similarity.adaptiveBits picks the
+    // smallest b in [4,16] with 2^b ≥ n/64 (avg cell ≤ 64), and the
+    // oracle replays the DERIVATION as a count-guarded CASE ladder
+    // (the mm12 w-switch idiom): sf0.01's 500 vectors take b=4 —
+    // byte-identical to d5 — and sf0.1's 2000 take b=5, so the
+    // adaptive switch itself is under hash at both SFs. Candidate
+    // semantics unchanged (Hamming-≤1 multi-probe: the SQL's
+    // bit_count(xor) ≤ 1 is exactly the Scala probe-list join, since
+    // both buckets sit below 2^b). Capped at 16 bits — past that the
+    // right scale move is IVF (s7/s17), not more axis hyperplanes.
+    Q("d20_embedding_neardup_adaptive",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", $"label",
+            $"embedding".cast("array<double>").as("v"))
+        // one count() sizes the bucket space — the same bounded
+        // driver scalar hammingPairs takes (BandedLsh scaladoc)
+        val bits = Similarity.adaptiveBits(emb.count())
+        Similarity.nearDupPairs(emb, "label", "vec_id", "v", nBits = bits)
+          .withColumn("cos", r6($"cos"))
+          .orderBy(desc("cos"), $"id_a", $"id_b")
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |nn AS (SELECT count(*) AS n FROM e),
+             |bb AS (SELECT CASE
+             |    WHEN n <= 1024 THEN 4 WHEN n <= 2048 THEN 5
+             |    WHEN n <= 4096 THEN 6 WHEN n <= 8192 THEN 7
+             |    WHEN n <= 16384 THEN 8 WHEN n <= 32768 THEN 9
+             |    WHEN n <= 65536 THEN 10 WHEN n <= 131072 THEN 11
+             |    WHEN n <= 262144 THEN 12 WHEN n <= 524288 THEN 13
+             |    WHEN n <= 1048576 THEN 14 WHEN n <= 2097152 THEN 15
+             |    ELSE 16 END AS bits
+             |  FROM nn),
+             |nm AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |bk AS (SELECT vec_id, label,
+             |    list_transform(v, x -> x / nrm) AS nv,
+             |    CAST(list_reduce(list_prepend(0,
+             |      list_transform(range(1, bb.bits + 1),
+             |        i -> CASE WHEN v[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END)),
+             |      (acc, x) -> acc + x) AS BIGINT) AS bucket
+             |  FROM nm, bb),
+             |p AS (
+             |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(a.nv) + 1),
+             |          i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
+             |  FROM bk a JOIN bk b ON a.label = b.label
+             |    AND a.vec_id < b.vec_id
+             |  WHERE bit_count(xor(a.bucket, b.bucket)) <= 1)
+             |SELECT label, id_a, id_b, cos FROM p
+             |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
     // Bloom-prefiltered decontamination KEEP-LIST (the 100 TB form of
     // d8's end product): the eval set's shingles aggregate into a
     // fixed-size bloom sketch (Spark's own BloomFilterAggregate) that

@@ -952,9 +952,15 @@ object PipelinePack extends QueryPack {
             r6(abs(r6($"n_obs".cast("double") / $"n_total") - benford))
               .as("abs_dev"))
       },
-      Some("""WITH c AS (
+      // the filter is on the ROUNDED cents (c > 0), matching the plan
+      // exactly: a price in (0, 0.005) rounds to cent 0 and must be
+      // excluded by BOTH engines (round-17 ADVICE — the previous
+      // WHERE l_extendedprice > 0 diverged on that subcent corner,
+      // unreachable on TPC-H prices but latent on other data)
+      Some("""WITH c0 AS (
              |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-             |  FROM lineitem WHERE l_extendedprice > 0),
+             |  FROM lineitem),
+             |c AS (SELECT c FROM c0 WHERE c > 0),
              |d AS (
              |  SELECT CASE
              |    WHEN c < 10 THEN c WHEN c < 100 THEN c // 10

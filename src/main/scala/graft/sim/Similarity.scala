@@ -66,6 +66,24 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Smallest sign-bucket width b in [4, 16] whose 2^b cells hold the
+    * average occupancy at ≤ `targetCell` vectors (round-18): the
+    * widenFactor lesson applied to hyperplane LSH. A FIXED width
+    * under-buckets as the corpus grows — measured at the sf3d decade,
+    * d5's pinned 4 bits left ~1.3k vectors per (label, cell) at 200k
+    * vectors and the candidate stage went near-linear-in-n per decade;
+    * deriving b from the count keeps Σ_cell |cell|² bounded at any
+    * corpus size. Integer-only and replayable as a count-guarded CASE
+    * ladder in SQL (the mm12 w-switch idiom), so the derivation itself
+    * sits under the d20 hash gate. Capped at 16: past that,
+    * axis-aligned sign bits stop being independent enough and the
+    * right move is IVF (s7/s17), not more hyperplanes. */
+  def adaptiveBits(n: Long, targetCell: Long = 64L, maxBits: Int = 16): Int = {
+    var b = 4
+    while (b < maxBits && (1L << b) * targetCell < n) b += 1
+    b
+  }
+
   /** Sign-hyperplane LSH bucket id from the first `nBits` dimensions:
     * bit i set iff vec[i] >= 0. (Axis-aligned hyperplanes — deterministic
     * and engine-portable; random rotations would need a seed table.) */

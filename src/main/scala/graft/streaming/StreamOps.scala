@@ -429,44 +429,54 @@ object StreamOps {
   }
 
   case class CusumState(n: Long, sp: Double, sn: Double, al: Long)
+  /** A value event carrying its key's calibrated prior (μ, σ) — the
+    * product of a stream-static join against the batch-aggregated
+    * prior frame, so the prior arrives ON THE ROW instead of in a
+    * driver-collected Map. At 100 TB user cardinality the prior is
+    * itself big data; joining it in keeps calibration distributed
+    * end-to-end (the driver never materializes per-key stats). */
+  case class PrioredEvent(user_id: Long, t: Long, event_id: Long,
+                          value: Double, mu: Double, sd: Double)
   case class CusumPoint(user_id: Long, n_obs: Long, n_alarms: Long,
                         sp: Double, sn: Double)
 
   /** Streaming two-sided CUSUM (the a3_cusum recurrence under
     * Structured Streaming): per-key O(1) state — (n, s⁺, s⁻, alarms) —
-    * against a CALIBRATED prior (per-key μ/σ fitted on history and
-    * shipped to the executors in the closure; the standard two-phase
-    * monitoring deployment: calibrate batch, monitor stream). Keys
-    * absent from the prior emit nothing. Each micro-batch emits the
-    * post-batch state per touched key; the declared result takes the
-    * max-n row per key (the st15 convention).
+    * against a CALIBRATED prior (per-key μ/σ fitted on history). The
+    * prior rides each row via a STREAM-STATIC JOIN upstream (see
+    * [[PrioredEvent]]): Structured Streaming joins a static
+    * aggregated frame directly, so the two-phase calibrate-then-
+    * monitor deployment needs no driver-side Map even at 100 TB key
+    * cardinality — keys absent from the prior are dropped by the
+    * join's inner semantics before they reach the state store. Each
+    * micro-batch emits the post-batch state per touched key; the
+    * declared result takes the max-n row per key (the st15
+    * convention).
     *
     * Operand order matches the batch fold EXACTLY:
     * s⁺' = max(0, s⁺ + (v − μ) − 0.5σ), s⁻' = max(0, s⁻ − (v − μ) −
     * 0.5σ), alarm when either exceeds 4σ, then reset — bit-identical
     * batch ≡ stream. Same cross-batch ordering note as
     * [[transitionsStream]]. */
-  def cusumStream(events: Dataset[ValueEvent],
-                  prior: Map[Long, (Double, Double)]): Dataset[CusumPoint] = {
+  def cusumStream(events: Dataset[PrioredEvent]): Dataset[CusumPoint] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[CusumState]) =>
-          prior.get(uid) match {
-            case None => Iterator.empty
-            case Some((mu, sd)) =>
-              val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
-              var st = state.getOption.getOrElse(CusumState(0L, 0.0, 0.0, 0L))
-              sorted.foreach { r =>
-                val sp1 = math.max(0.0, st.sp + (r.value - mu) - 0.5 * sd)
-                val sn1 = math.max(0.0, st.sn - (r.value - mu) - 0.5 * sd)
-                st = if (sp1 > 4.0 * sd || sn1 > 4.0 * sd)
-                  CusumState(st.n + 1L, 0.0, 0.0, st.al + 1L)
-                else CusumState(st.n + 1L, sp1, sn1, st.al)
-              }
-              state.update(st)
-              Iterator.single(CusumPoint(uid, st.n, st.al, st.sp, st.sn))
+        (uid: Long, rows: Iterator[PrioredEvent], state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.t, r.event_id))
+          // every row of a key carries the same joined prior
+          val mu = sorted.head.mu
+          val sd = sorted.head.sd
+          var st = state.getOption.getOrElse(CusumState(0L, 0.0, 0.0, 0L))
+          sorted.foreach { r =>
+            val sp1 = math.max(0.0, st.sp + (r.value - mu) - 0.5 * sd)
+            val sn1 = math.max(0.0, st.sn - (r.value - mu) - 0.5 * sd)
+            st = if (sp1 > 4.0 * sd || sn1 > 4.0 * sd)
+              CusumState(st.n + 1L, 0.0, 0.0, st.al + 1L)
+            else CusumState(st.n + 1L, sp1, sn1, st.al)
           }
+          state.update(st)
+          Iterator.single(CusumPoint(uid, st.n, st.al, st.sp, st.sn))
       }
   }
 

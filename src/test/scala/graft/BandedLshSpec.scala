@@ -168,6 +168,41 @@ class BandedLshSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("divisor bump: a non-tiling derived width widens to the next " +
+      "divisor while >=2 groups remain") {
+    // 8×8-bit bands at 70k rows derive w=3 (2^24 first covers 70k) —
+    // which does not tile 8 bands; round-18's bump takes w=4 (2 groups
+    // of 32-bit keys, capacity 2^32) instead of rejecting, so the
+    // declared 8-band queries (mm12/mm17) run at the 120k-doc decade.
+    // A planted identical pair must surface through the bumped path.
+    import org.apache.spark.sql.functions._
+    val base = spark.range(70000L).select(col("id"),
+      array(pmod(col("id"), lit(256L)),
+        pmod(col("id") * 31L + 1L, lit(256L)),
+        pmod(col("id") * 37L + 2L, lit(256L)),
+        pmod(col("id") * 41L + 3L, lit(256L)),
+        pmod(col("id") * 43L + 5L, lit(256L)),
+        pmod(col("id") * 47L + 7L, lit(256L)),
+        pmod(col("id") * 53L + 11L, lit(256L)),
+        pmod(col("id") * 59L + 13L, lit(256L))).as("bands"))
+    val dup = spark.range(70000L, 70001L).select(col("id"),
+      array(Seq(1L, 32L, 39L, 44L, 48L, 54L, 64L, 72L).map(v =>
+        lit(v % 256L)): _*).as("bands")) // = bands of id 1
+    val all = base.union(dup).localCheckpoint()
+    val got = BandedLsh.hammingPairs(all, bandBits = 8, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 70000L)),
+      s"bumped w=4 path missed the planted identical pair: $got")
+    // the 1-group degenerate case still rejects (5 bands, derived w=3
+    // at 8-bit: the only larger divisor is w=5, leaving one group)
+    val five = spark.range(70000L).select(col("id"),
+      array((0 until 5).map(i =>
+        pmod(col("id") * (31L + i) + i, lit(256L))): _*).as("bands"))
+    val e = intercept[IllegalArgumentException](
+      BandedLsh.hammingPairs(five, bandBits = 8, maxHamming = 0).collect())
+    assert(e.getMessage.contains("not divisible"), e.getMessage)
+  }
+
   test("second (strided) table recovers pairs the contiguous widening " +
       "loses") {
     // the widening recall cliff in miniature: a planted pair agreeing

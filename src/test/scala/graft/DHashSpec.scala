@@ -92,4 +92,40 @@ class DHashSpec extends AnyFunSuite {
     for (a <- 0L until 8L; b <- 8L until 16L)
       assert(ham(bands(a), bands(b)) > 6, s"cross pair ($a,$b) too close")
   }
+
+  test("straddle generator: two-table LSH recovers pairs the contiguous " +
+      "widening is structurally blind to (mm17's geometry)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, flatten, lit,
+      shiftright, transform}
+    // 500 docs -> past the 2^8 wall, w=2 derived; doc id dirties only
+    // gradient bit 0 of rows {id%4, id%4+4}
+    val b16 = Multimodal.dHashBands(Multimodal.synthPpmStraddlePayload(
+      (0L until 500L).toDF("doc_id"), "doc_id"))
+    val b8 = b16.select(col("id"),
+        flatten(transform(col("bands"), b =>
+          array(b.bitwiseAND(lit(255L)), shiftright(b, 8)))).as("bands"))
+      .localCheckpoint()
+    def pairs(tables: Int): Set[(Long, Long)] =
+      graft.dedup.BandedLsh.hammingPairsTables(b8, bandBits = 8,
+          maxHamming = 4, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(1)
+    val two = pairs(2)
+    // ground truth: every within-group pair is <= 4 bits apart by the
+    // generator's construction (4 dirty rows x <= 1 bit) — brute-force
+    // it from the full-resolution bands
+    val bm = b8.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val truth = (for {
+      a <- 0L until 500L; b <- (a + 1) until 500L
+      if a / 8 == b / 8 && ham(bm(a).toList, bm(b).toList) <= 4
+    } yield (a, b)).toSet
+    assert(one.subsetOf(two), "tables=2 must be a superset of tables=1")
+    assert((truth -- two).isEmpty,
+      s"two-table missed ${(truth -- two).size} planted pairs")
+    val gained = (two -- one).filter { case (a, b) => a / 8 == b / 8 }
+    assert(gained.nonEmpty,
+      "strided table recovered no contiguous-blind pairs — the " +
+        "straddle fixture is not exercising the second table")
+  }
 }
