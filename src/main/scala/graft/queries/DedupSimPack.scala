@@ -1492,12 +1492,19 @@ object DedupSimPack extends QueryPack {
     // hash-checked end to end at both gate SFs. nprobeSup=2 probes
     // the two nearest supers per query — 2S extra distances buys back
     // most of the flat recall (AnnRecallSpec: 0.38 at nprobeSup=1 vs
-    // flat s3's 0.56). nAssignSup=2 (round-17, VERDICT item 5) routes
-    // each CORPUS point to its nearest cell under BOTH of its two
-    // nearest supers — a boundary point whose true cell lives across
-    // the super boundary becomes reachable from either side — at a
-    // bounded ×2 inverted-list duplication, deduplicated before the
-    // re-rank (both the dup and the dedup replay in the oracle).
+    // flat s3's 0.56). nAssignSup=3 routes each CORPUS point to its
+    // nearest cell under its THREE nearest supers — a boundary point
+    // whose true cell lives across a super boundary becomes reachable
+    // from any side — at a bounded ×3 inverted-list duplication,
+    // deduplicated before the re-rank (both the dup and the dedup
+    // replay in the oracle). Knobs re-derived in round 18 from the
+    // tools/AnnKnobs grid: the r17 setting (nprobe=3, nAssignSup=2)
+    // measured recall@5 = 0.74 at sf0.01 but only 0.38 at
+    // sf0.1's 32-cell index — recall at FIXED nprobe falls as the
+    // adaptive cell count grows. (nprobe=8, nprobeSup=2,
+    // nAssignSup=3) measures 1.00 at sf0.01 and 0.84 at sf0.1 at
+    // unchanged wall time (~2.4s): probing ~25% of cells, the
+    // standard IVF recall/scan trade on weakly-clustered vectors.
     Q("s17_ann_ivf_hier",
       (s, dir) => {
         import s.implicits._
@@ -1505,14 +1512,14 @@ object DedupSimPack extends QueryPack {
             Tables.embeddings(s, dir)
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
             "vec_id", "v", queryPred = col("vec_id") < 10,
-            k = 5, targetCell = 64, nprobe = 3, dims = 64, nprobeSup = 2,
-            nAssignSup = 2)
+            k = 5, targetCell = 64, nprobe = 8, dims = 64, nprobeSup = 2,
+            nAssignSup = 3)
           .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"),
             $"rank")
       },
       Some(graft.sim.IvfAnn.hierOracleSql(
-        k = 5, targetCell = 64, nprobe = 3, dims = 64,
-        queryPredSql = "e.vec_id < 10", nprobeSup = 2, nAssignSup = 2))),
+        k = 5, targetCell = 64, nprobe = 8, dims = 64,
+        queryPredSql = "e.vec_id < 10", nprobeSup = 2, nAssignSup = 3))),
 
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per

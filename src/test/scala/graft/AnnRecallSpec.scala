@@ -30,25 +30,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.4, s"IVF recall@5 = $ivfRecall")
   }
 
-  test("hierarchical IVF (s17) keeps recall@5 >= 0.6 at nprobe=3") {
-    // the two-level routing's recall price vs flat s3 (same nprobe):
-    // a query sees only its nprobeSup supers' member cells. Measured
-    // at the gate corpus (8 cells, 3 supers): 0.38 with
-    // nprobeSup=1/nAssignSup=1, 0.46 at nprobeSup=2, and 0.74 with
-    // the declared query's nAssignSup=2 (round-17, VERDICT item 5:
-    // boundary corpus points are additionally indexed under their
-    // second-nearest super, so the probe side can reach them from
-    // either side of the super boundary) — above flat s3's 0.56,
-    // because the ×2 inverted-list duplication widens the candidate
-    // pool the exact re-rank sees. The floor pins the two knobs at
-    // their declared settings: a revert to single-super routing
-    // (0.38) or single-super assignment (0.46) fails it.
+  test("hierarchical IVF (s17) keeps recall@5 >= 0.9 at the declared " +
+      "knobs (nprobe=8, nprobeSup=2, nAssignSup=3)") {
+    // the two-level routing's recall price vs flat s3: a query sees
+    // only its nprobeSup supers' member cells. The round-18
+    // tools/AnnKnobs grid re-derived the declared knobs — the r17
+    // setting (nprobe=3, nAssignSup=2) measured 0.74 here at sf0.01
+    // but only 0.38 at sf0.1's 32-cell index (recall at FIXED nprobe
+    // falls as the adaptive cell count grows with the corpus);
+    // (8, 2, 3) measures 1.00 at sf0.01 and 0.84 at sf0.1 at
+    // unchanged wall time. The 0.9 floor pins the knobs at their
+    // declared settings: any revert (nprobe=3 → 0.74, nprobeSup=1 →
+    // 0.38-class, nAssignSup=1 → 0.46-class) fails it.
     val exact = pairs("s1_cosine_topk")
     assert(exact.nonEmpty)
     val hier = pairs("s17_ann_ivf_hier")
     val recall = (exact & hier).size.toDouble / exact.size
     info(s"s17 hierarchical recall@5 = $recall")
-    assert(recall >= 0.6, s"hier IVF recall@5 = $recall")
+    assert(recall >= 0.9, s"hier IVF recall@5 = $recall")
   }
 
   test("the IVF nprobe knob raises recall@5 to >= 0.6 at nprobe=3") {
