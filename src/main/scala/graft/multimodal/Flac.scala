@@ -253,6 +253,31 @@ object Flac {
   // Encoder
   // ---------------------------------------------------------------
 
+  private def writeVerbatim(body: BitWriter, x: Array[Int], bps: Int): Unit = {
+    val mask = (1L << bps) - 1
+    body.writeBits(0L, 1) // subframe pad bit
+    body.writeBits(1L, 6) // VERBATIM
+    body.writeBits(0L, 1)
+    x.foreach(s => body.writeBits(s.toLong & mask, bps))
+  }
+
+  private def writeFixed(body: BitWriter, x: Array[Int], bps: Int,
+                         order: Int, rs: Array[Long], k: Int): Unit = {
+    val mask = (1L << bps) - 1
+    body.writeBits(0L, 1) // subframe pad bit
+    body.writeBits(8L | order, 6) // FIXED, order 0-4
+    body.writeBits(0L, 1) // no wasted bits
+    (0 until order).foreach(i => body.writeBits(x(i).toLong & mask, bps))
+    body.writeBits(0L, 2) // residual method: 4-bit Rice
+    body.writeBits(0L, 4) // partition order 0
+    body.writeBits(k.toLong, 4)
+    rs.foreach { r =>
+      val zz = zigzag(r)
+      body.writeUnary((zz >>> k).toInt)
+      if (k > 0) body.writeBits(zz & ((1L << k) - 1), k)
+    }
+  }
+
   /** One subframe at `bps` bits/sample: CONSTANT for flat blocks (when
     * not order-forced), else the fixed order minimizing Σ|residual|
     * with Rice partition order 0 and the deterministic k, falling back
@@ -261,11 +286,11 @@ object Flac {
   private def writeSubframe(body: BitWriter, x: Array[Int], bps: Int,
                             forceOrder: Option[Int]): Unit = {
     val mask = (1L << bps) - 1
-    body.writeBits(0L, 1) // subframe pad bit
     // a short last frame can undercut a forced order; clamp so the
     // warmup never swallows the whole block
     val order = math.min(forceOrder.getOrElse(pickOrderI(x)), x.length - 1)
     if (forceOrder.isEmpty && x.forall(_ == x(0))) {
+      body.writeBits(0L, 1) // subframe pad bit
       body.writeBits(0L, 6) // CONSTANT
       body.writeBits(0L, 1) // no wasted bits
       body.writeBits(x(0).toLong & mask, bps)
@@ -274,24 +299,97 @@ object Flac {
       val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
       val riceCost = 6L + 4 + riceBits(rs, k) // res header + param + codes
       if (forceOrder.isEmpty &&
-        riceCost + bps.toLong * order >= bps.toLong * x.length) {
-        body.writeBits(1L, 6) // VERBATIM
-        body.writeBits(0L, 1)
-        x.foreach(s => body.writeBits(s.toLong & mask, bps))
-      } else {
-        body.writeBits(8L | order, 6) // FIXED, order 0-4
-        body.writeBits(0L, 1) // no wasted bits
-        (0 until order).foreach(i => body.writeBits(x(i).toLong & mask, bps))
-        body.writeBits(0L, 2) // residual method: 4-bit Rice
-        body.writeBits(0L, 4) // partition order 0
-        body.writeBits(k.toLong, 4)
-        rs.foreach { r =>
-          val zz = zigzag(r)
-          body.writeUnary((zz >>> k).toInt)
-          if (k > 0) body.writeBits(zz & ((1L << k) - 1), k)
-        }
-      }
+        riceCost + bps.toLong * order >= bps.toLong * x.length)
+        writeVerbatim(body, x, bps)
+      else writeFixed(body, x, bps, order, rs, k)
     }
+  }
+
+  /** The HYBRID adaptive subframe (round-18, mm18): the candidate set
+    * is the five fixed orders PLUS one caller-pinned quantized-LPC
+    * predictor, argmin over Σ|residual| with ties in candidate order
+    * (fixed 0–4 first, then LPC — a tie keeps the cheaper-header
+    * family). CONSTANT still short-circuits flat blocks; the chosen
+    * candidate still falls back to VERBATIM when its Rice stream plus
+    * its header fields would not beat raw. This is the real encoder
+    * decision libFLAC makes (search predictor families, emit the
+    * cheapest), reduced to a deterministic integer rule the mm18
+    * oracle replays branch by branch. */
+  private def writeHybridSubframe(body: BitWriter, x: Array[Int], bps: Int,
+                                  coefs: Array[Int], shift: Int,
+                                  prec: Int): Unit = {
+    val mask = (1L << bps) - 1
+    if (x.forall(_ == x(0))) {
+      body.writeBits(0L, 1)
+      body.writeBits(0L, 6) // CONSTANT
+      body.writeBits(0L, 1)
+      body.writeBits(x(0).toLong & mask, bps)
+      return
+    }
+    val maxO = math.min(4, x.length - 1)
+    val fixedSums = (0 to maxO).map(o =>
+      fixedResidualsI(x, o).foldLeft(0L)((a, r) => a + math.abs(r)))
+    val lpcOk = coefs.length < x.length
+    val lpcSum =
+      if (lpcOk)
+        lpcResidualsI(x, coefs, shift).foldLeft(0L)((a, r) => a + math.abs(r))
+      else Long.MaxValue
+    val sums = fixedSums ++ (if (lpcOk) Seq(lpcSum) else Nil)
+    val best = sums.zipWithIndex.minBy { case (s, i) => (s, i) }._2
+    if (best <= maxO) {
+      val rs = fixedResidualsI(x, best)
+      val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
+      val riceCost = 6L + 4 + riceBits(rs, k)
+      if (riceCost + bps.toLong * best >= bps.toLong * x.length)
+        writeVerbatim(body, x, bps)
+      else writeFixed(body, x, bps, best, rs, k)
+    } else {
+      val o = coefs.length
+      val rs = lpcResidualsI(x, coefs, shift)
+      val k = riceParam(rs.foldLeft(0L)(_ + zigzag(_)), rs.length)
+      // the LPC header fields (precision 4 + shift 5 + coefs) ride the
+      // Rice-vs-raw comparison: a predictor must pay for its own header
+      val riceCost = 6L + 4 + riceBits(rs, k) + 4 + 5 + prec.toLong * o
+      if (riceCost + bps.toLong * o >= bps.toLong * x.length)
+        writeVerbatim(body, x, bps)
+      else writeLpcSubframe(body, x, bps, coefs, shift, prec)
+    }
+  }
+
+  /** Encode mono 16-bit with the HYBRID fixed-vs-LPC candidate search
+    * per block (see [[writeHybridSubframe]]) — the adaptive encoder
+    * whose whole predictor-FAMILY decision tree mm18 puts under hash:
+    * CONSTANT / FIXED(argmin order) / the pinned LPC predictor /
+    * VERBATIM, every branch replayed closed-form by the oracle. */
+  def encodeHybrid(stream: Stream, blockSize: Int, coefs: Array[Int],
+                   shift: Int, precision: Int): Array[Byte] = {
+    val n = stream.samples.length
+    require(n > 0, "empty stream")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+    require(stream.sampleRate > 0 && stream.sampleRate < (1 << 20),
+      s"sampleRate ${stream.sampleRate}")
+    val order = coefs.length
+    require(order >= 1 && order <= 32, s"LPC order $order")
+    require(precision >= 2 && precision <= 15, s"precision $precision")
+    require(shift >= 0 && shift <= 15, s"shift $shift")
+    coefs.foreach(c => require(
+      c >= -(1 << (precision - 1)) && c < (1 << (precision - 1)),
+      s"coefficient $c overflows signed $precision bits"))
+    val out = new ArrayBuffer[Byte]()
+    streamHeader(out, stream.sampleRate, 1, blockSize, n)
+    var frameNo = 0L
+    var off = 0
+    while (off < n) {
+      val bs = math.min(blockSize, n - off)
+      val block = new Array[Int](bs)
+      var i = 0
+      while (i < bs) { block(i) = stream.samples(off + i).toInt; i += 1 }
+      out ++= buildFrame(0, Seq((block, 16)), bs, frameNo,
+        (b, x, bps) => writeHybridSubframe(b, x, bps, coefs, shift, precision))
+      frameNo += 1
+      off += bs
+    }
+    out.toArray
   }
 
   /** One frame: header (sync, codes, coded frame number, 16-bit

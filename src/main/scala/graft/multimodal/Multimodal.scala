@@ -857,6 +857,61 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Four signal families through the HYBRID fixed-vs-LPC encoder
+    * (round-18, mm18): family = id mod 4 —
+    *
+    *  - '''0: constant''' → the CONSTANT subframe (55 bytes);
+    *  - '''1: decaying exponential''' `100 + (b >> min(t,30))` with
+    *    `b = 512·(25 + id mod 37)` — the recurrence
+    *    x_t = (3x_{t−1} − x_{t−2}) >> 1 solves it (roots 1 and ½), so
+    *    the pinned LPC predictor is near-exact and must WIN the
+    *    argmin over all five fixed orders;
+    *  - '''2: the mm13 wrapping ramp''' → a FIXED order wins (LPC's
+    *    1.5x₁ − 0.5x₂ under-predicts a linear ramp by d/2 per step);
+    *  - '''3: md5 noise''' → nothing compresses; VERBATIM (565 B).
+    *
+    * Every doc runs the UNPINNED hybrid search, so the declared query
+    * puts the predictor-FAMILY decision under hash — the oracle
+    * replays all six candidate residual sums, the fixed-first tie
+    * rule, the chosen family's Rice chain, the LPC header surcharge
+    * in the Rice-vs-raw fallback, and four mutually exclusive size
+    * formulas. */
+  def synthFlacHybridPayload(df: DataFrame, idCol: String,
+                             nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val samples = (id % 4).toInt match {
+          case 0 =>
+            Array.fill(nSamples)(((id % 201) - 100).toShort)
+          case 1 =>
+            val b = 512 * (25 + (id % 37).toInt)
+            Array.tabulate(nSamples)(t =>
+              (100 + (b >> math.min(t, 30))).toShort)
+          case 2 =>
+            val slope = 13 + (id % 5)
+            Array.tabulate(nSamples)(i =>
+              (((id * 7 + i * slope) % 201) - 100).toShort)
+          case _ =>
+            Array.tabulate(nSamples) { i =>
+              val dg = md.digest(s"$id:$i".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+                ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+              ((h % 60001) - 30000).toShort
+            }
+        }
+        Row(id, Flac.encodeHybrid(Flac.Stream(8000, samples),
+          blockSize = nSamples, coefs = Array(3, -1), shift = 1,
+          precision = 4))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** [[wavFeatures]] for FLAC payloads, plus the compression columns:
     * parse with [[Flac.decode]] (CRC-verified Rice/fixed-predictor
     * decode — a single wrong bit anywhere changes every output), then

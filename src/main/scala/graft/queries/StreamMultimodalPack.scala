@@ -1588,6 +1588,119 @@ object StreamMultimodalPack extends QueryPack {
              |  (id_a // 8 = id_b // 8) AS same_group
              |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
 
+    // MM18 (round-18): the HYBRID fixed-vs-LPC encoder's
+    // predictor-FAMILY decision under hash — the real choice libFLAC
+    // makes per subframe (search predictor families, emit the
+    // cheapest), reduced to the deterministic integer rule
+    // Flac.writeHybridSubframe applies: argmin over the five fixed
+    // orders' AND the pinned LPC predictor's Σ|residual| (ties keep
+    // the cheaper-header fixed family), CONSTANT short-circuit,
+    // VERBATIM fallback in which the LPC candidate pays its own
+    // 17-bit header surcharge. Four planted families (id mod 4) force
+    // every branch: constant / decaying exponential (the recurrence
+    // x_t = (3x_{t−1}−x_{t−2})>>1 solves it, so LPC must WIN) / the
+    // mm13 ramp (a FIXED order wins) / md5 noise (VERBATIM). The
+    // oracle replays all SIX candidate sums, the tie rule, the chosen
+    // family's Rice chain and four mutually exclusive size formulas —
+    // mm15's decision-tree idiom extended across predictor families.
+    Q("mm18_flac_hybrid",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.flacFeatures(
+            Multimodal.synthFlacHybridPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"encoded_bytes",
+            r6($"ratio").as("ratio"), r6($"mean_abs").as("mean_abs"),
+            $"peak", $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, t.i,
+             |    CASE
+             |      WHEN d.doc_id % 4 = 0 THEN d.doc_id % 201 - 100
+             |      WHEN d.doc_id % 4 = 1 THEN
+             |        100 + ((512 * (25 + d.doc_id % 37)) >> least(t.i, 30))
+             |      WHEN d.doc_id % 4 = 2 THEN
+             |        (d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 201 - 100
+             |      ELSE ('0x' || substr(md5(d.doc_id || ':' || t.i), 1, 8))
+             |             ::BIGINT % 60001 - 30000
+             |    END AS v
+             |  FROM documents d, range(0, 256) t(i)),
+             |lg AS (
+             |  SELECT doc_id, i, v,
+             |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             |    lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4
+             |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |res AS (
+             |  SELECT doc_id, i, v AS r0,
+             |    v - l1 AS r1,
+             |    v - 2 * l1 + l2 AS r2,
+             |    v - 3 * l1 + 3 * l2 - l3 AS r3,
+             |    v - 4 * l1 + 6 * l2 - 4 * l3 + l4 AS r4,
+             |    v - CAST(floor((3.0 * l1 - l2) / 2.0) AS BIGINT) AS rl
+             |  FROM lg),
+             |so AS (
+             |  SELECT doc_id,
+             |    sum(abs(r0)) AS s0,
+             |    sum(CASE WHEN i >= 1 THEN abs(r1) ELSE 0 END) AS s1,
+             |    sum(CASE WHEN i >= 2 THEN abs(r2) ELSE 0 END) AS s2,
+             |    sum(CASE WHEN i >= 3 THEN abs(r3) ELSE 0 END) AS s3,
+             |    sum(CASE WHEN i >= 4 THEN abs(r4) ELSE 0 END) AS s4,
+             |    sum(CASE WHEN i >= 2 THEN abs(rl) ELSE 0 END) AS sl,
+             |    min(r0) AS vmin, max(r0) AS vmax
+             |  FROM res GROUP BY 1),
+             |od AS (
+             |  SELECT doc_id, vmin = vmax AS is_const,
+             |    CASE WHEN s0 = m THEN 0 WHEN s1 = m THEN 1
+             |         WHEN s2 = m THEN 2 WHEN s3 = m THEN 3
+             |         WHEN s4 = m THEN 4 ELSE 5 END AS o
+             |  FROM (SELECT *, least(s0, s1, s2, s3, s4, sl) AS m FROM so)),
+             |zs AS (
+             |  SELECT res.doc_id, od.o, od.is_const,
+             |    CASE od.o WHEN 0 THEN res.r0 WHEN 1 THEN res.r1
+             |              WHEN 2 THEN res.r2 WHEN 3 THEN res.r3
+             |              WHEN 4 THEN res.r4 ELSE res.rl END AS rr,
+             |    CASE WHEN rr < 0 THEN -2 * rr - 1 ELSE 2 * rr END AS z
+             |  FROM res JOIN od ON res.doc_id = od.doc_id
+             |  WHERE res.i >= (CASE WHEN od.o = 5 THEN 2 ELSE od.o END)),
+             |kv AS (
+             |  SELECT doc_id, o, is_const, nres,
+             |    CASE
+             |      WHEN mz >= 16384 THEN 14 WHEN mz >= 8192 THEN 13
+             |      WHEN mz >= 4096 THEN 12 WHEN mz >= 2048 THEN 11
+             |      WHEN mz >= 1024 THEN 10 WHEN mz >= 512 THEN 9
+             |      WHEN mz >= 256 THEN 8 WHEN mz >= 128 THEN 7
+             |      WHEN mz >= 64 THEN 6 WHEN mz >= 32 THEN 5
+             |      WHEN mz >= 16 THEN 4 WHEN mz >= 8 THEN 3
+             |      WHEN mz >= 4 THEN 2 WHEN mz >= 2 THEN 1 ELSE 0 END AS k
+             |  FROM (SELECT doc_id, o, is_const, count(*) AS nres,
+             |          sum(z) // count(*) AS mz
+             |        FROM zs GROUP BY 1, 2, 3)),
+             |rc AS (
+             |  SELECT z.doc_id, kv.o, kv.is_const,
+             |    10 + sum(z.z >> kv.k) + kv.nres * (1 + kv.k) AS rice_cost
+             |  FROM zs z JOIN kv ON z.doc_id = kv.doc_id
+             |  GROUP BY z.doc_id, kv.o, kv.is_const, kv.k, kv.nres),
+             |sz AS (
+             |  SELECT doc_id,
+             |    CAST(CASE
+             |      WHEN is_const THEN 55
+             |      WHEN o = 5 AND rice_cost + 17 + 32 >= 4096 THEN 565
+             |      WHEN o = 5 THEN 52 + (8 + 32 + 17 + rice_cost + 7) // 8
+             |      WHEN rice_cost + 16 * o >= 4096 THEN 565
+             |      ELSE 52 + (8 + 16 * o + rice_cost + 7) // 8
+             |    END AS INT) AS encoded_bytes
+             |  FROM rc),
+             |f AS (
+             |  SELECT doc_id, avg(abs(v)) AS mean_abs,
+             |    max(abs(v)) AS peak, sum(v * v) AS energy
+             |  FROM s GROUP BY doc_id)
+             |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
+             |  sz.encoded_bytes,
+             |  round(sz.encoded_bytes / 512.0 + 1e-9, 6) AS ratio,
+             |  round(f.mean_abs + 1e-9, 6) AS mean_abs,
+             |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
+             |FROM f JOIN sz ON f.doc_id = sz.doc_id""".stripMargin)),
+
     // MM17 (round-18, VERDICT item 3): the TWO-TABLE widened LSH as a
     // DECLARED, hash-checked query — tables=2 existed only behind
     // tools/WidenRecall since round-17. Same 8×8-bit banding and w=2

@@ -300,6 +300,48 @@ class FlacSpec extends AnyFunSuite {
     }, "negative LPC shift")
   }
 
+  test("hybrid encoder: every predictor-family branch fires and " +
+      "round-trips (mm18's decision tree)") {
+    val n = 256
+    def enc(x: Array[Short]): Array[Byte] =
+      Flac.encodeHybrid(Flac.Stream(8000, x), blockSize = n,
+        coefs = Array(3, -1), shift = 1, precision = 4)
+    // CONSTANT
+    val const = Array.fill(n)(42.toShort)
+    assert(enc(const).length == 55)
+    assert(Flac.decode(enc(const)).samples.toSeq == const.toSeq)
+    // decaying exponential: LPC (3,-1)>>1 solves it -> LPC subframe,
+    // size = mm16's 67-bit-prefix closed form
+    val decay = Array.tabulate(n)(t =>
+      (100 + (12800 >> math.min(t, 30))).toShort)
+    val eDecay = enc(decay)
+    assert(Flac.decode(eDecay).samples.toSeq == decay.toSeq)
+    val rsL = Flac.lpcResiduals(decay, Array(3, -1), 1)
+    val kL = Flac.riceParam(rsL.map(r => (r << 1) ^ (r >> 63)).sum, rsL.length)
+    assert(eDecay.length == 42 + 8 + (67 + Flac.riceBits(rsL, kL) + 7) / 8 + 2,
+      s"decay family did not take the LPC branch: ${eDecay.length}")
+    // the LPC residual sum must strictly beat every fixed order here
+    val sums = (0 to 4).map(o =>
+      Flac.fixedResiduals(decay, o).map(math.abs).sum)
+    assert(rsL.map(math.abs).sum < sums.min,
+      s"LPC ${rsL.map(math.abs).sum} not below fixed ${sums.min}")
+    // wrapping ramp: a FIXED order wins (LPC under-predicts a line)
+    val ramp = rampSamples(n)
+    val eRamp = enc(ramp)
+    assert(Flac.decode(eRamp).samples.toSeq == ramp.toSeq)
+    val bestO = (0 to 4).minBy(o =>
+      (Flac.fixedResiduals(ramp, o).map(math.abs).sum, o))
+    val rsF = Flac.fixedResiduals(ramp, bestO)
+    val kF = Flac.riceParam(rsF.map(r => (r << 1) ^ (r >> 63)).sum, rsF.length)
+    assert(eRamp.length ==
+      42 + 8 + (8 + 16 * bestO + 10 + Flac.riceBits(rsF, kF) + 7) / 8 + 2,
+      s"ramp family did not take the FIXED($bestO) branch: ${eRamp.length}")
+    // full-range noise: VERBATIM fallback
+    val noise = lcgSamples(n)
+    assert(enc(noise).length == 42 + 8 + 513 + 2)
+    assert(Flac.decode(enc(noise)).samples.toSeq == noise.toSeq)
+  }
+
   // ----------------------------------------------------------------
   // Stereo: the four channel assignments
   // ----------------------------------------------------------------
