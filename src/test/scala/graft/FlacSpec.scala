@@ -342,6 +342,23 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode(enc(noise)).samples.toSeq == noise.toSeq)
   }
 
+  test("hybrid encoder: one stream mixing subframe types across frames " +
+      "(the wild-FLAC shape) round-trips") {
+    // three 256-sample blocks of different character -> three different
+    // subframe types in ONE stream: CONSTANT, LPC, VERBATIM
+    val x = Array.fill(256)(7.toShort) ++
+      Array.tabulate(256)(t => (100 + (12800 >> math.min(t, 30))).toShort) ++
+      lcgSamples(256)
+    val enc = Flac.encodeHybrid(Flac.Stream(8000, x), blockSize = 256,
+      coefs = Array(3, -1), shift = 1, precision = 4)
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+    // the mixed stream is smaller than three VERBATIM frames but larger
+    // than three CONSTANT ones — a loose shape check that all three
+    // branches actually fired
+    assert(enc.length > 55 + 2 * 13 && enc.length < 3 * 523 + 42,
+      s"unexpected mixed-stream size ${enc.length}")
+  }
+
   // ----------------------------------------------------------------
   // Stereo: the four channel assignments
   // ----------------------------------------------------------------
