@@ -989,5 +989,105 @@ object PipelinePack extends QueryPack {
              |  FROM g, t)
              |SELECT digit, n_obs, share_obs, share_benford,
              |  round(abs(share_obs - share_benford) + 1e-9, 6) AS abs_dev
-             |FROM b""".stripMargin)))
+             |FROM b""".stripMargin)),
+
+    // DQ7 (round-18): referential-integrity audit — the classic data-
+    // contract check a landing pipeline runs before anything else:
+    // per FK edge, orphan children (rows whose key misses the parent
+    // table entirely) and parent COVERAGE (parents with ≥1 child /
+    // parents). Orphans are the corruption signal (zero on intact
+    // TPC-H — the audit must PROVE zero through a real left join, not
+    // assume it); coverage is non-trivially below 1 by TPC-H design
+    // (customers without orders → 0.9829 on the orders edge at
+    // sf0.01), so the anti-join machinery is load-bearing in the
+    // hash, not vacuously zero. Each edge joins the child's key
+    // column against the DISTINCT parent keys (never duplicating
+    // children under parent-side dup keys); covered_parents falls out
+    // of the same join as count(DISTINCT matched pk) — one pass per
+    // edge, no second semi-join job. Four single-row aggregate
+    // frames union lazily; output is a 4-row audit. At 100 TB each
+    // edge is one shuffle-or-broadcast join + aggregate — the
+    // cheapest possible shape for the check.
+    Q("dq7_referential",
+      (s, dir) => {
+        import s.implicits._
+        def edge(child: org.apache.spark.sql.DataFrame, ck: String,
+                 parent: org.apache.spark.sql.DataFrame, pk: String,
+                 label: String) = {
+          val pKeys = parent.select(col(pk).as("__pk")).distinct()
+          val joined = child.select(col(ck).as("__ck"))
+            .join(pKeys, col("__ck") === col("__pk"), "left")
+            .agg(count(lit(1)).as("child_rows"),
+              sum(when(col("__pk").isNull, 1L).otherwise(0L))
+                .as("orphan_rows"),
+              countDistinct(col("__ck")).as("child_keys"),
+              countDistinct(col("__pk")).as("covered_parents"))
+          val pCount = pKeys.agg(count(lit(1)).as("parent_rows"))
+          joined.crossJoin(broadcast(pCount))
+            .select(lit(label).as("fk"), $"child_rows", $"orphan_rows",
+              $"child_keys", $"covered_parents", $"parent_rows",
+              r6($"covered_parents".cast("double") / $"parent_rows")
+                .as("coverage"))
+        }
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        edge(li, "l_orderkey", o, "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey")
+          .unionByName(edge(li, "l_partkey", Tables.part(s, dir),
+            "p_partkey", "lineitem.l_partkey->part.p_partkey"))
+          .unionByName(edge(li, "l_suppkey", Tables.supplier(s, dir),
+            "s_suppkey", "lineitem.l_suppkey->supplier.s_suppkey"))
+          .unionByName(edge(o, "o_custkey", Tables.customer(s, dir),
+            "c_custkey", "orders.o_custkey->customer.c_custkey"))
+          .orderBy($"fk")
+      },
+      Some("""WITH edges AS (
+             |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+             |    count(*) AS child_rows,
+             |    CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS orphan_rows,
+             |    count(DISTINCT l.l_orderkey) AS child_keys,
+             |    count(DISTINCT p.pk) AS covered_parents
+             |  FROM lineitem l LEFT JOIN
+             |    (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+             |    ON l.l_orderkey = p.pk
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey->part.p_partkey', count(*),
+             |    CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT l.l_partkey), count(DISTINCT p.pk)
+             |  FROM lineitem l LEFT JOIN
+             |    (SELECT DISTINCT p_partkey AS pk FROM part) p
+             |    ON l.l_partkey = p.pk
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey->supplier.s_suppkey', count(*),
+             |    CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT l.l_suppkey), count(DISTINCT p.pk)
+             |  FROM lineitem l LEFT JOIN
+             |    (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+             |    ON l.l_suppkey = p.pk
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey->customer.c_custkey', count(*),
+             |    CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    count(DISTINCT o.o_custkey), count(DISTINCT p.pk)
+             |  FROM orders o LEFT JOIN
+             |    (SELECT DISTINCT c_custkey AS pk FROM customer) p
+             |    ON o.o_custkey = p.pk),
+             |pr AS (
+             |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+             |    count(DISTINCT o_orderkey) AS parent_rows FROM orders
+             |  UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey',
+             |    count(DISTINCT p_partkey) FROM part
+             |  UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             |    count(DISTINCT s_suppkey) FROM supplier
+             |  UNION ALL SELECT 'orders.o_custkey->customer.c_custkey',
+             |    count(DISTINCT c_custkey) FROM customer)
+             |SELECT e.fk, e.child_rows, e.orphan_rows, e.child_keys,
+             |  e.covered_parents, pr.parent_rows,
+             |  round(e.covered_parents / CAST(pr.parent_rows AS DOUBLE)
+             |    + 1e-9, 6) AS coverage
+             |FROM edges e JOIN pr ON e.fk = pr.fk
+             |ORDER BY e.fk""".stripMargin)))
 }
