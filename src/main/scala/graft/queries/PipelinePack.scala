@@ -991,23 +991,24 @@ object PipelinePack extends QueryPack {
              |  round(abs(share_obs - share_benford) + 1e-9, 6) AS abs_dev
              |FROM b""".stripMargin)),
 
-    // DQ7 (round-18): referential-integrity audit — the classic data-
-    // contract check a landing pipeline runs before anything else:
-    // per FK edge, orphan children (rows whose key misses the parent
-    // table entirely) and parent COVERAGE (parents with ≥1 child /
-    // parents). Orphans are the corruption signal (zero on intact
-    // TPC-H — the audit must PROVE zero through a real left join, not
-    // assume it); coverage is non-trivially below 1 by TPC-H design
-    // (customers without orders → 0.9829 on the orders edge at
-    // sf0.01), so the anti-join machinery is load-bearing in the
-    // hash, not vacuously zero. Each edge joins the child's key
-    // column against the DISTINCT parent keys (never duplicating
-    // children under parent-side dup keys); covered_parents falls out
-    // of the same join as count(DISTINCT matched pk) — one pass per
-    // edge, no second semi-join job. Four single-row aggregate
-    // frames union lazily; output is a 4-row audit. At 100 TB each
-    // edge is one shuffle-or-broadcast join + aggregate — the
-    // cheapest possible shape for the check.
+    // DQ7 (round-18): referential-integrity audit — the full-surface
+    // data-contract check. dq1 already carries orphan COUNTS for two
+    // edges (DataQuality.orphanCount's left-anti join) as metrics
+    // inside the profile; this is the dedicated audit across ALL FOUR
+    // FK edges with the metric orphanCount cannot produce: parent
+    // COVERAGE (parents with ≥1 child / parents), which needs the
+    // left join's MATCHED side, not the anti side — covered_parents
+    // falls out of the same join as count(DISTINCT matched pk), one
+    // pass per edge, no second semi-join job. Orphans are the
+    // corruption signal (zero on intact TPC-H — PROVEN through the
+    // real join, not assumed); coverage is non-trivially below 1 by
+    // TPC-H design (customers without orders → 0.9829 on the orders
+    // edge at sf0.01), so the join machinery is load-bearing in the
+    // hash, not vacuously zero. Child keys join the DISTINCT parent
+    // keys (never duplicating children under parent-side dup keys);
+    // four single-row aggregate frames union lazily into a 4-row
+    // audit. At 100 TB each edge is one shuffle-or-broadcast join +
+    // aggregate — the cheapest possible shape for the check.
     Q("dq7_referential",
       (s, dir) => {
         import s.implicits._
