@@ -21,14 +21,29 @@ object Verify {
     // Dev loop only (driver sets no env): SPARK_GRAFT_ONLY=a,b dumps a subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.forall(_.contains(name)))
+    // Per-query wall timings (round-19, VERDICT item 1): CORRECTNESS_r18
+    // came back empty — the leading hypothesis is the driver's
+    // Verify+compare path outgrowing a wall budget (builder-measured
+    // ~14 min Verify + >10 min DuckDB at sf0.01). Timing every query to
+    // stderr and into outDir/timings.json makes the budget measurable
+    // and names the lines to trim; stdout stays untouched for the driver.
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        val dt = (System.nanoTime() - t0) / 1e9
+        timings(name) = dt
+        System.err.println(f"[verify] $name%-28s ${dt}%6.2fs")
+      }
     }
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

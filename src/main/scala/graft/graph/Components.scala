@@ -106,16 +106,22 @@ object Components {
   /** DuckDB CTE chain replaying [[run]] on an `edges(src, dst)` CTE the
     * caller prepends: emits `nodes, l_0 … l_K`; select from `l_$k`. */
   def oracleSqlSuffix(k: Int): String = {
+    // AS MATERIALIZED is load-bearing (round-19): each l_i references
+    // l_{i−1} TWICE, and DuckDB's planner inlines rather than
+    // materializes these — without the keyword the evaluation tree
+    // doubles per round (2^k re-evaluations of the whole upstream
+    // graph build; g16_wcc's 8-round oracle measured 425s at sf0.01,
+    // 0.5s materialized). The per-round frames are node-sized — tiny.
     val rounds = (0 until k).map { i =>
-      s"""l_${i + 1} AS (
+      s"""l_${i + 1} AS MATERIALIZED (
          |  SELECT n.node, least(n.label, COALESCE(m.nbr, n.label)) AS label
          |  FROM l_$i n LEFT JOIN (
          |    SELECT e.dst AS node, min(p.label) AS nbr
          |    FROM edges e JOIN l_$i p ON p.node = e.src GROUP BY 1) m
          |  USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |l_0 AS (SELECT node, node AS label FROM nodes),
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |l_0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
        |$rounds""".stripMargin
   }
 }

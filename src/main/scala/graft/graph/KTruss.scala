@@ -100,11 +100,11 @@ object KTruss {
     val sb = new StringBuilder
     def round(r: Int, in: String): Unit = {
       sb ++=
-        s"""tr_$r AS (
+        s"""tr_$r AS MATERIALIZED (
            |  SELECT ab.ka AS a, ab.kb AS b, bc.kb AS c
            |  FROM $in ab JOIN $in bc ON ab.kb = bc.ka
            |  JOIN $in ac ON ac.ka = ab.ka AND ac.kb = bc.kb),
-           |sp_$r AS (SELECT ka, kb, count(*) AS support FROM (
+           |sp_$r AS MATERIALIZED (SELECT ka, kb, count(*) AS support FROM (
            |    SELECT a AS ka, b AS kb FROM tr_$r
            |    UNION ALL SELECT a, c FROM tr_$r
            |    UNION ALL SELECT b, c FROM tr_$r) GROUP BY 1, 2),
@@ -116,11 +116,11 @@ object KTruss {
     }
     for (r <- 1 to rounds) round(r, if (r == 1) "e0" else s"ed_${r - 1}")
     sb ++=
-      s"""tr_out AS (
+      s"""tr_out AS MATERIALIZED (
          |  SELECT ab.ka AS a, ab.kb AS b, bc.kb AS c
          |  FROM ed_$rounds ab JOIN ed_$rounds bc ON ab.kb = bc.ka
          |  JOIN ed_$rounds ac ON ac.ka = ab.ka AND ac.kb = bc.kb),
-         |sp_out AS (SELECT ka, kb, count(*) AS support FROM (
+         |sp_out AS MATERIALIZED (SELECT ka, kb, count(*) AS support FROM (
          |    SELECT a AS ka, b AS kb FROM tr_out
          |    UNION ALL SELECT a, c FROM tr_out
          |    UNION ALL SELECT b, c FROM tr_out) GROUP BY 1, 2)""".stripMargin

@@ -50,13 +50,16 @@ object LabelProp {
     * `edges(src, dst)` CTE in scope, defines `l_0 … l_$k`. Every CTE
     * is reference-linear. */
   def oracleSqlSuffix(k: Int): String = {
-    val init = "l_0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"
+    // AS MATERIALIZED: c_i references `edges` every round — inlined,
+    // the edge build re-runs k times (round-19, the Components lesson)
+    val init =
+      "l_0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"
     val rounds = (1 to k).map { i =>
-      s"""c_$i AS (
+      s"""c_$i AS MATERIALIZED (
          |  SELECT e.dst AS node, l.label, count(*) AS c
          |  FROM edges e JOIN l_${i - 1} l ON l.node = e.src
          |  GROUP BY 1, 2),
-         |l_$i AS (
+         |l_$i AS MATERIALIZED (
          |  SELECT node, label FROM (
          |    SELECT node, label,
          |      row_number() OVER (PARTITION BY node

@@ -79,18 +79,20 @@ object Landmarks {
     * scope; defines `nodes`, `lm`, `e2`, `d_0 … d_$k`, and `hm` (the
     * final per-node frame). */
   def oracleSqlSuffix(nLandmarks: Int, k: Int): String = {
+    // AS MATERIALIZED: every BFS round references e2 — inlined, the
+    // edge build re-runs k times (round-19, the Components lesson)
     val init =
-      s"""nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |lm AS (SELECT node AS l FROM (
+      s"""nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |lm AS MATERIALIZED (SELECT node AS l FROM (
          |    SELECT node,
          |      CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))
          |        AS BIGINT) AS h
          |    FROM nodes ORDER BY h, node LIMIT $nLandmarks)),
-         |e2 AS (SELECT src, dst, 1 AS w FROM edges
+         |e2 AS MATERIALIZED (SELECT src, dst, 1 AS w FROM edges
          |       UNION ALL SELECT node, node, 0 FROM nodes),
-         |d_0 AS (SELECT l, l AS node, 0 AS dist FROM lm)""".stripMargin
+         |d_0 AS MATERIALIZED (SELECT l, l AS node, 0 AS dist FROM lm)""".stripMargin
     val rounds = (1 to k).map { i =>
-      s"""d_$i AS (
+      s"""d_$i AS MATERIALIZED (
          |  SELECT d.l, e.dst AS node, min(d.dist + e.w) AS dist
          |  FROM d_${i - 1} d JOIN e2 e ON e.src = d.node
          |  GROUP BY 1, 2)""".stripMargin

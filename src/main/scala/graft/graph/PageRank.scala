@@ -74,8 +74,11 @@ object PageRank {
     * the caller prepends: emits `ow, en, nodes, nn, pr_0 … pr_K`; the
     * caller selects from `pr_$k`. */
   def oracleSqlSuffix(k: Int, damping: Double): String = {
+    // AS MATERIALIZED: en/nodes/nn are referenced once per round —
+    // inlined they re-run the edge build k times (the Components
+    // lesson of round-19, linear flavor). Node/edge-sized frames.
     val rounds = (0 until k).map { i =>
-      s"""pr_${i + 1} AS (
+      s"""pr_${i + 1} AS MATERIALIZED (
          |  SELECT n.node,
          |    (1 - $damping) / (SELECT n FROM nn)
          |      + $damping * COALESCE(c.c, 0.0) AS pr
@@ -84,12 +87,13 @@ object PageRank {
          |    FROM en e JOIN pr_$i p ON p.node = e.src GROUP BY 1) c
          |  USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
-       |en AS (SELECT e.src, e.dst, e.w / ow.outw AS wn
+    s"""ow AS MATERIALIZED (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+       |en AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.outw AS wn
        |  FROM edges e JOIN ow USING (src)),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |pr_0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |pr_0 AS MATERIALIZED (
+       |  SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
        |$rounds""".stripMargin
   }
 

@@ -190,7 +190,7 @@ object MiscPack extends QueryPack {
              |    AND substr(a.name, 1, 17) = substr(b.name, 1, 17)
              |    AND a.id < b.id
              |  WHERE levenshtein(a.name, b.name) <= 1),
-             |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+             |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM p
              |          UNION ALL SELECT b_id, a_id FROM p),
              |${graft.graph.Components.oracleSqlSuffix(2)},
              |ent AS (
@@ -268,7 +268,7 @@ object MiscPack extends QueryPack {
              |    AND a.id < b.id
              |  WHERE levenshtein(a.name, b.name) <= 1),
              |pr AS (SELECT * FROM pa UNION SELECT * FROM pb),
-             |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+             |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pr
              |          UNION ALL SELECT b_id, a_id FROM pr),
              |${graft.graph.Components.oracleSqlSuffix(3)},
              |ent AS (

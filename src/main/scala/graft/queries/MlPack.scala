@@ -594,7 +594,7 @@ object MlPack extends QueryPack {
               |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
               |  GROUP BY 1, 2),
               |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT ka AS src, kb AS dst FROM e0
               |  UNION ALL SELECT kb, ka FROM e0),
               |${graft.graph.Landmarks.oracleSqlSuffix(10, 6)}
@@ -627,7 +627,7 @@ object MlPack extends QueryPack {
               |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
               |  GROUP BY 1, 2),
               |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT ka AS src, kb AS dst FROM e0
               |  UNION ALL SELECT kb, ka FROM e0),
               |${graft.graph.Landmarks.eccOracleSqlSuffix(10, 6)}
@@ -751,7 +751,7 @@ object MlPack extends QueryPack {
               |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
               |  GROUP BY 1, 2),
               |e0 AS (SELECT ka, kb, abs(r) AS w FROM c WHERE abs(r) > 0.3),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT ka AS src, kb AS dst, w FROM e0
               |  UNION ALL SELECT kb, ka, w FROM e0),
               |${graft.graph.PageRank.oracleSqlSuffix(10, 0.85)}
@@ -895,7 +895,7 @@ object MlPack extends QueryPack {
               |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
               |  GROUP BY 1, 2),
               |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT ka AS src, kb AS dst FROM e0
               |  UNION ALL SELECT kb, ka FROM e0),
               |${graft.graph.Components.oracleSqlSuffix(8)},
@@ -942,7 +942,7 @@ object MlPack extends QueryPack {
               |  FROM lineitem a JOIN lineitem b
               |    ON a.l_orderkey = b.l_orderkey
               |   AND a.l_partkey < b.l_partkey),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT pa AS src, pb AS dst FROM p
               |  UNION ALL SELECT pb, pa FROM p),
               |kv AS (
@@ -991,7 +991,7 @@ object MlPack extends QueryPack {
              |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
              |  GROUP BY 1, 2),
              |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
-             |edges AS (
+             |edges AS MATERIALIZED (
              |  SELECT ka AS src, kb AS dst FROM e0
              |  UNION ALL SELECT kb, ka FROM e0),
              |deg AS (SELECT src AS node, count(*) AS deg
@@ -1031,7 +1031,7 @@ object MlPack extends QueryPack {
               |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
               |  GROUP BY 1, 2),
               |e0 AS (SELECT ka, kb FROM c WHERE abs(r) > 0.3),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT ka AS src, kb AS dst FROM e0
               |  UNION ALL SELECT kb, ka FROM e0),
               |${graft.graph.LabelProp.oracleSqlSuffix(5)}

@@ -10,7 +10,7 @@ compare). Floats are compared exactly (queries already round), with a
 
 Usage: python3 tools/check.py <sfdir> <outdir>
 """
-import sys, os, json, math
+import sys, os, json, math, time
 import duckdb
 import pandas as pd
 
@@ -77,31 +77,55 @@ def main():
     declared = [d for d in sorted(os.listdir(outdir))
                 if os.path.isdir(f"{outdir}/{d}")]
     npass = nfail = 0
+    timings = {}
+    outcome = {}
     for name in declared:
         spark_df = pd.read_parquet(f"{outdir}/{name}")
         if name not in oracle:
+            ok = len(spark_df) > 0
+            outcome[name] = "rows_only" if ok else "rows_only_EMPTY"
             print(f"  [rows-only] {name}: {len(spark_df)} rows "
-                  f"{'OK' if len(spark_df) > 0 else 'EMPTY!'}")
+                  f"{'OK' if ok else 'EMPTY!'}")
             continue
+        t0 = time.time()
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"✗ {name}: oracle SQL error: {e}")
+            outcome[name] = "oracle_error"
             nfail += 1
             continue
+        timings[name] = round(time.time() - t0, 2)
         problems = cmp(name, spark_df, duck_df)
         if problems:
             print(f"✗ {name}:")
             for p in problems:
                 print(f"    {p}")
+            outcome[name] = "fail"
             nfail += 1
         else:
-            print(f"✓ {name} ({len(spark_df)} rows)")
+            print(f"✓ {name} ({len(spark_df)} rows, {timings[name]:.2f}s oracle)")
+            outcome[name] = "pass"
             npass += 1
+    with open(f"{outdir}/oracle_timings.json", "w") as f:
+        json.dump(timings, f)
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest oracles: " + ", ".join(f"{k}={v}s" for k, v in slow))
     missing = set(oracle) - set(declared)
     for m in sorted(missing):
         print(f"✗ {m}: oracle declared but no spark output written")
+        outcome[m] = "missing_output"
         nfail += 1
+    # Builder's self-sweep record (round-19, VERDICT item 1): committed
+    # to the repo as CORRECTNESS_SELF_r{N}.json so an empty driver
+    # correctness file is self-evidently a harness failure, not an
+    # engine one. import-free summary: per-query outcome + totals.
+    with open(f"{outdir}/self_correctness.json", "w") as f:
+        json.dump({"sfdir": sfdir, "pass": npass, "fail": nfail,
+                   "rows_only": sum(1 for v in outcome.values()
+                                    if v.startswith("rows_only")),
+                   "oracle_sec": round(sum(timings.values()), 1),
+                   "queries": outcome}, f, indent=0, sort_keys=True)
     print(f"\n{npass} pass, {nfail} fail")
     sys.exit(1 if nfail else 0)
 
