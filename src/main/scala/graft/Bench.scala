@@ -304,8 +304,32 @@ object Bench {
     // then the sub-2s lines under the original budget.
     SparkEntry.clearPackCaches(spark)
     unpersistAll()
+    // Setup-stage stall defense (round-19, VERDICT item 2): BENCH_r18's
+    // headline was poisoned by ONE unprotected sample — setup_dedup_shared
+    // measured 60.0s (2.5s in r17, code unchanged) under host load, and
+    // setup lines fed both `value` and `value_lo` with no second sample.
+    // The rep-pass hygiene reset already rebuilds every selected shared
+    // stage from cleared caches, so TIME those rebuilds: they are a free,
+    // state-symmetric second measurement (first build also ran against a
+    // freshly-reset block manager). A setup line >2s and >2× its rebuild
+    // accepts the rebuild as the headline number (original preserved in
+    // `retimed`, same rule as query lines); `value_lo` takes
+    // min(first, rebuild) unconditionally.
+    val setupRep = scala.collection.mutable.LinkedHashMap[String, Double]()
     sharedStages.foreach { case (name, members, build) =>
-      if (selected.exists(s => members.contains(s._1))) buildShared(name, build)
+      if (selected.exists(s => members.contains(s._1))) {
+        val t0 = System.nanoTime()
+        buildShared(name, build)
+        setupRep(name) = (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val setupLo: Map[String, Double] = setup.toMap.map { case (n, t) =>
+      n -> setupRep.get(n).map(math.min(t, _)).getOrElse(t) }
+    setup.keys.toSeq.foreach { n =>
+      val t = setup(n)
+      setupRep.get(n).foreach { t2 =>
+        if (t > 2.0 && t > 2.0 * t2) { retimed(n) = t; setup(n) = t2 }
+      }
     }
     markStorage("after_rep_reset")
     val rep2 = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -414,7 +438,7 @@ object Bench {
     // a one-off stall in either sample, so round-over-round comparisons
     // should read value_lo/med, with `value` kept for continuity.
     val totalLo = results.map { case (n, t, _) => lo.getOrElse(n, t) }.sum +
-      setup.values.sum
+      setupLo.values.sum
     // "sf0.1", not the full path: the path prefix is constant and the
     // capture window is tight at 90+ queries
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -509,6 +533,10 @@ object Bench {
         s""","warm_missing":${warmMissing.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}""" +
         s""","rep2":${rep2.toSeq.map { case (k, v) =>
+          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
+        // second sample for every setup line (the rep-reset rebuild) —
+        // the retime/warm evidence VERDICT r18 item 2 asked for
+        s""","setup_rep":${setupRep.toSeq.map { case (k, v) =>
           "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
         s""","med":${med.toSeq.sortBy(_._1).map { case (k, v) =>
           "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
