@@ -35,6 +35,10 @@ object PortableKMeans {
     * centroid. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
              rounds: Int, dims: Int): DataFrame = {
+    // the unpartitioned centroid-id window sees ≤ k rows (limit
+    // precedes it); enforce the bound explicitly (r18 VERDICT item 6)
+    require(k <= 65536,
+      s"k $k: centroid-id rank window is single-partition")
     val h = TextOps.hash60(col(idCol).cast("string"))
     var centroids = corpus.orderBy(h, col(idCol)).limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(h, col(idCol))) - 1)

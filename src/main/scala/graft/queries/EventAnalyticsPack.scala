@@ -1052,6 +1052,16 @@ object EventAnalyticsPack extends QueryPack {
             sum($"died").as("n_conv"),
             sum(lit(1L) - $"died").as("n_cens"))
           .localCheckpoint()
+        // the life-table window below is unpartitioned by design (KM
+        // survival is a global cumulative product over days at risk);
+        // its input is one row per calendar DAY, bounded by the
+        // observation span, never the event count. byDay is already
+        // materialized (localCheckpoint), so counting it is a block
+        // read — enforce the bound instead of assuming it (r18 VERDICT
+        // item 6). 65536 days ≈ 179 years of span.
+        val nDays = byDay.count()
+        require(nDays <= 65536,
+          s"$nDays day rows: survival life-table window is single-partition")
         val nTot = byDay.agg(sum($"n_conv" + $"n_cens").as("n"))
         val w = Window.orderBy($"day")
         byDay.crossJoin(broadcast(nTot))

@@ -41,6 +41,10 @@ object IvfPq {
     * dimensionality). */
   def coarseCells(corpus: DataFrame, idCol: String, vecCol: String,
                   nCells: Int): DataFrame = {
+    // the unpartitioned rank window sees ≤ nCells rows (limit precedes
+    // it); enforce the sketch-size bound explicitly (r18 VERDICT item 6)
+    require(nCells <= 65536,
+      s"nCells $nCells: coarse-cell rank window is single-partition")
     val h = TextOps.hash60(col(idCol).cast("string"))
     corpus.orderBy(h, col(idCol)).limit(nCells)
       .withColumn("cell",

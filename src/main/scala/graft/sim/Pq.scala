@@ -61,6 +61,12 @@ object Pq {
     * that order). */
   def codebook(corpus: DataFrame, idCol: String, vecCol: String,
                m: Int, subLen: Int, nCentroids: Int): DataFrame = {
+    // the unpartitioned rank window below sees ≤ nCentroids rows (the
+    // limit precedes it); this bound makes that invariant enforced, not
+    // coincidental — a sketch-sized single-partition window is fine at
+    // any corpus scale, an unbounded one never is (r18 VERDICT item 6)
+    require(nCentroids <= 65536,
+      s"nCentroids $nCentroids: codebook rank window is single-partition")
     val h = TextOps.hash60(col(idCol).cast("string"))
     corpus.orderBy(h, col(idCol)).limit(nCentroids)
       // window over the already-limited frame: nCentroids rows total
