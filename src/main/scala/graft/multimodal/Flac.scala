@@ -253,20 +253,46 @@ object Flac {
   // Encoder
   // ---------------------------------------------------------------
 
-  private def writeVerbatim(body: BitWriter, x: Array[Int], bps: Int): Unit = {
+  /** The wasted-bits header field (RFC 9639 §9.2.2): flag 0, or flag 1
+    * followed by k−1 unary-coded. */
+  private def writeWastedField(body: BitWriter, wasted: Int): Unit =
+    if (wasted == 0) body.writeBits(0L, 1)
+    else { body.writeBits(1L, 1); body.writeUnary(wasted - 1) }
+
+  /** Common trailing-zero count across a block (the wasted-bits shift
+    * an encoder may factor out), capped so the coded width stays ≥ 1;
+    * an all-zero block reports 0 (CONSTANT handles it outright). */
+  def wastedBits(x: Array[Int], bps: Int): Int = {
+    var k = bps - 1
+    var any = false
+    var i = 0
+    while (i < x.length) {
+      if (x(i) != 0) {
+        any = true
+        val tz = java.lang.Integer.numberOfTrailingZeros(x(i))
+        if (tz < k) k = tz
+      }
+      i += 1
+    }
+    if (any) k else 0
+  }
+
+  private def writeVerbatim(body: BitWriter, x: Array[Int], bps: Int,
+                            wasted: Int = 0): Unit = {
     val mask = (1L << bps) - 1
     body.writeBits(0L, 1) // subframe pad bit
     body.writeBits(1L, 6) // VERBATIM
-    body.writeBits(0L, 1)
+    writeWastedField(body, wasted)
     x.foreach(s => body.writeBits(s.toLong & mask, bps))
   }
 
   private def writeFixed(body: BitWriter, x: Array[Int], bps: Int,
-                         order: Int, rs: Array[Long], k: Int): Unit = {
+                         order: Int, rs: Array[Long], k: Int,
+                         wasted: Int = 0): Unit = {
     val mask = (1L << bps) - 1
     body.writeBits(0L, 1) // subframe pad bit
     body.writeBits(8L | order, 6) // FIXED, order 0-4
-    body.writeBits(0L, 1) // no wasted bits
+    writeWastedField(body, wasted)
     (0 until order).foreach(i => body.writeBits(x(i).toLong & mask, bps))
     body.writeBits(0L, 2) // residual method: 4-bit Rice
     body.writeBits(0L, 4) // partition order 0
@@ -284,7 +310,8 @@ object Flac {
     * to VERBATIM when Rice would not beat raw. `forceOrder` pins FIXED
     * order o unconditionally (the oracle-replayable configuration). */
   private def writeSubframe(body: BitWriter, x: Array[Int], bps: Int,
-                            forceOrder: Option[Int]): Unit = {
+                            forceOrder: Option[Int],
+                            wasted: Int = 0): Unit = {
     val mask = (1L << bps) - 1
     // a short last frame can undercut a forced order; clamp so the
     // warmup never swallows the whole block
@@ -292,7 +319,7 @@ object Flac {
     if (forceOrder.isEmpty && x.forall(_ == x(0))) {
       body.writeBits(0L, 1) // subframe pad bit
       body.writeBits(0L, 6) // CONSTANT
-      body.writeBits(0L, 1) // no wasted bits
+      writeWastedField(body, wasted)
       body.writeBits(x(0).toLong & mask, bps)
     } else {
       val rs = fixedResidualsI(x, order)
@@ -300,9 +327,22 @@ object Flac {
       val riceCost = 6L + 4 + riceBits(rs, k) // res header + param + codes
       if (forceOrder.isEmpty &&
         riceCost + bps.toLong * order >= bps.toLong * x.length)
-        writeVerbatim(body, x, bps)
-      else writeFixed(body, x, bps, order, rs, k)
+        writeVerbatim(body, x, bps, wasted)
+      else writeFixed(body, x, bps, order, rs, k, wasted)
     }
+  }
+
+  /** [[writeSubframe]] with the wasted-bits factor detected and
+    * stripped first (RFC 9639 §9.2.2): k = the block's common
+    * trailing-zero count; samples are coded at bps−k and the header
+    * carries k unary — the standard encoder move for low-amplitude
+    * audio padded into a 16-bit container. k = 0 degenerates to the
+    * plain writer bit for bit. */
+  private def writeSubframeWasted(body: BitWriter, x: Array[Int], bps: Int,
+                                  forceOrder: Option[Int]): Unit = {
+    val k = wastedBits(x, bps)
+    if (k == 0) writeSubframe(body, x, bps, forceOrder)
+    else writeSubframe(body, x.map(_ >> k), bps - k, forceOrder, k)
   }
 
   /** The HYBRID adaptive subframe (round-18, mm18): the candidate set
@@ -429,15 +469,16 @@ object Flac {
     // STREAMINFO: last-block flag set, type 0, length 34
     out += 0x80.toByte; out += 0; out += 0; out += 34
     // RFC 9639 §8.2: the minimum-blocksize field EXCLUDES the last
-    // (possibly short) block and must be in 16..65535 — so a fixed-
-    // blocksize stream writes min == max == blockSize; only a
-    // single-frame stream whose lone (last) block is >= 16 samples may
-    // narrow it to n. Writing n % blockSize here (the pre-round-18
-    // bug) produced spec-invalid streams conformant third-party
-    // decoders could reject whenever the tail was 1..15 samples.
-    val minBlock = if (n <= blockSize && n >= 16) n else blockSize
+    // (possibly short) block, so min == max == blockSize is spec-valid
+    // for EVERY n — in a single-frame stream the lone block is the last
+    // block and there is nothing left for the field to describe.
+    // Writing min = n for short single-frame streams (the round-18
+    // behavior) was also spec-legal but made min != max, and min == max
+    // is the conventional marker of a fixed-blocksize stream (which
+    // these frames are: fixed blocking strategy, frame numbers) that
+    // strict decoders key on (round-18 ADVICE).
     val si = new BitWriter
-    si.writeBits(minBlock.toLong, 16) // min blocksize
+    si.writeBits(blockSize.toLong, 16) // min blocksize (== max; see above)
     si.writeBits(blockSize.toLong, 16) // max blocksize
     si.writeBits(0L, 24); si.writeBits(0L, 24) // frame sizes unknown
     si.writeBits(sampleRate.toLong, 20)
@@ -454,9 +495,14 @@ object Flac {
     * mm13 uses); when None the encoder picks per block: CONSTANT for
     * flat blocks, else the fixed order 0–4 minimizing Σ|residual|
     * (ties to the lower order), falling back to VERBATIM when Rice
-    * would not beat raw — the standard fixed-predictor search. */
+    * would not beat raw — the standard fixed-predictor search.
+    * `detectWasted` factors the block's common trailing-zero count
+    * out first (RFC 9639 §9.2.2; [[writeSubframeWasted]]) — opt-in so
+    * the mm13/mm15 size oracles written against the plain writer stay
+    * byte-exact. */
   def encode(stream: Stream, blockSize: Int = 4096,
-             forceOrder: Option[Int] = None): Array[Byte] = {
+             forceOrder: Option[Int] = None,
+             detectWasted: Boolean = false): Array[Byte] = {
     val n = stream.samples.length
     require(n > 0, "empty stream")
     require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
@@ -473,7 +519,9 @@ object Flac {
       var i = 0
       while (i < bs) { block(i) = stream.samples(off + i).toInt; i += 1 }
       out ++= buildFrame(0, Seq((block, 16)), bs, frameNo,
-        (b, x, bps) => writeSubframe(b, x, bps, forceOrder))
+        (b, x, bps) =>
+          if (detectWasted) writeSubframeWasted(b, x, bps, forceOrder)
+          else writeSubframe(b, x, bps, forceOrder))
       frameNo += 1
       off += bs
     }
@@ -817,11 +865,18 @@ object Flac {
 
   /** One subframe at `bps` bits/sample: CONSTANT / VERBATIM / FIXED /
     * quantized LPC with Rice method 0 or 1, any partition order,
-    * escape partitions included. Reserved types are rejected by name. */
-  private def parseSubframe(r: BitReader, bs: Int, bps: Int): Array[Int] = {
+    * escape partitions included, wasted-bits shift (RFC 9639 §9.2.2:
+    * flag 1 → k−1 unary-coded; the subframe is coded at bps−k and
+    * every sample shifts left by k on output — wild FLAC uses this
+    * routinely for low-bit-depth audio padded into 16/24-bit
+    * containers). Reserved types are rejected by name. */
+  private def parseSubframe(r: BitReader, bs: Int, bpsRaw: Int): Array[Int] = {
     require(r.readBits(1) == 0L, "subframe padding bit set")
     val sfType = r.readBits(6).toInt
-    require(r.readBits(1) == 0L, "wasted-bits flag out of subset")
+    val wasted =
+      if (r.readBits(1) == 0L) 0
+      else r.readUnary(bpsRaw - 2) + 1 // k ≥ 1; coded width bps−k ≥ 1
+    val bps = bpsRaw - wasted
     val lo = -(1L << (bps - 1))
     val hi = (1L << (bps - 1)) - 1
     val x = new Array[Int](bs)
@@ -885,6 +940,13 @@ object Flac {
       }
     } else {
       throw new IllegalArgumentException(s"reserved subframe type $sfType")
+    }
+    if (wasted > 0) {
+      // samples were coded at bps−k; the left shift restores the raw
+      // width and cannot overflow it (v within bps−k bits by the
+      // range checks above → v·2^k within bps bits)
+      var i = 0
+      while (i < bs) { x(i) = x(i) << wasted; i += 1 }
     }
     x
   }

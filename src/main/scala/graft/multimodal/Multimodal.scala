@@ -912,6 +912,40 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Low-amplitude waveforms padded into the 16-bit container — the
+    * WASTED-BITS shape (round-19, mm19; RFC 9639 §9.2.2). Family
+    * w = id mod 3 plants samples `(2·u_i + 1)·2^w` with
+    * `u_i = ((id·7 + i·(13 + id mod 5)) mod 101) − 50`: every base
+    * sample is ODD, so the block's common trailing-zero count is
+    * EXACTLY w and the encoder (`detectWasted = true`) must strip it,
+    * code the subframe at 16−w bits and declare k = w unary in the
+    * header — the k = 0 family keeps the no-wasted branch
+    * load-bearing. FIXED order 2 is pinned (mm13's oracle-replayable
+    * configuration): the new thing under hash is the wasted-bits
+    * detect/encode/decode and its size accounting (header grows by w
+    * bits while the 2-sample warmup shrinks by 2w — net −w), not the
+    * order search. Lossless, so decoded samples remain the planted
+    * closed form. */
+  def synthFlacWastedPayload(df: DataFrame, idCol: String,
+                             nSamples: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 3).toInt
+        val slope = 13 + (id % 5)
+        val samples = Array.tabulate(nSamples) { i =>
+          val u = ((id * 7 + i * slope) % 101) - 50
+          ((2 * u + 1) << w).toShort
+        }
+        Row(id, Flac.encode(Flac.Stream(8000, samples),
+          blockSize = nSamples, forceOrder = Some(2), detectWasted = true))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** [[wavFeatures]] for FLAC payloads, plus the compression columns:
     * parse with [[Flac.decode]] (CRC-verified Rice/fixed-predictor
     * decode — a single wrong bit anywhere changes every output), then

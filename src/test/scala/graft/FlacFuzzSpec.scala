@@ -50,6 +50,17 @@ class FlacFuzzSpec extends AnyFunSuite {
     sweep(enc, Flac.decode, "mono")
   }
 
+  test("wasted-bits mono: every single-byte frame corruption is rejected") {
+    // odd base × 4 → every subframe declares k=2 wasted bits; a flip
+    // in the flag/unary region reshapes the whole parse and must land
+    // on a structural check or the CRC-16, never silent samples
+    val x = Array.tabulate(600)(i =>
+      ((2 * (((i * 13) % 101) - 50) + 1) << 2).toShort)
+    val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 256,
+      detectWasted = true)
+    sweep(enc, Flac.decode, "wasted mono")
+  }
+
   test("stereo mid-side: every single-byte frame corruption is rejected") {
     val l = ramp(600)
     val r = Array.tabulate(600)(i => (l(i) - (((i * 3) % 41) - 20)).toShort)

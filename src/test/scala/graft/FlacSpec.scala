@@ -473,4 +473,67 @@ class FlacSpec extends AnyFunSuite {
     val bits = 8 + 32 + 10 + Flac.riceBits(rs, k)
     assert(enc.length == 42 + 8 + (bits + 7) / 8 + 2)
   }
+
+  /** Odd-base ramp scaled by 2^w — common trailing-zero count exactly
+    * w (the mm19 planted family). */
+  private def wastedSamples(n: Int, w: Int): Array[Short] =
+    Array.tabulate(n)(i =>
+      ((2 * (((i * 13) % 101) - 50) + 1) << w).toShort)
+
+  test("wasted bits: detect/strip/shift round trips, multi-frame, k 0-3") {
+    (0 to 3).foreach { w =>
+      val x = wastedSamples(600, w) // frames 256,256,88
+      val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 256,
+        forceOrder = Some(2), detectWasted = true)
+      assert(Flac.decode(enc).samples.toSeq == x.toSeq,
+        s"wasted round trip failed at w=$w")
+      // the shift must actually shrink the payload: coding at 16−w
+      // bits saves ≥ w bits per residual minus the w-bit header
+      if (w > 0) {
+        val plain = Flac.encode(Flac.Stream(8000, x), blockSize = 256,
+          forceOrder = Some(2))
+        assert(Flac.decode(plain).samples.toSeq == x.toSeq)
+        assert(enc.length < plain.length,
+          s"w=$w: wasted coding did not shrink (${enc.length} vs ${plain.length})")
+      }
+    }
+  }
+
+  test("wasted bits golden: the mm19 closed-form size (net −w delta)") {
+    (0 to 2).foreach { w =>
+      val x = wastedSamples(256, w)
+      val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 256,
+        forceOrder = Some(2), detectWasted = true)
+      // residuals run on the STRIPPED base; header pays 8+w bits
+      // (pad+type+flag+unary) while the 2-sample warmup drops to
+      // 2·(16−w) — the 50−w constant the mm19 oracle replays
+      val base = x.map(v => (v >> w).toShort)
+      val rs = Flac.fixedResiduals(base, 2)
+      val k = Flac.riceParam(rs.map(r => (r << 1) ^ (r >> 63)).sum, rs.length)
+      val bits = 50 - w + Flac.riceBits(rs, k)
+      assert(enc.length == 42 + 8 + (bits + 7) / 8 + 2,
+        s"w=$w: size ${enc.length} != closed form")
+    }
+  }
+
+  test("wasted bits: constant and adaptive (unforced) blocks round trip") {
+    val c = Array.fill(300)(48.toShort) // trailing zeros 4, CONSTANT
+    val encC = Flac.encode(Flac.Stream(8000, c), blockSize = 256,
+      detectWasted = true)
+    assert(Flac.decode(encC).samples.toSeq == c.toSeq)
+    val noisy = lcgSamples(512, amp = 2000)
+      .map(v => ((2 * v + 1) << 3).toShort) // odd base × 8
+    val encN = Flac.encode(Flac.Stream(8000, noisy), blockSize = 256,
+      detectWasted = true)
+    assert(Flac.decode(encN).samples.toSeq == noisy.toSeq)
+  }
+
+  test("wasted bits: k is capped so the coded width stays >= 1") {
+    // all samples = -32768 (trailing zeros 15): cap at bps-1 = 15 and
+    // the CONSTANT path still round-trips
+    val x = Array.fill(256)(Short.MinValue)
+    val enc = Flac.encode(Flac.Stream(8000, x), blockSize = 256,
+      detectWasted = true)
+    assert(Flac.decode(enc).samples.toSeq == x.toSeq)
+  }
 }
