@@ -432,59 +432,39 @@ object StreamMultimodalPack extends QueryPack {
 
     // Streaming Naive Bayes inference — model SERVING on a stream,
     // the two-phase deployment st16/st20 use for monitoring applied to
-    // classification: likelihoods/priors/vocab calibrated batch-side
-    // on the train split and shipped in the closure (corpus-bounded
-    // vocab here; a 100 TB deployment broadcast-joins the likelihood
-    // table — the t24 batch path IS that plan), the stream scores each
-    // held-out doc STATELESSLY (no state store at all), and the
-    // drained scores run through exactly t24's r4→argmax→confusion
-    // tail. Same oracle as t24: streaming ≡ batch because per-doc
-    // score sums are r4-canonicalized on both paths before the argmax.
+    // classification. Rebuilt round-19 (VERDICT item 3, the st16
+    // prior-join pattern): the model — likelihoods/priors/vocab fit
+    // batch-side on the train split — stays DISTRIBUTED as aggregated
+    // frames the stream joins (stream-static: class fan-out broadcast,
+    // token-keyed likelihood left join, tiny denominator broadcasts);
+    // nothing transits the driver, so vocabulary × classes is never a
+    // single-process bottleneck. The stream stays STATELESS (joins +
+    // projection, no state store): it emits per-(doc, class, token)
+    // log terms append-only, and the drained rows run through exactly
+    // t24's sum→prior→r4→argmax→confusion tail (NaiveBayes.
+    // confusionFromTerms). Same oracle as t24: streaming ≡ batch
+    // because per-doc score sums are r4-canonicalized on both paths
+    // before the argmax.
     Q("st22_stream_nb",
       (s, dir) => {
         import s.implicits._
         val name = s"st22_out_${counter.incrementAndGet()}"
-        val d = Tables.documents(s, dir)
+        val tr = Tables.documents(s, dir)
+          .filter($"doc_id" % 5 =!= 0)
           .select($"doc_id", $"lang",
             graft.text.TextOps.tokens($"text").as("ts"))
-        val tr = d.filter($"doc_id" % 5 =!= 0)
-        val ctc = tr.select($"lang", explode($"ts").as("tok"))
-          .groupBy($"lang", $"tok").count().collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        val tot = ctc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
-        val priM = tr.groupBy($"lang").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val ndocs = priM.values.sum
-        val vocab = ctc.keys.map(_._2).toSet.size
-        val classes = priM.keys.toSeq.sorted
+        val model = graft.text.NaiveBayes.fit(tr, "lang", "ts")
         val stream = s.readStream.schema(Tables.documentsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter($"doc_id" % 5 === 0)
-          .select($"doc_id", $"lang",
-            graft.text.TextOps.tokens($"text").as("ts"))
-          .as[(Long, String, Seq[String])]
-        val scored = stream.flatMap { case (id, lang, toks) =>
-          classes.map { c =>
-            val denom = (tot(c) + vocab).toDouble
-            val ssum = toks.map(t =>
-              math.log((ctc.getOrElse((c, t), 0L) + 1).toDouble / denom)).sum
-            (id, lang, c, ssum)
-          }
-        }.toDF("doc_id", "true_lang", "c", "ssum")
-        val q = scored.writeStream.outputMode("append")
+          .select($"doc_id".as("__id"), $"lang".as("true_label"),
+            explode(graft.text.TextOps.tokens($"text")).as("tok"))
+        val q = graft.text.NaiveBayes.termRows(stream, model)
+          .writeStream.outputMode("append")
           .format("memory").queryName(name).start()
         drain(q, name)
-        val pri = priM.toSeq.toDF("c", "nd")
-        s.table(name)
-          .join(broadcast(pri), "c")
-          .select($"doc_id", $"true_lang", $"c",
-            Rx.r4(log($"nd".cast("double") / lit(ndocs)) + $"ssum")
-              .as("score"))
-          .groupBy($"doc_id", $"true_lang")
-          .agg(min(struct(-$"score", $"c")).as("mn"))
-          .select($"true_lang", $"mn.c".as("pred"))
-          .groupBy($"true_lang", $"pred").agg(count(lit(1)).as("n"))
-          .orderBy($"true_lang", $"pred")
+        graft.text.NaiveBayes.confusionFromTerms(s.table(name), model)
+          .withColumnRenamed("true_label", "true_lang")
       },
       // t24's oracle verbatim — the model and the scoring are the same
       // computation, only the execution substrate differs
@@ -1574,7 +1554,10 @@ object StreamMultimodalPack extends QueryPack {
              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM wb a JOIN wb b
              |    ON a.k2 = b.k2 AND a.wband = b.wband AND a.doc_id < b.doc_id
-             |  WHERE (SELECT n FROM nc) > 256),
+             |  WHERE (SELECT n FROM nc) > 256
+             |    AND CASE WHEN (SELECT n FROM nc) > 65536 THEN error(
+             |      'mm12 oracle replays w=2 only; >65536 docs takes w=4')
+             |      ELSE TRUE END),
              |cand AS (SELECT * FROM cand1 UNION ALL SELECT * FROM cand2),
              |ham AS (
              |  SELECT c.id_a, c.id_b,
@@ -1778,7 +1761,10 @@ object StreamMultimodalPack extends QueryPack {
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM wb a JOIN wb b
              |    ON a.g = b.g AND a.wband = b.wband AND a.doc_id < b.doc_id
-             |  WHERE (SELECT n FROM nc) > 256),
+             |  WHERE (SELECT n FROM nc) > 256
+             |    AND CASE WHEN (SELECT n FROM nc) > 65536 THEN error(
+             |      'mm17 oracle replays w=2 only; >65536 docs takes w=4')
+             |      ELSE TRUE END),
              |cand2s AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM swb a JOIN swb b
@@ -2214,6 +2200,73 @@ object StreamMultimodalPack extends QueryPack {
              |f AS (
              |  SELECT doc_id, avg(abs(v)) AS mean_abs,
              |    max(abs(v)) AS peak, sum(v * v) AS energy
+             |  FROM s GROUP BY doc_id)
+             |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
+             |  rb.encoded_bytes,
+             |  round(rb.encoded_bytes / 512.0 + 1e-9, 6) AS ratio,
+             |  round(f.mean_abs + 1e-9, 6) AS mean_abs,
+             |  CAST(f.peak AS INT) AS peak, CAST(f.energy AS BIGINT) AS energy
+             |FROM f JOIN rb ON f.doc_id = rb.doc_id""".stripMargin)),
+
+    // MM19 (round-19, VERDICT item 4): WASTED-BITS subframes — the
+    // last RFC 9639 §9 feature the decode path rejected by name, and
+    // the first rejection a user pointing Multimodal at wild FLAC
+    // would hit (low-bit-depth audio padded into 16/24-bit containers
+    // uses it routinely). Family w = id mod 3 plants odd-base samples
+    // scaled by 2^w (synthFlacWastedPayload scaladoc), so the
+    // encoder's detected common trailing-zero count is exactly w: it
+    // must code the subframe at 16−w bits with k = w declared unary
+    // in the header, and the decoder must strip the flag, decode
+    // narrow and shift back — losslessness keeps the decoded samples
+    // the planted closed form, and the size oracle is mm13's formula
+    // with the net −w header delta (wasted field +w bits, 2-sample
+    // warmup −2w). The w = 0 family pins that the plain branch still
+    // writes bit-identically.
+    Q("mm19_flac_wasted",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.flacFeatures(
+            Multimodal.synthFlacWastedPayload(
+              Tables.documents(s, dir), "doc_id"))
+          .select($"id".as("doc_id"), $"n_samples", $"encoded_bytes",
+            r6($"ratio").as("ratio"), r6($"mean_abs").as("mean_abs"),
+            $"peak", $"energy")
+      },
+      Some("""WITH s AS (
+             |  SELECT d.doc_id, d.doc_id % 3 AS w, t.i,
+             |    2 * ((d.doc_id * 7 + t.i * (13 + d.doc_id % 5)) % 101 - 50)
+             |      + 1 AS b
+             |  FROM documents d, range(0, 256) t(i)),
+             |r AS (
+             |  SELECT doc_id, w, i, b,
+             |    b - 2 * lag(b, 1) OVER win + lag(b, 2) OVER win AS res
+             |  FROM s WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+             |z AS (
+             |  SELECT doc_id, w,
+             |    CASE WHEN res < 0 THEN -2 * res - 1 ELSE 2 * res END AS zz
+             |  FROM r WHERE i >= 2),
+             |kp AS (
+             |  SELECT doc_id, sum(zz) // 254 AS m FROM z GROUP BY 1),
+             |kk AS (
+             |  SELECT doc_id, CASE
+             |    WHEN m >= 16384 THEN 14 WHEN m >= 8192 THEN 13
+             |    WHEN m >= 4096 THEN 12 WHEN m >= 2048 THEN 11
+             |    WHEN m >= 1024 THEN 10 WHEN m >= 512 THEN 9
+             |    WHEN m >= 256 THEN 8 WHEN m >= 128 THEN 7
+             |    WHEN m >= 64 THEN 6 WHEN m >= 32 THEN 5
+             |    WHEN m >= 16 THEN 4 WHEN m >= 8 THEN 3
+             |    WHEN m >= 4 THEN 2 WHEN m >= 2 THEN 1 ELSE 0 END AS k
+             |  FROM kp),
+             |rb AS (
+             |  SELECT z.doc_id,
+             |    CAST(42 + 8 + ((50 - z.w + sum((zz >> k) + 1 + k) + 7) // 8)
+             |         + 2 AS INT) AS encoded_bytes
+             |  FROM z JOIN kk ON z.doc_id = kk.doc_id
+             |  GROUP BY z.doc_id, z.w, kk.k),
+             |f AS (
+             |  SELECT doc_id, avg(abs(b * (1 << w))) AS mean_abs,
+             |    max(abs(b * (1 << w))) AS peak,
+             |    sum(b * b * (1 << w) * (1 << w)) AS energy
              |  FROM s GROUP BY doc_id)
              |SELECT f.doc_id, CAST(256 AS INT) AS n_samples,
              |  rb.encoded_bytes,

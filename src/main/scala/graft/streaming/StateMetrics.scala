@@ -192,9 +192,11 @@ object StateMetrics {
     "st27" -> Ceiling(64, 0.0))
 
   /** Stream lines whose state is structurally ZERO (round-16, VERDICT
-    * item 5): st22 serves a broadcast-scored NB model (map-only per
-    * micro-batch, no state store) and st24 re-joins a static dimension
-    * frame per micro-batch (stream-static joins keep no join state).
+    * item 5): st22 serves the NB model via stream-static joins
+    * (round-19 rebuild — likelihood/prior frames joined per
+    * micro-batch, no state store, nothing collected to the driver)
+    * and st24 re-joins a static dimension frame per micro-batch
+    * (stream-static joins keep no join state).
     * Declared explicitly so the two directions both alarm: state
     * APPEARING on these lines trips their 0-row ceiling, and state
     * VANISHING on every OTHER measured line — a dead listener, a
