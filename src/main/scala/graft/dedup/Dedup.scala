@@ -51,11 +51,22 @@ object Dedup {
     * `(a_i·h30 + b_i) mod 2^31-1` evaluated as numPerm parallel `min`
     * aggregates over the single shingle pass — no per-seed explode, so
     * the shuffled volume is one row per doc, not numPerm × shingles.
-    * The shingle-set size rides along in the same pass. */
-  def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+    * The shingle-set size rides along in the same pass.
+    *
+    * `permOffset` selects an INDEPENDENT permutation family (indices
+    * permOffset..permOffset+numPerm−1) — the second LSH table of the
+    * d21 multi-table composition: banding two independent families
+    * doubles the effective band count, lifting candidate recall from
+    * 1−(1−s^r)^b to 1−(1−s^r)^2b at 2× signature cost and unchanged
+    * join shape (round-19, VERDICT item 7; the recall knob
+    * [[BandedLsh.hammingPairsTables]] caps at 2 fingerprint-derived
+    * tables has no cap here — seed families are unlimited). */
+  def minhashSignatures(sh: DataFrame, numPerm: Int,
+                        permOffset: Int = 0): DataFrame = {
     val hashed = sh.withColumn("h30", pmod(TextOps.hash60(col("sh")), lit(1073741824L)))
     val minAggs = (0 until numPerm).map(i =>
-      min((col("h30") * permA(i) + permB(i)) % 2147483647L).as(s"__s$i"))
+      min((col("h30") * permA(permOffset + i) + permB(permOffset + i))
+        % 2147483647L).as(s"__s$i"))
     val aggs = minAggs :+ count(lit(1)).as("n_sh")
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .select(col("id"),

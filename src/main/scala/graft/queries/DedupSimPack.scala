@@ -93,6 +93,41 @@ object DedupSimPack extends QueryPack {
       |  FROM sh30 GROUP BY id)""".stripMargin
   }
 
+  /** [[OracleSig]] widened to BOTH permutation families (s0..s15 the
+    * d2 table, s16..s31 the independent d21 second table) — 32 min
+    * aggregates over the same single shingle pass, mirroring
+    * Dedup.minhashSignatures(…, permOffset = NumPerm). */
+  private val OracleSig2 = {
+    val minExprs = (0 until 2 * NumPerm).map(i =>
+      s"min((h30 * ${Dedup.permA(i)} + ${Dedup.permB(i)}) % 2147483647) AS s$i")
+      .mkString(",\n      |    ")
+    s"""d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+      |shl AS (SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3
+      |      THEN list_distinct([array_to_string(ts[i:i+2], ' ')
+      |                         for i in range(1, len(ts) - 1)])
+      |      ELSE [] END AS shs
+      |  FROM d),
+      |sh AS (SELECT doc_id AS id, unnest(shs) AS sh FROM shl),
+      |sh30 AS (SELECT id, sh,
+      |    CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 1073741824 AS h30
+      |  FROM sh),
+      |sig AS (SELECT id,
+      |    $minExprs
+      |  FROM sh30 GROUP BY id)""".stripMargin
+  }
+
+  /** [[OracleBand]] for the second family: bands over s16..s31, CTE
+    * `band2`. */
+  private val OracleBand2 = {
+    val arms = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r =>
+        s"s${NumPerm + b * RowsPerBand + r}")
+      s"SELECT id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_key FROM sig"
+    }
+    arms.mkString("band2 AS (\n  ", "\n  UNION ALL ", ")")
+  }
+
   /** Oracle band CTE: one UNION ALL arm per band, band_key = md5 of the
     * comma-joined 4 signature values of that band. */
   private val OracleBand = {
@@ -127,6 +162,77 @@ object DedupSimPack extends QueryPack {
               |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
               |  GROUP BY 1, 2)
               |SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
+
+    // D21 (round-19, VERDICT item 7): MULTI-TABLE MinHash LSH — the
+    // recall knob the text tier was missing. mm17 widened dHash recall
+    // with a second STRIDED composition because fingerprint bits admit
+    // only 2 such tables (BandedLsh.hammingPairsTables cap rationale);
+    // MinHash has no such cap — the second table is an INDEPENDENT
+    // permutation family (seed indices 16..31), banded 4×4 exactly
+    // like the first, candidates UNIONed, exact Jaccard verified once.
+    // Candidate recall lifts from 1−(1−s^4)^4 to 1−(1−s^4)^8 at 2×
+    // signature aggregates and UNCHANGED join shape — at 100 TB both
+    // tables are the same bucketed band join, never all-pairs.
+    // Measured where it matters (tools/MinhashTables on the
+    // gen_mids.py mid-similarity fixture — the gate corpora's planted
+    // dups are all J ≥ ~0.9, where any table catches everything):
+    // exact-truth recall 0.607 → 0.772 at J ≥ 0.5 (0.485 → 0.641 at
+    // 0.4), with 476 of 2231 verified pairs surfaced ONLY by the
+    // second family. `tables_hit` (1/2/3) makes the composition
+    // LOAD-BEARING in the hash at the gate corpora too: 27 + 36 of
+    // sf0.1's 326 candidate rows are single-table, so the oracle must
+    // replay BOTH candidate stages exactly to match the column.
+    Q("d21_minhash_twotable",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, sigs) = shingleSigs(s, dir)
+        val sigs2 = Dedup.minhashSignatures(sh, NumPerm, permOffset = NumPerm)
+        val c1 = Dedup.lshCandidates(sigs, Bands, RowsPerBand)
+          .withColumn("t", lit(1L))
+        val c2 = Dedup.lshCandidates(sigs2, Bands, RowsPerBand)
+          .withColumn("t", lit(2L))
+        val cands = c1.unionByName(c2)
+          .groupBy($"id_a", $"id_b").agg(sum($"t").as("tables_hit"))
+          .localCheckpoint() // candidate build feeds verify + final join
+        Dedup.verifyJaccard(cands.select($"id_a", $"id_b"), sh,
+            sigs.select($"id", $"n_sh"))
+          .join(cands, Seq("id_a", "id_b"))
+          .select($"id_a", $"id_b", $"tables_hit", $"n_inter", $"n_a",
+            $"n_b", r6($"jaccard").as("jaccard"))
+      },
+      Some(s"""WITH $OracleSig2,
+              |$OracleBand,
+              |$OracleBand2,
+              |cand AS (
+              |  SELECT id_a, id_b, CAST(sum(t) AS BIGINT) AS tables_hit
+              |  FROM (
+              |    SELECT DISTINCT a.id AS id_a, b.id AS id_b, 1 AS t
+              |    FROM band a JOIN band b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id < b.id
+              |    UNION ALL
+              |    SELECT DISTINCT a.id, b.id, 2
+              |    FROM band2 a JOIN band2 b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id < b.id)
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, c.tables_hit,
+              |  coalesce(i.n_inter, 0) AS n_inter,
               |  za.n_sh AS n_a, zb.n_sh AS n_b,
               |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
               |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
@@ -1505,6 +1611,15 @@ object DedupSimPack extends QueryPack {
     // nAssignSup=3) measures 1.00 at sf0.01 and 0.84 at sf0.1 at
     // unchanged wall time (~2.4s): probing ~25% of cells, the
     // standard IVF recall/scan trade on weakly-clustered vectors.
+    // Round-19 (VERDICT item 5): nprobe became a DERIVED knob like
+    // d20's bucket bits — np = max(8, ⌈2·√nCells⌉), the derivation
+    // replayed in the oracle — because nCells is count-adaptive and a
+    // fixed probe width decays one recall cliff per decade (r17's
+    // 0.74→0.38 at 32 cells; a pinned 8 is 0.26% of sf3d's 3125
+    // cells). The probed fraction stays ≈ 2/√nCells, the same O(√n)
+    // envelope as the hierarchical routing, so cost and recall now
+    // scale together: 8/8/12 cells probed at the three gate corpora,
+    // 112 at the sf3d decade (AnnKnobs grid, SCALING.md).
     Q("s17_ann_ivf_hier",
       (s, dir) => {
         import s.implicits._
@@ -1513,13 +1628,14 @@ object DedupSimPack extends QueryPack {
               .select($"vec_id", $"embedding".cast("array<double>").as("v")),
             "vec_id", "v", queryPred = col("vec_id") < 10,
             k = 5, targetCell = 64, nprobe = 8, dims = 64, nprobeSup = 2,
-            nAssignSup = 3)
+            nAssignSup = 3, nprobeScale = 2.0)
           .select($"query_id", $"cell", $"corpus_id", r6($"cos").as("cos"),
             $"rank")
       },
       Some(graft.sim.IvfAnn.hierOracleSql(
         k = 5, targetCell = 64, nprobe = 8, dims = 64,
-        queryPredSql = "e.vec_id < 10", nprobeSup = 2, nAssignSup = 3))),
+        queryPredSql = "e.vec_id < 10", nprobeSup = 2, nAssignSup = 3,
+        nprobeScale = 2.0))),
 
     // Product quantization + exact re-rank (sim.Pq): 64-dim embeddings
     // → 16 subspaces × 64 centroids, corpus stored as 16 small ints per

@@ -238,12 +238,28 @@ object IvfAnn {
     * in the DuckDB oracle verbatim. */
   def hierTopK(df: DataFrame, idCol: String, vecCol: String,
                queryPred: Column, k: Int, targetCell: Int, nprobe: Int,
-               dims: Int, nprobeSup: Int = 1, nAssignSup: Int = 1): DataFrame = {
+               dims: Int, nprobeSup: Int = 1, nAssignSup: Int = 1,
+               nprobeScale: Double = 0.0): DataFrame = {
     require(targetCell > 0 && nprobe > 0 && nprobeSup > 0 && nAssignSup > 0,
       s"targetCell $targetCell nprobe $nprobe nprobeSup $nprobeSup" +
         s" nAssignSup $nAssignSup")
     val kc = math.max(1L,
       (df.count() + targetCell - 1) / targetCell).toInt
+    // DERIVED probe width (round-19, VERDICT item 5 — the d20 lesson
+    // applied to the recall knob): nCells is already count-adaptive
+    // (kc ∝ n/targetCell), so a FIXED nprobe decays per decade — r17's
+    // recall fell 0.74→0.38 when sf0.1's 32-cell index outgrew
+    // nprobe=3, and a pinned 8 repeats that cliff at the sf3d decade
+    // (8/3125 ≈ 0.26% probe fraction). With nprobeScale > 0 the probe
+    // width follows the index: np = max(nprobe, ⌈scale·√kc⌉), keeping
+    // the probed fraction ≈ scale/√kc of the corpus — the same O(√n)
+    // envelope as the routing itself, so cost AND recall scale
+    // together. IEEE sqrt/ceil are correctly rounded on both engines,
+    // so the oracle replays the derivation bit-identically.
+    val np =
+      if (nprobeScale > 0)
+        math.max(nprobe, math.ceil(nprobeScale * math.sqrt(kc.toDouble)).toInt)
+      else nprobe
     val sCount = math.ceil(math.sqrt(kc.toDouble)).toInt.max(1)
     val cells = IvfPq.coarseCells(df, idCol, vecCol, kc).localCheckpoint()
     val supers = cells.filter(col("cell") < sCount)
@@ -295,7 +311,7 @@ object IvfAnn {
       .join(broadcast(cellSup), "sup")
       .withColumn("cd2", Pq.dist2Unrolled(col("v"), col("cellv"), dims))
       .withColumn("prank", row_number().over(wp))
-      .filter(col("prank") <= nprobe)
+      .filter(col("prank") <= np)
       .select(col("query_id"), col("qv"), col("cell"))
     // scoring tail — identical to portableTopK: candidates bound by
     // probed-cell membership, one fused dot per normalized pair
@@ -328,7 +344,15 @@ object IvfAnn {
     * [[portableOracleSql]]'s cosine scoring tail. */
   def hierOracleSql(k: Int, targetCell: Int, nprobe: Int, dims: Int,
                     queryPredSql: String, nprobeSup: Int = 1,
-                    nAssignSup: Int = 1): String = {
+                    nAssignSup: Int = 1, nprobeScale: Double = 0.0): String = {
+    // the count-adaptive probe width replayed IN SQL (see hierTopK):
+    // np = max(nprobe, ceil(scale·sqrt(kc))) — sqrt/ceil are correctly
+    // rounded IEEE on both engines
+    val npSql =
+      if (nprobeScale > 0)
+        s"(SELECT greatest($nprobe, CAST(ceil($nprobeScale * sqrt(kc)) " +
+          s"AS BIGINT)) FROM nc)"
+      else nprobe.toString
     def d2(a: String, b: String): String =
       s"""list_reduce(list_prepend(0.0,
          |      list_transform(range(1, $dims + 1),
@@ -377,7 +401,7 @@ object IvfAnn {
        |        ORDER BY ${d2("e.v", "ca.cellv")}, ca.cell) AS prn
        |    FROM e
        |    JOIN qsup p ON p.vec_id = e.vec_id
-       |    JOIN casg ca ON ca.sup = p.sup) WHERE prn <= $nprobe),
+       |    JOIN casg ca ON ca.sup = p.sup) WHERE prn <= $npSql),
        |nm AS (SELECT vec_id, v,
        |    sqrt(list_reduce(list_prepend(0.0,
        |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),

@@ -24,20 +24,25 @@ object AnnKnobs {
         e, e.filter(col("vec_id") < 10), "vec_id", "v", k = 5)
       .select(col("query_id"), col("corpus_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // round-19 grid: the count-adaptive probe scale (s17's derived
+    // np = max(nprobe, ceil(scale·sqrt(nCells)))) swept next to the
+    // fixed settings, at any corpus dir (incl. target/sf3d)
     for {
-      np <- Seq(3, 5, 8)
+      (np, scale) <- Seq((8, 0.0), (8, 1.0), (8, 2.0), (8, 3.0))
       nps <- Seq(2, 3)
-      nas <- Seq(2, 3)
+      nas <- Seq(3)
     } {
       val t0 = System.nanoTime()
       val hier = graft.sim.IvfAnn.hierTopK(e, "vec_id", "v",
           queryPred = col("vec_id") < 10, k = 5, targetCell = 64,
-          nprobe = np, dims = 64, nprobeSup = nps, nAssignSup = nas)
+          nprobe = np, dims = 64, nprobeSup = nps, nAssignSup = nas,
+          nprobeScale = scale)
         .select(col("query_id"), col("corpus_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact & hier).size.toDouble / exact.size
-      println(f"[ann-knobs] nprobe=$np nprobeSup=$nps nAssignSup=$nas " +
-        f"recall@5=$recall%.3f (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      println(f"[ann-knobs] nprobe=$np scale=$scale nprobeSup=$nps " +
+        f"nAssignSup=$nas recall@5=$recall%.3f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
     spark.stop()
   }

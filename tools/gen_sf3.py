@@ -56,6 +56,11 @@ def check(table, out, want_rows):
 
 # --- documents: 100 content-shifted replicas ------------------------
 n_src = con.sql(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+# replica stride is 10000: ids must fit under it or replicas collide
+# silently (the row-count check can't see duplicate doc_ids) — r18 ADVICE
+max_id = con.sql(
+    f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'").fetchone()[0]
+assert max_id < 10000, f"doc_id {max_id} >= replica stride 10000"
 out_d = f"{DST}/documents.parquet"
 con.execute(f"""
   COPY (
