@@ -323,11 +323,20 @@ object Bench {
         setupRep(name) = (System.nanoTime() - t0) / 1e9
       }
     }
+    // Disk-layout stages persist ACROSS the cache reset — their
+    // "rebuild" is an existence check, not a state-symmetric second
+    // measurement (observed in the r19 close run: setup_zorder's 2.5s
+    // build "retimed" against a 0.0s no-op). Only the memo/block-
+    // manager-backed stages, which the reset genuinely clears, join
+    // the retime/lo mechanism; the disk stages' single sample stands.
+    val diskBackedSetups =
+      Set("setup_events_part", "setup_bucketed", "setup_zorder")
     val setupLo: Map[String, Double] = setup.toMap.map { case (n, t) =>
-      n -> setupRep.get(n).map(math.min(t, _)).getOrElse(t) }
+      n -> (if (diskBackedSetups(n)) t
+            else setupRep.get(n).map(math.min(t, _)).getOrElse(t)) }
     setup.keys.toSeq.foreach { n =>
       val t = setup(n)
-      setupRep.get(n).foreach { t2 =>
+      if (!diskBackedSetups(n)) setupRep.get(n).foreach { t2 =>
         if (t > 2.0 && t > 2.0 * t2) { retimed(n) = t; setup(n) = t2 }
       }
     }
