@@ -1611,15 +1611,17 @@ object DedupSimPack extends QueryPack {
     // nAssignSup=3) measures 1.00 at sf0.01 and 0.84 at sf0.1 at
     // unchanged wall time (~2.4s): probing ~25% of cells, the
     // standard IVF recall/scan trade on weakly-clustered vectors.
-    // Round-19 (VERDICT item 5): nprobe became a DERIVED knob like
-    // d20's bucket bits — np = max(8, ⌈2·√nCells⌉), the derivation
+    // Round-19 (VERDICT item 5): BOTH probe widths became DERIVED
+    // knobs like d20's bucket bits — np = max(8, ⌈2·√nCells⌉) and
+    // nps = max(2, ⌈√S⌉) with S = ⌈√nCells⌉ supers, each derivation
     // replayed in the oracle — because nCells is count-adaptive and a
     // fixed probe width decays one recall cliff per decade (r17's
     // 0.74→0.38 at 32 cells; a pinned 8 is 0.26% of sf3d's 3125
     // cells). The probed fraction stays ≈ 2/√nCells, the same O(√n)
     // envelope as the hierarchical routing, so cost and recall now
-    // scale together: 8/8/12 cells probed at the three gate corpora,
-    // 112 at the sf3d decade (AnnKnobs grid, SCALING.md).
+    // scale together. AnnKnobs grid (SCALING.md): sf0.1 recall@5
+    // 0.84 fixed → 0.92 derived (np 12, nps 3); sf3d 0.42 fixed →
+    // 1.00 derived (np 112, nps 8) at unchanged wall.
     Q("s17_ann_ivf_hier",
       (s, dir) => {
         import s.implicits._

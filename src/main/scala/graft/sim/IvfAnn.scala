@@ -261,6 +261,15 @@ object IvfAnn {
         math.max(nprobe, math.ceil(nprobeScale * math.sqrt(kc.toDouble)).toInt)
       else nprobe
     val sCount = math.ceil(math.sqrt(kc.toDouble)).toInt.max(1)
+    // the SUPER-level probe width follows the super count the same way
+    // (adaptive mode only): nps = max(nprobeSup, ⌈√S⌉) — a fixed
+    // nprobeSup is the same decaying knob one level up (S = ⌈√kc⌉
+    // grows per decade; AnnKnobs at sf0.1: nps 2→3 lifts recall@5
+    // 0.86→0.92 at unchanged wall). Derivation replayed in the oracle.
+    val nps =
+      if (nprobeScale > 0)
+        math.max(nprobeSup, math.ceil(math.sqrt(sCount.toDouble)).toInt)
+      else nprobeSup
     val cells = IvfPq.coarseCells(df, idCol, vecCol, kc).localCheckpoint()
     val supers = cells.filter(col("cell") < sCount)
       .select(col("cell").as("sup"), col("cellv").as("supv"))
@@ -304,7 +313,7 @@ object IvfAnn {
       .crossJoin(broadcast(supers))
       .withColumn("__sd2", Pq.dist2Unrolled(col("v"), col("supv"), dims))
       .withColumn("srank", row_number().over(ws))
-      .filter(col("srank") <= nprobeSup)
+      .filter(col("srank") <= nps)
       .select(col("vec_id").as("query_id"), col("sup"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("cd2"), col("cell"))
     val probes = qbase.join(qsup, "query_id")
@@ -353,6 +362,13 @@ object IvfAnn {
         s"(SELECT greatest($nprobe, CAST(ceil($nprobeScale * sqrt(kc)) " +
           s"AS BIGINT)) FROM nc)"
       else nprobe.toString
+    // super-level probe width, derived the same way in adaptive mode:
+    // nps = max(nprobeSup, ceil(sqrt(S))) with S = ceil(sqrt(kc))
+    val npsSql =
+      if (nprobeScale > 0)
+        s"(SELECT greatest($nprobeSup, CAST(ceil(sqrt(" +
+          s"CAST(ceil(sqrt(kc)) AS BIGINT))) AS BIGINT)) FROM nc)"
+      else nprobeSup.toString
     def d2(a: String, b: String): String =
       s"""list_reduce(list_prepend(0.0,
          |      list_transform(range(1, $dims + 1),
@@ -394,7 +410,7 @@ object IvfAnn {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${d2("e.v", "s.supv")}, s.sup) AS srn
        |    FROM e, sup s
-       |    WHERE $queryPredSql) WHERE srn <= $nprobeSup),
+       |    WHERE $queryPredSql) WHERE srn <= $npsSql),
        |probes AS (SELECT query_id, cell FROM (
        |    SELECT e.vec_id AS query_id, ca.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
