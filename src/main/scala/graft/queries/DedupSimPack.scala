@@ -93,6 +93,12 @@ object DedupSimPack extends QueryPack {
       |  FROM sh30 GROUP BY id)""".stripMargin
   }
 
+  /** d2's oracle signature/band CTEs, shared with the streaming
+    * near-dedup (st28, StreamMultimodalPack) so the stream's in-row
+    * MinHash replays the identical signature construction. */
+  private[queries] def OracleSigShared: String = OracleSig
+  private[queries] def OracleBandShared: String = OracleBand
+
   /** [[OracleSig]] widened to BOTH permutation families (s0..s15 the
     * d2 table, s16..s31 the independent d21 second table) — 32 min
     * aggregates over the same single shingle pass, mirroring

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.io.Tables
 import graft.multimodal.Multimodal
 import graft.queries.Rx.r6
@@ -622,6 +623,102 @@ object StreamMultimodalPack extends QueryPack {
              |  ON v.user_id = p.user_id AND v.valid_from <= p.t
              |  AND (v.valid_to IS NULL OR p.t < v.valid_to)
              |ORDER BY p.user_id, p.event_id""".stripMargin)),
+
+    // ST28 (round-19): STREAMING NEAR-DEDUP against the standing
+    // corpus index — d9's incremental-ingestion claim ("a delta costs
+    // its banding + bucket fan-in, never a corpus re-pass") run as the
+    // actual stream a 100 TB pipeline deploys. The standing side is
+    // the materialized LSH infrastructure (banded MinHash index +
+    // per-doc distinct shingle sets — the tables a production corpus
+    // keeps bucketed by band_key); the arriving docs (doc_id % 5 = 0,
+    // the st22 batch convention) compute their 16-permutation MinHash
+    // signature IN-ROW — array_min over transform of the shingle
+    // array, no groupBy, so the stream needs NO state store at all —
+    // band, stream-static-join the index, and verify exact Jaccard
+    // in-row via array_intersect against the corpus doc's shingle
+    // set. Every stage is stateless (state pinned 0, the st22/st24
+    // class); a pair surfacing through multiple bands emits identical
+    // rows, collapsed by the post-drain distinct. Same integer/float
+    // contract as d2/d9, so the oracle is the d9 tail with the
+    // stream-batch predicate.
+    Q("st28_stream_neardedup",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st28_out_${counter.incrementAndGet()}"
+        val docs = Tables.documents(s, dir)
+        val shIdx = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .localCheckpoint()
+        val index = Dedup.bandIndex(
+            Dedup.minhashSignatures(shIdx, 16), 4, 4)
+          .withColumnRenamed("id", "corpus_id").localCheckpoint()
+        val corpusShs = shIdx.groupBy($"id".as("corpus_id"))
+          .agg(collect_set($"sh").as("shs_c")).localCheckpoint()
+        val p = 2147483647L
+        val stream = s.readStream.schema(Tables.documentsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter($"doc_id" % 5 === 0)
+          .select($"doc_id",
+            graft.text.TextOps.shingles(
+              graft.text.TextOps.tokens($"text"), 3).as("shs"))
+          .filter(size($"shs") > 0)
+          .withColumn("h30s", transform($"shs",
+            sh => pmod(graft.text.TextOps.hash60(sh), lit(1073741824L))))
+          .withColumn("sig", array((0 until 16).map(i =>
+            array_min(transform($"h30s", h =>
+              (h * Dedup.permA(i) + Dedup.permB(i)) % p))): _*))
+          .select($"doc_id", $"shs",
+            posexplode(array((0 until 4).map(b =>
+              md5(concat_ws(",", (0 until 4).map(r =>
+                element_at($"sig", b * 4 + r + 1).cast("string")): _*))): _*))
+              .as(Seq("band", "band_key")))
+        val scored = stream
+          .join(index, Seq("band", "band_key"))
+          .filter($"doc_id" =!= $"corpus_id")
+          .join(corpusShs, Seq("corpus_id"))
+          .select(
+            least($"doc_id", $"corpus_id").as("id_a"),
+            greatest($"doc_id", $"corpus_id").as("id_b"),
+            size(array_intersect($"shs", $"shs_c")).as("n_inter"),
+            when($"doc_id" < $"corpus_id", size($"shs"))
+              .otherwise(size($"shs_c")).as("n_a"),
+            when($"doc_id" < $"corpus_id", size($"shs_c"))
+              .otherwise(size($"shs")).as("n_b"))
+        val q = scored.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).distinct()
+          .select($"id_a", $"id_b", $"n_inter".cast("long").as("n_inter"),
+            $"n_a".cast("long").as("n_a"), $"n_b".cast("long").as("n_b"),
+            r6($"n_inter".cast("double")
+              / ($"n_a" + $"n_b" - $"n_inter")).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH ${DedupSimPack.OracleSigShared},
+              |${DedupSimPack.OracleBandShared},
+              |cand AS (
+              |  SELECT DISTINCT least(a.id, b.id) AS id_a,
+              |    greatest(a.id, b.id) AS id_b
+              |  FROM band a JOIN band b
+              |    ON a.band = b.band AND a.band_key = b.band_key
+              |   AND a.id <> b.id
+              |  WHERE a.id % 5 = 0),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b
+              |ORDER BY c.id_a, c.id_b""".stripMargin)),
 
     // Streaming Count-Min heavy hitters — the third sketch's streaming
     // form (HLL = st17, histogram = st18, CMS = here): the d·w cell
