@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.io.Tables
 import graft.multimodal.Multimodal
 import graft.queries.Rx.r6
+import graft.sim.Similarity
 import graft.streaming.StreamOps
 
 /** Streaming + multimodal tier (SURVEY §2.9; BASELINE.json multimodal
@@ -719,6 +720,97 @@ object StreamMultimodalPack extends QueryPack {
               |JOIN sizes za ON za.id = c.id_a
               |JOIN sizes zb ON zb.id = c.id_b
               |ORDER BY c.id_a, c.id_b""".stripMargin)),
+
+    // ST30 (round-19): st28's streaming-ingestion shape for the
+    // EMBEDDING modality — arriving vectors (vec_id % 5 = 0) probed
+    // against the standing hyperplane-LSH bucket index with d20's
+    // exact semantics: count-adaptive bucket width (the b ladder
+    // derived batch-side from the standing corpus, replayed by the
+    // oracle), Hamming-≤1 multi-probe with the (nBits+1)-bucket fan
+    // on the ARRIVING side (the delta pays the probe cost, the corpus
+    // is bucketed once — the inverted-list asymmetry a production
+    // index wants), and the fused in-row dot on normalized pairs.
+    // Stateless end to end (projection + stream-static joins, state
+    // pinned 0); a both-arriving pair surfaces once per direction
+    // with the bit-identical commutative dot, collapsed by the
+    // post-drain distinct. With st3 (exact), st28 (text near-dup) and
+    // this, the dedup tier's three batch flavors all have their
+    // continuous-ingestion streaming form.
+    Q("st30_stream_embed_neardedup",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st30_out_${counter.incrementAndGet()}"
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", $"label",
+            $"embedding".cast("array<double>").as("v"))
+        val bits = Similarity.adaptiveBits(emb.count())
+        val index = Similarity.withNormalized(emb, "v", "nv")
+          .select($"vec_id".as("corpus_id"), $"label",
+            Similarity.signBucket($"v", bits).as("probe"),
+            $"nv".as("nv_c"))
+          .localCheckpoint()
+        val stream = Similarity.withNormalized(
+            s.readStream.schema(Tables.embeddingsSchema)
+              .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+              .filter($"vec_id" % 5 === 0)
+              .select($"vec_id", $"label",
+                $"embedding".cast("array<double>").as("v")),
+            "v", "nv")
+          .withColumn("b0", Similarity.signBucket($"v", bits))
+          .withColumn("probe", explode(array(
+            ($"b0" +: (0 until bits).map(i =>
+              $"b0".bitwiseXOR(lit(1 << i)))): _*)))
+        val scored = stream.join(index, Seq("label", "probe"))
+          .filter($"vec_id" =!= $"corpus_id")
+          .select($"label",
+            least($"vec_id", $"corpus_id").as("id_a"),
+            greatest($"vec_id", $"corpus_id").as("id_b"),
+            Similarity.dot($"nv", $"nv_c").as("cos"))
+        val q = scored.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).distinct()
+          .select($"label", $"id_a", $"id_b", r6($"cos").as("cos"))
+          .orderBy(desc("cos"), $"id_a", $"id_b").limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |nn AS (SELECT count(*) AS n FROM e),
+             |bb AS (SELECT CASE
+             |    WHEN n <= 1024 THEN 4 WHEN n <= 2048 THEN 5
+             |    WHEN n <= 4096 THEN 6 WHEN n <= 8192 THEN 7
+             |    WHEN n <= 16384 THEN 8 WHEN n <= 32768 THEN 9
+             |    WHEN n <= 65536 THEN 10 WHEN n <= 131072 THEN 11
+             |    WHEN n <= 262144 THEN 12 WHEN n <= 524288 THEN 13
+             |    WHEN n <= 1048576 THEN 14 WHEN n <= 2097152 THEN 15
+             |    ELSE 16 END AS bits
+             |  FROM nn),
+             |nm AS (SELECT vec_id, label, v,
+             |    sqrt(list_reduce(list_prepend(0.0,
+             |      list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+             |      (acc, x) -> acc + x)) AS nrm
+             |  FROM e),
+             |bk AS (SELECT vec_id, label,
+             |    list_transform(v, x -> x / nrm) AS nv,
+             |    CAST(list_reduce(list_prepend(0,
+             |      list_transform(range(1, bb.bits + 1),
+             |        i -> CASE WHEN v[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END)),
+             |      (acc, x) -> acc + x) AS BIGINT) AS bucket
+             |  FROM nm, bb),
+             |p AS (
+             |  SELECT DISTINCT a.label,
+             |    least(a.vec_id, b.vec_id) AS id_a,
+             |    greatest(a.vec_id, b.vec_id) AS id_b,
+             |    round(list_reduce(list_prepend(0.0,
+             |        list_transform(range(1, len(a.nv) + 1),
+             |          i -> a.nv[i] * b.nv[i])),
+             |        (acc, x) -> acc + x) + 1e-9, 6) AS cos
+             |  FROM bk a JOIN bk b ON a.label = b.label
+             |    AND a.vec_id <> b.vec_id
+             |  WHERE bit_count(xor(a.bucket, b.bucket)) <= 1
+             |    AND a.vec_id % 5 = 0)
+             |SELECT label, id_a, id_b, cos FROM p
+             |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
     // Streaming Count-Min heavy hitters — the third sketch's streaming
     // form (HLL = st17, histogram = st18, CMS = here): the d·w cell

@@ -171,9 +171,11 @@ object StateMetrics {
     // perInput model was the wrong shape for a sketch-bounded state.
     "st21" -> Ceiling(4096, 0.0),
     "st22" -> Ceiling(0, 0.0),
-    // st28 streams stateless near-dedup (in-row MinHash + stream-static
-    // index joins — no aggregation, no state store); pinned 0 like st22
+    // st28/st30 stream stateless near-dedup (in-row signatures /
+    // hyperplane buckets + stream-static index joins — no aggregation,
+    // no state store); pinned 0 like st22
     "st28" -> Ceiling(0, 0.0),
+    "st30" -> Ceiling(0, 0.0),
     "st23" -> Ceiling(64, 0.05),
     // st24 is a stream-STATIC join — stateless by construction (the
     // dimension is a batch frame re-joined per micro-batch, no state
@@ -206,7 +208,8 @@ object StateMetrics {
     * stream accidentally rewritten stateless, a state-loss regression
     * — trips [[shapeViolations]] instead of silently reading as
     * "ceilings green on zero". */
-  val statelessByDesign: Set[String] = Set("st22", "st24", "st28")
+  val statelessByDesign: Set[String] =
+    Set("st22", "st24", "st28", "st30")
 
   /** Measured stream lines that violate their declared state SHAPE:
     * a ceilinged stateful query that recorded ZERO peak rows (or zero

@@ -118,12 +118,14 @@ class StateMetricsSpec extends AnyFunSuite {
 
   test("declared state shape covers all 25 st lines, including the zeros") {
     // round-16, VERDICT item 5: st22 (stream-static NB model serving),
-    // st24 (stream-static enrich) and st28 (stream-static near-dedup,
-    // round-19) are the ONLY structurally stateless lines — their
-    // ceilings pin 0 so appearing state trips — and every other line
-    // declares a nonzero cap so vanished state trips the shape check
-    // instead of passing ceilings-green on an accidental 0.
-    assert(StateMetrics.statelessByDesign == Set("st22", "st24", "st28"))
+    // st24 (stream-static enrich) and st28/st30 (stream-static text /
+    // embedding near-dedup, round-19) are the ONLY structurally
+    // stateless lines — their ceilings pin 0 so appearing state trips
+    // — and every other line declares a nonzero cap so vanished state
+    // trips the shape check instead of passing ceilings-green on an
+    // accidental 0.
+    assert(StateMetrics.statelessByDesign ==
+      Set("st22", "st24", "st28", "st30"))
     StateMetrics.statelessByDesign.foreach { q =>
       val c = StateMetrics.ceilings(q)
       assert(c.abs == 0L && c.perInput == 0.0,
