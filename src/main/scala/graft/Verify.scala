@@ -48,9 +48,12 @@ object Verify {
         System.err.println(f"[verify] $name%-28s ${dt}%6.2fs")
       }
     }
+    // Locale.ROOT, not the default f"": a comma-decimal locale would
+    // emit invalid JSON into a machine-read artifact (round-19 ADVICE)
     Files.writeString(Paths.get(s"$outDir/timings.json"),
       timings.map { case (k, v) =>
-        "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}"))
+        "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -74,6 +74,34 @@ object Dedup {
         col("n_sh"))
   }
 
+  /** Number of independent permutation families needed to reach
+    * candidate recall ≥ `target` at shingle-Jaccard `s0` under (r, b)
+    * banding — the LSH s-curve closed form made an adaptive knob
+    * (round-20, the d20/s17 pattern applied to the text tier's last
+    * constant): one family catches a pair with probability
+    * p1 = 1 − (1 − s0^r)^b, so F families (independent seed ranges,
+    * [[minhashSignatures]] permOffset) catch it with 1 − (1 − p1)^F;
+    * the smallest F with (1 − p1)^F ≤ 1 − target meets the target.
+    * Evaluated as the same bounded ladder the DuckDB oracle replays
+    * (`power` on exactly-representable inputs; the 1e-12 nudge keeps
+    * a last-ulp `pow` divergence from flipping a branch — every
+    * declared configuration sits ≥1e-4 from its threshold). Cost is
+    * linear in F: F× signature aggregates, F band-join passes of
+    * unchanged shape, one shared verify — the knob trades compute for
+    * recall with no quadratic term at any corpus size. */
+  def familiesForRecall(target: Double, s0: Double, r: Int, b: Int,
+                        maxF: Int = 8): Int = {
+    require(target > 0.0 && target < 1.0 && s0 > 0.0 && s0 < 1.0,
+      s"target $target / s0 $s0 must be in (0,1)")
+    val p1 = 1.0 - math.pow(1.0 - math.pow(s0, r), b)
+    var f = 1
+    while (f < maxF && math.pow(1.0 - p1, f) > 1.0 - target + 1e-12) f += 1
+    require(math.pow(1.0 - p1, f) <= 1.0 - target + 1e-12,
+      s"recall target $target at s0=$s0 unreachable within $maxF " +
+        s"families of (r=$r, b=$b) banding — widen b or lower r")
+    f
+  }
+
   /** (id, band, band_key) rows of a signature table — the LSH bucket
     * index both the batch and the incremental candidate joins read.
     * Incremental callers should materialize (persist / write bucketed

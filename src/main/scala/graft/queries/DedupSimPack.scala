@@ -134,6 +134,28 @@ object DedupSimPack extends QueryPack {
     arms.mkString("band2 AS (\n  ", "\n  UNION ALL ", ")")
   }
 
+  /** r=2, b=8 banding of the SAME 16-perm signature (d22/d23): 8
+    * bands of 2 rows — the s-curve shifted left so a J=0.5 pair's
+    * catch probability is 1−(1−0.25)^8 ≈ 0.90 per family (vs 0.228
+    * for 4×4), at zero extra signature cost. CTE `bandr2`. */
+  private val OracleBandR2 = {
+    val arms = (0 until 2 * Bands).map { b =>
+      val cols = (0 until 2).map(r => s"s${b * 2 + r}")
+      s"SELECT id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_key FROM sig"
+    }
+    arms.mkString("bandr2 AS (\n  ", "\n  UNION ALL ", ")")
+  }
+
+  /** [[OracleBandR2]] over the second permutation family (s16..s31),
+    * CTE `bandr2b` — the F=2 arm of d23's derived-family union. */
+  private val OracleBandR2B = {
+    val arms = (0 until 2 * Bands).map { b =>
+      val cols = (0 until 2).map(r => s"s${NumPerm + b * 2 + r}")
+      s"SELECT id, $b AS band, md5(${cols.mkString(" || ',' || ")}) AS band_key FROM sig"
+    }
+    arms.mkString("bandr2b AS (\n  ", "\n  UNION ALL ", ")")
+  }
+
   /** Oracle band CTE: one UNION ALL arm per band, band_key = md5 of the
     * comma-joined 4 signature values of that band. */
   private val OracleBand = {
@@ -239,6 +261,141 @@ object DedupSimPack extends QueryPack {
               |  GROUP BY 1, 2)
               |SELECT c.id_a, c.id_b, c.tables_hit,
               |  coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
+
+    // D22 (round-20, VERDICT item 2): the r=2, b=8 BANDING VARIANT of
+    // the same 16-perm signature — the other axis of the recall knob.
+    // d21 added a second permutation family at the d2 banding (4×4);
+    // this re-slices the EXISTING signature into 8 bands of 2 rows,
+    // moving the s-curve itself: P(catch | J=s) = 1−(1−s²)^8, which
+    // crosses 0.90 at exactly s = 0.5 (vs 0.228 for 4×4) — so the
+    // J ≥ 0.5 near-dups a real pipeline dedups at are caught at ≥0.9
+    // by ONE family at ZERO extra signature cost; only the band join
+    // fans 8 keys per doc instead of 4 (same bucketed shape, never
+    // all-pairs). Measured on the gen_mids mid-similarity fixture
+    // (tools/MinhashTables; gate corpora plant only J≥0.9 dups where
+    // every scheme saturates): candidate recall at J ≥ 0.5 =
+    // 0.607 (4×4) → ≥0.9 here, the VERDICT item 2 target. The price
+    // is precision at low J — more sub-threshold candidates reach
+    // verification (the exact-Jaccard stage exists to reject them) —
+    // which is why r=2 is the DEDUP setting and r=4 stays the
+    // clustering default.
+    Q("d22_minhash_r2",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, sigs) = shingleSigs(s, dir)
+        val cands = Dedup.lshCandidates(sigs, 2 * Bands, 2)
+        Dedup.verifyJaccard(cands, sh, sigs.select($"id", $"n_sh"))
+          .select($"id_a", $"id_b", $"n_inter", $"n_a", $"n_b",
+            r6($"jaccard").as("jaccard"))
+      },
+      Some(s"""WITH $OracleSig,
+              |$OracleBandR2,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |  FROM bandr2 a JOIN bandr2 b
+              |    ON a.band = b.band AND a.band_key = b.band_key
+              |   AND a.id < b.id),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
+
+    // D23 (round-20, VERDICT item 8): the FAMILY COUNT becomes the
+    // tier's last adaptive knob — derived from a declared recall
+    // target instead of pinned. Dedup.familiesForRecall replays the
+    // s-curve closed form: one (r=2, b=8) family catches a J=s pair
+    // with p1 = 1−(1−s²)^8, so the smallest F with (1−p1)^F ≤
+    // 1−target meets the target; at (target=0.9, s0=0.5) the ladder
+    // derives F=2 — p1 = 0.89989, one family misses by 1.1e-4 (the
+    // margin that makes the cross-engine `power` replay safe), two
+    // reach 0.9900. The oracle recomputes the DERIVATION itself (the
+    // d20/s17 idiom: a guarded CASE ladder over exactly-representable
+    // doubles — 0.75^8 = 6561/65536 is exact in binary — erroring
+    // loudly past F=2 rather than silently replaying the wrong
+    // composition), then runs the derived number of independent
+    // permutation families (seed ranges 0..15, 16..31) through the
+    // same banded join, unioned, verified once. families_hit (1/2/3)
+    // keeps both arms load-bearing in the hash; n_families carries
+    // the derived knob into the output schema. Expected recall at
+    // J ≥ 0.5: 1−(1−0.8999)² ≈ 0.99 (measured on gen_mids via
+    // tools/MinhashTables). Cost is linear in F — F× signature
+    // aggregates over one shingle pass, F band passes, one verify.
+    Q("d23_minhash_families",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, sigs) = shingleSigs(s, dir)
+        val nFam = Dedup.familiesForRecall(target = 0.9, s0 = 0.5,
+          r = 2, b = 2 * Bands)
+        val perFam = (0 until nFam).map { i =>
+          val sigsI = if (i == 0) sigs
+            else Dedup.minhashSignatures(sh, NumPerm, permOffset = i * NumPerm)
+          Dedup.lshCandidates(sigsI, 2 * Bands, 2)
+            .withColumn("t", lit(1L << i))
+        }
+        val cands = perFam.reduce(_ unionByName _)
+          .groupBy($"id_a", $"id_b").agg(sum($"t").as("families_hit"))
+          .localCheckpoint() // candidate build feeds verify + final join
+        Dedup.verifyJaccard(cands.select($"id_a", $"id_b"), sh,
+            sigs.select($"id", $"n_sh"))
+          .join(cands, Seq("id_a", "id_b"))
+          .select($"id_a", $"id_b", lit(nFam.toLong).as("n_families"),
+            $"families_hit", $"n_inter", $"n_a", $"n_b",
+            r6($"jaccard").as("jaccard"))
+      },
+      Some(s"""WITH $OracleSig2,
+              |$OracleBandR2,
+              |$OracleBandR2B,
+              |fd AS (
+              |  SELECT CASE
+              |    WHEN power(1 - p1, 1) <= 0.1 + 1e-12 THEN 1
+              |    WHEN power(1 - p1, 2) <= 0.1 + 1e-12 THEN 2
+              |    ELSE error('d23 oracle replays F<=2; derived F>2')
+              |    END AS f
+              |  FROM (SELECT 1 - power(1 - power(0.5, 2), 8) AS p1)),
+              |cand AS (
+              |  SELECT id_a, id_b, CAST(sum(t) AS BIGINT) AS families_hit
+              |  FROM (
+              |    SELECT DISTINCT a.id AS id_a, b.id AS id_b, 1 AS t
+              |    FROM bandr2 a JOIN bandr2 b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id < b.id
+              |    UNION ALL
+              |    SELECT DISTINCT a.id, b.id, 2
+              |    FROM bandr2b a JOIN bandr2b b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id < b.id
+              |     AND (SELECT f FROM fd) >= 2)
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b,
+              |  CAST((SELECT f FROM fd) AS BIGINT) AS n_families,
+              |  c.families_hit, coalesce(i.n_inter, 0) AS n_inter,
               |  za.n_sh AS n_a, zb.n_sh AS n_b,
               |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
               |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)

@@ -1974,6 +1974,118 @@ object StreamMultimodalPack extends QueryPack {
              |  (id_a // 8 = id_b // 8) AS same_group
              |FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // MM20 (round-20, VERDICT item 1): the w=4 WIDENED branch — the
+    // one BandedLsh.widenFactor takes past 65,536 docs at 8-bit bands,
+    // until now reachable only by the loud mm12/mm17 oracle guards —
+    // put under hash at GATE scale by re-slicing the same mm5 dHash
+    // into SIXTEEN 4-bit nibble bands. With 2^4 = 16 buckets, the
+    // gate corpora sit far past TWO capacity walls and the derivation
+    // runs the full production ladder: 500 docs → widenFactor derives
+    // w=3 (4096 ≥ 500), 16 % 3 ≠ 0 → the DIVISOR BUMP (round-18)
+    // lifts it to w=4; 5,000 docs → w=4 directly (65536 ≥ 5000). So
+    // BOTH w=4 entry paths — bumped and direct — execute under hash
+    // at the gate SFs, exercising exactly the code a >65k-doc corpus
+    // runs at 8-bit bands. The shift-concat of 4 adjacent nibbles is
+    // an injective permutation of mm5's 16-bit row-pair bands, so the
+    // planted group recall carries over unchanged and the result is
+    // provably mm5's — any divergence isolates a widening defect, not
+    // a fixture difference. The oracle replays the WHOLE ladder as
+    // guarded CTEs (d20 idiom): w=1 (n ≤ 16), w=2 (n ≤ 256), w=4
+    // (256 < n ≤ 65536 — one CTE covers both derivation paths since
+    // w=3 can never survive the 16-band divisibility bump), and
+    // errors loudly past 65,536 docs where w=8 begins (2 groups of 8
+    // nibbles — the next divisor-bumped width). Hamming verify always
+    // runs on the full-resolution array.
+    Q("mm20_dhash_w4",
+      (s, dir) => {
+        import s.implicits._
+        val b16 = Multimodal.dHashBands(
+            Multimodal.synthPpmGroupPayload(
+              Tables.documents(s, dir), "doc_id"))
+        // 4×16-bit packed row-pairs → 16×4-bit nibble bands, low
+        // nibble first (band 4k+i = bits 4i..4i+3 of packed band k)
+        val b4 = b16.select($"id",
+            flatten(transform($"bands", b =>
+              array(b.bitwiseAND(lit(15L)),
+                shiftright(b, 4).bitwiseAND(lit(15L)),
+                shiftright(b, 8).bitwiseAND(lit(15L)),
+                shiftright(b, 12).bitwiseAND(lit(15L))))).as("bands"))
+          .localCheckpoint() // decode once: band join + both hamming reads
+        graft.dedup.BandedLsh.hammingPairs(b4, bandBits = 4, maxHamming = 6)
+          .select($"id_a", $"id_b", $"hamming",
+            (($"id_a" - $"id_a" % 8) === ($"id_b" - $"id_b" % 8))
+              .as("same_group"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH px AS (
+             |  SELECT d.doc_id, t.j,
+             |    (CAST(('0x' || substr(md5(
+             |        CAST(d.doc_id // 8 AS VARCHAR) || ':' ||
+             |        CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT) +
+             |     CASE WHEN (t.j // 3) // 18 = d.doc_id % 8
+             |           AND (t.j // 3) % 18 < 2 THEN 97 ELSE 0 END) % 251
+             |      AS v
+             |  FROM documents d, range(0, 432) t(j)),
+             |cells AS (
+             |  SELECT doc_id, (j // 3) // 18 AS y, ((j // 3) % 18) // 2 AS cx,
+             |    sum(v) AS p
+             |  FROM px GROUP BY 1, 2, 3),
+             |bts AS (
+             |  SELECT a.doc_id, a.y, a.cx AS x,
+             |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bt
+             |  FROM cells a JOIN cells b
+             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.cx = a.cx + 1
+             |  WHERE a.cx < 8),
+             |b16 AS (
+             |  SELECT doc_id, y // 2 AS k,
+             |    CAST(sum(bt * (1 << (x + 8 * (y % 2)))) AS BIGINT) AS band
+             |  FROM bts GROUP BY 1, 2),
+             |nib AS (
+             |  SELECT doc_id, k * 4 + t.i AS j,
+             |    CAST((band >> (4 * t.i)) & 15 AS BIGINT) AS nb
+             |  FROM b16, range(0, 4) t(i)),
+             |nc AS (SELECT count(*) AS n FROM documents),
+             |cand1 AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM nib a JOIN nib b
+             |    ON a.j = b.j AND a.nb = b.nb AND a.doc_id < b.doc_id
+             |  WHERE (SELECT n FROM nc) <= 16),
+             |w2 AS (
+             |  SELECT doc_id, j // 2 AS g,
+             |    CAST(sum(nb * (1 << (4 * (1 - j % 2)))) AS BIGINT) AS wband
+             |  FROM nib GROUP BY 1, 2),
+             |cand2 AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM w2 a JOIN w2 b
+             |    ON a.g = b.g AND a.wband = b.wband AND a.doc_id < b.doc_id
+             |  WHERE (SELECT n FROM nc) > 16 AND (SELECT n FROM nc) <= 256),
+             |w4 AS (
+             |  SELECT doc_id, j // 4 AS g,
+             |    CAST(sum(nb * (1 << (4 * (3 - j % 4)))) AS BIGINT) AS wband
+             |  FROM nib GROUP BY 1, 2),
+             |cand4 AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM w4 a JOIN w4 b
+             |    ON a.g = b.g AND a.wband = b.wband AND a.doc_id < b.doc_id
+             |  WHERE (SELECT n FROM nc) > 256
+             |    AND CASE WHEN (SELECT n FROM nc) > 65536 THEN error(
+             |      'mm20 oracle replays w<=4; >65536 docs derives w=8')
+             |      ELSE TRUE END),
+             |cand AS (
+             |  SELECT * FROM cand1 UNION ALL SELECT * FROM cand2
+             |  UNION ALL SELECT * FROM cand4),
+             |ham AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT)
+             |      AS hamming
+             |  FROM cand c
+             |  JOIN b16 x ON x.doc_id = c.id_a
+             |  JOIN b16 y ON y.doc_id = c.id_b AND y.k = x.k
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, hamming,
+             |  (id_a // 8 = id_b // 8) AS same_group
+             |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin)),
+
     // MM6 (round-14): the AUDIO decode path made real — a
     // dependency-free PCM WAV codec (multimodal/Wav.scala: RIFF chunk
     // walk, fmt validation, Long-bounded adversarial sizes) run end to

@@ -75,6 +75,28 @@ object MinhashTables {
         println(f"[minhash-tables] j>=$th truth=$nT " +
           f"recall t1=${r1.toDouble / nT}%.3f union=${rU.toDouble / nT}%.3f")
     }
+    // r=2, b=8 banding arm (round-20, VERDICT item 2): the s-curve
+    // variant d22/d23 declare — same signatures, 8 bands of 2 rows, so
+    // P(catch | J=0.5) ≈ 0.90 per family. Measures single-family (d22)
+    // and the derived-F=2 union (d23) against the same exact truth.
+    val r2c1 = Dedup.lshCandidates(sigs1, 8, 2).withColumn("t", lit(1L))
+    val r2c2 = Dedup.lshCandidates(sigs2, 8, 2).withColumn("t", lit(2L))
+    val r2cands = r2c1.unionByName(r2c2)
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("t")).as("tables_hit"))
+      .persist()
+    Seq(0.3, 0.4, 0.5).foreach { th =>
+      val tpairs = truth.filter(col("j") >= th)
+        .select(col("id_a"), col("id_b"))
+      val nT = tpairs.count()
+      val r1 = tpairs.join(r2cands.filter(col("tables_hit") =!= 2L),
+        Seq("id_a", "id_b"), "left_semi").count()
+      val rU = tpairs.join(r2cands, Seq("id_a", "id_b"), "left_semi").count()
+      if (nT > 0)
+        println(f"[minhash-tables] r2b8 j>=$th truth=$nT " +
+          f"recall f1=${r1.toDouble / nT}%.3f unionF2=${rU.toDouble / nT}%.3f")
+    }
+    println(s"[minhash-tables] r2b8 candidate rows: ${r2cands.count()}" +
+      s" (4x4 two-table: ${cands.count()})")
     spark.stop()
   }
 }
