@@ -170,16 +170,26 @@ object Bench {
     // attribution artifact, first seen on d6): the dedup pack's
     // verified-pairs stage feeds d2/d6/d7, the ML pack's standardized
     // feature frame feeds j6/m2/m3/m4/m4b/m7.
+    // Each stage declares its own reset behavior at the definition site
+    // (round-19 ADVICE): diskBacked = the stage materializes a DISK
+    // layout that persists across the rep-pass cache reset, so its
+    // "rebuild" is a ~0s existence check — such stages must stay out of
+    // the retime/lo mechanism (a real 2.5s build would be "retimed"
+    // against a no-op, the setup_zorder artifact). A parallel name set
+    // rotted the moment someone added a stage and forgot it; the flag
+    // cannot be forgotten.
+    case class SharedStage(name: String, members: Set[String],
+                           build: () => Unit, diskBacked: Boolean = false)
     val sharedStages = Seq(
-      ("setup_dedup_shared",
+      SharedStage("setup_dedup_shared",
         Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep"),
         () => graft.queries.DedupSimPack.buildSharedStage(spark, sfDir)),
-      ("setup_ml_features",
+      SharedStage("setup_ml_features",
         Set("j6_knn", "m2_kmeans", "m3_silhouette", "m4_dbscan",
           "m4b_dbscan_distributed", "m7_pca"),
         () => graft.queries.MlPack.buildSharedStage(spark, sfDir)),
       // shared r4-rounded correlation graph feeding the graph tier
-      ("setup_corr_graph",
+      SharedStage("setup_corr_graph",
         Set("m11_pagerank", "m12_triangles", "g16_wcc"),
         () => graft.queries.MlPack.buildCorrStage(spark, sfDir)),
       // shared HyperANF register rounds + per-node triangle counts
@@ -188,27 +198,30 @@ object Bench {
       // (g27) paid the rebuild first-pass billed to g24 — the r16
       // med>1.3× breach. Ordered after setup_corr_graph: it reads the
       // memoized corr graph.
-      ("setup_graph_shared",
+      SharedStage("setup_graph_shared",
         Set("g24_hyperanf", "g26_anf_curve", "g27_graph_summary",
           "m12_triangles"),
         () => graft.queries.MlPack.buildAnfStage(spark, sfDir)),
       // one-time date-partitioned re-layout of events (ingest cost a
       // real deployment pays at landing time, not per query)
-      ("setup_events_part",
+      SharedStage("setup_events_part",
         Set("p2_filtered_agg", "w14_daily", "w4b_time_range",
           "a2_seasonal", "f2_retention", "dpp1_dynamic_pruning",
           "f1b_funnel_sliced", "f4b_bars_sliced", "f5b_outliers_sliced",
           "f6b_histogram_sliced", "f9b_rfm_sliced"),
-        () => { graft.io.EventsLayout.path(spark, sfDir); () }),
+        () => { graft.io.EventsLayout.path(spark, sfDir); () },
+        diskBacked = true),
       // one-time bucketed re-layout of the two fact tables (landing-time
       // ingest cost, same convention)
-      ("setup_bucketed",
+      SharedStage("setup_bucketed",
         Set("j9_bucketed_join"),
-        () => { graft.io.BucketedLayout.tableNames(spark, sfDir); () }),
+        () => { graft.io.BucketedLayout.tableNames(spark, sfDir); () },
+        diskBacked = true),
       // one-time z-order re-layout of lineitem (same convention)
-      ("setup_zorder",
+      SharedStage("setup_zorder",
         Set("z1_zorder_range"),
-        () => { graft.io.ZOrderLayout.path(spark, sfDir); () }))
+        () => { graft.io.ZOrderLayout.path(spark, sfDir); () },
+        diskBacked = true))
     val setup = scala.collection.mutable.LinkedHashMap[String, Double]()
     def buildShared(name: String, build: () => Unit): Unit = {
       graft.tools.CodegenMonitor.setCurrent(name)
@@ -217,11 +230,11 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
     }
-    sharedStages.foreach { case (name, members, build) =>
-      if (selected.exists(s => members.contains(s._1))) {
+    sharedStages.foreach { st =>
+      if (selected.exists(s => st.members.contains(s._1))) {
         val t0 = System.nanoTime()
-        buildShared(name, build)
-        setup(name) = (System.nanoTime() - t0) / 1e9
+        buildShared(st.name, st.build)
+        setup(st.name) = (System.nanoTime() - t0) / 1e9
       }
     }
     // Per-query occupancy samples (round-15): storage bytes AFTER each
@@ -270,8 +283,8 @@ object Bench {
         // ...except shared stages billed to their own setup lines:
         // rebuild them so a member query's re-time measures the query
         // under the same cache state as the first pass.
-        sharedStages.foreach { case (sn, members, build) =>
-          if (members.contains(name)) buildShared(sn, build)
+        sharedStages.foreach { st =>
+          if (st.members.contains(name)) buildShared(st.name, st.build)
         }
         val (t2, ok2) = timeOne(name, SparkEntry.queries(name))
         if (ok2 && t > 2.0 * t2) { retimed(name) = t; (name, t2, ok) }
@@ -316,11 +329,11 @@ object Bench {
     // `retimed`, same rule as query lines); `value_lo` takes
     // min(first, rebuild) unconditionally.
     val setupRep = scala.collection.mutable.LinkedHashMap[String, Double]()
-    sharedStages.foreach { case (name, members, build) =>
-      if (selected.exists(s => members.contains(s._1))) {
+    sharedStages.foreach { st =>
+      if (selected.exists(s => st.members.contains(s._1))) {
         val t0 = System.nanoTime()
-        buildShared(name, build)
-        setupRep(name) = (System.nanoTime() - t0) / 1e9
+        buildShared(st.name, st.build)
+        setupRep(st.name) = (System.nanoTime() - t0) / 1e9
       }
     }
     // Disk-layout stages persist ACROSS the cache reset — their
@@ -329,8 +342,9 @@ object Bench {
     // build "retimed" against a 0.0s no-op). Only the memo/block-
     // manager-backed stages, which the reset genuinely clears, join
     // the retime/lo mechanism; the disk stages' single sample stands.
+    // Membership now comes from each stage's own diskBacked flag.
     val diskBackedSetups =
-      Set("setup_events_part", "setup_bucketed", "setup_zorder")
+      sharedStages.collect { case st if st.diskBacked => st.name }.toSet
     val setupLo: Map[String, Double] = setup.toMap.map { case (n, t) =>
       n -> (if (diskBackedSetups(n)) t
             else setupRep.get(n).map(math.min(t, _)).getOrElse(t)) }
@@ -439,15 +453,27 @@ object Bench {
     val cgFallbacks = graft.tools.CodegenMonitor.snapshot
       .map { case (q, n) => s"\"" + q + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + setup.values.sum
+    val totalFirst = results.map(_._2).sum + setup.values.sum
     // The LO total (round-16, VERDICT item 1): Σ min(first, rep) + setup
-    // — the noise-robust headline companion. r15's first-pass total read
-    // +12% on code whose controlled sweeps measured 7s faster (cold-run
-    // host noise inflates EVERY line a little); min-of-two is immune to
-    // a one-off stall in either sample, so round-over-round comparisons
-    // should read value_lo/med, with `value` kept for continuity.
+    // — the noise-robust total. r15's first-pass total read +12% on code
+    // whose controlled sweeps measured 7s faster (cold-run host noise
+    // inflates EVERY line a little); min-of-two is immune to a one-off
+    // stall in either sample.
     val totalLo = results.map { case (n, t, _) => lo.getOrElse(n, t) }.sum +
       setupLo.values.sum
+    // HEADLINE = per-line min-of-two (round-20, VERDICT item 3): the 2×
+    // retime trigger let a contiguous load burst ride the r19 official
+    // record — s7 2.0→4.4, s13 2.2→7.7 with no plan change, each just
+    // under 2× — inflating `value` ~33% over the same-tree quiet run.
+    // Every line ≥2s already gets a state-symmetric second sample (the
+    // rep pass, hygiene-reset to first-pass cache state), so taking
+    // min(first, rep) per line into `value` removes one-off bursts from
+    // the headline without any trigger threshold to ride under; lines
+    // the rep budget skips keep their single sample. `value_first`
+    // preserves the raw first-pass total for continuity with r19-era
+    // records; `value_lo` stays (now equal to value) for the driver's
+    // established field.
+    val total = totalLo
     // "sf0.1", not the full path: the path prefix is constant and the
     // capture window is tight at 90+ queries
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -456,7 +482,12 @@ object Bench {
     // zero of the ~2000-char stdout capture budget for it.
     def line(fq: Double => String, retimedCap: Int,
              smallCutoff: Double): String = {
-      val entries = setup.toSeq ++ results.map { case (k, v, _) => (k, v) }
+      // per-line numbers follow the headline semantics (min-of-two
+      // where a rep exists) so Σ queries ≈ value; BENCH_FULL carries
+      // the raw first-pass map separately as "first"
+      val entries =
+        setup.toSeq.map { case (k, v) => (k, setupLo.getOrElse(k, v)) } ++
+          results.map { case (k, v, _) => (k, lo.getOrElse(k, v)) }
       // below the cutoff individual timings are scheduling noise — fold
       // them into one "rest" entry (count in "rest_n") so the line fits
       // the capture window; BENCH_FULL.json always carries every entry
@@ -474,7 +505,7 @@ object Bench {
         else retimed.toSeq.sortBy(-_._2).take(retimedCap)
           .map { case (k, v) => s"\"" + k + "\":" + fq(v) }
           .mkString(",\"retimed\":{", ",", "}")
-      s"""{"metric":"total","value":${f2(total)},"value_lo":${f2(totalLo)},"unit":"sec","queries":$qs$restN,"failed":$failed$rt,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${f2(total)},"value_lo":${f2(totalLo)},"value_first":${f2(totalFirst)},"unit":"sec","queries":$qs$restN,"failed":$failed$rt,"sf":"$sfShort"}"""
     }
     // Adaptive precision: the 94-entry map at 2 decimals no longer fits
     // the ~2000-char capture window the driver parses (rounds 1-2 lost
@@ -542,6 +573,11 @@ object Bench {
         s""","warm_missing":${warmMissing.map("\"" + _ + "\"")
           .mkString("[", ",", "]")}""" +
         s""","rep2":${rep2.toSeq.map { case (k, v) =>
+          "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
+        // raw first-pass (post-retime) per-line numbers — the map the
+        // headline "queries" carried before value became min-of-two
+        s""","first":${(setup.toSeq ++ results.map { case (k, v, _) =>
+          (k, v) }).map { case (k, v) =>
           "\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")}""" +
         // second sample for every setup line (the rep-reset rebuild) —
         // the retime/warm evidence VERDICT r18 item 2 asked for

@@ -36,6 +36,16 @@ def gen(table, sql):
     n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
     print(table, n)
 
+# Replica-stride guard (round-20, VERDICT item 6 — the gen_sf3 assert
+# extended to every generator sharing the id-offset pattern): source ids
+# must fit under their replica stride or replicas collide into the same
+# id space and the planted dup/cluster structure silently changes shape.
+for col, table, stride in [("event_id", "events", 10000000),
+                           ("doc_id", "documents", 10000),
+                           ("vec_id", "embeddings", 10000)]:
+    mx = con.sql(f"SELECT max({col}) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+    assert mx < stride, f"{table}.{col} {mx} >= replica stride {stride}"
+
 gen("events", f"""
   SELECT event_id + r.i * 10000000 AS event_id,
          ts + to_days(CAST(r.i * 91 AS INT)) AS ts,

@@ -38,6 +38,15 @@ def gen(table, sql):
     n = con.sql(f"SELECT count(*) FROM '{out}'").fetchone()[0]
     print(table, n)
 
+# Replica-stride guard (round-20, VERDICT item 6): ids must fit under
+# their replica stride or replicas collide (o_custkey has its own,
+# smaller stride — user-scoped joins would silently cross replicas).
+for col, table, stride in [("event_id", "events", 10000000),
+                           ("o_orderkey", "orders", 10000000),
+                           ("o_custkey", "orders", 1000000)]:
+    mx = con.sql(f"SELECT max({col}) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+    assert mx < stride, f"{table}.{col} {mx} >= replica stride {stride}"
+
 gen("events", f"""
   SELECT event_id + r.i * 10000000 AS event_id,
          ts + to_days(CAST(r.i * 91 AS INT)) AS ts,

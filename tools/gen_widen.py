@@ -19,6 +19,9 @@ REPS = 24
 os.makedirs(DST, exist_ok=True)
 
 con = duckdb.connect()
+# Replica-stride guard (round-20, VERDICT item 6)
+_mx = con.sql(f"SELECT max(doc_id) FROM '{SRC}/documents.parquet'").fetchone()[0]
+assert _mx < 10000, f"doc_id {_mx} >= replica stride 10000"
 out = f"{DST}/documents.parquet"
 con.execute(f"""
   COPY (
