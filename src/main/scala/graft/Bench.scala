@@ -181,8 +181,16 @@ object Bench {
     case class SharedStage(name: String, members: Set[String],
                            build: () => Unit, diskBacked: Boolean = false)
     val sharedStages = Seq(
+      // members = EVERY query reading the memoized shingle/signature or
+      // verified-pairs frames (round-20: the set previously listed only
+      // d2/d6/d7, so a retime of e.g. d21 was measured against a cold
+      // cache the first pass never saw — overstated rebuild, rejected
+      // retime, stalled number kept)
       SharedStage("setup_dedup_shared",
-        Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep"),
+        Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep",
+          "d9_incremental", "d13_balanced_sample", "d17_leakage_safe_split",
+          "d18_cluster_size_hist", "d21_minhash_twotable", "d22_minhash_r2",
+          "d23_minhash_families"),
         () => graft.queries.DedupSimPack.buildSharedStage(spark, sfDir)),
       SharedStage("setup_ml_features",
         Set("j6_knn", "m2_kmeans", "m3_silhouette", "m4_dbscan",
