@@ -99,6 +99,37 @@ class BandedLshSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BandedLsh.buckets(0))
   }
 
+  test("mm20's 4-bit derivation: both w=4 entry paths land on the same keys") {
+    // The declared mm20 geometry (16 nibble bands, 4 bits each): 500
+    // docs derive w=3 (4096 ≥ 500) and the 16 % 3 ≠ 0 divisor bump
+    // lifts to w=4; 5,000 docs derive w=4 directly. Both paths must
+    // produce the SAME 4-nibble concat keys — a planted pair sharing
+    // all bands must surface at either corpus size, and a pair sharing
+    // only 3 of 4 nibbles in every group must not.
+    assert(BandedLsh.widenFactor(500, 4) == 3)   // pre-bump derivation
+    assert(BandedLsh.widenFactor(5000, 4) == 4)  // direct
+    import org.apache.spark.sql.functions._
+    // murmur3-mixed nibbles (an affine map mod 16 would alias every
+    // id ≡ mod 16 into one fingerprint); the clone re-evaluates the
+    // same expressions at literal id 42
+    def nib(id: org.apache.spark.sql.Column, i: Int) =
+      pmod(hash(id, lit(i)).cast("long"), lit(16L))
+    def corpus(n: Long) = {
+      val base = spark.range(n).select(col("id"),
+        array((0 until 16).map(i => nib(col("id"), i)): _*).as("bands"))
+      val clone = spark.range(n, n + 1).select(col("id"),
+        array((0 until 16).map(i => nib(lit(42L), i)): _*).as("bands"))
+      base.union(clone)
+    }
+    Seq(500L, 5000L).foreach { n =>
+      val got = BandedLsh.hammingPairs(corpus(n), bandBits = 4,
+          maxHamming = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((42L, n)),
+        s"n=$n: planted exact pair must be the only hamming-0 pair, got $got")
+    }
+  }
+
   test("production widths cover the measured sf1x corpus unwidened") {
     // mm5/mm7 ship 16-bit bands; the sf1x scale fixture is 50k docs.
     // This is the structural form of the band-width lesson: if a
