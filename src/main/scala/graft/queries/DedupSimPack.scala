@@ -99,6 +99,13 @@ object DedupSimPack extends QueryPack {
   private[queries] def OracleSigShared: String = OracleSig
   private[queries] def OracleBandShared: String = OracleBand
 
+  /** d23's two-family signature + r=2,b=8 band CTEs, shared with the
+    * streaming derived-F near-dedup (st31, StreamMultimodalPack) so
+    * the stream's in-row two-family MinHash replays identically. */
+  private[queries] def OracleSig2Shared: String = OracleSig2
+  private[queries] def OracleBandR2Shared: String = OracleBandR2
+  private[queries] def OracleBandR2BShared: String = OracleBandR2B
+
   /** [[OracleSig]] widened to BOTH permutation families (s0..s15 the
     * d2 table, s16..s31 the independent d21 second table) — 32 min
     * aggregates over the same single shingle pass, mirroring

@@ -812,6 +812,139 @@ object StreamMultimodalPack extends QueryPack {
              |SELECT label, id_a, id_b, cos FROM p
              |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
+    // ST31 (round-20): the DERIVED-FAMILY recall knob deployed in the
+    // streaming form — st28's stateless stream-static shape running
+    // d23's configuration: F = Dedup.familiesForRecall(0.9, J=0.5,
+    // r=2, b=8) = 2 independent permutation families, each banded
+    // 8×2, so the standing index is the two families' band tables
+    // UNIONed under a namespaced band id (family f → bands f·8..f·8+7)
+    // and ONE stream-static join serves both. Arriving docs compute
+    // the full 2F·16-perm signature IN-ROW (array_min over transform —
+    // no groupBy, no state store; state pinned 0) and band both
+    // families in the same posexplode, whose position IS the
+    // namespaced band id. families_hit is aggregated POST-drain from
+    // the per-family surviving rows (batch side, like the post-drain
+    // distinct) and keeps both arms load-bearing in the hash; the
+    // oracle replays the F derivation as d23's guarded CASE ladder
+    // plus both band joins under the stream-batch predicate. At
+    // 100 TB this is the production recall story end-to-end: the
+    // batch tier dedups at a declared recall target, and the
+    // continuous-ingestion path inherits the SAME derived composition
+    // — paying F band passes per arriving doc, never a corpus re-pass.
+    Q("st31_stream_neardedup_families",
+      (s, dir) => {
+        import s.implicits._
+        val name = s"st31_out_${counter.incrementAndGet()}"
+        val docs = Tables.documents(s, dir)
+        val shIdx = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .localCheckpoint()
+        val nFam = Dedup.familiesForRecall(target = 0.9, s0 = 0.5,
+          r = 2, b = 8)
+        val index = (0 until nFam).map { f =>
+          Dedup.bandIndex(
+              Dedup.minhashSignatures(shIdx, 16, permOffset = f * 16), 8, 2)
+            .select($"id".as("corpus_id"),
+              ($"band" + lit(f * 8)).as("band"), $"band_key")
+        }.reduce(_ unionByName _).localCheckpoint()
+        val corpusShs = shIdx.groupBy($"id".as("corpus_id"))
+          .agg(collect_set($"sh").as("shs_c")).localCheckpoint()
+        val p = 2147483647L
+        val scored = s.readStream.schema(Tables.documentsSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter($"doc_id" % 5 === 0)
+          .select($"doc_id",
+            graft.text.TextOps.shingles(
+              graft.text.TextOps.tokens($"text"), 3).as("shs"))
+          .filter(size($"shs") > 0)
+          .withColumn("h30s", transform($"shs",
+            sh => pmod(graft.text.TextOps.hash60(sh), lit(1073741824L))))
+          .withColumn("sig", array((0 until nFam * 16).map(i =>
+            array_min(transform($"h30s", h =>
+              (h * Dedup.permA(i) + Dedup.permB(i)) % p))): _*))
+          // posexplode position = family·8 + band: the namespaced id
+          .select($"doc_id", $"shs",
+            posexplode(array((for (f <- 0 until nFam; b <- 0 until 8)
+              yield md5(concat_ws(",",
+                element_at($"sig", f * 16 + 2 * b + 1).cast("string"),
+                element_at($"sig", f * 16 + 2 * b + 2).cast("string")))): _*))
+              .as(Seq("band", "band_key")))
+          .join(index, Seq("band", "band_key"))
+          .filter($"doc_id" =!= $"corpus_id")
+          .join(corpusShs, Seq("corpus_id"))
+          .select(
+            least($"doc_id", $"corpus_id").as("id_a"),
+            greatest($"doc_id", $"corpus_id").as("id_b"),
+            floor($"band" / 8).cast("long").as("family"),
+            size(array_intersect($"shs", $"shs_c")).as("n_inter"),
+            when($"doc_id" < $"corpus_id", size($"shs"))
+              .otherwise(size($"shs_c")).as("n_a"),
+            when($"doc_id" < $"corpus_id", size($"shs_c"))
+              .otherwise(size($"shs")).as("n_b"))
+        val q = scored.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        drain(q, name)
+        s.table(name).distinct()
+          .groupBy($"id_a", $"id_b")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(family AS INT))"))
+              .as("families_hit"),
+            max($"n_inter").as("ni"), max($"n_a").as("na"),
+            max($"n_b").as("nb"))
+          .select($"id_a", $"id_b",
+            lit(Dedup.familiesForRecall(0.9, 0.5, 2, 8).toLong)
+              .as("n_families"),
+            $"families_hit", $"ni".cast("long").as("n_inter"),
+            $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+            r6($"ni".cast("double")
+              / ($"na" + $"nb" - $"ni")).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH ${DedupSimPack.OracleSig2Shared},
+              |${DedupSimPack.OracleBandR2Shared},
+              |${DedupSimPack.OracleBandR2BShared},
+              |fd AS (
+              |  SELECT CASE
+              |    WHEN power(1 - p1, 1) <= 0.1 + 1e-12 THEN 1
+              |    WHEN power(1 - p1, 2) <= 0.1 + 1e-12 THEN 2
+              |    ELSE error('st31 oracle replays F<=2; derived F>2')
+              |    END AS f
+              |  FROM (SELECT 1 - power(1 - power(0.5, 2), 8) AS p1)),
+              |cand AS (
+              |  SELECT id_a, id_b, CAST(sum(t) AS BIGINT) AS families_hit
+              |  FROM (
+              |    SELECT DISTINCT least(a.id, b.id) AS id_a,
+              |      greatest(a.id, b.id) AS id_b, 1 AS t
+              |    FROM bandr2 a JOIN bandr2 b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id <> b.id
+              |    WHERE a.id % 5 = 0
+              |    UNION ALL
+              |    SELECT DISTINCT least(a.id, b.id), greatest(a.id, b.id), 2
+              |    FROM bandr2b a JOIN bandr2b b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id <> b.id
+              |     AND (SELECT f FROM fd) >= 2
+              |    WHERE a.id % 5 = 0)
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b,
+              |  CAST((SELECT f FROM fd) AS BIGINT) AS n_families,
+              |  c.families_hit, coalesce(i.n_inter, 0) AS n_inter,
+              |  za.n_sh AS n_a, zb.n_sh AS n_b,
+              |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) + 1e-9, 6)
+              |    AS jaccard
+              |FROM cand c
+              |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |JOIN sizes za ON za.id = c.id_a
+              |JOIN sizes zb ON zb.id = c.id_b
+              |ORDER BY c.id_a, c.id_b""".stripMargin)),
+
     // Streaming Count-Min heavy hitters — the third sketch's streaming
     // form (HLL = st17, histogram = st18, CMS = here): the d·w cell
     // counts are additive, so each cell keyed as j·w + bucket rides the

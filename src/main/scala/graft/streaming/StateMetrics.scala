@@ -176,6 +176,9 @@ object StateMetrics {
     // no state store); pinned 0 like st22
     "st28" -> Ceiling(0, 0.0),
     "st30" -> Ceiling(0, 0.0),
+    // st31: st28's shape at the derived-F two-family composition —
+    // still in-row signatures + stream-static index joins, state 0
+    "st31" -> Ceiling(0, 0.0),
     "st23" -> Ceiling(64, 0.05),
     // st24 is a stream-STATIC join — stateless by construction (the
     // dimension is a batch frame re-joined per micro-batch, no state
@@ -209,7 +212,7 @@ object StateMetrics {
     * — trips [[shapeViolations]] instead of silently reading as
     * "ceilings green on zero". */
   val statelessByDesign: Set[String] =
-    Set("st22", "st24", "st28", "st30")
+    Set("st22", "st24", "st28", "st30", "st31")
 
   /** Measured stream lines that violate their declared state SHAPE:
     * a ceilinged stateful query that recorded ZERO peak rows (or zero

@@ -125,7 +125,7 @@ class StateMetricsSpec extends AnyFunSuite {
     // trips the shape check instead of passing ceilings-green on an
     // accidental 0.
     assert(StateMetrics.statelessByDesign ==
-      Set("st22", "st24", "st28", "st30"))
+      Set("st22", "st24", "st28", "st30", "st31"))
     StateMetrics.statelessByDesign.foreach { q =>
       val c = StateMetrics.ceilings(q)
       assert(c.abs == 0L && c.perInput == 0.0,
