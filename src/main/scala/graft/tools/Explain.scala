@@ -67,9 +67,28 @@ object Explain {
   /** Benign = the consumer is an aggregate final-merge (HashAggregate /
     * SortAggregate / ObjectHashAggregate over a handful of partial-agg
     * rows). Anything else — Window, Sort, a join side, or an exchange
-    * the tree parse could not locate — is suspect and fails the audit. */
+    * the tree parse could not locate — is suspect and fails the audit
+    * unless the owning query appears in [[boundedByContract]]. */
   def isAggregateMerge(consumer: String): Boolean =
     consumer.endsWith("Aggregate")
+
+  /** The declared single-partition GLOBAL-WINDOW sites — each a
+    * cumulative walk over a frame BOUNDED BY CONSTRUCTION and guarded
+    * by a `require` at the window site (the round-19 BoundedWindowSpec
+    * contract), so the one-partition sort is over ≤ a few thousand
+    * rows at any corpus size. Keyed by query name; the value is the
+    * bound and its citation. A SinglePartition exchange under any
+    * OTHER query stays a suspect — this list is the audit's explicit
+    * allowlist, not a wildcard. */
+  val boundedByContract: Map[String, String] = Map(
+    "g17_approx_quantile" ->
+      "histogram cumulative walk, <= 2048 bins (HistQuantile.fromHistogram require)",
+    "g18_grouped_quantile" ->
+      "per-group histogram walk, <= groups x 1024 bins (HistQuantile require)",
+    "st18_stream_quantile" ->
+      "drained histogram walk, <= 1024 bins (HistQuantile.fromHistogram require)",
+    "km1_kaplan_meier" ->
+      "life-table product-limit walk, <= 65536 day rows (km1 require)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
@@ -81,6 +100,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var nAgg = 0
+    val bounded = scala.collection.mutable.ArrayBuffer[String]()
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
     names.foreach { n =>
       println(s"\n======== $n ========")
@@ -90,12 +110,14 @@ object Explain {
         println(planStr)
         classify(planStr).foreach { case (id, consumer) =>
           if (isAggregateMerge(consumer)) nAgg += 1
+          else if (boundedByContract.contains(n)) bounded += s"$n#$id->$consumer"
           else suspects += s"$n#$id->$consumer"
         }
       } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     println(s"[plan-police] SinglePartition exchanges: " +
-      s"total=${nAgg + suspects.size} aggregate_merge=$nAgg " +
+      s"total=${nAgg + bounded.size + suspects.size} aggregate_merge=$nAgg " +
+      s"bounded_contract=${bounded.size} ${bounded.mkString("[", ",", "]")} " +
       s"suspect=${suspects.size} ${suspects.mkString("[", ",", "]")}")
     spark.stop()
   }
