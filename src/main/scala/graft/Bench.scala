@@ -190,7 +190,7 @@ object Bench {
         Set("d2_minhash_lsh", "d6_dup_clusters", "d7_dedup_keep",
           "d9_incremental", "d13_balanced_sample", "d17_leakage_safe_split",
           "d18_cluster_size_hist", "d21_minhash_twotable", "d22_minhash_r2",
-          "d23_minhash_families"),
+          "d23_minhash_families", "d24_dedup_keep_target"),
         () => graft.queries.DedupSimPack.buildSharedStage(spark, sfDir)),
       SharedStage("setup_ml_features",
         Set("j6_knn", "m2_kmeans", "m3_silhouette", "m4_dbscan",

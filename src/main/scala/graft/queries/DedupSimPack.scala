@@ -412,6 +412,108 @@ object DedupSimPack extends QueryPack {
               |JOIN sizes za ON za.id = c.id_a
               |JOIN sizes zb ON zb.id = c.id_b""".stripMargin)),
 
+    // D24 (round-20): the keep/drop DECISION at the derived-recall
+    // composition — the round's recall work (d22's r=2,b=8 s-curve,
+    // d23's family-count knob) glued into the curation end product.
+    // d7 keeps the corpus deduped through the 4×4 clustering-grade
+    // pairs; a pipeline deduping at a declared ≥0.9 recall target
+    // must make the SAME decision from the recall-grade candidate
+    // set: F = familiesForRecall(0.9, J0.5, r2, b8) = 2 families,
+    // candidates unioned, ONE exact-Jaccard verification at 0.5, the
+    // verified edges clustered (connected components) and
+    // non-canonical members dropped. At the gate corpora the planted
+    // dups are all J ≥ 0.9, where both compositions verify the same
+    // 25 edges — so the hash pins the full two-family r2b8 candidate
+    // build + verify + closure in both engines while the kept SET
+    // matches d7's (divergence isolates a composition defect); the
+    // recall difference the composition exists for is measured on the
+    // gen_mids fixture (SCALING.md: 0.607 → 0.996 candidate recall at
+    // J ≥ 0.5). Oracle: d7's recursive-closure tail over the d23
+    // candidate CTEs — with the two-family union written as UNION ALL
+    // inside a subquery + outer DISTINCT: under WITH RECURSIVE,
+    // DuckDB treats a MATERIALIZED CTE whose top level is `a UNION b`
+    // as recursive-shaped even with NO self-reference and iterates it
+    // into garbage (measured: 229 phantom candidate rows instead of
+    // 45 at sf0.01); iterative-CTE chains stay AS MATERIALIZED per
+    // the r19 lesson (inlined, this oracle is 12.1s; materialized,
+    // 0.29s).
+    Q("d24_dedup_keep_target",
+      (s, dir) => {
+        import s.implicits._
+        val (sh, sigs) = shingleSigs(s, dir)
+        val nFam = Dedup.familiesForRecall(target = 0.9, s0 = 0.5,
+          r = 2, b = 2 * Bands)
+        val cands = (0 until nFam).map { i =>
+          val sigsI = if (i == 0) sigs
+            else Dedup.minhashSignatures(sh, NumPerm, permOffset = i * NumPerm)
+          Dedup.lshCandidates(sigsI, 2 * Bands, 2)
+        }.reduce(_ unionByName _).distinct()
+        val edges = Dedup.verifyJaccard(cands, sh,
+            sigs.select($"id", $"n_sh"))
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b")
+        val drop = Dedup.components(edges)
+          .filter($"id" =!= $"cluster").select($"id".as("doc_id"))
+        Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
+          .join(drop, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""WITH RECURSIVE ${OracleSig2.replace(
+                 "sh30 AS (", "sh30 AS MATERIALIZED (").replace(
+                 "sig AS (", "sig AS MATERIALIZED (")},
+              |${OracleBandR2.replace("bandr2 AS (",
+                 "bandr2 AS MATERIALIZED (")},
+              |${OracleBandR2B.replace("bandr2b AS (",
+                 "bandr2b AS MATERIALIZED (")},
+              |fd AS (
+              |  SELECT CASE
+              |    WHEN power(1 - p1, 1) <= 0.1 + 1e-12 THEN 1
+              |    WHEN power(1 - p1, 2) <= 0.1 + 1e-12 THEN 2
+              |    ELSE error('d24 oracle replays F<=2; derived F>2')
+              |    END AS f
+              |  FROM (SELECT 1 - power(1 - power(0.5, 2), 8) AS p1)),
+              |cand AS MATERIALIZED (
+              |  SELECT DISTINCT id_a, id_b FROM (
+              |    SELECT a.id AS id_a, b.id AS id_b
+              |    FROM bandr2 a JOIN bandr2 b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id < b.id
+              |    UNION ALL
+              |    SELECT a.id, b.id
+              |    FROM bandr2b a JOIN bandr2b b
+              |      ON a.band = b.band AND a.band_key = b.band_key
+              |     AND a.id < b.id
+              |     AND (SELECT f FROM fd) >= 2)),
+              |sizes AS MATERIALIZED (
+              |  SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.id = c.id_a
+              |  JOIN sh sb ON sb.id = c.id_b AND sb.sh = sa.sh
+              |  GROUP BY 1, 2),
+              |ed AS MATERIALIZED (
+              |  SELECT c.id_a, c.id_b
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes za ON za.id = c.id_a
+              |  JOIN sizes zb ON zb.id = c.id_b
+              |  WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              |        / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)) >= 0.5),
+              |sym AS (
+              |  SELECT id_a AS a, id_b AS b FROM ed
+              |  UNION SELECT id_b, id_a FROM ed
+              |  UNION SELECT id_a, id_a FROM ed
+              |  UNION SELECT id_b, id_b FROM ed),
+              |reach(a, b) AS (
+              |  SELECT a, b FROM sym
+              |  UNION
+              |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+              |comp AS (SELECT a AS doc_id, min(b) AS cluster
+              |         FROM reach GROUP BY a)
+              |SELECT d.doc_id, d.lang, d.source FROM documents d
+              |WHERE d.doc_id NOT IN
+              |  (SELECT doc_id FROM comp WHERE doc_id <> cluster)""".stripMargin)),
+
     // Incremental dedup: a NEW batch (the most recent 20% of the id
     // range at EVERY scale factor — cutoff derived from max(doc_id),
     // not a constant) deduped against the standing corpus without
