@@ -216,12 +216,18 @@ object Dedup {
       return resolved.toSeq.toDF("id", "cluster")
     }
 
-    var labels = sym.select(col("a").as("id")).distinct()
+    // distributed path only: re-key the symmetric edge frame on its
+    // per-round join key (the LoopFrames rationale, round-20 — an
+    // unkeyed persisted frame is re-shuffled by every propagation
+    // round); the collect path above never joins it
+    val symK = sym.repartition(col("b")).sortWithinPartitions(col("b"))
+      .persist()
+    var labels = symK.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = sym
+      val nbrMin = symK
         .join(labels.select(col("id").as("b"), col("lbl").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nl"))
       val propagated = labels.join(nbrMin, Seq("id"), "left")
@@ -239,6 +245,7 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
+    symK.unpersist()
     sym.unpersist()
     labels.withColumnRenamed("lbl", "cluster")
   }

@@ -33,11 +33,13 @@ object Components {
   def run(edges: DataFrame, k: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var labels = edges.select($"src".as("node")).distinct()
+    // loop constant keyed on the per-round join key (round-20)
+    val e = graft.operators.LoopFrames.keyed(edges, "src")
+    var labels = e.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
       .localCheckpoint()
     (1 to k).foreach { i =>
-      val nbrMin = edges
+      val nbrMin = e
         .join(labels.select($"node".as("src"), $"label".as("slabel")), "src")
         .groupBy($"dst".as("node")).agg(min($"slabel").as("nbr"))
       labels = labels.join(nbrMin, Seq("node"), "left")

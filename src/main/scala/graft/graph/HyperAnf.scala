@@ -37,14 +37,16 @@ object HyperAnf {
     * checkpoints every other round (the PageRank depth-2 cadence). */
   def registerRounds(edges: DataFrame, k: Int, p: Int,
                      checkpointEach: Boolean = false): IndexedSeq[DataFrame] = {
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // loop constant keyed on the per-round join key (round-20)
+    val e = graft.operators.LoopFrames.keyed(edges, "dst")
+    val nodes = e.select(col("src").as("node")).distinct()
     // ball(v, 0) = {v}: each vertex's initial sketch is its own id
     var regs = Hll.keyedRegisters(
       nodes.withColumn("key", col("node")), "node", "key", p)
     if (checkpointEach) regs = regs.localCheckpoint()
     var out = Vector(regs)
     for (t <- 1 to k) {
-      val nbr = edges
+      val nbr = e
         .join(regs.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("bucket"), col("r"))
       regs = regs.unionByName(nbr)
@@ -95,10 +97,12 @@ object HyperAnf {
     * small-graph/bounded-k form (the pair set is the thing HyperANF
     * exists to avoid at scale). */
   def khopExact(edges: DataFrame, k: Int): DataFrame = {
-    var pairs = edges.select(col("src").as("node"),
+    // loop constant keyed on the per-round join key (round-20)
+    val e = graft.operators.LoopFrames.keyed(edges, "dst")
+    var pairs = e.select(col("src").as("node"),
       col("src").as("reached")).distinct()
     for (t <- 1 to k) {
-      val nbr = edges
+      val nbr = e
         .join(pairs.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("reached"))
       pairs = pairs.unionByName(nbr).distinct()

@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (Raghavan et al. 2007) — the
@@ -12,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Distributed shape per round (the canonical Pregel cost, as
   * [[PageRank]]): one edge-keyed join against the label frame, one
-  * (node, label) count aggregate, one node-partitioned argmax window —
+  * (node, label) count aggregate, one node-keyed argmax aggregate —
   * state is ONE label per node, never a neighbor list. Fixed K rounds
   * keeps the run replayable as K chained oracle CTEs (the g16 fixed-K
   * convention); each round's CTE references the previous exactly once
@@ -30,17 +29,24 @@ object LabelProp {
     * PageRank depth-2 cadence — K chained joins would otherwise
     * compound the plan). */
   def run(edges: DataFrame, k: Int): DataFrame = {
-    var labels = edges.select(col("src").as("node")).distinct()
+    // loop constant keyed on the per-round join key (round-20): every
+    // round equi-joins the edge table on src — shuffle+sort it once
+    val e = graft.operators.LoopFrames.keyed(edges, "src")
+    var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to k) {
-      val cnt = edges
+      val cnt = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(desc("c"), col("label"))
-      labels = cnt.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("node"), col("label"))
+      // argmax by (c desc, label asc) as a HASH aggregate (max of a
+      // lexicographic struct — the LouvainDist idiom, round-20):
+      // equivalent to the oracle's row_number ordering — (c, label)
+      // pairs are distinct per node, so the max is unique — without
+      // the per-round node-partitioned sort the window needed
+      labels = cnt.groupBy(col("node"))
+        .agg(max_by(col("label"), struct(col("c"), negate(col("label"))))
+          .as("label"))
       if (i % 2 == 0) labels = labels.localCheckpoint()
     }
     labels

@@ -108,6 +108,11 @@ object LouvainDist {
     // broadcast exchange + a re-run of this agg per round
     val m2 = edges.agg(coalesce(sum("w"), lit(1.0)).as("m2"))
       .head().getDouble(0)
+    // Loop-constant note (round-20): LoopFrames.keyed on levelEdges was
+    // measured a regression at gate scale (bench m6b 5.65→6.89 — the
+    // PageRank finding, see PageRank.run), so the level-1 edge frame
+    // rides the caller's materialization and contraction keeps
+    // localCheckpoint.
     var levelEdges = edges
     // Level degree: at level 1 from the edge list; after contraction the
     // coarse node's degree is the SUM OF MEMBER DEGREES (not the coarse

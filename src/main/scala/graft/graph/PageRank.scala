@@ -42,6 +42,15 @@ object PageRank {
           "dropped from the node set and its rank mass leaked")
     }
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    // Loop-constant materialization note (round-20): replacing these
+    // localCheckpoints with LoopFrames.keyed (hash-partitioned persisted
+    // constants, exchange-free rounds) was measured per-round on the
+    // real corr graph and REGRESSED at gate scale (warm rounds 5.0s →
+    // 7.1s over 10 rounds; bench m11 2.54→3.19, m20 4.91→6.13): the
+    // avoided exchange moves ~3k rows while the columnar-cache read +
+    // per-round InMemoryTableScan setup costs more. Kept on the
+    // localCheckpoint form here; LabelProp/HyperAnf/Components measured
+    // neutral-to-better and keep the keyed form. See OPTIMIZATION_r20.md.
     val norm = edges.join(outw, "src")
       .select($"src", $"dst", ($"w" / $"outw").as("wn"))
       .localCheckpoint()
@@ -111,6 +120,8 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val outw = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    // localCheckpoint, not LoopFrames.keyed — see the measured note in
+    // [[run]]
     val norm = edges.join(outw, "src")
       .select($"src", $"dst", ($"w" / $"outw").as("wn"))
       .localCheckpoint()

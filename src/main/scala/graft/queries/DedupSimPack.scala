@@ -448,10 +448,17 @@ object DedupSimPack extends QueryPack {
             else Dedup.minhashSignatures(sh, NumPerm, permOffset = i * NumPerm)
           Dedup.lshCandidates(sigsI, 2 * Bands, 2)
         }.reduce(_ unionByName _).distinct()
+          .localCheckpoint() // candidate build feeds verify twice (d21/d23 idiom)
         val edges = Dedup.verifyJaccard(cands, sh,
             sigs.select($"id", $"n_sh"))
           .filter($"jaccard" >= 0.5)
           .select($"id_a", $"id_b")
+          // components() references edges twice (a↔b symmetrization) and
+          // probes + collects it — without a cut, each of those actions
+          // re-executes the two-family union + verify DAG (measured at
+          // sf0.01: 59s cold / 10.2s warm; checkpointed: see
+          // OPTIMIZATION_r20.md).
+          .localCheckpoint()
         val drop = Dedup.components(edges)
           .filter($"id" =!= $"cluster").select($"id".as("doc_id"))
         Tables.documents(s, dir).select($"doc_id", $"lang", $"source")

@@ -647,14 +647,29 @@ object StreamMultimodalPack extends QueryPack {
         import s.implicits._
         val name = s"st28_out_${counter.incrementAndGet()}"
         val docs = Tables.documents(s, dir)
-        val shIdx = Dedup.shingleRows(docs, "doc_id", "text", 3)
-          .localCheckpoint()
-        val index = Dedup.bandIndex(
-            Dedup.minhashSignatures(shIdx, 16), 4, 4)
-          .withColumnRenamed("id", "corpus_id").localCheckpoint()
-        val corpusShs = shIdx.groupBy($"id".as("corpus_id"))
-          .agg(collect_set($"sh").as("shs_c")).localCheckpoint()
         val p = 2147483647L
+        // ONE pass over the shingle rows builds BOTH standing tables
+        // (round-20, guide §2.4 — the signature mins and the per-doc
+        // shingle set share the same groupBy(id), so the previous
+        // three-stage build — checkpoint the exploded shingles, agg
+        // signatures, agg shingle sets — collapses to one aggregate
+        // and one checkpoint; band keys are the same md5 composition
+        // Dedup.bandIndex derives from the sig array)
+        val aggd = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .withColumn("h30",
+            pmod(graft.text.TextOps.hash60($"sh"), lit(1073741824L)))
+          .groupBy($"id")
+          .agg(collect_set($"sh").as("shs_c"),
+            (0 until 16).map(i =>
+              min(($"h30" * Dedup.permA(i) + Dedup.permB(i)) % p)
+                .as(s"__s$i")): _*)
+          .localCheckpoint()
+        val index = aggd.select($"id".as("corpus_id"),
+          posexplode(array((0 until 4).map(b =>
+            md5(concat_ws(",", (0 until 4).map(r =>
+              col(s"__s${b * 4 + r}").cast("string")): _*))): _*))
+            .as(Seq("band", "band_key")))
+        val corpusShs = aggd.select($"id".as("corpus_id"), $"shs_c")
         val stream = s.readStream.schema(Tables.documentsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter($"doc_id" % 5 === 0)
@@ -836,19 +851,33 @@ object StreamMultimodalPack extends QueryPack {
         import s.implicits._
         val name = s"st31_out_${counter.incrementAndGet()}"
         val docs = Tables.documents(s, dir)
-        val shIdx = Dedup.shingleRows(docs, "doc_id", "text", 3)
-          .localCheckpoint()
         val nFam = Dedup.familiesForRecall(target = 0.9, s0 = 0.5,
           r = 2, b = 8)
-        val index = (0 until nFam).map { f =>
-          Dedup.bandIndex(
-              Dedup.minhashSignatures(shIdx, 16, permOffset = f * 16), 8, 2)
-            .select($"id".as("corpus_id"),
-              ($"band" + lit(f * 8)).as("band"), $"band_key")
-        }.reduce(_ unionByName _).localCheckpoint()
-        val corpusShs = shIdx.groupBy($"id".as("corpus_id"))
-          .agg(collect_set($"sh").as("shs_c")).localCheckpoint()
         val p = 2147483647L
+        // ONE pass over the shingle rows builds the standing tables of
+        // BOTH families plus the per-doc shingle sets (round-20, guide
+        // §2.4 — the st28 collapse, × nFam: previously one shuffle-agg
+        // per family plus one for the sets, each over the full shingle
+        // table; the 2F·16 signature mins and collect_set share one
+        // groupBy(id)). Band keys replicate Dedup.bandIndex's md5
+        // composition; the posexplode position namespaces the family
+        // (band f·8+b), matching the streaming side's banding below.
+        val aggd = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .withColumn("h30",
+            pmod(graft.text.TextOps.hash60($"sh"), lit(1073741824L)))
+          .groupBy($"id")
+          .agg(collect_set($"sh").as("shs_c"),
+            (0 until nFam * 16).map(i =>
+              min(($"h30" * Dedup.permA(i) + Dedup.permB(i)) % p)
+                .as(s"__s$i")): _*)
+          .localCheckpoint()
+        val index = aggd.select($"id".as("corpus_id"),
+          posexplode(array((for (f <- 0 until nFam; b <- 0 until 8)
+            yield md5(concat_ws(",",
+              col(s"__s${f * 16 + 2 * b}").cast("string"),
+              col(s"__s${f * 16 + 2 * b + 1}").cast("string")))): _*))
+            .as(Seq("band", "band_key")))
+        val corpusShs = aggd.select($"id".as("corpus_id"), $"shs_c")
         val scored = s.readStream.schema(Tables.documentsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter($"doc_id" % 5 === 0)

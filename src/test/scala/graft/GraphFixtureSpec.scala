@@ -78,4 +78,17 @@ class GraphFixtureSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(labels === again)
   }
+
+  test("LabelProp equal-frequency tie goes to the SMALLEST label " +
+      "(the max_by argmax preserves the row_number orderBy contract)") {
+    // node 5's neighbors after round 1 carry labels {1, 2} with equal
+    // count — the round-20 hash-aggregate argmax (max_by over
+    // struct(c, -label)) must pick label 1 exactly like the previous
+    // row_number(ORDER BY c DESC, label) did, or the oracle replay
+    // diverges on every tie
+    val pairs = Seq((1L, 5L), (2L, 5L))
+    val labels = graft.graph.LabelProp.run(sym(pairs), k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(5L) === 1L, s"tie must resolve to smallest: $labels")
+  }
 }
