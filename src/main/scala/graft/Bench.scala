@@ -7,6 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Codegen-class cache sized to the suite (round-20, guide §1.2
+      // step 3): Spark's default LRU holds 100 generated classes while
+      // the ~300 declared queries compile far more distinct whole-stage
+      // units — the warm pass's compilations were fully evicted before
+      // the measured pass could reuse them, so EVERY pass re-ran janino
+      // on every query. Measured on the 60 most expensive lines at 32
+      // cpus: min-of-two total 127.5s → 97.1s with the cache sized to
+      // fit. This caches compiled CODE only (keyed by generated source)
+      // — every invocation still computes results from the parquet
+      // inputs. Not scale-dependent: a long-lived production session
+      // running many plan shapes wants the same setting.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: stray WARN lines (task retries, shutdown races) land

@@ -45,6 +45,16 @@ object PortableKMeans {
       .select(col("cid"), col(vecCol).as("cvec"))
       .localCheckpoint()
 
+    // Optimization note (round-20): an in-row argmin — pivot the k
+    // centroids into one broadcast row, take array_min over k unrolled
+    // distances, making assign map-only with no per-round corpus
+    // shuffle — was MEASURED AND REJECTED: k·dims (8·64) unrolled
+    // subtraction terms in one projection overflow janino's method
+    // limit, whole-stage codegen falls back to interpreted execution
+    // (CodegenMonitor: 16 fallbacks), and the bench line went 7.2 s →
+    // 18.3 s. The explode + partial-aggregated groupBy(id) argmin
+    // below keeps codegen whole; its shuffle is already reduced to one
+    // row per vector by map-side partial aggregation.
     def assignTo(cent: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(cent))
         .withColumn("d2", Pq.dist2Unrolled(col(vecCol), col("cvec"), dims))
