@@ -670,18 +670,20 @@ object StreamMultimodalPack extends QueryPack {
               col(s"__s${b * 4 + r}").cast("string")): _*))): _*))
             .as(Seq("band", "band_key")))
         val corpusShs = aggd.select($"id".as("corpus_id"), $"shs_c")
+        // in-row shingle+signature through the compiled kernel
+        // (graft.text.ShingleMinHash, round-20): the HOF composition it
+        // replaces walked an interpreted lambda per shingle per
+        // permutation — measured 3.0s warm for this projection alone at
+        // sf0.1 — while staying in-row is what keeps the stream
+        // stateless; parity with the HOF form is pinned in
+        // ShingleMinHashSpec and by this query's oracle hash
         val stream = s.readStream.schema(Tables.documentsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter($"doc_id" % 5 === 0)
           .select($"doc_id",
-            graft.text.TextOps.shingles(
-              graft.text.TextOps.tokens($"text"), 3).as("shs"))
+            graft.text.ShingleMinHash($"text", 3, 16).as("ss"))
+          .select($"doc_id", $"ss.shs".as("shs"), $"ss.sig".as("sig"))
           .filter(size($"shs") > 0)
-          .withColumn("h30s", transform($"shs",
-            sh => pmod(graft.text.TextOps.hash60(sh), lit(1073741824L))))
-          .withColumn("sig", array((0 until 16).map(i =>
-            array_min(transform($"h30s", h =>
-              (h * Dedup.permA(i) + Dedup.permB(i)) % p))): _*))
           .select($"doc_id", $"shs",
             posexplode(array((0 until 4).map(b =>
               md5(concat_ws(",", (0 until 4).map(r =>
@@ -878,18 +880,17 @@ object StreamMultimodalPack extends QueryPack {
               col(s"__s${f * 16 + 2 * b + 1}").cast("string")))): _*))
             .as(Seq("band", "band_key")))
         val corpusShs = aggd.select($"id".as("corpus_id"), $"shs_c")
+        // both families' in-row signatures through the compiled kernel
+        // (permutation indices 0..2F·16−1 are contiguous across
+        // families) — see the st28 note; parity pinned in
+        // ShingleMinHashSpec and by this query's oracle hash
         val scored = s.readStream.schema(Tables.documentsSchema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter($"doc_id" % 5 === 0)
           .select($"doc_id",
-            graft.text.TextOps.shingles(
-              graft.text.TextOps.tokens($"text"), 3).as("shs"))
+            graft.text.ShingleMinHash($"text", 3, nFam * 16).as("ss"))
+          .select($"doc_id", $"ss.shs".as("shs"), $"ss.sig".as("sig"))
           .filter(size($"shs") > 0)
-          .withColumn("h30s", transform($"shs",
-            sh => pmod(graft.text.TextOps.hash60(sh), lit(1073741824L))))
-          .withColumn("sig", array((0 until nFam * 16).map(i =>
-            array_min(transform($"h30s", h =>
-              (h * Dedup.permA(i) + Dedup.permB(i)) % p))): _*))
           // posexplode position = family·8 + band: the namespaced id
           .select($"doc_id", $"shs",
             posexplode(array((for (f <- 0 until nFam; b <- 0 until 8)
